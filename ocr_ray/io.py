@@ -1,0 +1,59 @@
+"""Lance-or-Parquet storage shim.
+
+The target data model is a Lance table of interleaved documents
+(BASELINE.json input_hint). Lance is not installed in this sandbox, so one
+module owns the format decision: when ``lance``/``ray.data.read_lance`` is
+importable we use it, otherwise we fall back to a Parquet directory with
+the IDENTICAL Arrow schema. Every other module goes through these two
+functions, so a Lance-enabled environment needs zero changes elsewhere.
+"""
+from __future__ import annotations
+
+import pathlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+try:  # pragma: no cover - absent in this sandbox
+    import lance  # type: ignore
+
+    HAS_LANCE = True
+except ImportError:
+    lance = None
+    HAS_LANCE = False
+
+
+def write_interleaved(table: pa.Table, path: str, max_rows_per_file: int = 100_000) -> str:
+    """Write an interleaved-docs table; returns the written path."""
+    p = pathlib.Path(path)
+    if HAS_LANCE:
+        lance.write_dataset(table, str(p), max_rows_per_file=max_rows_per_file)
+        return str(p)
+    p.mkdir(parents=True, exist_ok=True)
+    # shard into multiple files so a Ray read gets parallel fragments
+    n = table.num_rows
+    shard = 0
+    for start in range(0, max(n, 1), max_rows_per_file):
+        pq.write_table(
+            table.slice(start, max_rows_per_file),
+            p / f"part-{shard:05d}.parquet",
+        )
+        shard += 1
+    return str(p)
+
+
+def read_interleaved(path: str, *, columns: list[str] | None = None, **ray_kwargs):
+    """Read the interleaved table as a ``ray.data.Dataset`` (lazy)."""
+    import ray.data as rd
+
+    if HAS_LANCE and hasattr(rd, "read_lance") and pathlib.Path(path).suffix == ".lance":
+        return rd.read_lance(path, columns=columns, **ray_kwargs)
+    return rd.read_parquet(path, columns=columns, **ray_kwargs)
+
+
+def input_files(path: str) -> list[str]:
+    """Fragment file list of an interleaved table (checkpoint partitioning)."""
+    p = pathlib.Path(path)
+    if p.is_file():
+        return [str(p)]
+    return sorted(str(f) for f in p.glob("*.parquet"))
