@@ -1,0 +1,127 @@
+"""Benchmark harness — one JSON line with the headline metric.
+
+Headline: documents/sec end-to-end extraction throughput over the
+interleaved text+media docs table (BASELINE.json north-star), plus
+per-query timings for the wider operator suite over $GRAFT_SF_DIR.
+
+Usage:
+  python bench.py              # one run; honors RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling    # same job at num_cpus=8 and 32 in fresh
+                               # processes; prints throughput + efficiency
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "unknown_word_counts",
+    "quality_scores",
+    "token_counts",
+    "language_id",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ann_brute_topk",
+    "events_per_day",
+    "doc_stats_by_lang",
+]
+
+
+def _consume(result) -> int:
+    """Drain a result without materializing it on the driver."""
+    if hasattr(result, "iter_batches"):
+        n = 0
+        for batch in result.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            n += batch.num_rows
+        return n
+    return len(result)
+
+
+def run_once() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data.context import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from ocr_ray import driver as drv
+
+    # warm the page cache + synth cache so we measure compute, not first I/O
+    interleaved = drv.interleaved_path_for(SF_DIR)
+    n_docs = drv.interleaved_docs_count(SF_DIR)
+    for f in drv.io.input_files(interleaved):
+        with open(f, "rb") as fh:
+            fh.read()
+
+    t0 = time.perf_counter()
+    _consume(drv.q_extract_documents(SF_DIR))
+    extract_sec = time.perf_counter() - t0
+
+    queries = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _consume(drv.QUERIES[name](SF_DIR))
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "docs_per_sec_extract",
+        "value": round(n_docs / extract_sec, 3),
+        "unit": "docs/sec",
+        "extract_sec": round(extract_sec, 3),
+        "n_docs": n_docs,
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_scaling() -> None:
+    lo_cpus, hi_cpus = 8, 32
+    results = {}
+    for ncpu in (lo_cpus, hi_cpus):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True,
+            check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    tput_lo = results[lo_cpus]["value"]
+    tput_hi = results[hi_cpus]["value"]
+    eff = (tput_hi / tput_lo) / (hi_cpus / lo_cpus)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "fraction",
+                "docs_per_sec_8cpu": tput_lo,
+                "docs_per_sec_32cpu": tput_hi,
+                "speedup": round(tput_hi / tput_lo, 3),
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_once()))

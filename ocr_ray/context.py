@@ -1,0 +1,65 @@
+"""Central Ray Data context configuration.
+
+One place owns the execution knobs so every entry point (driver contract,
+bench, tests, CLI) gets the same tuning:
+
+- hash-shuffle strategy (required for key-based repartition — the
+  reassembly shuffle — and the efficient path for groupbys);
+- shuffle parallelism / aggregator counts sized to the actual cluster
+  instead of the 200-partition default, which on a small local cluster
+  starves the map stages (64 aggregators reserving CPUs on an 8-CPU
+  node);
+- progress bars / verbose logs off.
+
+Never calls ray.init(); callers own the session.
+"""
+from __future__ import annotations
+
+
+def configure(num_cpus: int | None = None):
+    """Tune the global DataContext; returns it. Safe to call repeatedly."""
+    from ray.data.context import DataContext
+
+    try:
+        from ray.data.context import ShuffleStrategy
+    except ImportError:  # pragma: no cover - older Ray
+        ShuffleStrategy = None
+
+    if num_cpus is None:
+        import ray
+
+        if ray.is_initialized():
+            num_cpus = int(ray.cluster_resources().get("CPU", 8))
+        else:
+            num_cpus = 8
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    if ShuffleStrategy is not None:
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        # partitions ≈ 2×CPUs keeps every core busy without flooding a
+        # small cluster with actor bookkeeping; aggregators are IO-light,
+        # so cap their pool and their per-partition CPU reservation
+        ctx.default_hash_shuffle_parallelism = max(8, min(2 * num_cpus, 64))
+        ctx.max_hash_shuffle_aggregators = max(2, num_cpus // 2)
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.1
+    return ctx
+
+
+def apply_to_dataset(ds):
+    """Copy the tuned knobs onto an already-created Dataset (datasets
+    snapshot their context at creation)."""
+    src = configure()
+    for attr in (
+        "shuffle_strategy",
+        "default_hash_shuffle_parallelism",
+        "max_hash_shuffle_aggregators",
+        "hash_shuffle_operator_actor_num_cpus_per_partition_override",
+        "enable_progress_bars",
+    ):
+        try:
+            setattr(ds.context, attr, getattr(src, attr))
+        except AttributeError:
+            pass
+    return ds

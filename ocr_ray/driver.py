@@ -1,0 +1,429 @@
+"""Driver-contract registry: named queries over the testdata tables and
+their DuckDB oracle SQL (see /root/repo/__ray_entry__.py).
+
+Every SQL-expressible operator ships BOTH a Ray implementation and the
+equivalent ANSI SQL; column names and types match exactly (the driver
+hashes values after sorting columns by name). Non-SQL-expressible ops
+(the extraction pipeline itself, LSH dedup, IVF ANN) are rows-only.
+"""
+from __future__ import annotations
+
+import pathlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ocr_ray import io, synth
+from ocr_ray.ops import analysis
+from ocr_ray.ops.analysis import FREQUENCY_THRESHOLD, STOP_EN, STOP_ID, kamus_sql_list
+
+_WORDS_SQL = "regexp_extract_all(lower(text), '[a-zA-Z]{3,}')"
+_FP_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+def _quiet():
+    from ocr_ray.context import configure
+
+    configure()
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    _quiet()
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(sf_dir: str):
+    import ray.data as rd
+
+    _quiet()
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+
+def _embeddings(sf_dir: str):
+    import ray.data as rd
+
+    _quiet()
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# interleaved-table synthesis, cached per scale factor under /tmp
+
+
+def interleaved_docs_count(sf_dir: str) -> int:
+    meta = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata
+    return max(40, meta.num_rows // 16)
+
+
+def interleaved_path_for(sf_dir: str, seed: int = 42) -> str:
+    n_docs = interleaved_docs_count(sf_dir)
+    path = pathlib.Path(f"/tmp/ocr_ray_cache/interleaved-{seed}-{n_docs}")
+    marker = path / "_SUCCESS"
+    if not marker.exists():
+        table = synth.generate_interleaved(n_docs=n_docs, seed=seed)
+        io.write_interleaved(table, str(path), max_rows_per_file=max(50, n_docs // 32))
+        marker.write_text("ok")
+    return str(path)
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+
+
+def q_extract_documents(sf_dir: str):
+    from ocr_ray.pipelines.extract import ExtractConfig, extract_documents
+
+    _quiet()
+    ds = io.read_interleaved(interleaved_path_for(sf_dir))
+    docs = extract_documents(ds, ExtractConfig())
+    return docs.select_columns(
+        ["doc_id", "doc_text", "n_spans", "n_media_spans",
+         "dictionary_corrections", "spelling_changes"]
+    )
+
+
+def q_extract_spans(sf_dir: str):
+    from ocr_ray.pipelines.extract import ExtractConfig, extract_spans
+
+    _quiet()
+    ds = io.read_interleaved(interleaved_path_for(sf_dir))
+    return extract_spans(ds, ExtractConfig()).select_columns(
+        ["doc_id", "offset", "kind", "media_ref", "text",
+         "dictionary_corrections", "spelling_changes"]
+    )
+
+
+def q_unknown_word_counts(sf_dir: str):
+    return analysis.unknown_word_counts(_docs(sf_dir))
+
+
+def q_auto_approved_words(sf_dir: str):
+    return analysis.auto_approved_words(_docs(sf_dir))
+
+
+def q_pending_words_topk(sf_dir: str):
+    # materialize with an explicit schema: an empty Ray result would
+    # otherwise lose its column names in the driver compare
+    rows = analysis.pending_words_topk(_docs(sf_dir), k=50).take_all()
+    return pa.Table.from_pylist(
+        rows, schema=pa.schema([("word", pa.string()), ("frequency", pa.int64())])
+    )
+
+
+def q_learning_stats(sf_dir: str):
+    row = analysis.learning_stats(_docs(sf_dir))
+    return pa.Table.from_pylist([row])
+
+
+def q_doc_stats_by_lang(sf_dir: str):
+    stats = analysis.doc_stats_by_lang(
+        _docs(sf_dir).select_columns(["lang", "n_chars"])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["avg_chars"])
+        avg = pc.divide(
+            pc.cast(t["sum_chars"], pa.float64()), pc.cast(t["n_docs"], pa.float64())
+        )
+        return t.append_column("avg_chars", avg)
+
+    return stats.map_batches(finish, batch_format="pyarrow")
+
+
+def q_doc_counts_by_lang_source(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        _docs(sf_dir)
+        .select_columns(["lang", "source", "n_chars"])
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+    )
+
+
+def q_top_docs_by_chars(sf_dir: str):
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(20)
+    )
+
+
+def _events_with_cents(sf_dir: str):
+    def add_cols(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return t.append_column("cents", cents)
+
+    return _events(sf_dir).map_batches(add_cols, batch_format="pyarrow")
+
+
+def q_events_per_day(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    def add_day(t: pa.Table) -> pa.Table:
+        # timestamp[us] day floor (not date32): matches DuckDB
+        # date_trunc('day', ts) so pandas dtypes agree in the compare
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us"))
+        return t.append_column("day", day)
+
+    def fix_day_type(t: pa.Table) -> pa.Table:
+        # the hash aggregate normalizes second-aligned keys to timestamp[s];
+        # restore timestamp[us] to match DuckDB date_trunc output
+        return t.set_column(
+            t.schema.get_field_index("day"), "day",
+            pc.cast(t["day"], pa.timestamp("us")),
+        )
+
+    return (
+        _events_with_cents(sf_dir)
+        .map_batches(add_day, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="n_events"), Sum("cents", alias_name="sum_cents"))
+        .map_batches(fix_day_type, batch_format="pyarrow")
+        .sort("day")
+    )
+
+
+def q_events_by_type(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        _events_with_cents(sf_dir)
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_events"), Sum("cents", alias_name="sum_cents"))
+    )
+
+
+def q_quality_scores(sf_dir: str):
+    return analysis.quality_scores(_docs(sf_dir)).select_columns(
+        ["doc_id", "overall", "label", "total_words", "matched_words"]
+    )
+
+
+def q_token_counts(sf_dir: str):
+    return analysis.token_counts(_docs(sf_dir))
+
+
+def q_language_id(sf_dir: str):
+    return analysis.language_id(_docs(sf_dir))
+
+
+def q_doc_fingerprints(sf_dir: str):
+    return analysis.doc_fingerprints(_docs(sf_dir))
+
+
+def q_dedup_exact(sf_dir: str):
+    from ocr_ray.ops.dedup import dedup_exact
+
+    return dedup_exact(_docs(sf_dir))
+
+
+def q_dedup_minhash(sf_dir: str):
+    from ocr_ray.ops.dedup import dedup_minhash
+
+    return dedup_minhash(_docs(sf_dir), threshold=0.5)
+
+
+def q_dedup_simhash(sf_dir: str):
+    from ocr_ray.ops.dedup import dedup_simhash
+
+    return dedup_simhash(_docs(sf_dir), max_hamming=3)
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    from ocr_ray.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir), threshold=0.5)
+
+
+def _query_matrix(sf_dir: str, n: int = 4) -> np.ndarray:
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    tbl = tbl.sort_by("vec_id").slice(0, n)
+    return np.stack(
+        [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
+    )
+
+
+def q_ann_brute_topk(sf_dir: str):
+    from ocr_ray.ops.similarity import ann_brute_topk
+
+    return ann_brute_topk(_embeddings(sf_dir), _query_matrix(sf_dir), k=10)
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    from ocr_ray.ops.similarity import ann_ivf_topk
+
+    return ann_ivf_topk(_embeddings(sf_dir), _query_matrix(sf_dir), k=10)
+
+
+def q_embedding_cosine_dedup(sf_dir: str):
+    from ocr_ray.ops.similarity import embedding_cosine_dedup
+
+    return embedding_cosine_dedup(_embeddings(sf_dir), threshold=0.9)
+
+
+QUERIES = {
+    "extract_documents": q_extract_documents,
+    "extract_spans": q_extract_spans,
+    "unknown_word_counts": q_unknown_word_counts,
+    "auto_approved_words": q_auto_approved_words,
+    "pending_words_topk": q_pending_words_topk,
+    "learning_stats": q_learning_stats,
+    "doc_stats_by_lang": q_doc_stats_by_lang,
+    "doc_counts_by_lang_source": q_doc_counts_by_lang_source,
+    "top_docs_by_chars": q_top_docs_by_chars,
+    "events_per_day": q_events_per_day,
+    "events_by_type": q_events_by_type,
+    "quality_scores": q_quality_scores,
+    "token_counts": q_token_counts,
+    "language_id": q_language_id,
+    "doc_fingerprints": q_doc_fingerprints,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ann_brute_topk": q_ann_brute_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "embedding_cosine_dedup": q_embedding_cosine_dedup,
+}
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+
+
+def _unknown_words_cte() -> str:
+    return (
+        "WITH doc_words AS (\n"
+        f"  SELECT DISTINCT doc_id, unnest({_WORDS_SQL}) AS word FROM documents\n"
+        "), unknown AS (\n"
+        f"  SELECT word, COUNT(*) AS frequency FROM doc_words\n"
+        f"  WHERE word NOT IN ({kamus_sql_list()})\n"
+        "  GROUP BY word\n"
+        ")"
+    )
+
+
+def _stop_list_sql(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def oracle_sql() -> dict[str, str]:
+    kamus = kamus_sql_list()
+    return {
+        "unknown_word_counts": (
+            _unknown_words_cte()
+            + "\nSELECT word, CAST(frequency AS BIGINT) AS frequency FROM unknown"
+        ),
+        "auto_approved_words": (
+            _unknown_words_cte()
+            + "\nSELECT word, CAST(frequency AS BIGINT) AS frequency FROM unknown"
+            + f"\nWHERE frequency >= {FREQUENCY_THRESHOLD}"
+        ),
+        "pending_words_topk": (
+            _unknown_words_cte()
+            + "\nSELECT word, CAST(frequency AS BIGINT) AS frequency FROM unknown"
+            + f"\nWHERE frequency < {FREQUENCY_THRESHOLD}"
+            + "\nORDER BY frequency DESC, word ASC LIMIT 50"
+        ),
+        "learning_stats": (
+            _unknown_words_cte()
+            + "\nSELECT CAST(COUNT(*) AS BIGINT) AS total_words,"
+            + f"\n CAST(SUM(CASE WHEN frequency >= {FREQUENCY_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS approved_words,"
+            + "\n CAST(SUM(frequency) AS BIGINT) AS total_occurrences,"
+            + "\n CAST(MAX(frequency) AS BIGINT) AS max_frequency"
+            + "\nFROM unknown"
+        ),
+        "doc_stats_by_lang": (
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,"
+            " CAST(SUM(n_chars) AS BIGINT) AS sum_chars,"
+            " CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars"
+            " FROM documents GROUP BY lang"
+        ),
+        "doc_counts_by_lang_source": (
+            "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,"
+            " CAST(SUM(n_chars) AS BIGINT) AS sum_chars"
+            " FROM documents GROUP BY lang, source"
+        ),
+        "top_docs_by_chars": (
+            "SELECT doc_id, n_chars FROM documents"
+            " ORDER BY n_chars DESC, doc_id ASC LIMIT 20"
+        ),
+        "events_per_day": (
+            "SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n_events,"
+            " CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents"
+            " FROM events GROUP BY 1 ORDER BY day"
+        ),
+        "events_by_type": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,"
+            " CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents"
+            " FROM events GROUP BY event_type"
+        ),
+        "quality_scores": (
+            "WITH doc_words AS (\n"
+            f"  SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents\n"
+            "), stats AS (\n"
+            "  SELECT doc_id, COUNT(*) AS total,\n"
+            f"   SUM(CASE WHEN word IN ({kamus}) THEN 1 ELSE 0 END) AS matched\n"
+            "  FROM doc_words GROUP BY doc_id\n"
+            "), scored AS (\n"
+            "  SELECT d.doc_id,\n"
+            "   CAST(COALESCE(s.total, 0) AS INTEGER) AS total_words,\n"
+            "   CAST(COALESCE(s.matched, 0) AS INTEGER) AS matched_words,\n"
+            "   CASE WHEN COALESCE(s.total, 0) = 0 THEN 100.0\n"
+            "        ELSE CAST(s.matched AS DOUBLE) / CAST(s.total AS DOUBLE) * 100.0 END AS dm\n"
+            "  FROM documents d LEFT JOIN stats s USING (doc_id)\n"
+            ")\n"
+            "SELECT doc_id,\n"
+            " CAST(FLOOR(75.0 * 0.40 + dm * 0.30 + 100.0 * 0.30) AS INTEGER) AS overall,\n"
+            " CASE WHEN FLOOR(75.0 * 0.40 + dm * 0.30 + 100.0 * 0.30) >= 85 THEN 'Excellent'\n"
+            "      WHEN FLOOR(75.0 * 0.40 + dm * 0.30 + 100.0 * 0.30) >= 70 THEN 'Good'\n"
+            "      WHEN FLOOR(75.0 * 0.40 + dm * 0.30 + 100.0 * 0.30) >= 50 THEN 'Fair'\n"
+            "      ELSE 'Poor' END AS label,\n"
+            " total_words, matched_words\n"
+            "FROM scored"
+        ),
+        "token_counts": (
+            "SELECT doc_id,"
+            " CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,"
+            f" CAST(len({_WORDS_SQL}) AS BIGINT) AS n_words"
+            " FROM documents"
+        ),
+        "language_id": (
+            "WITH counted AS (\n"
+            " SELECT doc_id,\n"
+            f"  CAST(len(list_filter({_WORDS_SQL}, x -> list_contains({_stop_list_sql(STOP_ID)}, x))) AS BIGINT) AS stop_id,\n"
+            f"  CAST(len(list_filter({_WORDS_SQL}, x -> list_contains({_stop_list_sql(STOP_EN)}, x))) AS BIGINT) AS stop_en\n"
+            " FROM documents)\n"
+            "SELECT doc_id, CASE WHEN stop_id >= stop_en THEN 'id' ELSE 'en' END AS lang_pred,"
+            " stop_id, stop_en FROM counted"
+        ),
+        "doc_fingerprints": (
+            f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents"
+        ),
+        "dedup_exact": (
+            f"SELECT {_FP_SQL} AS fingerprint, MIN(doc_id) AS doc_id,"
+            " CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY 1"
+        ),
+        "ann_brute_topk": (
+            "WITH q AS (\n"
+            " SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv\n"
+            " FROM embeddings WHERE vec_id < 4\n"
+            "), sims AS (\n"
+            " SELECT q.query_id, e.vec_id,\n"
+            "  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim_raw\n"
+            " FROM embeddings e CROSS JOIN q\n"
+            "), ranked AS (\n"
+            " SELECT query_id, vec_id,\n"
+            "  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, vec_id ASC) AS rank,\n"
+            "  ROUND(sim_raw, 6) AS sim\n"
+            " FROM sims)\n"
+            "SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, sim"
+            " FROM ranked WHERE rank <= 10"
+        ),
+    }

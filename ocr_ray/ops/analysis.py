@@ -1,0 +1,245 @@
+"""Text-analysis and aggregation operators over a documents table
+(doc_id:int64, text:string, lang:string, source:string, n_chars:int64).
+
+Re-expresses the reference's SQLite-side aggregations Ray-Data-first
+(SURVEY.md §2.5-2.6): the word-frequency learning aggregation (A1,
+learning_service.py:49-107), stats rollups (A2-A6), and top-k pending
+words (O1), plus the large-pipeline extras (language ID, quality
+scoring, token counts, fingerprints). Every operator follows the
+partial-aggregation pattern: combine inside ``map_batches`` per batch,
+then a small ``groupby`` over the partials — never a row-level shuffle.
+"""
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ocr_ray import data
+from ocr_ray.kernels.scoring import calculate_quality_score
+from ocr_ray.kernels.words import extract_words
+
+# auto-approve threshold (reference learning_service.py:16)
+FREQUENCY_THRESHOLD = 5
+
+_WORD_RE = re.compile(r"[a-zA-Z]{3,}")
+_WS_RE = re.compile(r"\s+")
+
+# tiny stopword lists for the language-ID heuristic; shared verbatim with
+# the DuckDB oracle (see __ray_entry__.oracle_sql)
+STOP_ID = (
+    "yang", "dan", "di", "ke", "dari", "untuk", "dengan", "pada", "ini",
+    "itu", "adalah", "tidak", "akan", "telah", "dalam", "atau",
+)
+STOP_EN = (
+    "the", "and", "of", "to", "in", "is", "that", "for", "with", "was",
+    "are", "this", "not", "will", "have", "from",
+)
+
+
+def _distinct_unknown_words(text: str) -> set[str]:
+    """Per-document distinct unknown words — the unit the learning
+    aggregation counts (one occurrence per document, reference
+    dictionary_corrector.py:217-235 feeding learning_service)."""
+    kamus = data.kamus()
+    return {w for w in _WORD_RE.findall(text.lower()) if w not in kamus}
+
+
+def _word_count_partials(batch: pa.Table) -> pa.Table:
+    counts: Counter[str] = Counter()
+    for text in batch.column("text").to_pylist():
+        counts.update(_distinct_unknown_words(text or ""))
+    if not counts:
+        return pa.table(
+            {"word": pa.array([], pa.string()), "partial": pa.array([], pa.int64())}
+        )
+    words, partial = zip(*sorted(counts.items()))
+    return pa.table(
+        {"word": pa.array(words, pa.string()), "partial": pa.array(partial, pa.int64())}
+    )
+
+
+def unknown_word_counts(docs):
+    """word → number of documents containing it (unknown words only).
+
+    Partial counts per batch, then one small groupby-sum — the A1 shuffle
+    moves (word, partial) rows, not the corpus.
+    """
+    from ray.data.aggregate import Sum
+
+    return (
+        docs.map_batches(_word_count_partials, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("partial", alias_name="frequency"))
+    )
+
+
+def auto_approved_words(docs):
+    """A1: words auto-approved at frequency ≥ 5 (learning_service.py:82-88)."""
+    return unknown_word_counts(docs).filter(
+        expr=f"frequency >= {FREQUENCY_THRESHOLD}"
+    )
+
+
+def pending_words_topk(docs, k: int = 50):
+    """O1: top-k pending (below-threshold) words by frequency.
+
+    The reference orders by (frequency DESC, last_seen DESC); a batch
+    engine has no last_seen, so the frozen deterministic tiebreak is
+    (frequency DESC, word ASC).
+    """
+    return (
+        unknown_word_counts(docs)
+        .filter(expr=f"frequency < {FREQUENCY_THRESHOLD}")
+        .sort(["frequency", "word"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def learning_stats(docs):
+    """A2: one-row rollup of the learning table."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    counts = unknown_word_counts(docs).map_batches(
+        lambda t: t.append_column(
+            "approved",
+            pc.cast(pc.greater_equal(t["frequency"], FREQUENCY_THRESHOLD), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+    return counts.aggregate(
+        Count(alias_name="total_words"),
+        Sum("approved", alias_name="approved_words"),
+        Sum("frequency", alias_name="total_occurrences"),
+        Max("frequency", alias_name="max_frequency"),
+    )
+
+
+def doc_stats_by_lang(docs):
+    """A3-style rollup: per-language doc count + char stats."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    return docs.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Mean("n_chars", alias_name="avg_chars"),
+    )
+
+
+def events_per_day(events):
+    """A4: events per day ordered by date (db_service.py:265-278)."""
+    from ray.data.aggregate import Count, Sum
+
+    def add_day(t: pa.Table) -> pa.Table:
+        return t.append_column("day", pc.cast(t["ts"], pa.date32()))
+
+    return (
+        events.map_batches(add_day, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .sort("day")
+    )
+
+
+def events_by_type(events):
+    """A6: grouped event counts (audit_logger.py:125-146)."""
+    from ray.data.aggregate import Count, Mean
+
+    return events.groupby("event_type").aggregate(
+        Count(alias_name="n_events"), Mean("value", alias_name="avg_value")
+    )
+
+
+def _quality_batch(batch: pa.Table) -> pa.Table:
+    rows = [
+        calculate_quality_score(t or "", confidence_scores=None, dictionary_corrections=0)
+        for t in batch.column("text").to_pylist()
+    ]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "overall": pa.array([r.overall for r in rows], pa.int32()),
+            "label": pa.array([r.label for r in rows], pa.string()),
+            "dictionary_match": pa.array(
+                [r.dictionary_match for r in rows], pa.float64()
+            ),
+            "total_words": pa.array([r.total_words for r in rows], pa.int32()),
+            "matched_words": pa.array([r.matched_words for r in rows], pa.int32()),
+        }
+    )
+
+
+def quality_scores(docs):
+    """M15 over a raw corpus: per-doc composite quality score with the
+    no-confidence default (75) and zero corrections."""
+    return docs.map_batches(_quality_batch, batch_format="pyarrow")
+
+
+def _token_count_batch(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array([len((t or "").split()) for t in texts], pa.int64()),
+            "n_words": pa.array(
+                [len(_WORD_RE.findall((t or "").lower())) for t in texts], pa.int64()
+            ),
+        }
+    )
+
+
+def token_counts(docs):
+    """Whitespace token + alphabetic word counts per document."""
+    return docs.map_batches(_token_count_batch, batch_format="pyarrow")
+
+
+def _langid_batch(batch: pa.Table) -> pa.Table:
+    stop_id, stop_en = set(STOP_ID), set(STOP_EN)
+    preds, sid_out, sen_out = [], [], []
+    for text in batch.column("text").to_pylist():
+        words = _WORD_RE.findall((text or "").lower())
+        sid = sum(1 for w in words if w in stop_id)
+        sen = sum(1 for w in words if w in stop_en)
+        preds.append("id" if sid >= sen else "en")
+        sid_out.append(sid)
+        sen_out.append(sen)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "lang_pred": pa.array(preds, pa.string()),
+            "stop_id": pa.array(sid_out, pa.int64()),
+            "stop_en": pa.array(sen_out, pa.int64()),
+        }
+    )
+
+
+def language_id(docs):
+    """Stopword-count language ID heuristic (id vs en; ties → id)."""
+    return docs.map_batches(_langid_batch, batch_format="pyarrow")
+
+
+def normalize_for_fingerprint(text: str) -> str:
+    return _WS_RE.sub(" ", (text or "").lower()).strip()
+
+
+def _fingerprint_batch(batch: pa.Table) -> pa.Table:
+    fps = [
+        hashlib.md5(normalize_for_fingerprint(t).encode("utf-8")).hexdigest()
+        for t in batch.column("text").to_pylist()
+    ]
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps, pa.string())}
+    )
+
+
+def doc_fingerprints(docs):
+    """MD5 fingerprint of whitespace-normalized lowercased text."""
+    return docs.map_batches(_fingerprint_batch, batch_format="pyarrow")
+
+
+def kamus_sql_list() -> str:
+    """The frozen kamus as a SQL IN-list (for DuckDB oracles)."""
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in data.kamus_sorted())

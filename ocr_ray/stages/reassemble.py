@@ -139,17 +139,19 @@ def rebuild_docs_block(batch: pa.Table) -> pa.Table:
 
 
 def use_hash_shuffle(ds=None) -> bool:
-    """Switch Ray Data to the hash-shuffle strategy (required for key-based
+    """Enable the tuned hash-shuffle configuration (required for key-based
     repartition). Datasets snapshot their DataContext at creation, so the
     already-built dataset's context is patched too. Returns False when
     this Ray build lacks hash shuffle."""
     try:
-        from ray.data.context import DataContext, ShuffleStrategy
+        from ray.data.context import ShuffleStrategy  # noqa: F401
     except ImportError:
         return False
-    DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    from ocr_ray.context import apply_to_dataset, configure
+
+    configure()
     if ds is not None:
-        ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        apply_to_dataset(ds)
     return True
 
 
