@@ -43,7 +43,13 @@ def configure(num_cpus: int | None = None):
         # so cap their pool and their per-partition CPU reservation
         ctx.default_hash_shuffle_parallelism = max(8, min(2 * num_cpus, 64))
         ctx.max_hash_shuffle_aggregators = max(2, num_cpus // 2)
-        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.1
+        # near-zero so aggregators can ALWAYS schedule: a full actor pool
+        # plus a pending read task must not starve the shuffle (observed
+        # deadlock on a 4-CPU cluster: 3 actors + 1 read = 4.0 CPUs, the
+        # 0.4-CPU aggregator bundle never started and everything
+        # backpressured forever). Aggregators are memory/IPC-bound, not
+        # CPU-bound, so oversubscription is safe.
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
     return ctx
 
 

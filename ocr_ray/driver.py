@@ -59,15 +59,18 @@ def interleaved_docs_count(sf_dir: str) -> int:
     return max(40, meta.num_rows // 16)
 
 
-def interleaved_path_for(sf_dir: str, seed: int = 42) -> str:
-    n_docs = interleaved_docs_count(sf_dir)
+def interleaved_path_n(n_docs: int, seed: int = 42) -> str:
     path = pathlib.Path(f"/tmp/ocr_ray_cache/interleaved-{seed}-{n_docs}")
     marker = path / "_SUCCESS"
     if not marker.exists():
         table = synth.generate_interleaved(n_docs=n_docs, seed=seed)
-        io.write_interleaved(table, str(path), max_rows_per_file=max(50, n_docs // 32))
+        io.write_interleaved(table, str(path), max_rows_per_file=max(50, n_docs // 64))
         marker.write_text("ok")
     return str(path)
+
+
+def interleaved_path_for(sf_dir: str, seed: int = 42) -> str:
+    return interleaved_path_n(interleaved_docs_count(sf_dir), seed)
 
 
 # ---------------------------------------------------------------------------

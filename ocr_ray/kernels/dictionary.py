@@ -86,9 +86,26 @@ def _multi_word_patterns() -> tuple[tuple[re.Pattern, str], ...]:
     return tuple(out)
 
 
+@functools.lru_cache(maxsize=1)
+def _multi_word_detector() -> re.Pattern:
+    """One alternation of every multi-word pattern, used only as a
+    fast-path membership test: when it finds nothing, the 277 sequential
+    substitutions are provably all no-ops and are skipped. (The detector
+    is exactly the union of the patterns, so it cannot miss the first
+    substitution of any chain.)"""
+    table = data.multi_word_corrections()
+    parts = [
+        re.escape(w).replace(r"\ ", " ").replace(" ", r"\s+")
+        for w in sorted(table, key=len, reverse=True)
+    ]
+    return re.compile("|".join(parts), re.IGNORECASE)
+
+
 def apply_multi_word_corrections(text: str) -> str:
     """Whole-text multi-word phrase repair; First-upper matches use
     ``str.title()`` (reference :1156-1161)."""
+    if not _multi_word_detector().search(text):
+        return text
     result = text
     for pattern, correct in _multi_word_patterns():
 

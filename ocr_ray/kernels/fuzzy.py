@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 from ocr_ray import data
 
 
@@ -50,6 +52,22 @@ def _lcs_len(a: str, b: str) -> int:
     return prev[-1]
 
 
+@functools.lru_cache(maxsize=1)
+def _kamus_char_index():
+    """Vectorized pruning structures: per-candidate length vector and a
+    (n_candidates × 128) ASCII character-count matrix. Since the LCS is a
+    common subsequence of both strings, ``LCS(a,b) ≤ Σ_c min(count_a(c),
+    count_b(c))``, giving a cheap upper bound on the indel ratio for the
+    whole kamus in one numpy pass."""
+    cands = data.kamus_sorted()
+    lengths = np.array([len(c) for c in cands], dtype=np.float64)
+    counts = np.zeros((len(cands), 128), dtype=np.int16)
+    for i, cand in enumerate(cands):
+        b = np.frombuffer(cand.encode("ascii", "replace"), dtype=np.uint8)
+        counts[i] = np.bincount(b & 0x7F, minlength=128)
+    return cands, lengths, counts
+
+
 @functools.lru_cache(maxsize=65536)
 def best_dictionary_match(word_lower: str, threshold: int = 65) -> str | None:
     """Best kamus entry with similarity ≥ threshold, or None.
@@ -58,22 +76,32 @@ def best_dictionary_match(word_lower: str, threshold: int = 65) -> str | None:
     with the deterministic tie-break described above. Words already in the
     kamus return None ("no correction needed", reference :687-688).
 
-    Cached per process: OCR noise repeats heavily across a corpus, so the
-    cache turns the O(|kamus|·|word|²) scan into a dict hit on the hot path.
+    Hot-path engineering (semantics unchanged): candidates are pruned by
+    the character-count LCS upper bound (one numpy pass over the kamus),
+    so only a handful of near-miss candidates pay the O(|a|·|b|) LCS;
+    results are LRU-cached per process (OCR noise repeats heavily).
     """
     if word_lower in data.kamus():
         return None
 
+    cands, lengths, counts = _kamus_char_index()
     lw = len(word_lower)
+    wb = np.frombuffer(word_lower.encode("ascii", "replace"), dtype=np.uint8)
+    wcounts = np.bincount(wb & 0x7F, minlength=128).astype(np.int16)
+
+    common = np.minimum(counts, wcounts[None, :]).sum(axis=1)
+    bound = 200.0 * common / (lengths + lw)
+    viable = np.flatnonzero(bound >= threshold)
+
     best: str | None = None
     best_score = -1.0
-    for cand in data.kamus_sorted():
-        lc = len(cand)
-        # score = 200*LCS/(lw+lc) and LCS <= min(lw,lc): cheap upper bound
-        # lets us skip candidates that cannot beat the current best / cutoff.
-        if 200.0 * min(lw, lc) / (lw + lc) < max(best_score, float(threshold)):
+    for i in viable:
+        if bound[i] < best_score:
             continue
+        cand = cands[i]
         score = indel_ratio(word_lower, cand)
-        if score >= threshold and score > best_score:
+        if score < threshold:
+            continue
+        if score > best_score or (score == best_score and cand < best):
             best, best_score = cand, score
     return best

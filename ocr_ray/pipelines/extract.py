@@ -31,10 +31,12 @@ class ExtractConfig:
     enhance: bool = False
     score: bool = True
     # actor-pool sizing for the OCR/repair stage; None → (1, cluster CPUs).
-    # batch_size is kept moderate so one media-heavy document spreads
-    # across actors instead of pinning one (SURVEY.md §4 "Skew").
+    # Ray fuses the explode task stage into the actor stage, so batch_size
+    # is counted in DOCUMENTS (≈4.3 spans each): keep it small so work
+    # spreads across the pool and a media-heavy document doesn't pin one
+    # actor (SURVEY.md §4 "Skew").
     ocr_concurrency: Optional[object] = None
-    ocr_batch_size: int = 256
+    ocr_batch_size: int = 16
     reassemble_partitions: Optional[int] = None
 
     def processor_kwargs(self) -> dict:
@@ -49,13 +51,18 @@ class ExtractConfig:
 
 
 def _default_concurrency():
+    # a FIXED pool sized to ~3/4 of the cluster: Ray's autoscaling pool
+    # ramps up too slowly for short jobs (observed ~5 effective actors of
+    # 32), and a pool that reserves every CPU deadlocks against the hash-
+    # shuffle aggregators + read/reduce tasks that must run concurrently —
+    # always leave ≥2 CPUs of headroom.
     import ray
 
     if ray.is_initialized():
         cpus = int(ray.cluster_resources().get("CPU", 8))
     else:
         cpus = 8
-    return (1, max(2, cpus))
+    return max(1, min((3 * cpus) // 4, cpus - 2))
 
 
 def extract_spans(ds, config: ExtractConfig | None = None):

@@ -1,0 +1,149 @@
+"""Checkpoint-resumable partitioned extraction runs with per-partition
+lineage — the batch-engine replacement for the reference's request
+history sink (SQLite ``ocr_history``, app/services/db_service.py:197-224).
+
+Layout under ``output_path``::
+
+    part=00000/ ... parquet files      one directory per input partition
+    _manifest/part-00000.json          lineage: input files, row counts,
+                                       span counts, wall seconds, docs/s
+    metrics.json                       whole-run rollup
+
+A partition is the unit of resume: its output directory is written to a
+temp path and atomically renamed, and its manifest row is written only
+after the rename — a rerun skips every partition whose manifest row
+exists and validates, so a killed job repeats at most one partition's
+work. At 100 TB a partition is a group of input fragments; the streaming
+executor still pipelines freely inside each partition.
+"""
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import shutil
+import time
+from dataclasses import dataclass, field
+
+from ocr_ray import io
+from ocr_ray.pipelines.extract import ExtractConfig, extract_documents
+
+
+@dataclass
+class PartitionResult:
+    partition: int
+    files: list[str]
+    n_docs: int
+    n_spans: int
+    wall_sec: float
+    docs_per_sec: float
+    skipped: bool = False
+    extra: dict = field(default_factory=dict)
+
+
+def _manifest_path(out: pathlib.Path, k: int) -> pathlib.Path:
+    return out / "_manifest" / f"part-{k:05d}.json"
+
+
+def _partition_dir(out: pathlib.Path, k: int) -> pathlib.Path:
+    return out / f"part={k:05d}"
+
+
+def partition_complete(output_path: str, k: int) -> bool:
+    out = pathlib.Path(output_path)
+    mp = _manifest_path(out, k)
+    if not mp.exists() or not _partition_dir(out, k).exists():
+        return False
+    try:
+        row = json.loads(mp.read_text())
+        return row.get("n_docs", -1) >= 0
+    except (ValueError, OSError):
+        return False
+
+
+def run_partition(
+    files: list[str], output_path: str, k: int, config: ExtractConfig
+) -> PartitionResult:
+    out = pathlib.Path(output_path)
+    part_dir = _partition_dir(out, k)
+    tmp_dir = out / "_tmp" / f"part-{k:05d}"
+    if tmp_dir.exists():
+        shutil.rmtree(tmp_dir)
+    tmp_dir.mkdir(parents=True)
+
+    t0 = time.perf_counter()
+    docs = extract_documents(io.read_interleaved(files), config)
+    # count via streaming metadata from the written files, not take_all
+    docs.write_parquet(str(tmp_dir))
+    wall = time.perf_counter() - t0
+
+    import pyarrow.parquet as pq
+
+    n_docs = n_spans = 0
+    for f in tmp_dir.glob("*.parquet"):
+        md = pq.ParquetFile(f)
+        n_docs += md.metadata.num_rows
+        spans_tbl = pq.read_table(f, columns=["n_spans"])
+        n_spans += sum(spans_tbl.column("n_spans").to_pylist())
+
+    if part_dir.exists():
+        shutil.rmtree(part_dir)
+    os.replace(tmp_dir, part_dir)
+
+    result = PartitionResult(
+        partition=k,
+        files=[str(f) for f in files],
+        n_docs=n_docs,
+        n_spans=n_spans,
+        wall_sec=round(wall, 3),
+        docs_per_sec=round(n_docs / wall, 3) if wall > 0 else 0.0,
+    )
+    mp = _manifest_path(out, k)
+    mp.parent.mkdir(parents=True, exist_ok=True)
+    mp.write_text(json.dumps(result.__dict__, default=str))
+    return result
+
+
+def run_extract_checkpointed(
+    input_path: str,
+    output_path: str,
+    config: ExtractConfig | None = None,
+    files_per_partition: int = 1,
+    resume: bool = True,
+) -> dict:
+    """Run the extraction pipeline over ``input_path`` partition by
+    partition; returns the whole-run metrics dict (also written to
+    ``output_path``/metrics.json)."""
+    config = config or ExtractConfig()
+    files = io.input_files(input_path)
+    partitions = [
+        files[i : i + files_per_partition]
+        for i in range(0, len(files), files_per_partition)
+    ]
+    out = pathlib.Path(output_path)
+    out.mkdir(parents=True, exist_ok=True)
+
+    results: list[PartitionResult] = []
+    for k, part_files in enumerate(partitions):
+        if resume and partition_complete(output_path, k):
+            row = json.loads(_manifest_path(out, k).read_text())
+            results.append(PartitionResult(**{**row, "skipped": True}))
+            continue
+        results.append(run_partition(part_files, output_path, k, config))
+
+    ran = [r for r in results if not r.skipped]
+    metrics = {
+        "partitions": len(partitions),
+        "partitions_run": len(ran),
+        "partitions_skipped": len(results) - len(ran),
+        "n_docs": sum(r.n_docs for r in results),
+        "n_spans": sum(r.n_spans for r in results),
+        "wall_sec": round(sum(r.wall_sec for r in ran), 3),
+        "docs_per_sec": (
+            round(sum(r.n_docs for r in ran) / max(sum(r.wall_sec for r in ran), 1e-9), 3)
+            if ran
+            else 0.0
+        ),
+    }
+    (out / "metrics.json").write_text(json.dumps(metrics, indent=1))
+    return metrics

@@ -51,10 +51,19 @@ SPAN_OUT_SCHEMA = pa.schema(
         ("spelling_changes", pa.int32()),
         ("mean_confidence", pa.float64()),
         ("quality", QUALITY_STRUCT),
+        ("error_code", pa.string()),
     ]
 )
 
 MEDIA_KINDS = frozenset({"pdf", "image"})
+VALID_KINDS = frozenset({"text", "html", "pdf", "image"})
+
+# validation error codes kept from the reference
+# (app/models/error_codes.py:15-19); invalid spans are ROUTED to an error
+# column, not dropped (SURVEY.md §2.2 M2) so reassembly keeps the doc whole
+ERR_FILE_TYPE = "FILE_TYPE_NOT_ALLOWED"
+ERR_FILE_EMPTY = "FILE_EMPTY"
+ERR_ENGINE = "OCR_ENGINE_ERROR"
 
 
 def process_span(
@@ -73,8 +82,20 @@ def process_span(
     plain-Python oracle so span-sequence equality tests exercise only the
     distributed plumbing."""
     confidences: list[float] = []
-    if kind in MEDIA_KINDS:
-        raw, confidences = engine.read_page(media_ref, language, enhance)
+    error_code = None
+    if kind not in VALID_KINDS:
+        raw = ""
+        error_code = ERR_FILE_TYPE
+    elif kind in MEDIA_KINDS:
+        if not media_ref:
+            raw = ""
+            error_code = ERR_FILE_EMPTY
+        else:
+            try:
+                raw, confidences = engine.read_page(media_ref, language, enhance)
+            except Exception:  # noqa: BLE001 - per-span fault isolation
+                raw = ""
+                error_code = ERR_ENGINE
     elif kind == "html":
         raw = extract_main_text(text or "")
     else:
@@ -97,6 +118,7 @@ def process_span(
         "spelling_changes": result.spelling_changes,
         "mean_confidence": mean_conf,
         "quality": result.quality.as_dict() if result.quality else None,
+        "error_code": error_code,
     }
 
 
@@ -158,5 +180,6 @@ class SpanProcessor:
                     [r["mean_confidence"] for r in rows], pa.float64()
                 ),
                 "quality": pa.array([r["quality"] for r in rows], QUALITY_STRUCT),
+                "error_code": pa.array([r["error_code"] for r in rows], pa.string()),
             }
         )

@@ -1,0 +1,44 @@
+"""Checkpoint/resume: partitioned output, manifest lineage, skip-on-rerun."""
+from __future__ import annotations
+
+import json
+import pathlib
+
+import pyarrow.parquet as pq
+
+from ocr_ray import io, synth
+from ocr_ray.stages.checkpoint import run_extract_checkpointed
+
+
+def test_checkpoint_run_and_resume(ray_session, tmp_path):
+    table = synth.generate_interleaved(n_docs=30, seed=5)
+    inp = tmp_path / "input"
+    io.write_interleaved(table, str(inp), max_rows_per_file=10)  # 3 files
+    out = tmp_path / "out"
+
+    metrics = run_extract_checkpointed(str(inp), str(out), files_per_partition=1)
+    assert metrics["partitions"] == 3
+    assert metrics["partitions_run"] == 3
+    assert metrics["n_docs"] == 30
+    assert metrics["docs_per_sec"] > 0
+
+    # partitioned layout + manifests
+    parts = sorted(p.name for p in out.glob("part=*"))
+    assert parts == ["part=00000", "part=00001", "part=00002"]
+    manifest = json.loads((out / "_manifest" / "part-00001.json").read_text())
+    assert manifest["n_docs"] == 10 and len(manifest["files"]) == 1
+
+    total_rows = sum(
+        pq.ParquetFile(f).metadata.num_rows for f in out.glob("part=*/*.parquet")
+    )
+    assert total_rows == 30
+
+    # simulate a failed partition: delete one manifest → only it reruns
+    (out / "_manifest" / "part-00002.json").unlink()
+    before = {f: f.stat().st_mtime for f in out.glob("part=00000/*.parquet")}
+    metrics2 = run_extract_checkpointed(str(inp), str(out), files_per_partition=1)
+    assert metrics2["partitions_run"] == 1
+    assert metrics2["partitions_skipped"] == 2
+    after = {f: f.stat().st_mtime for f in out.glob("part=00000/*.parquet")}
+    assert before == after  # untouched partitions not rewritten
+    assert metrics2["n_docs"] == 30

@@ -1,0 +1,245 @@
+"""Operator tests: dedup family vs brute-force oracles, ANN recall,
+learning-state merge semantics, multimodal plumbing."""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ocr_ray.ops import learning_state as ls
+from ocr_ray.ops.dedup import (
+    minhash_signature,
+    simhash64,
+    word_shingles,
+    _minhash_params,
+)
+
+
+def _docs_table():
+    base = "surat keterangan nomor dua puluh tujuh tahun seribu sembilan"
+    texts = [
+        base,
+        base,  # exact dup of 0
+        base + " ratus",  # near dup of 0
+        "departemen pekerjaan umum dan tenaga kerja jakarta pusat",
+        "sesuatu yang sama sekali berbeda dari dokumen lain disini",
+        base.upper(),  # exact dup after normalization (lowercase)
+    ]
+    return pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+
+
+def _ray_ds(table):
+    import ray.data as rd
+
+    return rd.from_arrow(table)
+
+
+def brute_jaccard(a: str, b: str, n: int = 3) -> float:
+    sa, sb = word_shingles(a, n), word_shingles(b, n)
+    if not sa and not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup(ray_session):
+    from ocr_ray.ops.dedup import dedup_exact
+
+    out = dedup_exact(_ray_ds(_docs_table())).to_pandas()
+    # rows 0,1,5 share a fingerprint (case/whitespace-normalized)
+    assert len(out) == 4
+    grp = out[out["n_copies"] == 3]
+    assert len(grp) == 1 and grp.iloc[0]["doc_id"] == 0
+
+
+def test_minhash_estimates_match_jaccard(ray_session):
+    tbl = _docs_table()
+    from ocr_ray.ops.dedup import dedup_minhash
+
+    pairs = dedup_minhash(_ray_ds(tbl), threshold=0.5).to_pandas()
+    texts = tbl.column("text").to_pylist()
+    assert len(pairs) >= 3  # (0,1), (0,2)/(1,2), (0,5)...
+    for _, row in pairs.iterrows():
+        true_j = brute_jaccard(texts[int(row["doc_a"])], texts[int(row["doc_b"])])
+        assert abs(row["est_jaccard"] - true_j) < 0.35
+
+
+def test_minhash_signature_deterministic():
+    a, b = _minhash_params(64)
+    s1 = minhash_signature({"abc def ghi", "jkl mno pqr"}, a, b)
+    s2 = minhash_signature({"jkl mno pqr", "abc def ghi"}, a, b)
+    assert np.array_equal(s1, s2)
+    # similar sets → mostly equal signature components
+    s3 = minhash_signature({"abc def ghi", "jkl mno pqr", "xtra one two"}, a, b)
+    assert np.mean(s1 == s3) > 0.4
+
+
+def test_simhash_near_dup(ray_session):
+    from ocr_ray.ops.dedup import dedup_simhash
+
+    out = dedup_simhash(_ray_ds(_docs_table()), max_hamming=3).to_pandas()
+    pairs = {(int(r["doc_a"]), int(r["doc_b"])) for _, r in out.iterrows()}
+    assert (0, 1) in pairs  # identical docs, hamming 0
+    assert (0, 5) in pairs  # case-folded identical
+    assert (0, 2) in pairs or simhash64(
+        _docs_table().column("text")[2].as_py()
+    ) != simhash64(_docs_table().column("text")[0].as_py())
+
+
+def test_ngram_jaccard_exact(ray_session):
+    from ocr_ray.ops.dedup import ngram_jaccard_pairs
+
+    tbl = _docs_table()
+    out = ngram_jaccard_pairs(_ray_ds(tbl), threshold=0.3).to_pandas()
+    texts = tbl.column("text").to_pylist()
+    got = {(int(r["doc_a"]), int(r["doc_b"])): r["jaccard"] for _, r in out.iterrows()}
+    # exact: every reported jaccard equals the brute-force value
+    for (a, b), j in got.items():
+        assert j == pytest.approx(brute_jaccard(texts[a], texts[b]))
+    assert got[(0, 1)] == pytest.approx(1.0)
+
+
+def _embeddings_table(n=64, dim=16, seed=3):
+    rng = np.random.RandomState(seed)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    vecs[1] = vecs[0] * 1.5  # same direction → cosine 1 with 0
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+
+
+def test_ann_brute_matches_numpy(ray_session):
+    from ocr_ray.ops.similarity import ann_brute_topk
+
+    tbl = _embeddings_table()
+    mat = np.stack([np.array(v) for v in tbl.column("embedding").to_pylist()]).astype(
+        np.float64
+    )
+    queries = mat[:2]
+    out = ann_brute_topk(_ray_ds(tbl), queries, k=5).to_pandas()
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qi in range(2):
+        sims = norm @ (queries[qi] / np.linalg.norm(queries[qi]))
+        expect = np.lexsort((np.arange(len(sims)), -sims))[:5]
+        got = out[out["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+        assert got == list(expect)
+
+
+def test_ann_ivf_recall(ray_session):
+    from ocr_ray.ops.similarity import ann_brute_topk, ann_ivf_topk
+
+    tbl = _embeddings_table(n=256)
+    mat = np.stack([np.array(v) for v in tbl.column("embedding").to_pylist()]).astype(
+        np.float64
+    )
+    queries = mat[:3]
+    brute = ann_brute_topk(_ray_ds(tbl), queries, k=10).to_pandas()
+    ivf = ann_ivf_topk(
+        _ray_ds(tbl), queries, k=10, n_clusters=8, nprobe=4, sample_size=256
+    ).to_pandas()
+    for qi in range(3):
+        b = set(brute[brute["query_id"] == qi]["vec_id"])
+        i = set(ivf[ivf["query_id"] == qi]["vec_id"])
+        assert len(b & i) / len(b) >= 0.5  # nprobe=4 of 8 clusters
+
+def test_embedding_cosine_dedup(ray_session):
+    from ocr_ray.ops.similarity import embedding_cosine_dedup
+
+    out = embedding_cosine_dedup(_ray_ds(_embeddings_table()), threshold=0.99).to_pandas()
+    pairs = {(int(r["vec_a"]), int(r["vec_b"])) for _, r in out.iterrows()}
+    assert (0, 1) in pairs  # colinear vectors
+
+
+# ------------------------------------------------------------ learning
+
+
+def test_merge_counts_adds_and_auto_approves():
+    state = pa.Table.from_pylist(
+        [{"word": "foo", "frequency": 3, "is_approved": False}],
+        schema=ls.STATE_SCHEMA,
+    )
+    counts = pa.table(
+        {"word": pa.array(["foo", "bar"]), "frequency": pa.array([2, 1], pa.int64())}
+    )
+    merged = ls.merge_counts(state, counts).to_pylist()
+    by_word = {r["word"]: r for r in merged}
+    assert by_word["foo"]["frequency"] == 5 and by_word["foo"]["is_approved"]
+    assert by_word["bar"]["frequency"] == 1 and not by_word["bar"]["is_approved"]
+
+
+def test_import_modes():
+    state = pa.Table.from_pylist(
+        [
+            {"word": "foo", "frequency": 7, "is_approved": True},
+            {"word": "baz", "frequency": 2, "is_approved": False},
+        ],
+        schema=ls.STATE_SCHEMA,
+    )
+    entries = [
+        {"word": "foo", "frequency": 3, "is_approved": False},   # max → 7
+        {"word": "new", "frequency": 4, "is_approved": True},
+        {"word": "x", "frequency": 1, "is_approved": True},      # too short → rejected
+        {"word": "pending", "frequency": 1, "is_approved": False},
+    ]
+    merged, stats = ls.import_words(state, entries, mode="merge")
+    by_word = {r["word"]: r for r in merged.to_pylist()}
+    assert stats == {"imported": 3, "skipped": 0, "rejected": 1}
+    assert by_word["foo"]["frequency"] == 7 and by_word["foo"]["is_approved"]
+    assert by_word["new"]["is_approved"]
+    assert "pending" in by_word and "baz" in by_word
+
+    replaced, _ = ls.import_words(state, entries, mode="replace")
+    assert "baz" not in {r["word"] for r in replaced.to_pylist()}
+
+    approved, stats = ls.import_words(state, entries, mode="approved_only")
+    names = {r["word"] for r in approved.to_pylist()}
+    assert stats["skipped"] == 2 and "pending" not in names and "new" in names
+
+
+def test_export_import_roundtrip(tmp_path):
+    state = pa.Table.from_pylist(
+        [
+            {"word": "alpha", "frequency": 9, "is_approved": True},
+            {"word": "beta", "frequency": 1, "is_approved": False},
+        ],
+        schema=ls.STATE_SCHEMA,
+    )
+    path = tmp_path / "words.json"
+    ls.export_json(state, str(path))
+    restored, stats = ls.import_json(ls.empty_state(), str(path), mode="merge")
+    assert restored.to_pylist() == state.sort_by("word").to_pylist()
+
+    ls.save_state(state, str(tmp_path / "state.parquet"))
+    assert ls.load_state(str(tmp_path / "state.parquet")).num_rows == 2
+
+
+# ----------------------------------------------------------- multimodal
+
+
+def test_multimodal_stages(ray_session):
+    from ocr_ray.ops import multimodal as mm
+
+    media = mm.synthesize_media(40)
+    decoded = mm.decode_media(_ray_ds(media))
+    resized = mm.resize_images(decoded, max_dimension=300)
+    df = resized.to_pandas()
+    assert len(df) == 40
+    assert (df["new_width"] <= 300).all() and (df["new_height"] <= 300).all()
+    # aspect preserved within rounding
+    keep = df[df["width"] > 300]
+    assert not keep.empty
+
+    frames = mm.sample_frames(mm.decode_media(_ray_ds(media))).to_pandas()
+    assert set(frames.columns) == {"media_id", "frame_idx", "ts_ms"}
+    videos = df[df["media_type"] == "video"]["media_id"]
+    assert set(frames["media_id"]).issubset(set(videos))
+    assert not frames.empty
+
+    with pytest.raises(NotImplementedError):
+        mm.DecodeMedia(real_codecs=True)
