@@ -23,6 +23,16 @@ _WORDS_SQL = "regexp_extract_all(lower(text), '[a-zA-Z]{3,}')"
 _FP_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
 
+
+def _cents(col, scale: float = 100.0):
+    """Integer cents with DuckDB-compatible rounding (ROUND = half away
+    from zero; pyarrow defaults to half-to-even, which diverges on exact
+    .5 products like price*(1-discount)*100)."""
+    return pc.cast(
+        pc.round(pc.multiply(col, scale), round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+
 def _quiet():
     from ocr_ray.context import configure
 
@@ -159,8 +169,7 @@ def q_top_docs_by_chars(sf_dir: str):
 
 def _events_with_cents(sf_dir: str):
     def add_cols(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
-        return t.append_column("cents", cents)
+        return t.append_column("cents", _cents(t["value"]))
 
     return _events(sf_dir).map_batches(add_cols, batch_format="pyarrow")
 
@@ -244,6 +253,135 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs(_docs(sf_dir), threshold=0.5)
 
 
+def q_orders_value_by_nation(sf_dir: str):
+    """Broadcast hash join (shuffle-free): orders ⋈ customer ⋈ nation,
+    grouped order counts + integer-cents totals per nation."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ocr_ray.ops.joins import broadcast_join
+
+    _quiet()
+    customer = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    dim = customer.join(
+        nation, keys=["c_nationkey"], right_keys=["n_nationkey"]
+    ).select(["c_custkey", "n_name"]).rename_columns(["o_custkey", "nation"])
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        return t.append_column("cents", _cents(t["o_totalprice"]))
+
+    joined = broadcast_join(
+        orders.map_batches(add_cents, batch_format="pyarrow"), dim, keys=["o_custkey"]
+    )
+    return joined.groupby("nation").aggregate(
+        Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents")
+    )
+
+
+def q_lineitem_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped rollup over the biggest table (integer-cents sums
+    for cross-engine determinism)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    _quiet()
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        qty = _cents(t["l_quantity"], 1.0)
+        price_cents = _cents(t["l_extendedprice"])
+        disc_cents = _cents(
+            pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": qty,
+                "price_cents": price_cents,
+                "disc_price_cents": disc_cents,
+            }
+        )
+
+    return (
+        li.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Sum("disc_price_cents", alias_name="sum_disc_price_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+def q_customer_segment_stats(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    _quiet()
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_mktsegment", "c_acctbal"]
+    )
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        return t.append_column("cents", _cents(t["c_acctbal"]))
+
+    return (
+        cust.map_batches(add_cents, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_customers"), Sum("cents", alias_name="acctbal_cents"))
+    )
+
+
+def q_events_recent_page(sf_dir: str):
+    """O3/O4 pagination: ORDER BY ts DESC, event_id LIMIT 50 OFFSET 50 —
+    sort + limit(offset+n) distributed, the offset slice on the tiny
+    result only."""
+    import ray.data as rd
+
+    _quiet()
+    ds = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"])
+        .sort(["ts", "event_id"], descending=[True, False])
+        .limit(100)
+    )
+    rows = ds.take_all()[50:100]
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("event_id", pa.int64()), ("ts", pa.timestamp("us")), ("event_type", pa.string())]
+        ),
+    )
+
+
+def q_doc_unknown_counts(sf_dir: str):
+    """M13 per-document: distinct unknown-word count per doc."""
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        from ocr_ray.ops.analysis import _distinct_unknown_words
+
+        n = [len(_distinct_unknown_words(x or "")) for x in t.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "n_unknown": pa.array(n, pa.int64())}
+        )
+
+    return _docs(sf_dir).map_batches(count_batch, batch_format="pyarrow")
+
+
 def _query_matrix(sf_dir: str, n: int = 4) -> np.ndarray:
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     tbl = tbl.sort_by("vec_id").slice(0, n)
@@ -286,6 +424,11 @@ QUERIES = {
     "token_counts": q_token_counts,
     "language_id": q_language_id,
     "doc_fingerprints": q_doc_fingerprints,
+    "orders_value_by_nation": q_orders_value_by_nation,
+    "lineitem_pricing_summary": q_lineitem_pricing_summary,
+    "customer_segment_stats": q_customer_segment_stats,
+    "events_recent_page": q_events_recent_page,
+    "doc_unknown_counts": q_doc_unknown_counts,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -408,6 +551,41 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_fingerprints": (
             f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents"
+        ),
+        "orders_value_by_nation": (
+            "SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_orders,"
+            " CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_cents"
+            " FROM orders o"
+            " JOIN customer c ON o.o_custkey = c.c_custkey"
+            " JOIN nation n ON c.c_nationkey = n.n_nationkey"
+            " GROUP BY n.n_name"
+        ),
+        "lineitem_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus,"
+            " CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,"
+            " CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_price_cents,"
+            " CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,"
+            " CAST(COUNT(*) AS BIGINT) AS count_order"
+            " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "customer_segment_stats": (
+            "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,"
+            " CAST(SUM(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)) AS BIGINT) AS acctbal_cents"
+            " FROM customer GROUP BY c_mktsegment"
+        ),
+        "events_recent_page": (
+            "SELECT event_id, ts, event_type FROM events"
+            " ORDER BY ts DESC, event_id ASC LIMIT 50 OFFSET 50"
+        ),
+        "doc_unknown_counts": (
+            "WITH doc_words AS (\n"
+            f"  SELECT DISTINCT doc_id, unnest({_WORDS_SQL}) AS word FROM documents\n"
+            "), counted AS (\n"
+            f"  SELECT doc_id, COUNT(*) AS n FROM doc_words WHERE word NOT IN ({kamus})\n"
+            "  GROUP BY doc_id\n"
+            ")\n"
+            "SELECT d.doc_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_unknown\n"
+            "FROM documents d LEFT JOIN counted c USING (doc_id)"
         ),
         "dedup_exact": (
             f"SELECT {_FP_SQL} AS fingerprint, MIN(doc_id) AS doc_id,"

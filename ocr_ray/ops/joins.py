@@ -1,0 +1,75 @@
+"""Join primitives, Ray-Data-first.
+
+The reference's only joins are broadcast membership probes against the
+in-process dictionary (J1, SURVEY.md §2.4) and keyed upserts (J2/J3 —
+see ops/learning_state). At engine scale that generalizes to:
+
+- ``broadcast_join``: the small side is ``ray.put`` once and joined
+  inside every ``map_batches`` task with a zero-copy pyarrow hash join —
+  no shuffle, the canonical dimension-table pattern;
+- ``semi_join_filter`` / ``anti_join_filter``: broadcast the key set and
+  mask with ``pc.is_in`` — no data movement at all.
+
+Both-sides-large joins should hash-bucket both sides on the key
+(grouped_map over the bucket column) — not needed by any current
+pipeline, so not implemented until something drives it.
+"""
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class _BroadcastJoiner:
+    """Per-actor: fetch the broadcast table once; per batch: arrow join."""
+
+    def __init__(self, small_ref, keys, join_type: str = "inner"):
+        import ray
+
+        small = ray.get(small_ref) if not isinstance(small_ref, pa.Table) else small_ref
+        self.small = small.combine_chunks()
+        self.keys = list(keys)
+        self.join_type = join_type
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return batch.join(
+            self.small, keys=self.keys, join_type=self.join_type
+        )
+
+
+def broadcast_join(big, small: pa.Table, keys, join_type: str = "inner",
+                   concurrency=(1, 8)):
+    """Join a Dataset against a small in-memory Arrow table, shuffle-free.
+
+    ``small`` is put in the object store ONCE and read per actor in
+    ``__init__`` — never re-shipped per batch.
+    """
+    import ray
+
+    small_ref = ray.put(small)
+    return big.map_batches(
+        _BroadcastJoiner,
+        fn_constructor_kwargs={
+            "small_ref": small_ref,
+            "keys": list(keys) if not isinstance(keys, str) else [keys],
+            "join_type": join_type,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def semi_join_filter(big, key_column: str, key_set: pa.Array, invert: bool = False):
+    """Broadcast semi/anti join: keep rows whose key is (not) in the set."""
+
+    def apply(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[key_column], value_set=key_set)
+        if invert:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return big.map_batches(apply, batch_format="pyarrow")
+
+
+def anti_join_filter(big, key_column: str, key_set: pa.Array):
+    return semi_join_filter(big, key_column, key_set, invert=True)

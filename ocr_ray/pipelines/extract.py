@@ -51,18 +51,18 @@ class ExtractConfig:
 
 
 def _default_concurrency():
-    # a FIXED pool sized to ~3/4 of the cluster: Ray's autoscaling pool
-    # ramps up too slowly for short jobs (observed ~5 effective actors of
-    # 32), and a pool that reserves every CPU deadlocks against the hash-
-    # shuffle aggregators + read/reduce tasks that must run concurrently —
-    # always leave ≥2 CPUs of headroom.
+    # a FIXED pool of 0.75×CPUs actors: Ray's autoscaling pool ramps up
+    # too slowly for short jobs (observed ~5 effective actors of 32),
+    # one-actor-per-CPU oversubscribes and thrashes, and the 25% slack is
+    # the same fraction at every cluster size so scaling measurements
+    # compare like with like.
     import ray
 
     if ray.is_initialized():
         cpus = int(ray.cluster_resources().get("CPU", 8))
     else:
         cpus = 8
-    return max(1, min((3 * cpus) // 4, cpus - 2))
+    return max(1, round(0.75 * cpus))
 
 
 def extract_spans(ds, config: ExtractConfig | None = None):
@@ -77,7 +77,12 @@ def extract_spans(ds, config: ExtractConfig | None = None):
         batch_format="pyarrow",
         batch_size=config.ocr_batch_size,
         concurrency=concurrency,
-        num_cpus=1,
+        # 0.9, not 1.0: pool (0.75·cpus × 0.9 = 0.675·cpus) + a whole-CPU
+        # read task must still leave a fraction free for the hash-shuffle
+        # aggregators on the smallest clusters (4 CPUs: 3×0.9 + 1 = 3.7,
+        # 0.3 left) — whole-CPU actors hit exactly 4.0 and the shuffle
+        # deadlocks
+        num_cpus=0.9,
     )
 
 
