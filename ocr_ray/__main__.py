@@ -1,0 +1,88 @@
+"""CLI entry point: run the extraction pipeline over an interleaved-docs
+table with checkpoint/resume, or synthesize a test corpus.
+
+    python -m ocr_ray synth --n-docs 1000 --out /tmp/corpus
+    python -m ocr_ray extract --input /tmp/corpus --output /tmp/out \
+        [--engine auto] [--no-dictionary] [--no-spelling] [--enhance] \
+        [--files-per-partition 4] [--no-resume] [--num-cpus 32]
+
+Owns its Ray session (the driver-contract module never does).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="ocr_ray")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_synth = sub.add_parser("synth", help="generate a deterministic interleaved corpus")
+    p_synth.add_argument("--n-docs", type=int, default=1000)
+    p_synth.add_argument("--seed", type=int, default=42)
+    p_synth.add_argument("--out", required=True)
+
+    p_ex = sub.add_parser("extract", help="run the extraction pipeline, resumable")
+    p_ex.add_argument("--input", required=True)
+    p_ex.add_argument("--output", required=True)
+    p_ex.add_argument("--engine", default="auto")
+    p_ex.add_argument("--language", default="mixed")
+    p_ex.add_argument("--no-dictionary", action="store_true")
+    p_ex.add_argument("--no-spelling", action="store_true")
+    p_ex.add_argument("--enhance", action="store_true")
+    p_ex.add_argument("--files-per-partition", type=int, default=4)
+    p_ex.add_argument("--no-resume", action="store_true")
+    p_ex.add_argument("--num-cpus", type=int, default=None)
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "synth":
+        from ocr_ray import io, synth
+
+        table = synth.generate_interleaved(args.n_docs, seed=args.seed)
+        path = io.write_interleaved(table, args.out)
+        print(json.dumps({"path": path, "n_docs": table.num_rows}))
+        return 0
+
+    if args.cmd == "extract":
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(
+                address="local",
+                num_cpus=args.num_cpus,
+                include_dashboard=False,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
+        from ocr_ray.context import configure
+
+        configure()
+        from ocr_ray.pipelines.extract import ExtractConfig
+        from ocr_ray.stages.checkpoint import run_extract_checkpointed
+
+        config = ExtractConfig(
+            engine=args.engine,
+            language=args.language,
+            use_dictionary=not args.no_dictionary,
+            normalize_spelling=not args.no_spelling,
+            enhance=args.enhance,
+        )
+        metrics = run_extract_checkpointed(
+            args.input,
+            args.output,
+            config=config,
+            files_per_partition=args.files_per_partition,
+            resume=not args.no_resume,
+        )
+        print(json.dumps(metrics))
+        ray.shutdown()
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -382,6 +382,28 @@ def q_doc_unknown_counts(sf_dir: str):
     return _docs(sf_dir).map_batches(count_batch, batch_format="pyarrow")
 
 
+def q_tumbling_hourly(sf_dir: str):
+    from ocr_ray.ops.windows import tumbling_window_counts
+
+    return tumbling_window_counts(_events(sf_dir), window_sec=3600)
+
+
+def q_sliding_hourly(sf_dir: str):
+    from ocr_ray.ops.windows import sliding_window_counts
+
+    return sliding_window_counts(_events(sf_dir), window_sec=3600, slide_sec=900)
+
+
+def q_session_stats(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.windows import session_stats_per_user
+
+    _quiet()
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return session_stats_per_user(events, gap_sec=1800)
+
+
 def _query_matrix(sf_dir: str, n: int = 4) -> np.ndarray:
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     tbl = tbl.sort_by("vec_id").slice(0, n)
@@ -429,6 +451,9 @@ QUERIES = {
     "customer_segment_stats": q_customer_segment_stats,
     "events_recent_page": q_events_recent_page,
     "doc_unknown_counts": q_doc_unknown_counts,
+    "tumbling_hourly": q_tumbling_hourly,
+    "sliding_hourly": q_sliding_hourly,
+    "session_stats": q_session_stats,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -576,6 +601,31 @@ def oracle_sql() -> dict[str, str]:
         "events_recent_page": (
             "SELECT event_id, ts, event_type FROM events"
             " ORDER BY ts DESC, event_id ASC LIMIT 50 OFFSET 50"
+        ),
+        "tumbling_hourly": (
+            "SELECT to_timestamp(((epoch_us(ts) // 1000000) // 3600) * 3600)::TIMESTAMP AS window_start,"
+            " CAST(COUNT(*) AS BIGINT) AS n_events,"
+            " CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents"
+            " FROM events GROUP BY 1 ORDER BY window_start"
+        ),
+        "sliding_hourly": (
+            "WITH expanded AS (\n"
+            " SELECT to_timestamp((((epoch_us(ts) // 1000000) // 900) * 900) - o.k * 900)::TIMESTAMP AS window_start\n"
+            " FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) o\n"
+            ")\n"
+            "SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_events\n"
+            "FROM expanded GROUP BY window_start ORDER BY window_start"
+        ),
+        "session_stats": (
+            "WITH gaps AS (\n"
+            " SELECT user_id,\n"
+            "  CASE WHEN (epoch_us(ts) // 1000000) - (epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) // 1000000) > 1800\n"
+            "       THEN 1 ELSE 0 END AS new_session\n"
+            " FROM events\n"
+            ")\n"
+            "SELECT user_id, CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions,\n"
+            " CAST(COUNT(*) AS BIGINT) AS n_events\n"
+            "FROM gaps GROUP BY user_id"
         ),
         "doc_unknown_counts": (
             "WITH doc_words AS (\n"

@@ -1,0 +1,139 @@
+"""Windowed aggregates over an event log — batch re-expression of
+streaming windows (SURVEY.md §2.9: the reference has none; its closest
+analogue is the 60 s sliding-window rate limiter, app/middleware/auth.py:
+53-107, which maps to these at engine scale).
+
+Ray Data has no event-time windowing, so windows are expressed as
+partitioned batch transforms over the ordered log:
+
+- tumbling: floor the timestamp to the window size (vectorized epoch
+  math), then an ordinary grouped aggregate;
+- sliding: each event expands to size/slide window-start rows
+  (vectorized tile + repeat), then a grouped aggregate — shuffle moves
+  (window, partials), not payloads;
+- session: per-key gap detection — sort within key, a new session starts
+  where the gap exceeds the timeout (``grouped_map`` block-level, no
+  per-group Python dispatch).
+
+All window boundaries are integer epoch seconds → deterministic and
+DuckDB-checkable.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _epoch_seconds(ts_col) -> np.ndarray:
+    if isinstance(ts_col, pa.ChunkedArray):
+        ts_col = ts_col.combine_chunks()
+    return (
+        pc.cast(ts_col, pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+    )
+
+
+def _ts_array(epochs: np.ndarray) -> pa.Array:
+    return pc.cast(pa.array(epochs * 1_000_000, pa.int64()), pa.timestamp("us"))
+
+
+def tumbling_window_counts(events, window_sec: int = 3600):
+    """(window_start, n_events, sum_cents) per tumbling window."""
+    from ray.data.aggregate import Count, Sum
+
+    from ocr_ray.driver import _cents
+
+    def bucket(t: pa.Table) -> pa.Table:
+        epochs = _epoch_seconds(t["ts"])
+        start = (epochs // window_sec) * window_sec
+        return pa.table(
+            {
+                "window_start": _ts_array(start),
+                "cents": _cents(t["value"]),
+            }
+        )
+
+    def fix_type(t: pa.Table) -> pa.Table:
+        idx = t.schema.get_field_index("window_start")
+        return t.set_column(
+            idx, "window_start", pc.cast(t["window_start"], pa.timestamp("us"))
+        )
+
+    return (
+        events.map_batches(bucket, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Count(alias_name="n_events"), Sum("cents", alias_name="sum_cents"))
+        .map_batches(fix_type, batch_format="pyarrow")
+        .sort("window_start")
+    )
+
+
+def sliding_window_counts(events, window_sec: int = 3600, slide_sec: int = 900):
+    """(window_start, n_events) for windows of ``window_sec`` starting
+    every ``slide_sec``; an event belongs to window_sec/slide_sec
+    windows. Only complete alignment: starts are multiples of slide_sec."""
+    from ray.data.aggregate import Count
+
+    assert window_sec % slide_sec == 0
+    k = window_sec // slide_sec
+
+    def expand(t: pa.Table) -> pa.Table:
+        epochs = _epoch_seconds(t["ts"])
+        anchor = (epochs // slide_sec) * slide_sec
+        # windows starting at anchor, anchor - slide, ... anchor-(k-1)*slide
+        offsets = (np.arange(k) * slide_sec)[None, :]
+        starts = (anchor[:, None] - offsets).ravel()
+        return pa.table({"window_start": _ts_array(starts)})
+
+    def fix_type(t: pa.Table) -> pa.Table:
+        idx = t.schema.get_field_index("window_start")
+        return t.set_column(
+            idx, "window_start", pc.cast(t["window_start"], pa.timestamp("us"))
+        )
+
+    return (
+        events.map_batches(expand, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Count(alias_name="n_events"))
+        .map_batches(fix_type, batch_format="pyarrow")
+        .sort("window_start")
+    )
+
+
+def session_stats_per_user(events, gap_sec: int = 1800):
+    """(user_id, n_sessions, n_events): a session break is a gap >
+    ``gap_sec`` between consecutive events of the same user. Block-level
+    grouped map — the partitioning key is user_id, order restored by
+    sorting within the block."""
+    from ocr_ray.stages.grouped import grouped_map
+
+    def block_fn(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        # block arrives sorted by (user_id, ts) via sort_within
+        users = block.column("user_id").to_numpy(zero_copy_only=False)
+        epochs = _epoch_seconds(block["ts"])
+        n = len(users)
+        ends = np.append(starts[1:], n)
+        uid_out, sess_out, nev_out = [], [], []
+        # vectorized inside each user run: count gaps > gap_sec
+        for s, e in zip(starts, ends):
+            gaps = np.diff(epochs[s:e])
+            uid_out.append(int(users[s]))
+            sess_out.append(int((gaps > gap_sec).sum()) + 1)
+            nev_out.append(int(e - s))
+        return pa.table(
+            {
+                "user_id": pa.array(uid_out, pa.int64()),
+                "n_sessions": pa.array(sess_out, pa.int64()),
+                "n_events": pa.array(nev_out, pa.int64()),
+            }
+        )
+
+    return grouped_map(events, ["user_id"], block_fn, sort_within=["ts"])

@@ -39,10 +39,13 @@ def grouped_map(
     keys: Sequence[str],
     block_fn: Callable[[pa.Table, np.ndarray], pa.Table],
     num_partitions: int | None = None,
+    sort_within: Sequence[str] = (),
 ):
     """Hash-partition ``ds`` by ``keys`` and apply ``block_fn(sorted_block,
     starts)`` once per block. ``starts`` are the group start offsets
-    (append ``len(block)`` for end bounds)."""
+    (append ``len(block)`` for end bounds). ``sort_within`` adds
+    secondary sort columns inside each group (e.g. a timestamp for
+    session/windowed logic)."""
     from ocr_ray.context import apply_to_dataset
     from ocr_ray.stages.reassemble import use_hash_shuffle
 
@@ -59,7 +62,7 @@ def grouped_map(
     else:  # pragma: no cover - hash shuffle exists in this Ray build
         shuffled = ds.sort(keys)
 
-    sort_keys = [(k, "ascending") for k in keys]
+    sort_keys = [(k, "ascending") for k in (*keys, *sort_within)]
 
     def apply(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

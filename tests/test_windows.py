@@ -1,0 +1,74 @@
+"""Windowed aggregates vs a plain-pandas oracle."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _events_table(n=500, seed=11):
+    rng = np.random.RandomState(seed)
+    # bursty timestamps so sessions are non-trivial
+    ts = np.sort(rng.randint(0, 7 * 86400, size=n)) * 1_000_000
+    return pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(rng.randint(0, 20, size=n), pa.int64()),
+            "event_type": pa.array(
+                [["click", "view", "buy"][i % 3] for i in range(n)], pa.string()
+            ),
+            "value": pa.array(rng.uniform(0, 50, size=n), pa.float64()),
+        }
+    )
+
+
+def _ds(table):
+    import ray.data as rd
+
+    return rd.from_arrow(table)
+
+
+def test_tumbling(ray_session):
+    from ocr_ray.ops.windows import tumbling_window_counts
+
+    tbl = _events_table()
+    out = tumbling_window_counts(_ds(tbl), window_sec=3600).to_pandas()
+    df = tbl.to_pandas()
+    df["w"] = (df["ts"].astype("int64") // 10**6 // 3600) * 3600
+    expect = df.groupby("w").size()
+    got = {
+        int(row["window_start"].timestamp()): row["n_events"]
+        for _, row in out.iterrows()
+    }
+    assert got == expect.to_dict()
+
+
+def test_sliding_membership(ray_session):
+    from ocr_ray.ops.windows import sliding_window_counts
+
+    tbl = _events_table(n=200)
+    out = sliding_window_counts(_ds(tbl), window_sec=3600, slide_sec=900).to_pandas()
+    # every event is counted in exactly 4 windows
+    assert out["n_events"].sum() == 4 * 200
+    # spot-check one window: count events with start <= ts < start+1h
+    row = out.iloc[len(out) // 2]
+    start = int(row["window_start"].timestamp())
+    secs = tbl.to_pandas()["ts"].astype("int64") // 10**6
+    manual = ((secs >= start) & (secs < start + 3600)).sum()
+    assert row["n_events"] == manual
+
+
+def test_sessions(ray_session):
+    from ocr_ray.ops.windows import session_stats_per_user
+
+    tbl = _events_table(n=400)
+    out = session_stats_per_user(_ds(tbl), gap_sec=1800).to_pandas()
+    df = tbl.to_pandas()
+    df["sec"] = df["ts"].astype("int64") // 10**6
+    for user, g in df.groupby("user_id"):
+        secs = np.sort(g["sec"].to_numpy())
+        expect_sessions = int((np.diff(secs) > 1800).sum()) + 1
+        row = out[out["user_id"] == user].iloc[0]
+        assert row["n_sessions"] == expect_sessions
+        assert row["n_events"] == len(g)
