@@ -66,7 +66,7 @@ def _embeddings(sf_dir: str):
 
 def interleaved_docs_count(sf_dir: str) -> int:
     meta = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata
-    return max(40, meta.num_rows // 16)
+    return max(40, meta.num_rows // 2)
 
 
 def interleaved_path_n(n_docs: int, seed: int = 42) -> str:
@@ -382,6 +382,70 @@ def q_doc_unknown_counts(sf_dir: str):
     return _docs(sf_dir).map_batches(count_batch, batch_format="pyarrow")
 
 
+def q_top_terms_by_lang(sf_dir: str):
+    """Per-group top-k: the 5 most frequent words per language
+    (count DESC, word ASC). Partial (lang, word) counts per batch →
+    groupby-sum → block-level per-lang ranking via grouped_map."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    def partials(t: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        langs = t.column("lang").to_pylist()
+        texts = t.column("text").to_pylist()
+        for lang, text in zip(langs, texts):
+            for w in analysis._WORD_RE.findall((text or "").lower()):
+                counts[(lang, w)] += 1
+        if not counts:
+            return pa.table(
+                {"lang": pa.array([], pa.string()), "word": pa.array([], pa.string()),
+                 "partial": pa.array([], pa.int64())}
+            )
+        keys, vals = zip(*sorted(counts.items()))
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in keys], pa.string()),
+                "word": pa.array([k[1] for k in keys], pa.string()),
+                "partial": pa.array(vals, pa.int64()),
+            }
+        )
+
+    counted = (
+        _docs(sf_dir)
+        .select_columns(["lang", "text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["lang", "word"])
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+
+    def topk_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        out_lang, out_word, out_n, out_rank = [], [], [], []
+        ends = np.append(starts, block.num_rows)[1:]
+        langs = block.column("lang").to_pylist()
+        words = block.column("word").to_pylist()
+        ns = block.column("n").to_pylist()
+        for s, e in zip(np.append(starts, block.num_rows)[:-1], ends):
+            order = sorted(range(s, e), key=lambda i: (-ns[i], words[i]))[:5]
+            for rank, i in enumerate(order, 1):
+                out_lang.append(langs[i])
+                out_word.append(words[i])
+                out_n.append(ns[i])
+                out_rank.append(rank)
+        return pa.table(
+            {
+                "lang": pa.array(out_lang, pa.string()),
+                "word": pa.array(out_word, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "rank": pa.array(out_rank, pa.int64()),
+            }
+        )
+
+    return grouped_map(counted, ["lang"], topk_block)
+
+
 def q_tumbling_hourly(sf_dir: str):
     from ocr_ray.ops.windows import tumbling_window_counts
 
@@ -451,6 +515,7 @@ QUERIES = {
     "customer_segment_stats": q_customer_segment_stats,
     "events_recent_page": q_events_recent_page,
     "doc_unknown_counts": q_doc_unknown_counts,
+    "top_terms_by_lang": q_top_terms_by_lang,
     "tumbling_hourly": q_tumbling_hourly,
     "sliding_hourly": q_sliding_hourly,
     "session_stats": q_session_stats,
@@ -601,6 +666,17 @@ def oracle_sql() -> dict[str, str]:
         "events_recent_page": (
             "SELECT event_id, ts, event_type FROM events"
             " ORDER BY ts DESC, event_id ASC LIMIT 50 OFFSET 50"
+        ),
+        "top_terms_by_lang": (
+            "WITH words AS (\n"
+            f" SELECT lang, unnest({_WORDS_SQL}) AS word FROM documents\n"
+            "), counted AS (\n"
+            " SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n FROM words GROUP BY lang, word\n"
+            "), ranked AS (\n"
+            " SELECT lang, word, n,\n"
+            "  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word ASC) AS rank\n"
+            " FROM counted)\n"
+            "SELECT lang, word, n, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5"
         ),
         "tumbling_hourly": (
             "SELECT to_timestamp(((epoch_us(ts) // 1000000) // 3600) * 3600)::TIMESTAMP AS window_start,"
