@@ -1,0 +1,40 @@
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def test_read_media_files_and_attach(ray_session, tmp_path):
+    from ocr_ray.sources import attach_media_payloads, read_media_files
+
+    payloads = {f"img{i}.bin": bytes([i]) * (10 + i) for i in range(5)}
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+
+    media = read_media_files(str(tmp_path))
+    tbl = pa.Table.from_pylist(media.take_all())
+    assert tbl.num_rows == 5
+    assert set(tbl.column_names) == {"media_id", "media_ref", "payload"}
+    by_ref = {
+        r["media_ref"].rsplit("/", 1)[-1]: r["payload"] for r in tbl.to_pylist()
+    }
+    assert by_ref == payloads
+    assert len(set(tbl.column("media_id").to_pylist())) == 5  # distinct ids
+
+    # broadcast-attach payloads onto span rows
+    import ray.data as rd
+
+    spans = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(["a", "b"], pa.string()),
+                "media_ref": pa.array(
+                    [tbl.column("media_ref")[0].as_py(), "missing://x"], pa.string()
+                ),
+            }
+        )
+    )
+    joined = pa.Table.from_pylist(
+        attach_media_payloads(spans, tbl).take_all()
+    ).sort_by("doc_id")
+    assert joined.column("payload")[0].as_py() == tbl.column("payload")[0].as_py()
+    assert joined.column("payload")[1].as_py() is None
