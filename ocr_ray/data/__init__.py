@@ -16,6 +16,30 @@ import pathlib
 
 _HERE = pathlib.Path(__file__).resolve().parent
 
+# run-level dictionary extension (approved learned words) — the batch
+# analogue of the reference's startup merge (load_learned_words,
+# dictionary_corrector.py:199-214 called from main.py:147-153): applied
+# ONCE before a run (each actor's __init__), then frozen for determinism.
+_EXTRA_WORDS: frozenset[str] = frozenset()
+
+
+def set_runtime_extra_words(words) -> int:
+    """Extend the kamus for this process/run. Returns the extension size.
+    Clears every cache derived from the kamus (sorted order, fuzzy
+    pruning index, match cache) so the change is consistent."""
+    global _EXTRA_WORDS
+    _EXTRA_WORDS = frozenset(str(w).lower().strip() for w in words if w)
+    kamus.cache_clear()
+    kamus_sorted.cache_clear()
+    try:
+        from ocr_ray.kernels import fuzzy
+
+        fuzzy.best_dictionary_match.cache_clear()
+        fuzzy._kamus_char_index.cache_clear()
+    except ImportError:  # pragma: no cover
+        pass
+    return len(_EXTRA_WORDS)
+
 
 @functools.lru_cache(maxsize=None)
 def _load(name: str) -> dict:
@@ -24,8 +48,9 @@ def _load(name: str) -> dict:
 
 @functools.lru_cache(maxsize=None)
 def kamus() -> frozenset[str]:
-    """Effective dictionary: KAMUS_DOKUMEN ∪ NAMA_INDONESIA (585 words)."""
-    return frozenset(_load("kamus.json")["kamus"])
+    """Effective dictionary: KAMUS_DOKUMEN ∪ NAMA_INDONESIA (585 words)
+    ∪ any run-level learned-words extension."""
+    return frozenset(_load("kamus.json")["kamus"]) | _EXTRA_WORDS
 
 
 @functools.lru_cache(maxsize=None)

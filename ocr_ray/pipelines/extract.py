@@ -38,6 +38,9 @@ class ExtractConfig:
     ocr_concurrency: Optional[object] = None
     ocr_batch_size: int = 16
     reassemble_partitions: Optional[int] = None
+    # approved learned words merged into the kamus before the run (frozen
+    # during it) — the reference's startup merge, see SpanProcessor
+    learned_words: tuple = ()
 
     def processor_kwargs(self) -> dict:
         return {
@@ -47,6 +50,7 @@ class ExtractConfig:
             "normalize_spelling": self.normalize_spelling,
             "enhance": self.enhance,
             "score": self.score,
+            "learned_words": tuple(self.learned_words),
         }
 
 

@@ -56,8 +56,11 @@ def grouped_map(
         num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
 
     if use_hash_shuffle(ds):
+        # sort=False: co-location needs only the hash partition (the
+        # block-level apply sorts), and the shuffle finalizer's sort
+        # breaks on fully-empty schema-less partitions
         shuffled = apply_to_dataset(
-            ds.repartition(num_partitions, keys=keys, sort=True)
+            ds.repartition(num_partitions, keys=keys, sort=False)
         )
     else:  # pragma: no cover - hash shuffle exists in this Ray build
         shuffled = ds.sort(keys)

@@ -131,7 +131,14 @@ class SpanProcessor:
         normalize_spelling: bool = True,
         enhance: bool = False,
         score: bool = True,
+        learned_words=None,
     ):
+        if learned_words:
+            # run-level dictionary extension, applied once per actor —
+            # the reference's startup learned-words merge (main.py:147-153)
+            from ocr_ray import data
+
+            data.set_runtime_extra_words(learned_words)
         self.engine = make_engine(engine, language)
         self.language = language
         self.use_dictionary = use_dictionary

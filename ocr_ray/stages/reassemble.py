@@ -169,7 +169,10 @@ def reassemble(ds, num_partitions: int | None = None):
 
         num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
     if use_hash_shuffle(ds):
-        shuffled = ds.repartition(num_partitions, keys=["doc_id"], sort=True)
+        # sort=False: group co-location needs only the hash partition; the
+        # block rebuild sorts by (doc_id, offset) itself, and the shuffle
+        # finalizer's sort chokes on fully-empty (schema-less) partitions
+        shuffled = ds.repartition(num_partitions, keys=["doc_id"], sort=False)
         return shuffled.map_batches(
             rebuild_docs_block, batch_format="pyarrow", batch_size=None
         )
