@@ -35,6 +35,11 @@ def main(argv=None) -> int:
     p_ex.add_argument("--files-per-partition", type=int, default=4)
     p_ex.add_argument("--no-resume", action="store_true")
     p_ex.add_argument("--num-cpus", type=int, default=None)
+    p_ex.add_argument(
+        "--learned-words",
+        default=None,
+        help="JSON export (ops/learning_state) whose approved words extend the kamus for this run",
+    )
 
     args = parser.parse_args(argv)
 
@@ -47,21 +52,35 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "extract":
+        import os
+
         import ray
 
         if not ray.is_initialized():
-            ray.init(
-                address="local",
-                num_cpus=args.num_cpus,
-                include_dashboard=False,
-                ignore_reinit_error=True,
-                logging_level="ERROR",
-            )
+            kwargs = {"ignore_reinit_error": True, "logging_level": "ERROR"}
+            if os.environ.get("RAY_ADDRESS", "local") in ("", "local"):
+                # standalone: own local session; under `ray job submit`
+                # RAY_ADDRESS points at the cluster and we attach to it
+                kwargs.update(
+                    address="local",
+                    num_cpus=args.num_cpus,
+                    include_dashboard=False,
+                )
+            ray.init(**kwargs)
         from ocr_ray.context import configure
 
         configure()
         from ocr_ray.pipelines.extract import ExtractConfig
         from ocr_ray.stages.checkpoint import run_extract_checkpointed
+
+        learned: tuple = ()
+        if args.learned_words:
+            from ocr_ray.ops import learning_state as ls
+
+            state, _ = ls.import_json(ls.empty_state(), args.learned_words, mode="merge")
+            learned = tuple(
+                r["word"] for r in state.to_pylist() if r["is_approved"]
+            )
 
         config = ExtractConfig(
             engine=args.engine,
@@ -69,6 +88,7 @@ def main(argv=None) -> int:
             use_dictionary=not args.no_dictionary,
             normalize_spelling=not args.no_spelling,
             enhance=args.enhance,
+            learned_words=learned,
         )
         metrics = run_extract_checkpointed(
             args.input,
