@@ -382,6 +382,26 @@ def q_doc_unknown_counts(sf_dir: str):
     return _docs(sf_dir).map_batches(count_batch, batch_format="pyarrow")
 
 
+def q_quality_heuristics(sf_dir: str):
+    from ocr_ray.ops.textstats import quality_heuristics
+
+    return quality_heuristics(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
+def q_bpe_token_counts(sf_dir: str):
+    from ocr_ray.ops.textstats import bpe_token_counts
+
+    return bpe_token_counts(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
+def q_winnowing_fingerprints(sf_dir: str):
+    from ocr_ray.ops.textstats import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        _docs(sf_dir).select_columns(["doc_id", "text"])
+    ).select_columns(["doc_id", "n_fingerprints"])
+
+
 def q_top_terms_by_lang(sf_dir: str):
     """Per-group top-k: the 5 most frequent words per language
     (count DESC, word ASC). Partial (lang, word) counts per batch →
@@ -515,6 +535,9 @@ QUERIES = {
     "customer_segment_stats": q_customer_segment_stats,
     "events_recent_page": q_events_recent_page,
     "doc_unknown_counts": q_doc_unknown_counts,
+    "quality_heuristics": q_quality_heuristics,
+    "bpe_token_counts": q_bpe_token_counts,
+    "winnowing_fingerprints": q_winnowing_fingerprints,
     "top_terms_by_lang": q_top_terms_by_lang,
     "tumbling_hourly": q_tumbling_hourly,
     "sliding_hourly": q_sliding_hourly,
@@ -666,6 +689,32 @@ def oracle_sql() -> dict[str, str]:
         "events_recent_page": (
             "SELECT event_id, ts, event_type FROM events"
             " ORDER BY ts DESC, event_id ASC LIMIT 50 OFFSET 50"
+        ),
+        "quality_heuristics": (
+            "WITH base AS (\n"
+            " SELECT doc_id,\n"
+            "  CAST(length(text) AS BIGINT) AS n_chars,\n"
+            f"  {_WORDS_SQL} AS words,\n"
+            "  CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS punct,\n"
+            "  CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS upper_n,\n"
+            "  CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) AS alpha_n\n"
+            " FROM documents\n"
+            "), derived AS (\n"
+            " SELECT doc_id, n_chars, CAST(len(words) AS BIGINT) AS n_words, punct, upper_n, alpha_n,\n"
+            f"  CAST(len(list_filter(words, x -> list_contains({_stop_list_sql(sorted(set(STOP_EN) | set(STOP_ID)))}, x))) AS BIGINT) AS stop_hits,\n"
+            "  CAST(list_aggregate(list_transform(words, x -> length(x)), 'sum') AS BIGINT) AS word_chars\n"
+            " FROM base)\n"
+            "SELECT doc_id, n_chars, n_words,\n"
+            " CAST(punct AS DOUBLE) / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS punct_ratio,\n"
+            " CAST(upper_n AS DOUBLE) / CAST(GREATEST(alpha_n, 1) AS DOUBLE) AS upper_ratio,\n"
+            " CAST(stop_hits AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS stopword_ratio,\n"
+            " CAST(COALESCE(word_chars, 0) AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS mean_word_len\n"
+            "FROM derived"
+        ),
+        "bpe_token_counts": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text,"
+            " '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+'"
+            ")) AS BIGINT) AS n_bpe_tokens FROM documents"
         ),
         "top_terms_by_lang": (
             "WITH words AS (\n"

@@ -121,6 +121,43 @@ class ResizeImage:
         return out
 
 
+class DeskewImage:
+    """M4 analogue (reference _deskew_image, ocr_service.py:43-92 — note
+    it is DEAD CODE there, never called by preprocess_gambar; kept here
+    as an explicit opt-in stage). Real path: Otsu threshold → minAreaRect
+    angle → rotate when ≥ min_angle. Stub: deterministic angle derived
+    from the payload hash, recorded as metadata."""
+
+    def __init__(self, min_angle: float = 0.5, real_codecs: bool = False):
+        if real_codecs:
+            raise NotImplementedError("real deskew needs cv2 (not in this container)")
+        self.min_angle = min_angle
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        angles = []
+        for p in batch.column("payload").to_pylist():
+            h = hashlib.blake2b(p, digest_size=2).digest()
+            angle = (int.from_bytes(h, "big") % 2000 - 1000) / 100.0  # ±10°
+            angles.append(angle if abs(angle) >= self.min_angle else 0.0)
+        return batch.append_column("deskew_angle", pa.array(angles, pa.float64()))
+
+
+class RemoveBackground:
+    """M5 analogue (reference _remove_yellow_background,
+    ocr_service.py:95-122: LAB split → CLAHE on L → neutralize a/b).
+    Stub: flags the stage as applied; a real stage transforms pixels."""
+
+    def __init__(self, real_codecs: bool = False):
+        if real_codecs:
+            raise NotImplementedError("real background removal needs cv2")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flags = pa.array([True] * batch.num_rows, pa.bool_())
+        return batch.append_column("background_neutralized", flags)
+
+
 class SampleFrames:
     """Actor stage: video → one row per sampled frame timestamp
     (deterministic every ``interval_ms``). Real frame extraction is the

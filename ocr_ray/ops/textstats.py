@@ -1,0 +1,139 @@
+"""Generic text-quality heuristics for training-data curation — the
+length / punctuation / stopword / case ratios family, plus a BPE-ish
+regex tokenizer count and winnowing rolling-hash fingerprints.
+
+These complement the reference's composite OCR quality score
+(kernels/scoring.py): that one scores OCR fidelity against the kamus;
+these score generic corpus quality the way large-scale pipeline filters
+(C4/Gopher-style) do. All vectorizable per batch; ratios are plain
+float64 divisions with a fixed operand order so the DuckDB oracles match
+bit-for-bit.
+"""
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ocr_ray.ops.analysis import STOP_EN, STOP_ID
+
+_WORD_RE = re.compile(r"[a-zA-Z]{3,}")
+_PUNCT_RE = re.compile(r"[^\w\s]")
+_UPPER_RE = re.compile(r"[A-Z]")
+_ALPHA_RE = re.compile(r"[a-zA-Z]")
+# BPE-ish pretokenizer, RE2-compatible (no lookahead/backrefs) so the
+# same pattern runs in DuckDB: common English contraction suffixes,
+# space-prefixed letter runs, digit runs, symbol runs, whitespace runs
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+_BPE_RE = re.compile(BPE_ISH_PATTERN)
+
+
+def quality_heuristics_batch(batch: pa.Table) -> pa.Table:
+    stops = set(STOP_EN) | set(STOP_ID)
+    n_chars, n_words, punct, upper, alpha, stop_hits, wordlen = [], [], [], [], [], [], []
+    for text in batch.column("text").to_pylist():
+        t = text or ""
+        words = _WORD_RE.findall(t.lower())
+        n_chars.append(len(t))
+        n_words.append(len(words))
+        punct.append(len(_PUNCT_RE.findall(t)))
+        upper.append(len(_UPPER_RE.findall(t)))
+        alpha.append(len(_ALPHA_RE.findall(t)))
+        stop_hits.append(sum(1 for w in words if w in stops))
+        wordlen.append(sum(len(w) for w in words))
+
+    n_chars = np.array(n_chars, dtype=np.float64)
+    n_words_a = np.array(n_words, dtype=np.float64)
+    safe_chars = np.maximum(n_chars, 1.0)
+    safe_words = np.maximum(n_words_a, 1.0)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pa.array(n_chars.astype(np.int64), pa.int64()),
+            "n_words": pa.array(n_words_a.astype(np.int64), pa.int64()),
+            "punct_ratio": pa.array(np.array(punct) / safe_chars, pa.float64()),
+            "upper_ratio": pa.array(np.array(upper) / np.maximum(alpha, 1), pa.float64()),
+            "stopword_ratio": pa.array(np.array(stop_hits) / safe_words, pa.float64()),
+            "mean_word_len": pa.array(np.array(wordlen) / safe_words, pa.float64()),
+        }
+    )
+
+
+def quality_heuristics(docs):
+    return docs.map_batches(quality_heuristics_batch, batch_format="pyarrow")
+
+
+def bpe_token_counts_batch(batch: pa.Table) -> pa.Table:
+    counts = [
+        len(_BPE_RE.findall(t or "")) for t in batch.column("text").to_pylist()
+    ]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_bpe_tokens": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+def bpe_token_counts(docs):
+    """Whitespace + BPE-ish regex token counts (pattern shared verbatim
+    with the DuckDB oracle)."""
+    return docs.map_batches(bpe_token_counts_batch, batch_format="pyarrow")
+
+
+# ------------------------------------------------- winnowing fingerprints
+
+
+def rolling_hashes(text: str, k: int = 7, base: int = 257,
+                   mod: int = (1 << 61) - 1) -> np.ndarray:
+    """Polynomial rolling hash of every k-gram of the normalized text."""
+    data = [ord(c) for c in " ".join((text or "").lower().split())]
+    n = len(data)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    out = np.empty(n - k + 1, dtype=np.uint64)
+    h = 0
+    power = pow(base, k - 1, mod)
+    for i, c in enumerate(data[:k]):
+        h = (h * base + c) % mod
+    out[0] = h
+    for i in range(k, n):
+        h = ((h - data[i - k] * power) * base + data[i]) % mod
+        out[i - k + 1] = h
+    return out
+
+
+def winnow_fingerprints(text: str, k: int = 7, window: int = 8) -> list[int]:
+    """Winnowing (Schleimer et al.): the minimum hash of every
+    ``window``-sized run of k-gram hashes, deduplicated in order —
+    a compact position-robust document fingerprint set."""
+    hashes = rolling_hashes(text, k)
+    if len(hashes) == 0:
+        return []
+    if len(hashes) <= window:
+        return [int(hashes.min())]
+    idx = np.arange(len(hashes) - window + 1)
+    windows = np.lib.stride_tricks.sliding_window_view(hashes, window)
+    mins = windows.min(axis=1)
+    out, last = [], None
+    for m in mins:
+        if m != last:
+            out.append(int(m))
+            last = m
+    return out
+
+
+def _winnow_batch(batch: pa.Table) -> pa.Table:
+    fps = [winnow_fingerprints(t) for t in batch.column("text").to_pylist()]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "fingerprints": pa.array(fps, pa.list_(pa.uint64())),
+            "n_fingerprints": pa.array([len(f) for f in fps], pa.int64()),
+        }
+    )
+
+
+def winnowing_fingerprints(docs):
+    return docs.map_batches(_winnow_batch, batch_format="pyarrow")
