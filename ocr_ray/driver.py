@@ -235,6 +235,21 @@ def q_dedup_exact(sf_dir: str):
     return dedup_exact(_docs(sf_dir))
 
 
+def q_dedup_exact_drop_list(sf_dir: str):
+    from ocr_ray.ops.dedup import dedup_exact_drop_list
+
+    # explicit schema: the drop list is legitimately EMPTY on a corpus
+    # with no exact duplicates, and an empty Ray result loses its columns
+    rows = dedup_exact_drop_list(_docs(sf_dir)).take_all()
+    return pa.Table.from_pylist(rows, schema=pa.schema([("doc_id", pa.int64())]))
+
+
+def q_dedup_minhash_drop_list(sf_dir: str):
+    from ocr_ray.ops.dedup import dedup_minhash_drop_list
+
+    return dedup_minhash_drop_list(_docs(sf_dir), threshold=0.5)
+
+
 def q_dedup_minhash(sf_dir: str):
     from ocr_ray.ops.dedup import dedup_minhash
 
@@ -543,7 +558,9 @@ QUERIES = {
     "sliding_hourly": q_sliding_hourly,
     "session_stats": q_session_stats,
     "dedup_exact": q_dedup_exact,
+    "dedup_exact_drop_list": q_dedup_exact_drop_list,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_minhash_drop_list": q_dedup_minhash_drop_list,
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_brute_topk": q_ann_brute_topk,
@@ -765,6 +782,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             f"SELECT {_FP_SQL} AS fingerprint, MIN(doc_id) AS doc_id,"
             " CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY 1"
+        ),
+        "dedup_exact_drop_list": (
+            "WITH hashed AS (\n"
+            f" SELECT doc_id, {_FP_SQL} AS fp FROM documents\n"
+            "), keepers AS (\n"
+            " SELECT fp, MIN(doc_id) AS keeper FROM hashed GROUP BY fp\n"
+            ")\n"
+            "SELECT h.doc_id FROM hashed h JOIN keepers k USING (fp)"
+            " WHERE h.doc_id <> k.keeper"
         ),
         "ann_brute_topk": (
             "WITH q AS (\n"

@@ -275,6 +275,43 @@ def dedup_simhash(docs, max_hamming: int = 3):
     )
 
 
+def dedup_exact_drop_list(docs):
+    """Docs to REMOVE under exact dedup: everything but the min doc_id of
+    each fingerprint group. Fully distributed (block-level grouped map on
+    the fingerprint — no driver-side keeper set). Output (doc_id)."""
+    from ocr_ray.stages.grouped import grouped_map
+
+    hashed = docs.map_batches(_hash_batch, batch_format="pyarrow")
+
+    def drop_non_min(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+        ends = np.append(starts[1:], block.num_rows)
+        out = []
+        for s, e in zip(starts, ends):
+            if e - s >= 2:
+                grp = np.sort(ids[s:e])
+                out.extend(int(x) for x in grp[1:])
+        return pa.table({"doc_id": pa.array(sorted(out), pa.int64())})
+
+    return grouped_map(hashed, ["fingerprint"], drop_non_min)
+
+
+def dedup_minhash_drop_list(docs, threshold: float = 0.5, **kwargs):
+    """Docs to REMOVE under MinHash near-dedup: greedy keep-smallest —
+    the larger doc_id of every candidate pair at/above threshold."""
+    from ray.data.aggregate import Count
+
+    pairs = dedup_minhash(docs, threshold=threshold, **kwargs)
+    return (
+        pairs.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_b"]}), batch_format="pyarrow"
+        )
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_pairs"))
+        .select_columns(["doc_id"])
+    )
+
+
 # ------------------------------------------- exact n-gram Jaccard pairs
 
 
