@@ -132,7 +132,9 @@ class SpanProcessor:
         enhance: bool = False,
         score: bool = True,
         learned_words=None,
+        debug_worker_column: bool = False,
     ):
+        self.debug_worker_column = debug_worker_column
         if learned_words:
             # run-level dictionary extension, applied once per actor —
             # the reference's startup learned-words merge (main.py:147-153)
@@ -169,8 +171,14 @@ class SpanProcessor:
             for k, t, r in zip(kinds, texts, refs)
         ]
 
+        extra = {}
+        if self.debug_worker_column:
+            import os
+
+            extra["worker_pid"] = pa.array([os.getpid()] * batch.num_rows, pa.int64())
         return pa.table(
             {
+                **extra,
                 "doc_id": batch.column("doc_id"),
                 "offset": batch.column("offset"),
                 "kind": batch.column("kind"),
