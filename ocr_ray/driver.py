@@ -343,6 +343,44 @@ def q_lineitem_pricing_summary(sf_dir: str):
     )
 
 
+def q_order_lineitem_totals(sf_dir: str):
+    """Both-sides-large native hash join: per-order lineitem totals joined
+    to orders, rolled up by order priority."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ocr_ray.ops.joins import large_join
+
+    _quiet()
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "cents": _cents(t["l_extendedprice"])}
+        )
+
+    per_order = (
+        li.map_batches(cents, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("cents", alias_name="order_cents"),
+                   Count(alias_name="n_lines"))
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = large_join(
+        orders, per_order, on="o_orderkey", right_on="l_orderkey",
+        join_type="inner",
+    )
+    return joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("order_cents", alias_name="total_cents"),
+        Sum("n_lines", alias_name="total_lines"),
+    )
+
+
 def q_customer_segment_stats(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -547,6 +585,7 @@ QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
     "orders_value_by_nation": q_orders_value_by_nation,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
+    "order_lineitem_totals": q_order_lineitem_totals,
     "customer_segment_stats": q_customer_segment_stats,
     "events_recent_page": q_events_recent_page,
     "doc_unknown_counts": q_doc_unknown_counts,
@@ -697,6 +736,19 @@ def oracle_sql() -> dict[str, str]:
             " CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,"
             " CAST(COUNT(*) AS BIGINT) AS count_order"
             " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "order_lineitem_totals": (
+            "WITH per_order AS (\n"
+            " SELECT l_orderkey,\n"
+            "  SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS order_cents,\n"
+            "  COUNT(*) AS n_lines\n"
+            " FROM lineitem GROUP BY l_orderkey\n"
+            ")\n"
+            "SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,\n"
+            " CAST(SUM(p.order_cents) AS BIGINT) AS total_cents,\n"
+            " CAST(SUM(p.n_lines) AS BIGINT) AS total_lines\n"
+            "FROM orders o JOIN per_order p ON o.o_orderkey = p.l_orderkey\n"
+            "GROUP BY o.o_orderpriority"
         ),
         "customer_segment_stats": (
             "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,"

@@ -10,9 +10,9 @@ see ops/learning_state). At engine scale that generalizes to:
 - ``semi_join_filter`` / ``anti_join_filter``: broadcast the key set and
   mask with ``pc.is_in`` — no data movement at all.
 
-Both-sides-large joins should hash-bucket both sides on the key
-(grouped_map over the bucket column) — not needed by any current
-pipeline, so not implemented until something drives it.
+Both-sides-large joins use Ray Data's native hash-partitioned
+``Dataset.join`` (``large_join`` below) — both sides shuffle on the key,
+partition counts sized to the cluster.
 """
 from __future__ import annotations
 
@@ -56,6 +56,36 @@ def broadcast_join(big, small: pa.Table, keys, join_type: str = "inner",
         },
         batch_format="pyarrow",
         concurrency=concurrency,
+    )
+
+
+def large_join(left, right, on, *, join_type: str = "inner",
+               right_on=None, num_partitions: int | None = None):
+    """Hash-partitioned join of two large Datasets (both sides shuffle).
+
+    Uses Ray Data's native ``Dataset.join`` under the tuned hash-shuffle
+    context; partition count defaults to 2×cluster CPUs.
+    """
+    from ocr_ray.context import apply_to_dataset
+    from ocr_ray.stages.reassemble import use_hash_shuffle
+
+    if num_partitions is None:
+        import ray
+
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    use_hash_shuffle(left)
+    apply_to_dataset(right)
+    on = (on,) if isinstance(on, str) else tuple(on)
+    right_on = (
+        None if right_on is None
+        else ((right_on,) if isinstance(right_on, str) else tuple(right_on))
+    )
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=on,
+        right_on=right_on,
     )
 
 
