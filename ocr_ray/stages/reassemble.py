@@ -39,6 +39,7 @@ DOC_OUT_SCHEMA = pa.schema(
         ("doc_text", pa.string()),
         ("n_spans", pa.int32()),
         ("n_media_spans", pa.int32()),
+        ("n_error_spans", pa.int32()),
         ("dictionary_corrections", pa.int32()),
         ("spelling_changes", pa.int32()),
         ("mean_quality", pa.float64()),
@@ -105,6 +106,13 @@ def rebuild_docs_block(batch: pa.Table) -> pa.Table:
     is_media = np.isin(np.array(kinds, dtype=object), list(MEDIA_KINDS)).astype(np.int64)
     n_media = np.add.reduceat(is_media, starts).astype(np.int32)
 
+    if "error_code" in t.column_names:
+        err_col = t.column("error_code").combine_chunks()
+        is_err = pc.is_valid(err_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_errors = np.add.reduceat(is_err, starts).astype(np.int32)
+    else:
+        n_errors = np.zeros(len(starts), dtype=np.int32)
+
     dict_corr = np.add.reduceat(
         t.column("dictionary_corrections").to_numpy(zero_copy_only=False).astype(np.int64),
         starts,
@@ -131,6 +139,7 @@ def rebuild_docs_block(batch: pa.Table) -> pa.Table:
             "doc_text": pa.array(doc_texts, pa.string()),
             "n_spans": pa.array(n_spans, pa.int32()),
             "n_media_spans": pa.array(n_media, pa.int32()),
+            "n_error_spans": pa.array(n_errors, pa.int32()),
             "dictionary_corrections": pa.array(dict_corr, pa.int32()),
             "spelling_changes": pa.array(spell, pa.int32()),
             "mean_quality": pa.array(mean_q, pa.float64()),
