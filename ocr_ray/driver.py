@@ -244,16 +244,55 @@ def q_dedup_exact_drop_list(sf_dir: str):
     return pa.Table.from_pylist(rows, schema=pa.schema([("doc_id", pa.int64())]))
 
 
+def _materialized(ds, schema: pa.Schema) -> pa.Table:
+    """Collect a (small) result with an explicit schema — an empty Ray
+    result loses its column names, which the driver compare reads as a
+    schema mismatch (ADVICE r01)."""
+    return pa.Table.from_pylist(ds.take_all(), schema=schema)
+
+
 def q_dedup_minhash_drop_list(sf_dir: str):
     from ocr_ray.ops.dedup import dedup_minhash_drop_list
 
-    return dedup_minhash_drop_list(_docs(sf_dir), threshold=0.5)
+    # cluster-level (connected-component) semantics: keep min doc_id per
+    # component, drop the rest; oracle = recursive-CTE reachability
+    return _materialized(
+        dedup_minhash_drop_list(_docs(sf_dir), threshold=0.5),
+        pa.schema([("doc_id", pa.int64())]),
+    )
 
 
 def q_dedup_minhash(sf_dir: str):
     from ocr_ray.ops.dedup import dedup_minhash
 
-    return dedup_minhash(_docs(sf_dir), threshold=0.5)
+    return _materialized(
+        dedup_minhash(_docs(sf_dir), threshold=0.5),
+        pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+             ("est_jaccard", pa.float64())]
+        ),
+    )
+
+
+def q_dedup_minhash_verified(sf_dir: str):
+    from ocr_ray.ops.dedup import minhash_verified_pairs
+
+    return _materialized(
+        minhash_verified_pairs(_docs(sf_dir), threshold=0.5),
+        pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+             ("jaccard", pa.float64())]
+        ),
+    )
+
+
+def q_dedup_minhash_components(sf_dir: str):
+    from ocr_ray.ops.dedup import dedup_minhash_components
+
+    return _materialized(
+        dedup_minhash_components(_docs(sf_dir), threshold=0.5),
+        pa.schema([("doc_id", pa.int64()), ("component", pa.int64())]),
+    )
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -265,7 +304,14 @@ def q_dedup_simhash(sf_dir: str):
 def q_ngram_jaccard_pairs(sf_dir: str):
     from ocr_ray.ops.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(sf_dir), threshold=0.5)
+    return _materialized(
+        ngram_jaccard_pairs(_docs(sf_dir), threshold=0.5),
+        pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+             ("intersection", pa.int64()), ("size_a", pa.int64()),
+             ("size_b", pa.int64()), ("jaccard", pa.float64())]
+        ),
+    )
 
 
 def q_orders_value_by_nation(sf_dir: str):
@@ -561,10 +607,52 @@ def q_ann_ivf_topk(sf_dir: str):
     return ann_ivf_topk(_embeddings(sf_dir), _query_matrix(sf_dir), k=10)
 
 
+_COSINE_PAIR_SCHEMA = pa.schema(
+    [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cosine", pa.float64())]
+)
+
+
 def q_embedding_cosine_dedup(sf_dir: str):
     from ocr_ray.ops.similarity import embedding_cosine_dedup
 
-    return embedding_cosine_dedup(_embeddings(sf_dir), threshold=0.9)
+    return _materialized(
+        embedding_cosine_dedup(_embeddings(sf_dir), threshold=0.9),
+        _COSINE_PAIR_SCHEMA,
+    )
+
+
+def q_embedding_cosine_dedup_augmented(sf_dir: str):
+    """Recall-exercising variant: the embeddings table is augmented with
+    a deterministic near-copy of every vector (vec_id + 1,000,000;
+    components floored to 3 decimals → cosine ≈ 0.999997 with the
+    original), and the LSH dedup must find every (orig, copy) pair at
+    threshold 0.999. The DuckDB oracle rebuilds the same augmentation
+    with list_transform + FLOOR, so this is an equality check on a
+    non-trivial pair set — a true recall gate for the bucketing."""
+    import numpy as np
+
+    from ocr_ray.ops.similarity import _batch_matrix, embedding_cosine_dedup
+
+    def add_copies(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        copies = np.floor(m * 1000.0) / 1000.0
+        all_ids = np.concatenate([ids, ids + 1_000_000])
+        all_vecs = np.concatenate([m, copies])
+        return pa.table(
+            {
+                "vec_id": pa.array(all_ids, pa.int64()),
+                "embedding": pa.array(
+                    list(all_vecs), pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    aug = _embeddings(sf_dir).map_batches(add_copies, batch_format="pyarrow")
+    return _materialized(
+        embedding_cosine_dedup(aug, threshold=0.999, bits=16, n_tables=4),
+        _COSINE_PAIR_SCHEMA,
+    )
 
 
 QUERIES = {
@@ -599,12 +687,15 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_drop_list": q_dedup_exact_drop_list,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_minhash_verified": q_dedup_minhash_verified,
+    "dedup_minhash_components": q_dedup_minhash_components,
     "dedup_minhash_drop_list": q_dedup_minhash_drop_list,
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_brute_topk": q_ann_brute_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_cosine_dedup": q_embedding_cosine_dedup,
+    "embedding_cosine_dedup_augmented": q_embedding_cosine_dedup_augmented,
 }
 
 
@@ -626,6 +717,100 @@ def _unknown_words_cte() -> str:
 
 def _stop_list_sql(words) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# word 3-gram shingle SETS per doc (mirrors ops.dedup.word_shingles:
+# lowercase [a-zA-Z0-9]+ tokens, <3 words → the single joined shingle,
+# 0 words → no rows), as a CTE body usable after WITH or WITH RECURSIVE
+_SHINGLES_BODY = (
+    "words AS (\n"
+    " SELECT doc_id, regexp_extract_all(lower(text), '[a-zA-Z0-9]+') AS ws"
+    " FROM documents\n"
+    "), sh AS (\n"
+    " SELECT DISTINCT doc_id, shingle FROM (\n"
+    "  SELECT doc_id, CASE WHEN len(ws) >= 3 THEN"
+    " unnest(list_transform(generate_series(1, len(ws) - 2),"
+    " i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))\n"
+    "  ELSE array_to_string(ws, ' ') END AS shingle\n"
+    "  FROM words WHERE len(ws) > 0)\n"
+    "), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)"
+)
+
+# exact (unfiltered) pairwise set-Jaccard over the shingle CTEs
+_JACCARD_PAIRS_BODY = (
+    "inter AS (\n"
+    " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n\n"
+    " FROM sh a JOIN sh b USING (shingle)\n"
+    " WHERE a.doc_id < b.doc_id GROUP BY 1, 2\n"
+    "), scored AS (\n"
+    " SELECT doc_a, doc_b,"
+    " CAST(n AS DOUBLE) / CAST(sa.sz + sb.sz - n AS DOUBLE) AS jaccard\n"
+    " FROM inter JOIN sizes sa ON sa.doc_id = inter.doc_a"
+    " JOIN sizes sb ON sb.doc_id = inter.doc_b\n"
+    ")"
+)
+
+# undirected reachability closure + min-label components over the
+# verified pair graph (jaccard >= 0.5)
+_COMPONENTS_BODY = (
+    "pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),\n"
+    "und AS (SELECT doc_a AS a, doc_b AS b FROM pairs"
+    " UNION SELECT doc_b, doc_a FROM pairs),\n"
+    "reach(node, r) AS (\n"
+    " SELECT a, a FROM und UNION SELECT b, b FROM und\n"
+    " UNION\n"
+    " SELECT u.a, r.r FROM und u JOIN reach r ON u.b = r.node\n"
+    "), comp AS (\n"
+    " SELECT node, MIN(r) AS component FROM reach GROUP BY node\n"
+    ")"
+)
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """md5-based 64-bit SimHash rebuilt in pure SQL: per-token 32-bit
+    halves from the md5 hex digest, 64 SUM(CASE) sign aggregates, pair
+    hamming via bit_count(xor(...)) over the two halves (mirrors
+    ops.dedup.simhash64 exactly)."""
+    lo_sums = ",\n  ".join(
+        f"SUM(CASE WHEN ((lo >> {b}) & 1) = 1 THEN c ELSE -c END) AS s{b}"
+        for b in range(32)
+    )
+    hi_sums = ",\n  ".join(
+        f"SUM(CASE WHEN ((hi >> {b}) & 1) = 1 THEN c ELSE -c END) AS s{b + 32}"
+        for b in range(32)
+    )
+    lo_build = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32)
+    )
+    hi_build = " + ".join(
+        f"CASE WHEN s{b + 32} > 0 THEN {1 << b} ELSE 0 END" for b in range(32)
+    )
+    return (
+        "WITH words AS (\n"
+        " SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9]+')) AS w"
+        " FROM documents\n"
+        "), tf AS (\n"
+        " SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY doc_id, w\n"
+        "), h AS (\n"
+        " SELECT doc_id, c,"
+        " ('0x' || substr(md5(w), 1, 8))::BIGINT AS hi,"
+        " ('0x' || substr(md5(w), 9, 8))::BIGINT AS lo FROM tf\n"
+        "), sums AS (\n"
+        f" SELECT doc_id,\n  {lo_sums},\n  {hi_sums}\n FROM h GROUP BY doc_id\n"
+        "), sims AS (\n"
+        f" SELECT doc_id, {lo_build} AS sim_lo, {hi_build} AS sim_hi FROM sums\n"
+        "), alld AS (\n"
+        " SELECT d.doc_id, COALESCE(s.sim_lo, 0) AS sim_lo,"
+        " COALESCE(s.sim_hi, 0) AS sim_hi\n"
+        " FROM documents d LEFT JOIN sims s USING (doc_id)\n"
+        "), pairs AS (\n"
+        " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
+        "  CAST(bit_count(xor(a.sim_lo, b.sim_lo))"
+        " + bit_count(xor(a.sim_hi, b.sim_hi)) AS BIGINT) AS hamming\n"
+        " FROM alld a JOIN alld b ON a.doc_id < b.doc_id\n"
+        ")\n"
+        f"SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -843,6 +1028,66 @@ def oracle_sql() -> dict[str, str]:
             ")\n"
             "SELECT h.doc_id FROM hashed h JOIN keepers k USING (fp)"
             " WHERE h.doc_id <> k.keeper"
+        ),
+        "ngram_jaccard_pairs": (
+            "WITH " + _SHINGLES_BODY + ",\n"
+            "df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),\n"
+            "inter AS (\n"
+            " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+            " CAST(COUNT(*) AS BIGINT) AS intersection\n"
+            " FROM sh a JOIN sh b USING (shingle) JOIN df d USING (shingle)\n"
+            " WHERE a.doc_id < b.doc_id AND d.df <= 256 GROUP BY 1, 2\n"
+            "), scored AS (\n"
+            " SELECT doc_a, doc_b, intersection,"
+            " CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,\n"
+            "  CAST(intersection AS DOUBLE)"
+            " / CAST(sa.sz + sb.sz - intersection AS DOUBLE) AS jaccard\n"
+            " FROM inter JOIN sizes sa ON sa.doc_id = inter.doc_a"
+            " JOIN sizes sb ON sb.doc_id = inter.doc_b\n"
+            ")\n"
+            "SELECT doc_a, doc_b, intersection, size_a, size_b, jaccard"
+            " FROM scored WHERE jaccard >= 0.5"
+        ),
+        "dedup_minhash_verified": (
+            "WITH " + _SHINGLES_BODY + ",\n" + _JACCARD_PAIRS_BODY + "\n"
+            "SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5"
+        ),
+        "dedup_minhash_components": (
+            "WITH RECURSIVE " + _SHINGLES_BODY + ",\n"
+            + _JACCARD_PAIRS_BODY + ",\n" + _COMPONENTS_BODY + "\n"
+            "SELECT node AS doc_id, CAST(component AS BIGINT) AS component"
+            " FROM comp"
+        ),
+        "dedup_minhash_drop_list": (
+            "WITH RECURSIVE " + _SHINGLES_BODY + ",\n"
+            + _JACCARD_PAIRS_BODY + ",\n" + _COMPONENTS_BODY + "\n"
+            "SELECT node AS doc_id FROM comp WHERE node <> component"
+        ),
+        "dedup_simhash": _simhash_sql(3),
+        "embedding_cosine_dedup": (
+            "WITH pairs AS (\n"
+            " SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,\n"
+            "  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+            " CAST(b.embedding AS DOUBLE[])) AS raw\n"
+            " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id\n"
+            ")\n"
+            "SELECT vec_a, vec_b, ROUND(raw, 6) AS cosine FROM pairs"
+            " WHERE raw >= 0.9"
+        ),
+        "embedding_cosine_dedup_augmented": (
+            "WITH aug AS (\n"
+            " SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings\n"
+            " UNION ALL\n"
+            " SELECT vec_id + 1000000,"
+            " list_transform(CAST(embedding AS DOUBLE[]),"
+            " x -> FLOOR(x * 1000.0) / 1000.0) FROM embeddings\n"
+            "), pairs AS (\n"
+            " SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,"
+            " list_cosine_similarity(a.v, b.v) AS raw\n"
+            " FROM aug a JOIN aug b ON a.vec_id < b.vec_id\n"
+            ")\n"
+            "SELECT vec_a, vec_b, ROUND(raw, 6) AS cosine FROM pairs"
+            " WHERE raw >= 0.999"
         ),
         "ann_brute_topk": (
             "WITH q AS (\n"

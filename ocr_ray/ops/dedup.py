@@ -1,5 +1,6 @@
 """Deduplication operators over a documents table — the large-scale
-training-data pipeline family: exact, MinHash-LSH, SimHash and exact
+training-data pipeline family: exact, MinHash-LSH (candidates + exact
+verification + connected-component drop lists), SimHash and exact
 n-gram Jaccard via an inverted-index join. All deterministic (seeded
 hashing, sorted tie-breaks) and expressed as map_batches partials +
 small groupbys; no operator materializes the corpus on the driver.
@@ -8,6 +9,19 @@ Reference analogue: the only dedup the reference does is exact
 word-level (UNIQUE constraint, db_service.py:69; list(set()),
 dictionary_corrector.py:235); the near-dup family generalizes it for
 100 TB corpora (SURVEY.md §2.7).
+
+Shuffle budget (the numbers that matter at scale, per billion docs):
+
+- MinHash band rows carry ``(band, band_hash, doc_id)`` ONLY (~20 B ×
+  bands); the 512-byte signature is shuffled once per *candidate pair*
+  side during estimation, never once per band. Candidate pairs are a
+  vanishing fraction of the corpus, so signature traffic is bounded by
+  the duplicate rate, not the corpus size.
+- Hot buckets are never silently truncated: the first ``max_bucket``
+  docs pair all-to-all, every overflow doc pairs with the bucket's
+  minimum doc_id (its representative) — connectivity for the
+  connected-components pass is preserved and no doc drops out of its
+  duplicate cluster without a trace.
 """
 from __future__ import annotations
 
@@ -56,11 +70,28 @@ def _stable_hash64(token: str) -> int:
     )
 
 
+def _md5_hash64(token: str) -> int:
+    """64-bit token hash from the md5 hex digest, split in two 32-bit
+    halves — chosen over blake2b so a DuckDB oracle can reproduce it
+    exactly: ``('0x' || substr(md5(w), 1, 8))::BIGINT`` etc."""
+    d = hashlib.md5(token.encode("utf-8")).hexdigest()
+    return (int(d[:8], 16) << 32) | int(d[8:16], 16)
+
+
 def word_shingles(text: str, n: int = 3) -> set[str]:
     words = _WORD_RE.findall((text or "").lower())
     if len(words) < n:
         return {" ".join(words)} if words else set()
     return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def exact_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
+    """Plain set Jaccard of word n-gram shingles (the verification
+    kernel for LSH candidates)."""
+    sa, sb = word_shingles(text_a, n), word_shingles(text_b, n)
+    inter = len(sa & sb)
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 0.0
 
 
 # ---------------------------------------------------------- MinHash-LSH
@@ -86,114 +117,396 @@ def minhash_signature(shingles: set[str], a: np.ndarray, b: np.ndarray) -> np.nd
     return prod.min(axis=1)
 
 
-class MinHashLsh:
-    """map_batches stage: doc → one row per LSH band
-    (band, band_hash, doc_id, signature). Stateful (hash params built
-    once per actor)."""
+class MinHashSig:
+    """map_batches stage: doc → ONE row (doc_id, signature). Stateful
+    (hash params built once per actor). The signature table is the
+    single per-doc copy of the 8·num_perm-byte signature; band rows are
+    derived from it without carrying it."""
 
-    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_n: int = 3):
-        assert num_perm % bands == 0
-        self.num_perm, self.bands, self.n = num_perm, bands, shingle_n
-        self.rows_per_band = num_perm // bands
+    def __init__(self, num_perm: int = 64, shingle_n: int = 3):
+        self.num_perm, self.n = num_perm, shingle_n
         self.a, self.b = _minhash_params(num_perm)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, bands, band_hashes, sigs = [], [], [], []
-        for doc_id, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            sig = minhash_signature(word_shingles(text, self.n), self.a, self.b)
-            sig_bytes = sig.tobytes()
-            for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                doc_ids.append(doc_id)
-                bands.append(band)
-                band_hashes.append(
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                )
-                sigs.append(sig_bytes)
+        sigs = [
+            minhash_signature(word_shingles(text, self.n), self.a, self.b).tobytes()
+            for text in batch.column("text").to_pylist()
+        ]
         return pa.table(
-            {
-                "band": pa.array(bands, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.string()),
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "signature": pa.array(sigs, pa.binary()),
-            }
+            {"doc_id": batch.column("doc_id"), "signature": pa.array(sigs, pa.binary())}
         )
 
 
-def _minhash_block_pairs(block: pa.Table, starts: np.ndarray,
-                         max_bucket: int = 64) -> pa.Table:
-    """Candidate pairs from every multi-row LSH bucket in one sorted block
-    — single-doc buckets (the overwhelming majority) are skipped in bulk
-    via the precomputed run boundaries. Jaccard is estimated from
-    signature agreement. Buckets larger than max_bucket are truncated
-    deterministically by doc_id order (hot-key guard)."""
-    a_out, b_out, est = [], [], []
+def _band_rows_factory(num_perm: int, bands: int):
+    rows_per_band = num_perm // bands
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        """(doc_id, signature) → bands rows of (band, band_hash, doc_id):
+        ~20 bytes per band row through the bucket shuffle instead of the
+        full signature (the round-1 design shipped 512 B × 16 bands =
+        8 KB/doc; this ships ~0.3 KB/doc)."""
+        doc_ids, out_band, out_hash = [], [], []
+        ids = batch.column("doc_id").to_pylist()
+        for doc_id, sig in zip(ids, batch.column("signature").to_pylist()):
+            s = np.frombuffer(sig, dtype=np.uint64)
+            for band in range(bands):
+                chunk = s[band * rows_per_band : (band + 1) * rows_per_band]
+                doc_ids.append(doc_id)
+                out_band.append(band)
+                out_hash.append(
+                    hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                )
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.string()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+            }
+        )
+
+    return band_rows
+
+
+def _bucket_pairs_block(block: pa.Table, starts: np.ndarray,
+                        max_bucket: int = 64) -> pa.Table:
+    """Candidate (doc_a, doc_b) pairs from every multi-row LSH bucket in
+    one sorted block — single-doc buckets (the overwhelming majority)
+    are skipped in bulk via the precomputed run boundaries. The first
+    ``max_bucket`` docs (by doc_id) pair all-to-all; overflow docs each
+    pair with the bucket minimum so giant buckets stay connected for the
+    component pass instead of being silently truncated."""
+    a_out: list[np.ndarray] = []
+    b_out: list[np.ndarray] = []
     ends = np.append(starts[1:], block.num_rows)
     multi = ends - starts >= 2
     if multi.any():
         ids_col = block.column("doc_id")
-        sigs_col = block.column("signature")
         for s, e in zip(starts[multi], ends[multi]):
-            ids = ids_col.slice(s, e - s).to_pylist()
-            sigs = sigs_col.slice(s, e - s).to_pylist()
-            order = np.argsort(ids)[:max_bucket]
-            for x in range(len(order)):
-                i = order[x]
-                si = np.frombuffer(sigs[i], dtype=np.uint64)
-                for y in range(x + 1, len(order)):
-                    j = order[y]
-                    if ids[i] == ids[j]:
-                        continue
-                    sj = np.frombuffer(sigs[j], dtype=np.uint64)
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    est.append(float(np.mean(si == sj)))
+            ids = np.unique(ids_col.slice(s, e - s).to_numpy(zero_copy_only=False))
+            if len(ids) < 2:
+                continue
+            head = ids[:max_bucket]
+            ii, jj = np.triu_indices(len(head), k=1)
+            a_out.append(head[ii])
+            b_out.append(head[jj])
+            tail = ids[max_bucket:]
+            if len(tail):
+                a_out.append(np.full(len(tail), ids[0], dtype=ids.dtype))
+                b_out.append(tail)
+    a = np.concatenate(a_out) if a_out else np.empty(0, dtype=np.int64)
+    b = np.concatenate(b_out) if b_out else np.empty(0, dtype=np.int64)
     return pa.table(
         {
-            "doc_a": pa.array(a_out, pa.int64()),
-            "doc_b": pa.array(b_out, pa.int64()),
-            "est_jaccard": pa.array(est, pa.float64()),
+            "doc_a": pa.array(a, pa.int64()),
+            "doc_b": pa.array(b, pa.int64()),
         }
     )
 
 
-def dedup_minhash(docs, num_perm: int = 64, bands: int = 16, threshold: float = 0.5):
-    """MinHash-LSH near-dup candidate pairs with estimated Jaccard ≥
-    threshold: shingle→minhash per batch, explode to band rows, block-level
-    bucket grouping (grouped_map), pairwise signature compare, pair dedup
-    via groupby-max."""
-    from ray.data.aggregate import Max
-
-    from ocr_ray.stages.grouped import grouped_map
-
-    band_rows = docs.map_batches(
-        MinHashLsh,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
+def minhash_signatures(docs, num_perm: int = 64, shingle_n: int = 3):
+    """Per-doc signature table (doc_id, signature)."""
+    return docs.map_batches(
+        MinHashSig,
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle_n": shingle_n},
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
-    pairs = grouped_map(band_rows, ["band", "band_hash"], _minhash_block_pairs)
-    return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Max("est_jaccard", alias_name="est_jaccard"))
-        .filter(expr=f"est_jaccard >= {threshold}")
+
+
+def minhash_candidates(sigs, num_perm: int = 64, bands: int = 16,
+                       max_bucket: int = 64):
+    """Distinct candidate pairs (doc_a < doc_b) from banded LSH over a
+    signature table. Output (doc_a, doc_b, n_bands) where n_bands is the
+    number of bands the pair collided in."""
+    from ray.data.aggregate import Count
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    assert num_perm % bands == 0
+    band_rows = sigs.map_batches(
+        _band_rows_factory(num_perm, bands), batch_format="pyarrow"
     )
+    pairs = grouped_map(band_rows, ["band", "band_hash"], _bucket_pairs_block)
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+
+
+def _renamed(ds, mapping: dict[str, str]):
+    def apply(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def _with_schema(ds, schema: pa.Schema):
+    """Normalize every block to ``schema`` (select + cast), replacing the
+    SCHEMA-LESS empty blocks Ray's hash aggregate emits for empty
+    partitions — joins crash on those ("No match for key field") and
+    unions silently mis-merge them."""
+
+    def fix(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return schema.empty_table()
+        return t.select(schema.names).cast(schema)
+
+    return ds.map_batches(fix, batch_format="pyarrow")
+
+
+_PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+
+def dedup_minhash(docs, num_perm: int = 64, bands: int = 16, threshold: float = 0.5):
+    """MinHash-LSH near-dup pairs with estimated Jaccard ≥ threshold.
+
+    Stages: per-doc signature (once) → slim band rows → block-level
+    bucket pairing (grouped_map) → distinct pairs → signatures joined
+    back onto the (small) candidate set → per-pair agreement estimate.
+    The signature table is materialized once in the OBJECT STORE (8 +
+    8·num_perm bytes/doc, distributed, spillable) because it feeds both
+    the band derivation and the estimate join.
+    """
+    from ocr_ray.ops.joins import adaptive_key_join
+
+    sigs = minhash_signatures(docs, num_perm).materialize()
+    cand = _with_schema(minhash_candidates(sigs, num_perm, bands), _PAIR_SCHEMA)
+    sig_a = pa.schema([("doc_a", pa.int64()), ("sig_a", pa.binary())])
+    sig_b = pa.schema([("doc_b", pa.int64()), ("sig_b", pa.binary())])
+    a = _with_schema(
+        adaptive_key_join(
+            cand,
+            _with_schema(
+                _renamed(sigs, {"doc_id": "doc_a", "signature": "sig_a"}), sig_a
+            ),
+            on="doc_a",
+        ),
+        pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("sig_a", pa.binary())]
+        ),
+    )
+    ab = adaptive_key_join(
+        a,
+        _with_schema(
+            _renamed(sigs, {"doc_id": "doc_b", "signature": "sig_b"}), sig_b
+        ),
+        on="doc_b",
+    )
+
+    def estimate(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        sa = np.stack(
+            [np.frombuffer(x, np.uint64) for x in t.column("sig_a").to_pylist()]
+        )
+        sb = np.stack(
+            [np.frombuffer(x, np.uint64) for x in t.column("sig_b").to_pylist()]
+        )
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "doc_a": t.column("doc_a").filter(pa.array(keep)),
+                "doc_b": t.column("doc_b").filter(pa.array(keep)),
+                "est_jaccard": pa.array(est[keep], pa.float64()),
+            }
+        )
+
+    return ab.map_batches(estimate, batch_format="pyarrow")
+
+
+def minhash_verified_pairs(docs, threshold: float = 0.5, num_perm: int = 64,
+                           bands: int = 16, shingle_n: int = 3):
+    """LSH candidates verified by EXACT shingle-set Jaccard — the
+    standard two-phase near-dedup: cheap banded candidate generation,
+    then the texts of only the candidate docs joined back and compared
+    exactly. Output (doc_a, doc_b, jaccard double) with jaccard ≥
+    threshold; equals the brute-force all-pairs answer whenever LSH
+    recall is 1 (guaranteed-in-practice for the ≥0.9-Jaccard dups this
+    verifies; DuckDB-oracle-checked in the driver contract)."""
+    from ocr_ray.ops.joins import adaptive_key_join
+
+    sigs = minhash_signatures(docs, num_perm, shingle_n)
+    cand = _with_schema(minhash_candidates(sigs, num_perm, bands), _PAIR_SCHEMA)
+    txt = docs.select_columns(["doc_id", "text"])
+    a = _with_schema(
+        adaptive_key_join(
+            cand, _renamed(txt, {"doc_id": "doc_a", "text": "text_a"}), on="doc_a"
+        ),
+        pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("text_a", pa.string())]
+        ),
+    )
+    ab = adaptive_key_join(
+        a, _renamed(txt, {"doc_id": "doc_b", "text": "text_b"}), on="doc_b"
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for doc_a, doc_b, ta, tb in zip(
+            t.column("doc_a").to_pylist(),
+            t.column("doc_b").to_pylist(),
+            t.column("text_a").to_pylist(),
+            t.column("text_b").to_pylist(),
+        ):
+            j = exact_jaccard(ta, tb, shingle_n)
+            if j >= threshold:
+                out_a.append(doc_a)
+                out_b.append(doc_b)
+                out_j.append(j)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    return ab.map_batches(verify, batch_format="pyarrow")
+
+
+# ----------------------------------------------- connected components
+
+
+def connected_components(pairs, col_a: str = "doc_a", col_b: str = "doc_b",
+                         max_iters: int = 25):
+    """Distributed connected components over an undirected pair graph by
+    iterative min-label propagation: every node repeatedly adopts the
+    minimum label in its closed neighborhood (2 keyed joins + a
+    groupby-min per round, each round materialized in the object store
+    so the lineage stays flat). Converges in O(component diameter)
+    rounds — near-dup clusters are shallow, and ``max_iters`` bounds
+    pathological chains. Output (node, label) where label = min doc_id
+    of the node's component.
+
+    Partitioning assumption: the edge set (near-dup pairs) is a small
+    fraction of the corpus — the iteration shuffles edges + labels, never
+    documents."""
+    from ray.data.aggregate import Min
+
+    from ocr_ray.ops.joins import adaptive_key_join
+
+    edges = pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t.column(col_a).cast(pa.int64()),
+                "dst": t.column(col_b).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    if edges.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+            )
+        )
+
+    def to_nodes(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [t.column("src").combine_chunks(), t.column("dst").combine_chunks()]
+        )
+        return pa.table({"node": both})
+
+    label_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+    labels = (
+        _with_schema(
+            edges.map_batches(to_nodes, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("node", alias_name="label")),
+            label_schema,
+        )
+        .materialize()
+    )
+    prev_sum = labels.sum("label")
+
+    def msg(col_keep: str):
+        def apply(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                return label_schema.empty_table()
+            return pa.table(
+                {"node": t.column(col_keep).cast(pa.int64()),
+                 "label": t.column("label").cast(pa.int64())}
+            )
+
+        return apply
+
+    for _ in range(max_iters):
+        m1 = adaptive_key_join(
+            edges, _renamed(labels, {"node": "src"}), on="src"
+        ).map_batches(msg("dst"), batch_format="pyarrow")
+        m2 = adaptive_key_join(
+            edges, _renamed(labels, {"node": "dst"}), on="dst"
+        ).map_batches(msg("src"), batch_format="pyarrow")
+        labels = (
+            _with_schema(
+                labels.union(m1, m2)
+                .groupby("node")
+                .aggregate(Min("label", alias_name="label")),
+                label_schema,
+            )
+            .materialize()
+        )
+        # labels only ever decrease: the label sum is a monotone
+        # convergence witness computable without collecting rows
+        new_sum = labels.sum("label")
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
+def dedup_minhash_components(docs, threshold: float = 0.5, **kwargs):
+    """Connected components over the exact-verified MinHash pair graph:
+    (doc_id, component) for every doc in at least one pair, component =
+    min doc_id of its duplicate cluster."""
+    pairs = minhash_verified_pairs(docs, threshold=threshold, **kwargs)
+    labels = connected_components(pairs)
+    return _renamed(labels, {"node": "doc_id", "label": "component"})
+
+
+def dedup_minhash_drop_list(docs, threshold: float = 0.5, **kwargs):
+    """Docs to REMOVE under MinHash near-dedup: cluster-level semantics —
+    keep the minimum doc_id of each connected component of the verified
+    pair graph, drop every other member. (Round-1 semantics were
+    pairwise-greedy and could keep a doc whose only edges pointed at
+    larger ids; component semantics are frozen by the chain test
+    (1,2),(3,4),(2,4) → keep {1}.)"""
+    import pyarrow.compute as pc
+
+    comp = dedup_minhash_components(docs, threshold=threshold, **kwargs)
+
+    def non_keepers(t: pa.Table) -> pa.Table:
+        mask = pc.not_equal(t["doc_id"], t["component"])
+        return pa.table({"doc_id": t.column("doc_id").filter(mask)})
+
+    return comp.map_batches(non_keepers, batch_format="pyarrow")
 
 
 # -------------------------------------------------------------- SimHash
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens weighted by term frequency."""
+    """64-bit SimHash over word tokens weighted by term frequency.
+
+    Token hashes are md5-derived (``_md5_hash64``) so the whole operator
+    is reproducible in ANSI SQL — the DuckDB oracle rebuilds the exact
+    same simhash with 64 SUM(CASE…) aggregates and compares pairs with
+    bit_count(xor(…)).
+    """
     counts = Counter(_WORD_RE.findall((text or "").lower()))
     if not counts:
         return 0
     acc = np.zeros(64, dtype=np.int64)
     for token, weight in counts.items():
-        h = _stable_hash64(token)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        h = _md5_hash64(token)
+        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         acc += np.where(bits.astype(bool), weight, -weight)
     return int(
         np.bitwise_or.reduce(
@@ -235,23 +548,30 @@ def _simhash_block_pairs_factory(max_hamming: int, max_bucket: int = 256):
             for s, e in zip(starts[multi], ends[multi]):
                 ids = ids_col.slice(s, e - s).to_pylist()
                 hashes = hash_col.slice(s, e - s).to_pylist()
-                order = np.argsort(ids)[:max_bucket]
-                for x in range(len(order)):
-                    i = order[x]
-                    for y in range(x + 1, len(order)):
-                        j = order[y]
+                order = np.argsort(ids)
+                head, tail = order[:max_bucket], order[max_bucket:]
+                for x in range(len(head)):
+                    i = head[x]
+                    for j in (
+                        [head[y] for y in range(x + 1, len(head))]
+                        + (list(tail) if x == 0 else [])
+                    ):
+                        # overflow docs (beyond max_bucket) still pair
+                        # with the bucket representative (min doc_id) —
+                        # no silent candidate loss in hot buckets
                         if ids[i] == ids[j]:
                             continue
                         d = bin(hashes[i] ^ hashes[j]).count("1")
                         if d <= max_hamming:
-                            a_out.append(ids[i])
-                            b_out.append(ids[j])
+                            a, b = sorted((ids[i], ids[j]))
+                            a_out.append(a)
+                            b_out.append(b)
                             dist.append(d)
         return pa.table(
             {
                 "doc_a": pa.array(a_out, pa.int64()),
                 "doc_b": pa.array(b_out, pa.int64()),
-                "hamming": pa.array(dist, pa.int32()),
+                "hamming": pa.array(dist, pa.int64()),
             }
         )
 
@@ -261,7 +581,10 @@ def _simhash_block_pairs_factory(max_hamming: int, max_bucket: int = 256):
 def dedup_simhash(docs, max_hamming: int = 3):
     """SimHash near-dup pairs within hamming distance ≤ max_hamming,
     candidate-generated by 16-bit chunk tables (pigeonhole: d ≤ 3 over 4
-    chunks → at least one identical chunk)."""
+    chunks → at least one identical chunk, so recall is exact as long as
+    buckets stay under max_bucket — overflow docs are still compared to
+    the bucket representative). Output (doc_a, doc_b, hamming BIGINT);
+    DuckDB-oracle-checked exactly (md5-based token hashes)."""
     from ray.data.aggregate import Min
 
     from ocr_ray.stages.grouped import grouped_map
@@ -294,22 +617,6 @@ def dedup_exact_drop_list(docs):
         return pa.table({"doc_id": pa.array(sorted(out), pa.int64())})
 
     return grouped_map(hashed, ["fingerprint"], drop_non_min)
-
-
-def dedup_minhash_drop_list(docs, threshold: float = 0.5, **kwargs):
-    """Docs to REMOVE under MinHash near-dedup: greedy keep-smallest —
-    the larger doc_id of every candidate pair at/above threshold."""
-    from ray.data.aggregate import Count
-
-    pairs = dedup_minhash(docs, threshold=threshold, **kwargs)
-    return (
-        pairs.map_batches(
-            lambda t: pa.table({"doc_id": t["doc_b"]}), batch_format="pyarrow"
-        )
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="n_pairs"))
-        .select_columns(["doc_id"])
-    )
 
 
 # ------------------------------------------- exact n-gram Jaccard pairs
@@ -375,13 +682,20 @@ def _cooccur_block_factory(max_df: int):
 
 def ngram_jaccard_pairs(docs, shingle_n: int = 3, threshold: float = 0.5,
                         max_df: int = 256):
-    """EXACT n-gram Jaccard similarity for all pairs sharing ≥1 shingle,
-    via a distributed inverted-index join: explode (shingle, doc) rows →
-    bucket by shingle → co-occurrence pairs (each contributes 1 to
-    |A∩B|) → groupby-pair count → jaccard = inter/(|A|+|B|−inter).
-    Shingles appearing in more than max_df docs are dropped (stop-shingle
-    skew guard — document-identical pairs still meet through their other
-    shingles)."""
+    """n-gram Jaccard similarity for all pairs sharing ≥1 surviving
+    shingle, via a distributed inverted-index join: explode (shingle,
+    doc) rows → bucket by shingle → co-occurrence pairs (each contributes
+    1 to |A∩B|) → groupby-pair count → jaccard = inter/(|A|+|B|−inter).
+
+    Shingles appearing in more than ``max_df`` docs are dropped before
+    pairing (stop-shingle skew guard). NOTE: dropped shared shingles
+    reduce the measured intersection while |A| and |B| stay full, so for
+    pairs that share high-DF shingles the reported jaccard is an
+    UNDERESTIMATE of the true set Jaccard — a pair can fall below
+    ``threshold`` purely because its overlap is concentrated in
+    stop-shingles. This matches the DuckDB oracle exactly (the oracle
+    applies the same df filter); use ``minhash_verified_pairs`` when the
+    unfiltered set Jaccard is required."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Max
 

@@ -89,6 +89,67 @@ def large_join(left, right, on, *, join_type: str = "inner",
     )
 
 
+def adaptive_key_join(left, right, on: str, *, right_on: str | None = None,
+                      small_threshold: int = 200_000,
+                      num_partitions: int | None = None):
+    """Join a (usually small) ``left`` Dataset with a large ``right``.
+
+    Two regimes, picked by the materialized left row count:
+
+    - left ≤ ``small_threshold``: broadcast path — collect left's key set,
+      semi-filter ``right`` down to matching rows (a broadcast ``is_in``
+      mask, no shuffle), pull that bounded remainder to the driver once
+      and broadcast-join it onto ``left``. Driver materialization is
+      bounded by the number of distinct left keys, which is below the
+      threshold by construction.
+    - otherwise: Ray's native hash-partitioned ``Dataset.join``. (The
+      native join crashes on partitions that receive zero blocks —
+      "No match for key field" from a schema-less empty table — which is
+      exactly the small-left regime the broadcast path covers; at scale
+      every partition is populated and the hash join is the right tool.)
+
+    ``left`` is materialized either way (it is counted and then
+    consumed again).
+    """
+    right_key = right_on or on
+    left = left.materialize()
+    n = left.count()
+    if n > small_threshold:
+        return large_join(left, right, on=on, right_on=right_on,
+                          num_partitions=num_partitions)
+
+    def _pa_schema(ds) -> pa.Schema:
+        s = ds.schema(fetch_if_missing=True)
+        return pa.schema(list(zip(s.names, s.types)))
+
+    rs = _pa_schema(right)
+    if n == 0:
+        import ray.data as rd
+
+        ls = _pa_schema(left)
+        fields = list(zip(ls.names, ls.types)) + [
+            (nm, ty) for nm, ty in zip(rs.names, rs.types) if nm != right_key
+        ]
+        return rd.from_arrow(pa.schema(fields).empty_table())
+
+    keys = pa.concat_tables(
+        [pa.table({on: b[on]}) for b in left.iter_batches(batch_format="pyarrow")]
+    )[on].combine_chunks()
+    matched = [
+        b
+        for b in semi_join_filter(right, right_key, keys).iter_batches(
+            batch_format="pyarrow"
+        )
+        if b.num_rows
+    ]
+    small = pa.concat_tables(matched) if matched else rs.empty_table()
+    if right_key != on:
+        small = small.rename_columns(
+            [on if c == right_key else c for c in small.column_names]
+        )
+    return broadcast_join(left, small.combine_chunks(), keys=[on])
+
+
 def semi_join_filter(big, key_column: str, key_set: pa.Array, invert: bool = False):
     """Broadcast semi/anti join: keep rows whose key is (not) in the set."""
 

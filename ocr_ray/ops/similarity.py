@@ -130,19 +130,50 @@ class _IvfAssign:
         return batch.append_column("cluster", pa.array(d.argmin(axis=1), pa.int32()))
 
 
+def stratified_sample(embeddings, sample_size: int) -> pa.Table:
+    """Deterministic hash-stratified sample of ~``sample_size`` rows,
+    drawn from EVERY block: keep rows where a multiplicative hash of
+    vec_id falls under the acceptance threshold. Unbiased w.r.t. file
+    order — a head sample (``limit(n)``) reads only the first fragments
+    and produces badly skewed centroids when the table is time- or
+    cluster-ordered (the normal case for real corpora)."""
+    n_total = max(1, embeddings.count())
+    # Knuth multiplicative hash → uniform in [0, 2^32); accept the
+    # smallest fraction that still yields ~sample_size rows
+    frac = min(1.0, (2.0 * sample_size) / n_total)
+    cutoff = int(frac * (1 << 32))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        mask = h < np.uint64(cutoff)
+        return t.filter(pa.array(mask)).append_column(
+            "_h", pa.array(h[mask].astype(np.int64), pa.int64())
+        )
+
+    sampled = embeddings.map_batches(keep, batch_format="pyarrow")
+    rows = sampled.limit(4 * sample_size).take_all()
+    tbl = pa.Table.from_pylist(rows)
+    # trim to sample_size by HASH order (uniform, deterministic) — an id
+    # sort here would re-introduce exactly the head bias being avoided
+    return tbl.sort_by([("_h", "ascending"), ("vec_id", "ascending")]).slice(
+        0, sample_size
+    ).drop_columns(["_h"])
+
+
 def ann_ivf_topk(embeddings, queries: np.ndarray, k: int = 10,
                  n_clusters: int = 16, nprobe: int = 4, sample_size: int = 2048):
     """IVF-style ANN: probe only the nprobe nearest clusters per query.
 
-    The centroid sample is a bounded driver-side materialization
-    (``limit(sample_size)``) — at 100 TB this is the one deliberate
-    small-materialization in the family; everything else streams.
+    The centroid sample is a bounded driver-side materialization of a
+    hash-STRATIFIED sample (every block contributes, deterministic) —
+    at 100 TB this is the one deliberate small-materialization in the
+    family; everything else streams.
     """
     import ray
     import pyarrow.compute as pc
 
-    sample_tbl = pa.Table.from_pylist(embeddings.limit(sample_size).take_all())
-    sample = _batch_matrix(sample_tbl)
+    sample = _batch_matrix(stratified_sample(embeddings, sample_size))
     centroids = train_centroids(sample, n_clusters)
     centroids_ref = ray.put(centroids)
 
@@ -169,72 +200,157 @@ def ann_ivf_topk(embeddings, queries: np.ndarray, k: int = 10,
 
 
 class _HyperplaneSig:
-    def __init__(self, dim: int, bits: int = 16, seed: int = 42):
+    """Multi-table random-hyperplane LSH: ``n_tables`` independent
+    ``bits``-bit sign signatures per vector. Emits SLIM rows
+    (table_id, bucket, vec_id) only — ~20 B per table row through the
+    bucket shuffle; the vector itself is joined back onto the (small)
+    candidate pair set for exact verification. Recall for cosine c is
+    1 − (1 − p^bits)^n_tables with p = 1 − arccos(c)/π — tables are the
+    recall knob, bits the precision knob."""
+
+    def __init__(self, dim: int, bits: int = 16, seed: int = 42,
+                 n_tables: int = 4):
         rng = np.random.RandomState(seed)
-        self.planes = rng.standard_normal((dim, bits))
+        self.planes = rng.standard_normal((n_tables, dim, bits))
+        self.n_tables = n_tables
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_batch_matrix(batch))
-        bits = (m @ self.planes) > 0
-        sig = np.zeros(len(m), dtype=np.int64)
-        for i in range(bits.shape[1]):
-            sig |= bits[:, i].astype(np.int64) << i
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        t_out, b_out, id_out = [], [], []
+        for t_id in range(self.n_tables):
+            bits = (m @ self.planes[t_id]) > 0
+            sig = np.zeros(len(m), dtype=np.int64)
+            for i in range(bits.shape[1]):
+                sig |= bits[:, i].astype(np.int64) << i
+            t_out.append(np.full(len(m), t_id, dtype=np.int32))
+            b_out.append(sig)
+            id_out.append(ids)
         return pa.table(
             {
-                "vec_id": batch.column("vec_id"),
-                "bucket": pa.array(sig, pa.int64()),
-                "embedding": batch.column("embedding"),
+                "table_id": pa.array(np.concatenate(t_out), pa.int32()),
+                "bucket": pa.array(np.concatenate(b_out), pa.int64()),
+                "vec_id": pa.array(np.concatenate(id_out), pa.int64()),
             }
         )
 
 
-def _cosine_block_pairs_factory(threshold: float, max_bucket: int = 256):
-    def pairs(block: pa.Table, starts: np.ndarray) -> pa.Table:
-        a_out, b_out, s_out = [], [], []
-        ends = np.append(starts[1:], block.num_rows)
-        multi = ends - starts >= 2
-        if multi.any():
-            ids_all = block.column("vec_id").to_numpy(zero_copy_only=False)
-            for s, e in zip(starts[multi], ends[multi]):
-                sub = block.slice(s, e - s)
-                ids = ids_all[s:e]
-                order = np.argsort(ids)[:max_bucket]
-                m = _normalize(_batch_matrix(sub))[order]
-                ids = ids[order]
-                sims = m @ m.T
-                for i in range(len(ids)):
-                    for j in range(i + 1, len(ids)):
-                        if sims[i, j] >= threshold and ids[i] != ids[j]:
-                            a_out.append(int(ids[i]))
-                            b_out.append(int(ids[j]))
-                            s_out.append(round(float(sims[i, j]), 6))
-        return pa.table(
-            {
-                "vec_a": pa.array(a_out, pa.int64()),
-                "vec_b": pa.array(b_out, pa.int64()),
-                "cosine": pa.array(s_out, pa.float64()),
-            }
-        )
+def _bucket_pair_block(block: pa.Table, starts: np.ndarray,
+                       max_bucket: int = 256) -> pa.Table:
+    """Distinct candidate (vec_a < vec_b) pairs per bucket; overflow
+    docs beyond max_bucket pair with the bucket minimum (representative)
+    instead of being silently dropped."""
+    a_out: list[np.ndarray] = []
+    b_out: list[np.ndarray] = []
+    ends = np.append(starts[1:], block.num_rows)
+    multi = ends - starts >= 2
+    if multi.any():
+        ids_col = block.column("vec_id")
+        for s, e in zip(starts[multi], ends[multi]):
+            ids = np.unique(ids_col.slice(s, e - s).to_numpy(zero_copy_only=False))
+            if len(ids) < 2:
+                continue
+            head = ids[:max_bucket]
+            ii, jj = np.triu_indices(len(head), k=1)
+            a_out.append(head[ii])
+            b_out.append(head[jj])
+            tail = ids[max_bucket:]
+            if len(tail):
+                a_out.append(np.full(len(tail), ids[0], dtype=ids.dtype))
+                b_out.append(tail)
+    a = np.concatenate(a_out) if a_out else np.empty(0, dtype=np.int64)
+    b = np.concatenate(b_out) if b_out else np.empty(0, dtype=np.int64)
+    return pa.table(
+        {"vec_a": pa.array(a, pa.int64()), "vec_b": pa.array(b, pa.int64())}
+    )
 
-    return pairs
 
+def embedding_cosine_dedup(embeddings, threshold: float = 0.95, bits: int = 16,
+                           n_tables: int = 4):
+    """Near-duplicate vector pairs (cosine ≥ threshold): multi-table
+    random-hyperplane candidate generation (slim bucket rows), exact
+    cosine verification on the candidate set with the vectors joined
+    back. Output (vec_a, vec_b, cosine ROUND 6). Recall is probabilistic
+    in (bits, n_tables); exact given a candidate."""
+    from ray.data.aggregate import Count
 
-def embedding_cosine_dedup(embeddings, threshold: float = 0.95, bits: int = 16):
-    """Near-duplicate vector pairs (cosine ≥ threshold) found inside
-    random-hyperplane buckets. Recall is probabilistic in bits; exact
-    within a bucket."""
-    from ray.data.aggregate import Max
-
+    from ocr_ray.ops.joins import adaptive_key_join
     from ocr_ray.stages.grouped import grouped_map
 
     dim = len(embeddings.take(1)[0]["embedding"])
     sigs = embeddings.map_batches(
         _HyperplaneSig,
-        fn_constructor_kwargs={"dim": dim, "bits": bits},
+        fn_constructor_kwargs={"dim": dim, "bits": bits, "n_tables": n_tables},
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
-    pairs = grouped_map(sigs, ["bucket"], _cosine_block_pairs_factory(threshold))
-    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
-        Max("cosine", alias_name="cosine")
+    raw_pairs = grouped_map(sigs, ["table_id", "bucket"], _bucket_pair_block)
+    pair_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+
+    def fix_schema(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pair_schema.empty_table()
+        return t.select(pair_schema.names).cast(pair_schema)
+
+    cand = (
+        raw_pairs.groupby(["vec_a", "vec_b"])
+        .aggregate(Count(alias_name="n_tables"))
+        .map_batches(fix_schema, batch_format="pyarrow")
     )
+
+    def packed(key_name: str, emb_name: str):
+        # pyarrow's hash join rejects list-typed non-key fields — ship
+        # the vector as fixed-width float64 bytes instead
+        def apply(t: pa.Table) -> pa.Table:
+            m = _batch_matrix(t)
+            return pa.table(
+                {
+                    key_name: t.column("vec_id").cast(pa.int64()),
+                    emb_name: pa.array([row.tobytes() for row in m], pa.binary()),
+                }
+            )
+
+        return apply
+
+    emb = embeddings.select_columns(["vec_id", "embedding"])
+    a = adaptive_key_join(
+        cand,
+        emb.map_batches(packed("vec_a", "emb_a"), batch_format="pyarrow"),
+        on="vec_a",
+    )
+    ab = adaptive_key_join(
+        a,
+        emb.map_batches(packed("vec_b", "emb_b"), batch_format="pyarrow"),
+        on="vec_b",
+    )
+
+    def unpack(col: pa.ChunkedArray) -> np.ndarray:
+        return np.stack(
+            [np.frombuffer(x, dtype=np.float64) for x in col.to_pylist()]
+        )
+
+    def verify(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        ma = _normalize(unpack(t.column("emb_a")))
+        mb = _normalize(unpack(t.column("emb_b")))
+        sims = (ma * mb).sum(axis=1)
+        keep = sims >= threshold
+        return pa.table(
+            {
+                "vec_a": t.column("vec_a").filter(pa.array(keep)),
+                "vec_b": t.column("vec_b").filter(pa.array(keep)),
+                "cosine": pa.array(
+                    [round(float(x), 6) for x in sims[keep]], pa.float64()
+                ),
+            }
+        )
+
+    return ab.map_batches(verify, batch_format="pyarrow")

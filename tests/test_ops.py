@@ -156,6 +156,146 @@ def test_embedding_cosine_dedup(ray_session):
     assert (0, 1) in pairs  # colinear vectors
 
 
+def test_minhash_verified_exact(ray_session):
+    from ocr_ray.ops.dedup import minhash_verified_pairs
+
+    tbl = _docs_table()
+    out = minhash_verified_pairs(_ray_ds(tbl), threshold=0.3).to_pandas()
+    texts = tbl.column("text").to_pylist()
+    got = {(int(r["doc_a"]), int(r["doc_b"])): r["jaccard"] for _, r in out.iterrows()}
+    # verification is exact: every reported jaccard is the brute value
+    for (a, b), j in got.items():
+        assert j == pytest.approx(brute_jaccard(texts[a], texts[b]))
+    assert got[(0, 1)] == pytest.approx(1.0)
+    assert (0, 5) in got  # case-folded identical
+
+
+def test_connected_components_chain(ray_session):
+    """The VERDICT r01 chain case: edges (1,2),(3,4),(2,4) form ONE
+    component — pairwise-greedy dropping of every doc_b would have kept
+    doc 3; component semantics keep exactly {1}."""
+    from ocr_ray.ops.dedup import connected_components
+
+    pairs = _ray_ds(
+        pa.table(
+            {"doc_a": pa.array([1, 3, 2], pa.int64()),
+             "doc_b": pa.array([2, 4, 4], pa.int64())}
+        )
+    )
+    labels = {
+        int(r["node"]): int(r["label"])
+        for _, r in connected_components(pairs).to_pandas().iterrows()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_connected_components_two_components(ray_session):
+    from ocr_ray.ops.dedup import connected_components
+
+    pairs = _ray_ds(
+        pa.table(
+            {"doc_a": pa.array([10, 20, 11], pa.int64()),
+             "doc_b": pa.array([11, 21, 12], pa.int64())}
+        )
+    )
+    labels = {
+        int(r["node"]): int(r["label"])
+        for _, r in connected_components(pairs).to_pandas().iterrows()
+    }
+    assert labels == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_minhash_drop_list_component_semantics(ray_session):
+    from ocr_ray.ops.dedup import dedup_minhash_drop_list
+
+    # docs 0,1,2,5 are one near-dup cluster → keep 0, drop {1,2,5}
+    out = dedup_minhash_drop_list(_ray_ds(_docs_table()), threshold=0.5).to_pandas()
+    dropped = set(out["doc_id"].astype(int))
+    assert 0 not in dropped
+    assert {1, 5} <= dropped
+
+
+def test_stratified_sample_spans_sorted_table(ray_session):
+    """A head sample (limit-n) of a cluster-SORTED table sees only the
+    first cluster; the hash-stratified sample must span the id range."""
+    from ocr_ray.ops.similarity import stratified_sample
+
+    rng = np.random.RandomState(7)
+    n, dim = 512, 8
+    # three tight clusters laid out contiguously (sorted by cluster)
+    centers = rng.standard_normal((3, dim)) * 10
+    vecs = np.concatenate(
+        [centers[i] + 0.01 * rng.standard_normal((n // 3 + 1, dim)) for i in range(3)]
+    )[:n]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    sample = stratified_sample(_ray_ds(tbl), sample_size=64)
+    ids = sample.column("vec_id").to_numpy()
+    assert len(ids) <= 64
+    # rows drawn from every third of the table, not just the head
+    assert (ids < n // 3).any() and (ids >= 2 * n // 3).any()
+
+
+def test_ivf_recall_on_cluster_sorted_table(ray_session):
+    """IVF recall with centroids trained on the stratified sample of a
+    cluster-sorted table — the head-sample failure mode (all centroids
+    in cluster 0) would tank recall for queries in the later clusters."""
+    from ocr_ray.ops.similarity import ann_brute_topk, ann_ivf_topk
+
+    rng = np.random.RandomState(11)
+    n, dim = 384, 8
+    centers = rng.standard_normal((3, dim)) * 10
+    vecs = np.concatenate(
+        [centers[i] + 0.05 * rng.standard_normal((n // 3, dim)) for i in range(3)]
+    )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    # one query from the LAST cluster (invisible to a head sample)
+    queries = vecs[n - 5 : n - 2].astype(np.float64)
+    brute = ann_brute_topk(_ray_ds(tbl), queries, k=10).to_pandas()
+    ivf = ann_ivf_topk(
+        _ray_ds(tbl), queries, k=10, n_clusters=6, nprobe=3, sample_size=96
+    ).to_pandas()
+    for qi in range(3):
+        b = set(brute[brute["query_id"] == qi]["vec_id"])
+        i = set(ivf[ivf["query_id"] == qi]["vec_id"])
+        assert len(b & i) / len(b) >= 0.8
+
+
+def test_cosine_dedup_multitable_recall(ray_session):
+    """Every planted near-copy pair (cosine ≈ 0.9999) must be found at
+    threshold 0.999 with the 4-table hyperplane LSH."""
+    from ocr_ray.ops.similarity import embedding_cosine_dedup
+
+    rng = np.random.RandomState(5)
+    n, dim = 48, 16
+    vecs = rng.standard_normal((n, dim))
+    copies = vecs + 0.002 * rng.standard_normal((n, dim))
+    all_vecs = np.concatenate([vecs, copies])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(2 * n), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in all_vecs],
+                                  pa.list_(pa.float64())),
+        }
+    )
+    out = embedding_cosine_dedup(
+        _ray_ds(tbl), threshold=0.999, bits=16, n_tables=4
+    ).to_pandas()
+    pairs = {(int(r["vec_a"]), int(r["vec_b"])) for _, r in out.iterrows()}
+    assert {(i, i + n) for i in range(n)} <= pairs
+
+
 # ------------------------------------------------------------ learning
 
 
