@@ -88,7 +88,7 @@ def run_once() -> dict:
             queries[name] = round(time.perf_counter() - t0, 3)
 
     ray.shutdown()
-    return {
+    result = {
         # driver-contract shape: headline value is SECONDS for the
         # flagship extraction run; throughput carried alongside
         "metric": "extract_interleaved_wall",
@@ -100,9 +100,28 @@ def run_once() -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
     }
+    if not os.environ.get("OCR_BENCH_SCALING") and not os.environ.get(
+        "OCR_BENCH_SKIP_SCALING"
+    ):
+        # embed the north-rule scaling record in the artifact the driver
+        # captures (smaller corpus / fewer rounds than --scaling to keep
+        # the per-round bench under a few minutes)
+        result["scaling"] = measure_scaling(
+            rounds=int(os.environ.get("OCR_BENCH_SCALING_ROUNDS", "2")),
+            docs=int(os.environ.get("OCR_BENCH_SCALING_DOCS", "24000")),
+        )
+    return result
 
 
-def run_scaling() -> None:
+def measure_scaling(rounds: int = 3, docs: int | None = None) -> dict:
+    """North-rule evidence: the same job at N and 4N parallelism in
+    fresh processes (taskset-pinned OS CPU sets), a FIXED number of
+    interleaved rounds — no early exit, so the acceptance target cannot
+    shape the sampling (ADVICE r01) — reporting the per-round
+    efficiencies, their MEDIAN (the headline number) and the
+    best-of-legs figure for comparability with round 1."""
+    import statistics
+
     # N and 4N parallelism. Default 4→16 rather than 8→32: this VM's
     # per-core throughput drops ~40% once ~24+ of its 32 cores run hot
     # (frequency/bandwidth droop measured with identical work), which
@@ -110,12 +129,13 @@ def run_scaling() -> None:
     # node scaling doesn't have. Override with OCR_BENCH_LO/HI.
     lo_cpus = int(os.environ.get("OCR_BENCH_LO", "4"))
     hi_cpus = int(os.environ.get("OCR_BENCH_HI", "16"))
+    docs = docs or int(os.environ.get("OCR_BENCH_DOCS", "40000"))
 
     def run_leg(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            OCR_BENCH_DOCS=os.environ.get("OCR_BENCH_DOCS", "40000"),
+            OCR_BENCH_DOCS=str(docs),
             OCR_BENCH_SCALING="1",
         )
         # pin the OS CPU set to the simulated cluster size: Ray's num_cpus
@@ -134,38 +154,38 @@ def run_scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def better(a, b):
-        if a is None or b["docs_per_sec"] > a["docs_per_sec"]:
-            return b
-        return a
+    ratio = hi_cpus / lo_cpus
+    lo_tputs, hi_tputs, round_effs = [], [], []
+    for _ in range(rounds):
+        lo = run_leg(lo_cpus)["docs_per_sec"]
+        hi = run_leg(hi_cpus)["docs_per_sec"]
+        lo_tputs.append(lo)
+        hi_tputs.append(hi)
+        round_effs.append(round((hi / lo) / ratio, 3))
+    best_eff = round((max(hi_tputs) / max(lo_tputs)) / ratio, 3)
+    return {
+        "lo_cpus": lo_cpus,
+        "hi_cpus": hi_cpus,
+        "n_docs": docs,
+        "rounds": rounds,
+        "docs_per_sec_lo": lo_tputs,
+        "docs_per_sec_hi": hi_tputs,
+        "round_efficiencies": round_effs,
+        "median_efficiency": round(statistics.median(round_effs), 3),
+        "best_efficiency": best_eff,
+    }
 
-    # ambient load on a shared box transiently taxes the wide leg far
-    # more than the narrow one and corrupts the ratio — take the best
-    # throughput per leg over up to 3 interleaved rounds, stopping early
-    # once the efficiency target is met
-    results = {lo_cpus: None, hi_cpus: None}
-    for _ in range(3):
-        for ncpu in (lo_cpus, hi_cpus):
-            results[ncpu] = better(results[ncpu], run_leg(ncpu))
-        eff_now = (
-            results[hi_cpus]["docs_per_sec"] / results[lo_cpus]["docs_per_sec"]
-        ) / (hi_cpus / lo_cpus)
-        if eff_now >= 0.8:
-            break
-    tput_lo = results[lo_cpus]["docs_per_sec"]
-    tput_hi = results[hi_cpus]["docs_per_sec"]
-    eff = (tput_hi / tput_lo) / (hi_cpus / lo_cpus)
+
+def run_scaling() -> None:
+    s = measure_scaling(rounds=int(os.environ.get("OCR_BENCH_SCALING_ROUNDS", "3")))
     print(
         json.dumps(
             {
                 "metric": "scaling_efficiency",
-                "value": round(eff, 3),
+                "value": s["median_efficiency"],
                 "unit": "fraction",
-                f"docs_per_sec_{lo_cpus}cpu": tput_lo,
-                f"docs_per_sec_{hi_cpus}cpu": tput_hi,
-                "speedup": round(tput_hi / tput_lo, 3),
-                "n_docs": results[hi_cpus].get("n_docs"),
                 "sf": SF_DIR,
+                **s,
             }
         )
     )

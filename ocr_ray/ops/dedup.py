@@ -204,30 +204,38 @@ def _bucket_pairs_block(block: pa.Table, starts: np.ndarray,
 
 
 def minhash_signatures(docs, num_perm: int = 64, shingle_n: int = 3):
-    """Per-doc signature table (doc_id, signature)."""
-    return docs.map_batches(
-        MinHashSig,
-        fn_constructor_kwargs={"num_perm": num_perm, "shingle_n": shingle_n},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
+    """Per-doc signature table (doc_id, signature). Task-based (the
+    ~1 KB hash params are captured in the closure and shipped once per
+    task) — signature work is stateless and fuses with the read, so an
+    actor pool would only add spin-up latency."""
+    a, b = _minhash_params(num_perm)
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        sigs = [
+            minhash_signature(word_shingles(text, shingle_n), a, b).tobytes()
+            for text in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "signature": pa.array(sigs, pa.binary())}
+        )
+
+    return docs.map_batches(sig_batch, batch_format="pyarrow")
 
 
 def minhash_candidates(sigs, num_perm: int = 64, bands: int = 16,
                        max_bucket: int = 64):
-    """Distinct candidate pairs (doc_a < doc_b) from banded LSH over a
-    signature table. Output (doc_a, doc_b, n_bands) where n_bands is the
-    number of bands the pair collided in."""
-    from ray.data.aggregate import Count
-
+    """Candidate pairs (doc_a < doc_b) from banded LSH over a signature
+    table. A pair colliding in several bands appears once per band —
+    downstream consumers dedupe (``attach_pair_payloads(dedupe=True)``
+    does it for free in the small regime, saving a hash exchange)."""
     from ocr_ray.stages.grouped import grouped_map
 
     assert num_perm % bands == 0
     band_rows = sigs.map_batches(
         _band_rows_factory(num_perm, bands), batch_format="pyarrow"
     )
-    pairs = grouped_map(band_rows, ["band", "band_hash"], _bucket_pairs_block)
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    return grouped_map(band_rows, ["band", "band_hash"], _bucket_pairs_block)
 
 
 def _renamed(ds, mapping: dict[str, str]):
@@ -264,30 +272,13 @@ def dedup_minhash(docs, num_perm: int = 64, bands: int = 16, threshold: float = 
     8·num_perm bytes/doc, distributed, spillable) because it feeds both
     the band derivation and the estimate join.
     """
-    from ocr_ray.ops.joins import adaptive_key_join
+    from ocr_ray.ops.joins import attach_pair_payloads
 
     sigs = minhash_signatures(docs, num_perm).materialize()
-    cand = _with_schema(minhash_candidates(sigs, num_perm, bands), _PAIR_SCHEMA)
-    sig_a = pa.schema([("doc_a", pa.int64()), ("sig_a", pa.binary())])
-    sig_b = pa.schema([("doc_b", pa.int64()), ("sig_b", pa.binary())])
-    a = _with_schema(
-        adaptive_key_join(
-            cand,
-            _with_schema(
-                _renamed(sigs, {"doc_id": "doc_a", "signature": "sig_a"}), sig_a
-            ),
-            on="doc_a",
-        ),
-        pa.schema(
-            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("sig_a", pa.binary())]
-        ),
-    )
-    ab = adaptive_key_join(
-        a,
-        _with_schema(
-            _renamed(sigs, {"doc_id": "doc_b", "signature": "sig_b"}), sig_b
-        ),
-        on="doc_b",
+    cand = minhash_candidates(sigs, num_perm, bands)
+    ab = attach_pair_payloads(
+        cand, sigs, key_a="doc_a", key_b="doc_b", side_key="doc_id",
+        payloads={"signature": ("sig_a", "sig_b")}, dedupe=True,
     )
 
     def estimate(t: pa.Table) -> pa.Table:
@@ -328,21 +319,14 @@ def minhash_verified_pairs(docs, threshold: float = 0.5, num_perm: int = 64,
     threshold; equals the brute-force all-pairs answer whenever LSH
     recall is 1 (guaranteed-in-practice for the ≥0.9-Jaccard dups this
     verifies; DuckDB-oracle-checked in the driver contract)."""
-    from ocr_ray.ops.joins import adaptive_key_join
+    from ocr_ray.ops.joins import attach_pair_payloads
 
     sigs = minhash_signatures(docs, num_perm, shingle_n)
-    cand = _with_schema(minhash_candidates(sigs, num_perm, bands), _PAIR_SCHEMA)
+    cand = minhash_candidates(sigs, num_perm, bands)
     txt = docs.select_columns(["doc_id", "text"])
-    a = _with_schema(
-        adaptive_key_join(
-            cand, _renamed(txt, {"doc_id": "doc_a", "text": "text_a"}), on="doc_a"
-        ),
-        pa.schema(
-            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("text_a", pa.string())]
-        ),
-    )
-    ab = adaptive_key_join(
-        a, _renamed(txt, {"doc_id": "doc_b", "text": "text_b"}), on="doc_b"
+    ab = attach_pair_payloads(
+        cand, txt, key_a="doc_a", key_b="doc_b", side_key="doc_id",
+        payloads={"text": ("text_a", "text_b")}, dedupe=True,
     )
 
     def verify(t: pa.Table) -> pa.Table:

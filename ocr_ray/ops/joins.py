@@ -150,6 +150,161 @@ def adaptive_key_join(left, right, on: str, *, right_on: str | None = None,
     return broadcast_join(left, small.combine_chunks(), keys=[on])
 
 
+class _PairPayloadAttacher:
+    """Per-actor: fetch the broadcast payload table once; per batch:
+    attach payload columns for BOTH pair keys via index_in + take."""
+
+    def __init__(self, small_ref, key_a, key_b, side_key, payloads):
+        import ray
+
+        self.small = ray.get(small_ref)
+        self.key_a, self.key_b, self.side_key = key_a, key_b, side_key
+        self.payloads = payloads
+        self.keys = self.small[side_key].combine_chunks()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # may be a schema-less empty block — rebuild from known types
+            cols = {
+                self.key_a: pa.array([], self.keys.type),
+                self.key_b: pa.array([], self.keys.type),
+            }
+            for src, (na, nb) in self.payloads.items():
+                empty = self.small[src].combine_chunks().slice(0, 0)
+                cols[na] = empty
+                cols[nb] = empty
+            return pa.table(cols)
+        ia = pc.index_in(batch[self.key_a], value_set=self.keys)
+        ib = pc.index_in(batch[self.key_b], value_set=self.keys)
+        ok = pc.and_(pc.is_valid(ia), pc.is_valid(ib))
+        batch, ia, ib = (
+            batch.filter(ok), ia.filter(ok), ib.filter(ok)
+        )
+        cols = {self.key_a: batch[self.key_a], self.key_b: batch[self.key_b]}
+        for src, (na, nb) in self.payloads.items():
+            col = self.small[src]
+            cols[na] = col.take(ia)
+            cols[nb] = col.take(ib)
+        return pa.table(cols)
+
+
+def attach_pair_payloads(pairs, side, *, key_a: str, key_b: str, side_key: str,
+                         payloads: dict[str, tuple[str, str]],
+                         dedupe: bool = False,
+                         small_threshold: int = 200_000,
+                         num_partitions: int | None = None):
+    """Enrich a pair table with per-key payload columns from ``side``
+    (one row per key): for each ``payloads[src] = (name_a, name_b)`` the
+    output carries ``side[src]`` looked up at ``key_a`` and ``key_b``.
+    Inner-join semantics (pairs with a missing key are dropped).
+
+    Small pair sets (the normal near-dup case) use ONE broadcast pass:
+    collect the union key set, semi-filter ``side`` down to matching
+    rows, broadcast that bounded remainder, and attach both sides in a
+    single map_batches — half the passes and none of the barriers of two
+    chained joins. Large pair sets fall back to two hash joins.
+
+    ``dedupe=True`` additionally makes (key_a, key_b) distinct — free in
+    the small regime (the pair table is on the driver already, no hash
+    exchange), one groupby in the large regime. Non-key pair columns are
+    dropped when deduping."""
+    pairs = pairs.materialize()
+    n = pairs.count()
+    if n > small_threshold:
+        if dedupe:
+            from ray.data.aggregate import Count
+
+            pairs = (
+                pairs.groupby([key_a, key_b])
+                .aggregate(Count(alias_name="_n"))
+                .drop_columns(["_n"])
+            )
+
+        def rename(mapping):
+            def apply(t: pa.Table) -> pa.Table:
+                return t.rename_columns(
+                    [mapping.get(c, c) for c in t.column_names]
+                )
+
+            return apply
+
+        out = pairs
+        for key, idx in ((key_a, 0), (key_b, 1)):
+            mapping = {side_key: key}
+            mapping.update({src: names[idx] for src, names in payloads.items()})
+            out = large_join(
+                out,
+                side.map_batches(rename(mapping), batch_format="pyarrow"),
+                on=key,
+                num_partitions=num_partitions,
+            )
+        return out
+
+    import ray
+
+    pair_blocks = [
+        b.select([key_a, key_b])
+        for b in pairs.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if dedupe:
+        if pair_blocks:
+            distinct = (
+                pa.concat_tables(pair_blocks)
+                .group_by([key_a, key_b])
+                .aggregate([])
+            )
+        else:
+            distinct = pa.schema(
+                [(key_a, pa.int64()), (key_b, pa.int64())]
+            ).empty_table()
+        import ray.data as rd
+
+        pairs = rd.from_arrow(distinct.combine_chunks())
+        pair_blocks = [distinct] if distinct.num_rows else []
+    if not pair_blocks:
+        keys = pa.array([], pa.int64())
+    else:
+        keys = pc.unique(
+            pa.concat_arrays(
+                [
+                    pa.concat_arrays(
+                        [b[key_a].combine_chunks(), b[key_b].combine_chunks()]
+                    )
+                    for b in pair_blocks
+                ]
+            )
+        )
+    matched = [
+        b
+        for b in semi_join_filter(side, side_key, keys).iter_batches(
+            batch_format="pyarrow"
+        )
+        if b.num_rows
+    ]
+    cols = [side_key] + list(payloads)
+    if matched:
+        small = pa.concat_tables(matched).select(cols).combine_chunks()
+    else:
+        s = side.schema(fetch_if_missing=True)
+        small = pa.schema(
+            [(n_, t_) for n_, t_ in zip(s.names, s.types) if n_ in cols]
+        ).empty_table().select(cols)
+    small_ref = ray.put(small)
+    return pairs.map_batches(
+        _PairPayloadAttacher,
+        fn_constructor_kwargs={
+            "small_ref": small_ref,
+            "key_a": key_a,
+            "key_b": key_b,
+            "side_key": side_key,
+            "payloads": payloads,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
 def semi_join_filter(big, key_column: str, key_set: pa.Array, invert: bool = False):
     """Broadcast semi/anti join: keep rows whose key is (not) in the set."""
 

@@ -272,56 +272,35 @@ def embedding_cosine_dedup(embeddings, threshold: float = 0.95, bits: int = 16,
     cosine verification on the candidate set with the vectors joined
     back. Output (vec_a, vec_b, cosine ROUND 6). Recall is probabilistic
     in (bits, n_tables); exact given a candidate."""
-    from ray.data.aggregate import Count
-
-    from ocr_ray.ops.joins import adaptive_key_join
+    from ocr_ray.ops.joins import attach_pair_payloads
     from ocr_ray.stages.grouped import grouped_map
 
     dim = len(embeddings.take(1)[0]["embedding"])
+    # task-based: the plane tensor (n_tables×dim×bits float64, ~32 KB)
+    # ships in the closure; no actor-pool spin-up for a stateless stage
     sigs = embeddings.map_batches(
-        _HyperplaneSig,
-        fn_constructor_kwargs={"dim": dim, "bits": bits, "n_tables": n_tables},
+        _HyperplaneSig(dim=dim, bits=bits, n_tables=n_tables),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
-    raw_pairs = grouped_map(sigs, ["table_id", "bucket"], _bucket_pair_block)
-    pair_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+    cand = grouped_map(sigs, ["table_id", "bucket"], _bucket_pair_block)
 
-    def fix_schema(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or t.num_columns == 0:
-            return pair_schema.empty_table()
-        return t.select(pair_schema.names).cast(pair_schema)
-
-    cand = (
-        raw_pairs.groupby(["vec_a", "vec_b"])
-        .aggregate(Count(alias_name="n_tables"))
-        .map_batches(fix_schema, batch_format="pyarrow")
-    )
-
-    def packed(key_name: str, emb_name: str):
-        # pyarrow's hash join rejects list-typed non-key fields — ship
+    def packed(t: pa.Table) -> pa.Table:
+        # pyarrow's hash joins reject list-typed non-key fields — ship
         # the vector as fixed-width float64 bytes instead
-        def apply(t: pa.Table) -> pa.Table:
-            m = _batch_matrix(t)
-            return pa.table(
-                {
-                    key_name: t.column("vec_id").cast(pa.int64()),
-                    emb_name: pa.array([row.tobytes() for row in m], pa.binary()),
-                }
-            )
+        m = _batch_matrix(t)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id").cast(pa.int64()),
+                "emb": pa.array([row.tobytes() for row in m], pa.binary()),
+            }
+        )
 
-        return apply
-
-    emb = embeddings.select_columns(["vec_id", "embedding"])
-    a = adaptive_key_join(
-        cand,
-        emb.map_batches(packed("vec_a", "emb_a"), batch_format="pyarrow"),
-        on="vec_a",
+    emb = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        packed, batch_format="pyarrow"
     )
-    ab = adaptive_key_join(
-        a,
-        emb.map_batches(packed("vec_b", "emb_b"), batch_format="pyarrow"),
-        on="vec_b",
+    ab = attach_pair_payloads(
+        cand, emb, key_a="vec_a", key_b="vec_b", side_key="vec_id",
+        payloads={"emb": ("emb_a", "emb_b")}, dedupe=True,
     )
 
     def unpack(col: pa.ChunkedArray) -> np.ndarray:
