@@ -41,6 +41,9 @@ class ExtractConfig:
     # approved learned words merged into the kamus before the run (frozen
     # during it) — the reference's startup merge, see SpanProcessor
     learned_words: tuple = ()
+    # per-span inline payload cap, reference's 50 MB upload limit
+    # (config.py:43); oversized spans route to FILE_TOO_LARGE
+    max_span_bytes: int = 50 * 1024 * 1024
 
     def processor_kwargs(self) -> dict:
         return {
@@ -51,6 +54,7 @@ class ExtractConfig:
             "enhance": self.enhance,
             "score": self.score,
             "learned_words": tuple(self.learned_words),
+            "max_span_bytes": self.max_span_bytes,
         }
 
 

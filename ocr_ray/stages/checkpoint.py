@@ -49,16 +49,28 @@ def _partition_dir(out: pathlib.Path, k: int) -> pathlib.Path:
     return out / f"part={k:05d}"
 
 
-def partition_complete(output_path: str, k: int) -> bool:
+def partition_complete(output_path: str, k: int,
+                       expected_files: list[str] | None = None) -> bool:
+    """A partition is resumable only if its manifest row is valid AND —
+    when ``expected_files`` is given — was produced from exactly the
+    same input file list. Without the file check, rerunning with a
+    different ``files_per_partition`` (or after the input set changed)
+    silently reused stale outputs (ADVICE r01)."""
     out = pathlib.Path(output_path)
     mp = _manifest_path(out, k)
     if not mp.exists() or not _partition_dir(out, k).exists():
         return False
     try:
         row = json.loads(mp.read_text())
-        return row.get("n_docs", -1) >= 0
     except (ValueError, OSError):
         return False
+    if row.get("n_docs", -1) < 0:
+        return False
+    if expected_files is not None and row.get("files") != [
+        str(f) for f in expected_files
+    ]:
+        return False
+    return True
 
 
 def run_partition(
@@ -77,14 +89,17 @@ def run_partition(
     docs.write_parquet(str(tmp_dir))
     wall = time.perf_counter() - t0
 
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     n_docs = n_spans = 0
     for f in tmp_dir.glob("*.parquet"):
         md = pq.ParquetFile(f)
         n_docs += md.metadata.num_rows
-        spans_tbl = pq.read_table(f, columns=["n_spans"])
-        n_spans += sum(spans_tbl.column("n_spans").to_pylist())
+        # single-column read + kernel sum (no Python list round-trip)
+        n_spans += pc.sum(
+            pq.read_table(f, columns=["n_spans"]).column("n_spans")
+        ).as_py() or 0
 
     if part_dir.exists():
         shutil.rmtree(part_dir)
@@ -125,17 +140,36 @@ def run_extract_checkpointed(
 
     results: list[PartitionResult] = []
     for k, part_files in enumerate(partitions):
-        if resume and partition_complete(output_path, k):
+        if resume and partition_complete(
+            output_path, k, expected_files=[str(f) for f in part_files]
+        ):
             row = json.loads(_manifest_path(out, k).read_text())
             results.append(PartitionResult(**{**row, "skipped": True}))
             continue
         results.append(run_partition(part_files, output_path, k, config))
+
+    # remove orphan partitions from a previous, differently-partitioned
+    # run (part dirs / manifest rows beyond the current layout) so the
+    # output directory holds exactly this run's partitions
+    orphans = 0
+    for d in out.glob("part=*"):
+        try:
+            idx = int(d.name.split("=")[1])
+        except (IndexError, ValueError):
+            continue
+        if idx >= len(partitions):
+            shutil.rmtree(d)
+            mp = _manifest_path(out, idx)
+            if mp.exists():
+                mp.unlink()
+            orphans += 1
 
     ran = [r for r in results if not r.skipped]
     metrics = {
         "partitions": len(partitions),
         "partitions_run": len(ran),
         "partitions_skipped": len(results) - len(ran),
+        "orphans_removed": orphans,
         "n_docs": sum(r.n_docs for r in results),
         "n_spans": sum(r.n_spans for r in results),
         "wall_sec": round(sum(r.wall_sec for r in ran), 3),

@@ -73,27 +73,94 @@ class MockPaddleEngine:
 
 
 class TesseractEngine:
-    """Real-subprocess engine shape (reference ocr_service.py:299-414).
+    """Real-subprocess engine (reference ocr_service.py:299-414).
 
-    Requires the tesseract binary + image decode libs; neither exists in
-    this container, so construction fails fast with a clear error. A real
-    deployment resolves media_ref → bytes (S3/MinIO,
-    minio_service.py:30-39), rasterizes PDFs at PDF_DPI, and runs
-    ``tesseract --oem 3 --psm 6`` with a TSV pass for confidences.
+    The command construction, TSV confidence parsing and defaulting are
+    REAL and unit-tested against a fake runner, so a deployment's first
+    run is not the first execution of this code path. What stays
+    environment-gated: the tesseract binary itself and the media_ref →
+    local-file resolution (S3/MinIO fetch + PDF rasterization,
+    minio_service.py:30-39) — inject ``fetch`` for a real store.
+
+    Reference behavior mirrored exactly (ocr_service.py:330-407):
+    ``tesseract <img> stdout -l <lang> --oem 3 --psm 6`` for text, a
+    second ``… tsv`` pass for confidences (column 11, skip conf ≤ 0,
+    normalize /100), and the [0.75] default when none parse.
     """
 
     name = "tesseract-real"
 
-    def __init__(self, language: str = "mixed"):
-        if shutil.which("tesseract") is None:
-            raise NotImplementedError(
-                "tesseract binary not available in this environment; "
-                "use engine='tesseract' (deterministic mock)"
-            )
+    def __init__(self, language: str = "mixed", runner=None, fetch=None,
+                 binary: str | None = None):
         self.lang = LANG_MAP.get(language, "ind+eng")
+        self._runner = runner
+        self._fetch = fetch
+        if runner is None:
+            self.binary = binary or shutil.which("tesseract")
+            if self.binary is None:
+                raise NotImplementedError(
+                    "tesseract binary not available in this environment; "
+                    "use engine='tesseract' (deterministic mock)"
+                )
+        else:
+            self.binary = binary or "tesseract"
+
+    def build_command(self, image_path: str, tsv: bool = False) -> list[str]:
+        cmd = [
+            self.binary,
+            image_path,
+            "stdout",
+            "-l", self.lang,
+            "--oem", "3",  # LSTM engine (reference ocr_service.py:357)
+            "--psm", "6",  # uniform text block (:358)
+        ]
+        if tsv:
+            cmd.append("tsv")
+        return cmd
+
+    @staticmethod
+    def parse_tsv_confidences(tsv_text: str) -> list[float]:
+        """Reference ocr_service.py:389-399: skip the header row, take
+        column 11 (conf), drop non-numeric / ≤ 0 values (-1 = "no
+        confidence"), normalize percent → [0, 1]."""
+        confidences: list[float] = []
+        for line in (tsv_text or "").strip().split("\n")[1:]:
+            parts = line.split("\t")
+            if len(parts) >= 11 and parts[10]:
+                try:
+                    conf = float(parts[10])
+                except ValueError:
+                    continue
+                if conf > 0:
+                    confidences.append(conf / 100.0)
+        return confidences
+
+    @staticmethod
+    def _subprocess_runner(cmd: list[str], timeout: int) -> tuple[int, str]:
+        import subprocess
+
+        result = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout
+        )
+        return result.returncode, result.stdout or ""
 
     def read_page(self, media_ref, language="mixed", enhance=False):
-        raise NotImplementedError("real OCR not wired in this sandbox")
+        if self._fetch is not None:
+            image_path = self._fetch(media_ref)
+        else:
+            image_path = media_ref  # already a local file path
+        run = self._runner or self._subprocess_runner
+        _, out = run(self.build_command(image_path), 120)
+        text = out.strip() if out else ""
+        confidences: list[float] = []
+        try:
+            _, tsv_out = run(self.build_command(image_path, tsv=True), 120)
+            confidences = self.parse_tsv_confidences(tsv_out)
+        except Exception:  # noqa: BLE001 - confidence pass is best-effort
+            pass  # reference :400-401: fall back to no confidence data
+        if not confidences:
+            confidences = list(DEFAULT_CONFIDENCES)
+        return text, confidences
 
 
 _REGISTRY = {

@@ -63,7 +63,12 @@ VALID_KINDS = frozenset({"text", "html", "pdf", "image"})
 # column, not dropped (SURVEY.md §2.2 M2) so reassembly keeps the doc whole
 ERR_FILE_TYPE = "FILE_TYPE_NOT_ALLOWED"
 ERR_FILE_EMPTY = "FILE_EMPTY"
+ERR_FILE_TOO_LARGE = "FILE_TOO_LARGE"
 ERR_ENGINE = "OCR_ENGINE_ERROR"
+
+# reference parity: 50 MB upload cap (config.py:43, enforced before OCR in
+# ocr.py:167) — applied here to a span's inline payload bytes
+MAX_SPAN_BYTES = 50 * 1024 * 1024
 
 
 def process_span(
@@ -77,6 +82,7 @@ def process_span(
     normalize_spelling: bool = True,
     enhance: bool = False,
     score: bool = True,
+    max_span_bytes: int = MAX_SPAN_BYTES,
 ) -> dict:
     """Extract + repair one span. Shared verbatim by the Ray stage and the
     plain-Python oracle so span-sequence equality tests exercise only the
@@ -86,6 +92,16 @@ def process_span(
     if kind not in VALID_KINDS:
         raw = ""
         error_code = ERR_FILE_TYPE
+    elif (
+        max_span_bytes is not None
+        and text
+        and len(text.encode("utf-8")) > max_span_bytes
+    ):
+        # size guard BEFORE extraction, like the reference's pre-OCR
+        # upload cap (ocr.py:167); the span survives reassembly as an
+        # error span, the doc stays whole
+        raw = ""
+        error_code = ERR_FILE_TOO_LARGE
     elif kind in MEDIA_KINDS:
         if not media_ref:
             raw = ""
@@ -132,8 +148,10 @@ class SpanProcessor:
         enhance: bool = False,
         score: bool = True,
         learned_words=None,
+        max_span_bytes: int = MAX_SPAN_BYTES,
         debug_worker_column: bool = False,
     ):
+        self.max_span_bytes = max_span_bytes
         self.debug_worker_column = debug_worker_column
         if learned_words:
             # run-level dictionary extension, applied once per actor —
@@ -167,6 +185,7 @@ class SpanProcessor:
                 normalize_spelling=self.normalize_spelling,
                 enhance=self.enhance,
                 score=self.score,
+                max_span_bytes=self.max_span_bytes,
             )
             for k, t, r in zip(kinds, texts, refs)
         ]

@@ -42,3 +42,31 @@ def test_checkpoint_run_and_resume(ray_session, tmp_path):
     after = {f: f.stat().st_mtime for f in out.glob("part=00000/*.parquet")}
     assert before == after  # untouched partitions not rewritten
     assert metrics2["n_docs"] == 30
+
+
+def test_repartitioned_rerun_invalidates_and_prunes(ray_session, tmp_path):
+    """Changing --files-per-partition must NOT silently reuse stale
+    partition outputs (the manifest file list no longer matches), and
+    part dirs beyond the new layout are removed (ADVICE r01)."""
+    table = synth.generate_interleaved(n_docs=30, seed=6)
+    inp = tmp_path / "input"
+    io.write_interleaved(table, str(inp), max_rows_per_file=10)  # 3 files
+    out = tmp_path / "out"
+
+    m1 = run_extract_checkpointed(str(inp), str(out), files_per_partition=1)
+    assert m1["partitions"] == 3
+
+    # coarser layout: 2 partitions (2 files + 1 file) — every manifest's
+    # file list mismatches, so nothing is skipped, and part=00002 from
+    # the finer run is an orphan
+    m2 = run_extract_checkpointed(str(inp), str(out), files_per_partition=2)
+    assert m2["partitions"] == 2
+    assert m2["partitions_run"] == 2 and m2["partitions_skipped"] == 0
+    assert m2["orphans_removed"] == 1
+    assert sorted(p.name for p in out.glob("part=*")) == ["part=00000", "part=00001"]
+    assert not (out / "_manifest" / "part-00002.json").exists()
+    assert m2["n_docs"] == 30
+
+    # identical rerun now skips everything
+    m3 = run_extract_checkpointed(str(inp), str(out), files_per_partition=2)
+    assert m3["partitions_run"] == 0 and m3["partitions_skipped"] == 2

@@ -44,3 +44,40 @@ def test_error_spans_survive_reassembly(ray_session):
     # error spans contribute no text to the merged document
     assert "surat pertama" in docs.loc["mixed", "doc_text"]
     assert "surat kedua" in docs.loc["mixed", "doc_text"]
+
+
+def test_oversized_span_routed_file_too_large(ray_session):
+    """Reference M2 parity: a span whose inline payload exceeds the size
+    cap (50 MB default, config.py:43 / ocr.py:167) routes to
+    FILE_TOO_LARGE and the doc survives reassembly with n_error_spans
+    incremented — never dropped, never OCR'd."""
+    big = "kata " * 100  # 500 bytes, over the tiny test cap below
+    table = pa.table(
+        {
+            "doc_id": ["doc"],
+            "spans": [
+                [
+                    {"kind": "text", "text": "surat pendek", "media_ref": "", "offset": 0},
+                    {"kind": "text", "text": big, "media_ref": "", "offset": 1},
+                ],
+            ],
+        },
+        schema=INTERLEAVED_SCHEMA,
+    )
+    cfg = ExtractConfig(max_span_bytes=256)
+    docs = (
+        extract_documents(rd.from_arrow(table), cfg).to_pandas().set_index("doc_id")
+    )
+    assert docs.loc["doc", "n_error_spans"] == 1
+    spans = docs.loc["doc", "spans"]
+    assert spans[1]["text"] == ""  # oversized payload never extracted
+    assert "surat pendek" in docs.loc["doc", "doc_text"]
+    assert "kata" not in docs.loc["doc", "doc_text"]
+
+    from ocr_ray.stages.process import ERR_FILE_TOO_LARGE, process_span
+
+    row = process_span("text", big, "", engine=None, max_span_bytes=256)
+    assert row["error_code"] == ERR_FILE_TOO_LARGE and row["text"] == ""
+    # under the default 50 MB cap the same span is processed normally
+    ok = process_span("text", big, "", engine=None)
+    assert ok["error_code"] is None and ok["text"]
