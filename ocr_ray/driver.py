@@ -766,6 +766,66 @@ _COMPONENTS_BODY = (
 )
 
 
+def _winnowing_sql(k: int = 7, window: int = 8) -> str:
+    """Winnowing fingerprint COUNTS rebuilt in pure SQL (mirrors
+    ops.textstats.winnow_fingerprints exactly — verified char-for-char
+    against the Python kernel): polynomial rolling hash of every k-gram
+    (HUGEINT modular arithmetic over precomputed base powers, LEAD for
+    the k char codes), sliding window MIN over ``window`` hash
+    positions, consecutive-duplicate runs collapsed."""
+    p = (1 << 61) - 1
+    base = 257
+    pows = [pow(base, k - 1 - j, p) for j in range(k)]
+    terms = " + ".join(
+        f"COALESCE(LEAD(c, {j}) OVER w, 0) * {pows[j]}::HUGEINT"
+        for j in range(k)
+    )
+    return (
+        "WITH norm AS (\n"
+        " SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s"
+        " FROM documents\n"
+        "), chars AS (\n"
+        " SELECT doc_id, unnest(generate_series(1, len(s))) AS i, len(s) AS n"
+        " FROM norm\n"
+        "), coded AS (\n"
+        " SELECT c2.doc_id, c2.i, CAST(unicode(substr(n2.s, c2.i, 1)) AS HUGEINT)"
+        " AS c, c2.n\n"
+        " FROM chars c2 JOIN norm n2 USING (doc_id)\n"
+        "), hashes AS (\n"
+        f" SELECT doc_id, i, CAST(({terms}) % {p} AS BIGINT) AS h,"
+        f" n - {k} + 1 AS n_h\n"
+        f" FROM coded WHERE n >= {k}\n"
+        " WINDOW w AS (PARTITION BY doc_id ORDER BY i)\n"
+        "), valid AS (\n"
+        " SELECT doc_id, i, h, n_h FROM hashes WHERE i <= n_h\n"
+        "), mins AS (\n"
+        " SELECT doc_id, i,\n"
+        "  MIN(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW"
+        f" AND {window - 1} FOLLOWING) AS wmin,\n"
+        "  n_h\n"
+        " FROM valid\n"
+        "), winpos AS (\n"
+        f" SELECT doc_id, i, wmin FROM mins WHERE i <= n_h - {window} + 1\n"
+        "), flagged AS (\n"
+        " SELECT doc_id,\n"
+        "  CASE WHEN wmin IS DISTINCT FROM LAG(wmin) OVER"
+        " (PARTITION BY doc_id ORDER BY i) THEN 1 ELSE 0 END AS is_new\n"
+        " FROM winpos\n"
+        "), runs AS (\n"
+        " SELECT doc_id, SUM(is_new) AS n_fp FROM flagged GROUP BY doc_id\n"
+        "), small AS (\n"
+        f" SELECT doc_id, CASE WHEN n_h <= 0 THEN 0 WHEN n_h <= {window} THEN 1"
+        " ELSE NULL END AS n_small\n"
+        " FROM (SELECT DISTINCT doc_id, n_h FROM hashes)\n"
+        ")\n"
+        "SELECT d.doc_id,\n"
+        " CAST(COALESCE(r.n_fp, s.n_small, 0) AS BIGINT) AS n_fingerprints\n"
+        "FROM documents d\n"
+        "LEFT JOIN runs r USING (doc_id)\n"
+        "LEFT JOIN small s USING (doc_id)"
+    )
+
+
 def _simhash_sql(max_hamming: int = 3) -> str:
     """md5-based 64-bit SimHash rebuilt in pure SQL: per-token 32-bit
     halves from the md5 hex digest, 64 SUM(CASE) sign aggregates, pair
@@ -1029,6 +1089,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT h.doc_id FROM hashed h JOIN keepers k USING (fp)"
             " WHERE h.doc_id <> k.keeper"
         ),
+        "winnowing_fingerprints": _winnowing_sql(),
         "ngram_jaccard_pairs": (
             "WITH " + _SHINGLES_BODY + ",\n"
             "df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),\n"
