@@ -24,6 +24,20 @@ def main(argv=None) -> int:
     p_synth.add_argument("--seed", type=int, default=42)
     p_synth.add_argument("--out", required=True)
 
+    p_q = sub.add_parser(
+        "query",
+        help="run any registered operator/pipeline over an sf-dir of "
+        "parquet tables (see `query --list`)",
+    )
+    p_q.add_argument("--name", default=None, help="query name from the registry")
+    p_q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_q.add_argument("--output", default=None,
+                     help="write the result as parquet here instead of printing")
+    p_q.add_argument("--limit", type=int, default=20,
+                     help="rows to print when no --output is given")
+    p_q.add_argument("--list", action="store_true", dest="list_queries")
+    p_q.add_argument("--num-cpus", type=int, default=None)
+
     p_ex = sub.add_parser("extract", help="run the extraction pipeline, resumable")
     p_ex.add_argument("--input", required=True)
     p_ex.add_argument("--output", required=True)
@@ -51,22 +65,85 @@ def main(argv=None) -> int:
         print(json.dumps({"path": path, "n_docs": table.num_rows}))
         return 0
 
-    if args.cmd == "extract":
+    def _ensure_ray() -> bool:
+        """Init a local session if none exists; returns True when this
+        call OWNS the session (and should shut it down)."""
         import os
 
         import ray
 
-        if not ray.is_initialized():
-            kwargs = {"ignore_reinit_error": True, "logging_level": "ERROR"}
-            if os.environ.get("RAY_ADDRESS", "local") in ("", "local"):
-                # standalone: own local session; under `ray job submit`
-                # RAY_ADDRESS points at the cluster and we attach to it
-                kwargs.update(
-                    address="local",
-                    num_cpus=args.num_cpus,
-                    include_dashboard=False,
+        if ray.is_initialized():
+            return False
+        kwargs = {"ignore_reinit_error": True, "logging_level": "ERROR"}
+        if os.environ.get("RAY_ADDRESS", "local") in ("", "local"):
+            # standalone: own local session; under `ray job submit`
+            # RAY_ADDRESS points at the cluster and we attach to it
+            kwargs.update(
+                address="local",
+                num_cpus=args.num_cpus,
+                include_dashboard=False,
+            )
+        ray.init(**kwargs)
+        from ocr_ray.context import configure
+
+        configure()
+        return True
+
+    if args.cmd == "query":
+        from ocr_ray.driver import QUERIES
+
+        if args.list_queries or not args.name:
+            print(json.dumps({"queries": sorted(QUERIES)}))
+            return 0
+        if args.name not in QUERIES:
+            print(json.dumps({"error": f"unknown query {args.name!r}"}))
+            return 2
+        import ray
+
+        owns = _ensure_ray()
+        from ocr_ray.context import configure
+
+        configure()
+        result = QUERIES[args.name](args.sf_dir)
+        try:
+            if args.output:
+                if hasattr(result, "write_parquet"):
+                    result.write_parquet(args.output)
+                    n = None
+                else:
+                    import pathlib
+
+                    import pyarrow as pa
+                    import pyarrow.parquet as pq
+
+                    tbl = (
+                        result
+                        if isinstance(result, pa.Table)
+                        else pa.Table.from_pandas(result)
+                    )
+                    pathlib.Path(args.output).mkdir(parents=True, exist_ok=True)
+                    pq.write_table(tbl, f"{args.output}/part-0.parquet")
+                    n = tbl.num_rows
+                print(json.dumps({"query": args.name, "output": args.output,
+                                  "rows": n}))
+            else:
+                df = (
+                    result.limit(args.limit).to_pandas()
+                    if hasattr(result, "limit")
+                    else result.to_pandas().head(args.limit)
+                    if hasattr(result, "to_pandas")
+                    else result.head(args.limit)
                 )
-            ray.init(**kwargs)
+                print(df.to_string())
+        finally:
+            if owns:
+                ray.shutdown()
+        return 0
+
+    if args.cmd == "extract":
+        import ray
+
+        owns_session = _ensure_ray()
         from ocr_ray.context import configure
 
         configure()
@@ -98,7 +175,8 @@ def main(argv=None) -> int:
             resume=not args.no_resume,
         )
         print(json.dumps(metrics))
-        ray.shutdown()
+        if owns_session:
+            ray.shutdown()
         return 0
 
     return 2

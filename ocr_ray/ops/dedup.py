@@ -117,26 +117,6 @@ def minhash_signature(shingles: set[str], a: np.ndarray, b: np.ndarray) -> np.nd
     return prod.min(axis=1)
 
 
-class MinHashSig:
-    """map_batches stage: doc → ONE row (doc_id, signature). Stateful
-    (hash params built once per actor). The signature table is the
-    single per-doc copy of the 8·num_perm-byte signature; band rows are
-    derived from it without carrying it."""
-
-    def __init__(self, num_perm: int = 64, shingle_n: int = 3):
-        self.num_perm, self.n = num_perm, shingle_n
-        self.a, self.b = _minhash_params(num_perm)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [
-            minhash_signature(word_shingles(text, self.n), self.a, self.b).tobytes()
-            for text in batch.column("text").to_pylist()
-        ]
-        return pa.table(
-            {"doc_id": batch.column("doc_id"), "signature": pa.array(sigs, pa.binary())}
-        )
-
-
 def _band_rows_factory(num_perm: int, bands: int):
     rows_per_band = num_perm // bands
 
