@@ -80,6 +80,22 @@ def run_once() -> dict:
     _consume(extract_documents(oio.read_interleaved(interleaved), ExtractConfig()))
     extract_sec = time.perf_counter() - t0
 
+    cold_sec = None
+    if os.environ.get("OCR_BENCH_SCALING"):
+        # scaling legs measure SUSTAINED throughput: the first run pays
+        # one-time session warmup (worker prestart, code distribution,
+        # object-store init — ~6 s regardless of leg size) which taxes
+        # the fast leg proportionally more and distorts the ratio; a
+        # production job amortizes it to nothing. Run the identical
+        # pipeline again and report the second wall; the cold number is
+        # carried alongside, not hidden.
+        cold_sec = extract_sec
+        t0 = time.perf_counter()
+        _consume(
+            extract_documents(oio.read_interleaved(interleaved), ExtractConfig())
+        )
+        extract_sec = time.perf_counter() - t0
+
     queries = {}
     if not os.environ.get("OCR_BENCH_SCALING"):
         for name in BENCH_QUERIES:
@@ -100,15 +116,18 @@ def run_once() -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
     }
+    if cold_sec is not None:
+        result["cold_docs_per_sec"] = round(n_docs / cold_sec, 3)
     if not os.environ.get("OCR_BENCH_SCALING") and not os.environ.get(
         "OCR_BENCH_SKIP_SCALING"
     ):
         # embed the north-rule scaling record in the artifact the driver
         # captures (smaller corpus / fewer rounds than --scaling to keep
-        # the per-round bench under a few minutes)
+        # the per-round bench under ~6 minutes; each leg runs the
+        # pipeline twice for the sustained number)
         result["scaling"] = measure_scaling(
             rounds=int(os.environ.get("OCR_BENCH_SCALING_ROUNDS", "2")),
-            docs=int(os.environ.get("OCR_BENCH_SCALING_DOCS", "24000")),
+            docs=int(os.environ.get("OCR_BENCH_SCALING_DOCS", "16000")),
         )
     return result
 
@@ -156,11 +175,22 @@ def measure_scaling(rounds: int = 3, docs: int | None = None) -> dict:
 
     ratio = hi_cpus / lo_cpus
     lo_tputs, hi_tputs, round_effs = [], [], []
-    for _ in range(rounds):
-        lo = run_leg(lo_cpus)["docs_per_sec"]
-        hi = run_leg(hi_cpus)["docs_per_sec"]
+    cold_lo, cold_hi = [], []
+    for r in range(rounds):
+        # alternate leg order per round: ambient co-tenant load drifts
+        # over the minutes a measurement takes, and a fixed order folds
+        # that drift into the ratio with a consistent sign
+        if r % 2 == 0:
+            lo_leg = run_leg(lo_cpus)
+            hi_leg = run_leg(hi_cpus)
+        else:
+            hi_leg = run_leg(hi_cpus)
+            lo_leg = run_leg(lo_cpus)
+        lo, hi = lo_leg["docs_per_sec"], hi_leg["docs_per_sec"]
         lo_tputs.append(lo)
         hi_tputs.append(hi)
+        cold_lo.append(lo_leg.get("cold_docs_per_sec"))
+        cold_hi.append(hi_leg.get("cold_docs_per_sec"))
         round_effs.append(round((hi / lo) / ratio, 3))
     best_eff = round((max(hi_tputs) / max(lo_tputs)) / ratio, 3)
     return {
@@ -168,8 +198,12 @@ def measure_scaling(rounds: int = 3, docs: int | None = None) -> dict:
         "hi_cpus": hi_cpus,
         "n_docs": docs,
         "rounds": rounds,
+        # sustained (2nd back-to-back in-session run; one-time session
+        # warmup excluded — see run_once) and the cold first-run numbers
         "docs_per_sec_lo": lo_tputs,
         "docs_per_sec_hi": hi_tputs,
+        "cold_docs_per_sec_lo": cold_lo,
+        "cold_docs_per_sec_hi": cold_hi,
         "round_efficiencies": round_effs,
         "median_efficiency": round(statistics.median(round_effs), 3),
         "best_efficiency": best_eff,

@@ -565,6 +565,20 @@ def q_top_terms_by_lang(sf_dir: str):
     return grouped_map(counted, ["lang"], topk_block)
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    from ocr_ray.ops.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir).select_columns(["doc_id", "text"]), k=5)
+
+
+def q_sample_per_lang(sf_dir: str):
+    from ocr_ray.ops.tfidf import stratified_sample_per_group
+
+    return stratified_sample_per_group(
+        _docs(sf_dir).select_columns(["lang", "doc_id"]), group_col="lang", k=10
+    )
+
+
 def q_tumbling_hourly(sf_dir: str):
     from ocr_ray.ops.windows import tumbling_window_counts
 
@@ -681,6 +695,8 @@ QUERIES = {
     "bpe_token_counts": q_bpe_token_counts,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "top_terms_by_lang": q_top_terms_by_lang,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "sample_per_lang": q_sample_per_lang,
     "tumbling_hourly": q_tumbling_hourly,
     "sliding_hourly": q_sliding_hourly,
     "session_stats": q_session_stats,
@@ -1088,6 +1104,39 @@ def oracle_sql() -> dict[str, str]:
             ")\n"
             "SELECT h.doc_id FROM hashed h JOIN keepers k USING (fp)"
             " WHERE h.doc_id <> k.keeper"
+        ),
+        "tfidf_top_terms": (
+            "WITH words AS (\n"
+            f" SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents\n"
+            "), tf AS (\n"
+            " SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf"
+            " FROM words GROUP BY doc_id, word\n"
+            "), df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),\n"
+            "scored AS (\n"
+            " SELECT doc_id, word, tf,"
+            " ROUND(tf * ln((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)"
+            " / df), 6) AS score\n"
+            " FROM tf JOIN df USING (word)\n"
+            "), ranked AS (\n"
+            " SELECT doc_id, word, tf, score,\n"
+            "  ROW_NUMBER() OVER (PARTITION BY doc_id"
+            " ORDER BY score DESC, word ASC) AS rank\n"
+            " FROM scored)\n"
+            "SELECT doc_id, word, tf, score, CAST(rank AS BIGINT) AS rank"
+            " FROM ranked WHERE rank <= 5"
+        ),
+        "sample_per_lang": (
+            "WITH hashed AS (\n"
+            " SELECT lang, doc_id,\n"
+            "  CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296"
+            " AS BIGINT) AS h\n"
+            " FROM documents\n"
+            "), ranked AS (\n"
+            " SELECT lang, doc_id,\n"
+            "  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rank\n"
+            " FROM hashed)\n"
+            "SELECT lang, doc_id, CAST(rank AS BIGINT) AS rank"
+            " FROM ranked WHERE rank <= 10"
         ),
         "winnowing_fingerprints": _winnowing_sql(),
         "ngram_jaccard_pairs": (

@@ -1,0 +1,135 @@
+"""Corpus-relative term weighting and balanced sampling — two more
+training-data-pipeline staples over the documents table.
+
+- ``tfidf_top_terms``: per-document top-k terms by tf·idf. The document
+  frequency is computed INSIDE the word-partitioned block (each word's
+  (doc, tf) rows are co-located after one hash exchange, so df = run
+  length) — no separate df table, no big-big join; a second exchange
+  ranks per doc. Two shuffles total, both of small derived rows.
+- ``stratified_sample_per_group``: deterministic k-per-group sample by
+  multiplicative doc_id hash — the balanced-sampling primitive for
+  training-mix construction (e.g. equal documents per language). One
+  shuffle; the hash order is reproducible in SQL (HUGEINT arithmetic),
+  so the driver oracle checks it exactly.
+
+Both deterministic, both DuckDB-oracle-backed.
+"""
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+from ocr_ray.ops.analysis import _WORD_RE
+
+_KNUTH = np.uint64(2654435761)
+_M32 = np.uint64(0xFFFFFFFF)
+
+
+def _word_tf_rows(batch: pa.Table) -> pa.Table:
+    ids, words, tfs = [], [], []
+    for doc_id, text in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        for w, c in sorted(Counter(_WORD_RE.findall((text or "").lower())).items()):
+            ids.append(doc_id)
+            words.append(w)
+            tfs.append(c)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "word": pa.array(words, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+        }
+    )
+
+
+def tfidf_top_terms(docs, k: int = 5):
+    """Top-k terms per document by tf·idf (idf = ln(N/df), ties broken
+    by word ascending on the 6-decimal-rounded score). Output
+    (doc_id, word, tf, score, rank)."""
+    from ocr_ray.stages.grouped import grouped_map
+
+    n_docs = docs.count()  # metadata count of the input table — no scan
+
+    rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        _word_tf_rows, batch_format="pyarrow"
+    )
+
+    def score_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        # block is hash-partitioned AND sorted by word: df of a word is
+        # its run length (one row per (doc, word))
+        n = block.num_rows
+        if n == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("word", pa.string()),
+                 ("tf", pa.int64()), ("score", pa.float64())]
+            ).empty_table()
+        ends = np.append(starts[1:], n)
+        df = np.repeat(ends - starts, ends - starts).astype(np.float64)
+        tf = block.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        score = np.round(tf * np.log(float(n_docs) / df), 6)
+        return block.append_column("score", pa.array(score, pa.float64()))
+
+    scored = grouped_map(rows, ["word"], score_block)
+
+    def topk_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        out = {c: [] for c in ("doc_id", "word", "tf", "score", "rank")}
+        ends = np.append(starts[1:], block.num_rows)
+        ids = block.column("doc_id").to_pylist()
+        words = block.column("word").to_pylist()
+        tfs = block.column("tf").to_pylist()
+        scores = block.column("score").to_pylist()
+        for s, e in zip(starts, ends):
+            order = sorted(range(s, e), key=lambda i: (-scores[i], words[i]))[:k]
+            for rank, i in enumerate(order, 1):
+                out["doc_id"].append(ids[i])
+                out["word"].append(words[i])
+                out["tf"].append(tfs[i])
+                out["score"].append(scores[i])
+                out["rank"].append(rank)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "word": pa.array(out["word"], pa.string()),
+                "tf": pa.array(out["tf"], pa.int64()),
+                "score": pa.array(out["score"], pa.float64()),
+                "rank": pa.array(out["rank"], pa.int64()),
+            }
+        )
+
+    return grouped_map(scored, ["doc_id"], topk_block)
+
+
+def stratified_sample_per_group(docs, group_col: str = "lang", k: int = 10):
+    """Deterministic k rows per group: order by the multiplicative hash
+    of doc_id (uniform, input-order-independent), tie-break by doc_id.
+    Output (group_col, doc_id, rank). The same hash is expressible in
+    SQL ((doc_id * 2654435761) % 2^32 via HUGEINT), so this is
+    oracle-checked exactly."""
+    from ocr_ray.stages.grouped import grouped_map
+
+    def sample_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        out_g, out_id, out_rank = [], [], []
+        ends = np.append(starts[1:], block.num_rows)
+        groups = block.column(group_col).to_pylist()
+        ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+        h = ((ids.astype(np.uint64) * _KNUTH) & _M32).astype(np.int64)
+        for s, e in zip(starts, ends):
+            order = sorted(range(s, e), key=lambda i: (h[i], ids[i]))[:k]
+            for rank, i in enumerate(order, 1):
+                out_g.append(groups[i])
+                out_id.append(int(ids[i]))
+                out_rank.append(rank)
+        return pa.table(
+            {
+                group_col: pa.array(out_g, pa.string()),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "rank": pa.array(out_rank, pa.int64()),
+            }
+        )
+
+    return grouped_map(
+        docs.select_columns([group_col, "doc_id"]), [group_col], sample_block
+    )

@@ -125,10 +125,19 @@ def run_extract_checkpointed(
     config: ExtractConfig | None = None,
     files_per_partition: int = 1,
     resume: bool = True,
+    max_concurrent: int = 1,
 ) -> dict:
     """Run the extraction pipeline over ``input_path`` partition by
     partition; returns the whole-run metrics dict (also written to
-    ``output_path``/metrics.json)."""
+    ``output_path``/metrics.json).
+
+    ``max_concurrent > 1`` runs that many partitions' pipelines at once
+    (driver threads; Ray Data streams them concurrently) — useful for
+    many-SMALL-partition layouts where one partition can't saturate the
+    cluster. Each partition still commits independently (temp dir +
+    atomic rename + manifest), so resume semantics are unchanged;
+    ``wall_sec`` stays the SUM of per-partition walls (cost), while
+    overlapped wall-clock shows up in ``docs_per_sec`` only."""
     config = config or ExtractConfig()
     files = io.input_files(input_path)
     partitions = [
@@ -138,15 +147,34 @@ def run_extract_checkpointed(
     out = pathlib.Path(output_path)
     out.mkdir(parents=True, exist_ok=True)
 
-    results: list[PartitionResult] = []
+    todo: list[tuple[int, list[str]]] = []
+    skipped: dict[int, PartitionResult] = {}
     for k, part_files in enumerate(partitions):
         if resume and partition_complete(
             output_path, k, expected_files=[str(f) for f in part_files]
         ):
             row = json.loads(_manifest_path(out, k).read_text())
-            results.append(PartitionResult(**{**row, "skipped": True}))
-            continue
-        results.append(run_partition(part_files, output_path, k, config))
+            skipped[k] = PartitionResult(**{**row, "skipped": True})
+        else:
+            todo.append((k, part_files))
+
+    ran_results: dict[int, PartitionResult] = {}
+    if max_concurrent > 1 and len(todo) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+            futures = {
+                k: pool.submit(run_partition, part_files, output_path, k, config)
+                for k, part_files in todo
+            }
+            ran_results = {k: f.result() for k, f in futures.items()}
+    else:
+        for k, part_files in todo:
+            ran_results[k] = run_partition(part_files, output_path, k, config)
+
+    results: list[PartitionResult] = [
+        skipped.get(k) or ran_results[k] for k in range(len(partitions))
+    ]
 
     # remove orphan partitions from a previous, differently-partitioned
     # run (part dirs / manifest rows beyond the current layout) so the

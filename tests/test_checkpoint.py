@@ -70,3 +70,42 @@ def test_repartitioned_rerun_invalidates_and_prunes(ray_session, tmp_path):
     # identical rerun now skips everything
     m3 = run_extract_checkpointed(str(inp), str(out), files_per_partition=2)
     assert m3["partitions_run"] == 0 and m3["partitions_skipped"] == 2
+
+
+def test_concurrent_partitions_same_output(ray_session, tmp_path):
+    """max_concurrent=2 must produce byte-identical row content and the
+    same manifests/metrics as the serial path (many-small-partition
+    layouts overlap pipelines, commit protocol unchanged)."""
+    from ocr_ray.pipelines.extract import ExtractConfig
+
+    table = synth.generate_interleaved(n_docs=24, seed=9)
+    inp = tmp_path / "input"
+    io.write_interleaved(table, str(inp), max_rows_per_file=6)  # 4 files
+    out_serial = tmp_path / "serial"
+    out_conc = tmp_path / "conc"
+
+    # one OCR actor per pipeline: two concurrent FIXED pools at the
+    # default 0.75×CPU sizing would oversubscribe the 4-CPU test session
+    # and starve the shuffle (the deadlock documented in context.py)
+    cfg = ExtractConfig(ocr_concurrency=1)
+    m1 = run_extract_checkpointed(
+        str(inp), str(out_serial), config=cfg, files_per_partition=1
+    )
+    m2 = run_extract_checkpointed(
+        str(inp), str(out_conc), config=cfg, files_per_partition=1,
+        max_concurrent=2,
+    )
+    assert m1["partitions"] == m2["partitions"] == 4
+    assert m2["partitions_run"] == 4
+    assert m1["n_docs"] == m2["n_docs"] == 24
+    assert m1["n_spans"] == m2["n_spans"]
+
+    def doc_texts(root):
+        rows = {}
+        for f in root.glob("part=*/*.parquet"):
+            t = pq.read_table(f, columns=["doc_id", "doc_text"])
+            rows.update(zip(t.column("doc_id").to_pylist(),
+                            t.column("doc_text").to_pylist()))
+        return rows
+
+    assert doc_texts(out_serial) == doc_texts(out_conc)

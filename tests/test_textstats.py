@@ -54,3 +54,58 @@ def test_multimodal_preprocess_stubs(ray_session):
     # angles below the threshold are zeroed, others kept
     nonzero = df[df["deskew_angle"] != 0.0]["deskew_angle"].abs()
     assert (nonzero >= 0.5).all()
+
+
+# ---------------------------------------------- tf-idf / balanced sample
+
+
+def test_tfidf_top_terms_ranks_distinctive_words(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.tfidf import tfidf_top_terms
+
+    texts = [
+        "common common common zebra zebra zebra zebra",
+        "common common common apple",
+        "common common banana",
+        "common cherry cherry",
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(4), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    out = tfidf_top_terms(rd.from_arrow(tbl), k=2).to_pandas()
+    top = out[out["rank"] == 1].set_index("doc_id")["word"].to_dict()
+    # 'common' appears in every doc → idf 0 → never the top term
+    assert top == {0: "zebra", 1: "apple", 2: "banana", 3: "cherry"}
+    z = out[(out["doc_id"] == 0) & (out["word"] == "zebra")].iloc[0]
+    assert z["tf"] == 4
+    assert z["score"] == round(4 * float(np.log(4.0 / 1.0)), 6)
+    # ln(N/df)=ln(1)=0 for 'common' everywhere
+    assert (out[out["word"] == "common"]["score"] == 0.0).all()
+
+
+def test_stratified_sample_per_group_deterministic(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.tfidf import stratified_sample_per_group
+
+    tbl = pa.table(
+        {
+            "lang": pa.array(["id"] * 40 + ["en"] * 25, pa.string()),
+            "doc_id": pa.array(range(65), pa.int64()),
+        }
+    )
+    out1 = stratified_sample_per_group(rd.from_arrow(tbl), k=7).to_pandas()
+    # exactly k per group, ranks 1..k
+    counts = out1.groupby("lang")["doc_id"].count().to_dict()
+    assert counts == {"id": 7, "en": 7}
+    assert sorted(out1[out1["lang"] == "en"]["rank"]) == list(range(1, 8))
+    # input-order independence: shuffled rows give the identical sample
+    perm = tbl.take(list(reversed(range(65))))
+    out2 = stratified_sample_per_group(rd.from_arrow(perm), k=7).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["lang", "doc_id", "rank"]].values))
+    assert key(out1) == key(out2)
