@@ -579,6 +579,19 @@ def q_sample_per_lang(sf_dir: str):
     )
 
 
+def q_purchases_last_click(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.asof import purchases_with_last_click
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    return purchases_with_last_click(events)
+
+
 def q_tumbling_hourly(sf_dir: str):
     from ocr_ray.ops.windows import tumbling_window_counts
 
@@ -697,6 +710,7 @@ QUERIES = {
     "top_terms_by_lang": q_top_terms_by_lang,
     "tfidf_top_terms": q_tfidf_top_terms,
     "sample_per_lang": q_sample_per_lang,
+    "purchases_last_click": q_purchases_last_click,
     "tumbling_hourly": q_tumbling_hourly,
     "sliding_hourly": q_sliding_hourly,
     "session_stats": q_session_stats,
@@ -1137,6 +1151,20 @@ def oracle_sql() -> dict[str, str]:
             " FROM hashed)\n"
             "SELECT lang, doc_id, CAST(rank AS BIGINT) AS rank"
             " FROM ranked WHERE rank <= 10"
+        ),
+        "purchases_last_click": (
+            "WITH clicks AS (\n"
+            " SELECT user_id, ts, MAX(event_id) AS click_event_id,\n"
+            "        arg_max(value, event_id) AS click_value\n"
+            " FROM events WHERE event_type = 'click' GROUP BY user_id, ts\n"
+            "), purchases AS (\n"
+            " SELECT event_id, user_id, ts FROM events"
+            " WHERE event_type = 'purchase'\n"
+            ")\n"
+            "SELECT p.user_id, p.ts, p.event_id,"
+            " c.click_event_id, c.click_value\n"
+            "FROM purchases p ASOF LEFT JOIN clicks c\n"
+            " ON p.user_id = c.user_id AND p.ts >= c.ts"
         ),
         "winnowing_fingerprints": _winnowing_sql(),
         "ngram_jaccard_pairs": (

@@ -1,0 +1,119 @@
+"""As-of (most-recent-prior) join — the custom temporal operator Ray
+Data lacks natively, built as grouped_map over a single keyed shuffle.
+
+Semantics: for every LEFT row, attach the payload of the RIGHT row with
+the greatest ``time <= left.time`` for the same key (right rows at the
+exact left timestamp match). Deterministic tie-break when several right
+rows share a timestamp: the largest ``event_id`` wins.
+
+Implementation (one exchange, vectorized fill):
+
+1. one pass over the source emits tagged rows — right rows ``src=0``,
+   left rows ``src=1`` — so both sides ride the SAME shuffle;
+2. ``grouped_map`` hash-partitions by key and sorts each group by
+   ``(time, src, event_id)``: a right row sorts before a left row at the
+   equal timestamp, and equal-timestamp right rows sort ascending so the
+   forward-carry naturally keeps the max event_id;
+3. inside the block, a numpy ``maximum.accumulate`` over right-row
+   indices forward-fills "index of the latest right row so far"; run
+   starts clamp the carry so nothing leaks between keys. No Python
+   per-row loop.
+
+Partitioning assumption: one key's rows fit a block (same as every
+grouped_map operator here) — keys are users/entities, their event
+streams are small; a pathological single-key stream would need
+time-range bucketing first.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def asof_attach(tagged, key: str, time: str, left_cols: list[str],
+                payload_cols: list[str]):
+    """``tagged``: Dataset of rows carrying ``src`` (0=right, 1=left),
+    ``key``, ``time``, ``event_id``, the left columns and the right
+    payload columns (nulls on the other side). Returns left rows with
+    payload columns filled from the as-of match (null when none)."""
+    from ocr_ray.stages.grouped import grouped_map
+
+    def fill_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        out_schema = pa.schema(
+            [block.schema.field(c) for c in (key, time, *left_cols)]
+            + [block.schema.field(c) for c in payload_cols]
+        )
+        if n == 0:
+            return out_schema.empty_table()
+        src = block.column("src").to_numpy(zero_copy_only=False)
+        idx = np.arange(n, dtype=np.int64)
+        # index of the most recent right row at-or-before each position
+        carry = np.maximum.accumulate(np.where(src == 0, idx, -1))
+        # clamp at group boundaries: a carry pointing before the row's
+        # run start is a leak from the previous key
+        lengths = np.diff(np.append(starts, n))
+        run_start = np.repeat(starts, lengths)
+        carry = np.where(carry >= run_start, carry, -1)
+
+        import pyarrow.compute as pc
+
+        left_mask = src == 1
+        left_rows = block.filter(pa.array(left_mask))
+        match = carry[left_mask]
+        has = pa.array(match >= 0)
+        safe = pa.array(np.where(match >= 0, match, 0), pa.int64())
+        cols = {c: left_rows.column(c) for c in (key, time, *left_cols)}
+        for c in payload_cols:
+            taken = block.column(c).take(safe)
+            if isinstance(taken, pa.ChunkedArray):
+                taken = taken.combine_chunks()
+            # null-out rows with no as-of match (if_else keeps the type)
+            cols[c] = pc.if_else(has, taken, pa.scalar(None, taken.type))
+        return pa.table(cols).select(out_schema.names)
+
+    return grouped_map(
+        tagged, [key], fill_block, sort_within=(time, "src", "event_id")
+    )
+
+
+def purchases_with_last_click(events):
+    """For each 'purchase' event: the most recent at-or-before 'click'
+    by the same user (click_event_id, click_value; null when the user
+    never clicked before). Output (event_id, user_id, ts,
+    click_event_id, click_value)."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        types = t.column("event_type")
+        keep = pc.is_in(types, value_set=pa.array(["click", "purchase"]))
+        t = t.filter(keep)
+        is_left = pc.equal(t.column("event_type"), "purchase")
+        return pa.table(
+            {
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "ts": t.column("ts"),
+                "src": pc.cast(is_left, pa.int8()),
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "click_event_id": pc.if_else(
+                    is_left,
+                    pa.scalar(None, pa.int64()),
+                    t.column("event_id").cast(pa.int64()),
+                ),
+                "click_value": pc.if_else(
+                    is_left,
+                    pa.scalar(None, pa.float64()),
+                    t.column("value").cast(pa.float64()),
+                ),
+            }
+        )
+
+    tagged = events.map_batches(tag, batch_format="pyarrow")
+    return asof_attach(
+        tagged,
+        key="user_id",
+        time="ts",
+        left_cols=["event_id"],
+        payload_cols=["click_event_id", "click_value"],
+    )

@@ -236,7 +236,7 @@ class _HyperplaneSig:
 
 
 def _bucket_pair_block(block: pa.Table, starts: np.ndarray,
-                       max_bucket: int = 256) -> pa.Table:
+                       max_bucket: int = 2048) -> pa.Table:
     """Distinct candidate (vec_a < vec_b) pairs per bucket; overflow
     docs beyond max_bucket pair with the bucket minimum (representative)
     instead of being silently dropped."""
@@ -256,6 +256,13 @@ def _bucket_pair_block(block: pa.Table, starts: np.ndarray,
             b_out.append(head[jj])
             tail = ids[max_bucket:]
             if len(tail):
+                import logging
+
+                logging.getLogger("ocr_ray.similarity").warning(
+                    "hyperplane bucket of %d vecs exceeds max_bucket=%d; "
+                    "%d overflow vecs rep-paired only",
+                    len(ids), max_bucket, len(tail),
+                )
                 a_out.append(np.full(len(tail), ids[0], dtype=ids.dtype))
                 b_out.append(tail)
     a = np.concatenate(a_out) if a_out else np.empty(0, dtype=np.int64)

@@ -1,0 +1,61 @@
+"""As-of join: most-recent-prior semantics, same-timestamp inclusion,
+deterministic tie-break, null when no prior right row, key isolation."""
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+import ray.data as rd
+
+from ocr_ray.ops.asof import purchases_with_last_click
+
+
+def _ts(minute: int):
+    return dt.datetime(2026, 1, 1, 10, minute)
+
+
+def _events(rows):
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([_ts(r[1]) for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([float(r[0]) for r in rows], pa.float64()),
+        }
+    )
+
+
+def test_asof_semantics(ray_session):
+    rows = [
+        # user 1: click@0, click@5, purchase@3 -> matches click@0;
+        # purchase@5 (same ts as click 11) -> matches click@5
+        (10, 0, 1, "click"),
+        (11, 5, 1, "click"),
+        (20, 3, 1, "purchase"),
+        (21, 5, 1, "purchase"),
+        # user 2: purchase@1 with NO prior click -> nulls; click@2 later
+        (30, 2, 2, "click"),
+        (40, 1, 2, "purchase"),
+        # user 3: two clicks at the SAME ts -> max event_id (51) wins
+        (50, 0, 3, "click"),
+        (51, 0, 3, "click"),
+        (60, 4, 3, "purchase"),
+        # noise: other event types are ignored
+        (70, 0, 1, "view"),
+    ]
+    out = (
+        purchases_with_last_click(rd.from_arrow(_events(rows)))
+        .to_pandas()
+        .set_index("event_id")
+    )
+    assert len(out) == 4
+    assert out.loc[20, "click_event_id"] == 10
+    assert out.loc[21, "click_event_id"] == 11  # same-ts click matches
+    assert out.loc[40, "click_event_id"] is None or (
+        out.loc[40][["click_event_id"]].isna().all()
+    )
+    assert out.loc[60, "click_event_id"] == 51  # tie-break: max event_id
+    assert out.loc[60, "click_value"] == 51.0
+    # cross-user isolation: user 2's purchase never sees user 1's clicks
+    assert out.loc[40][["click_event_id", "click_value"]].isna().all()
