@@ -592,6 +592,19 @@ def q_purchases_last_click(sf_dir: str):
     return purchases_with_last_click(events)
 
 
+def q_purchases_click_count_1h(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.asof import purchases_click_count_1h
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return purchases_click_count_1h(events)
+
+
 def q_tumbling_hourly(sf_dir: str):
     from ocr_ray.ops.windows import tumbling_window_counts
 
@@ -711,6 +724,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "sample_per_lang": q_sample_per_lang,
     "purchases_last_click": q_purchases_last_click,
+    "purchases_click_count_1h": q_purchases_click_count_1h,
     "tumbling_hourly": q_tumbling_hourly,
     "sliding_hourly": q_sliding_hourly,
     "session_stats": q_session_stats,
@@ -1165,6 +1179,15 @@ def oracle_sql() -> dict[str, str]:
             " c.click_event_id, c.click_value\n"
             "FROM purchases p ASOF LEFT JOIN clicks c\n"
             " ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "purchases_click_count_1h": (
+            "SELECT p.user_id, p.ts, p.event_id,"
+            " CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks_1h\n"
+            "FROM events p LEFT JOIN events c\n"
+            " ON c.user_id = p.user_id AND c.event_type = 'click'\n"
+            " AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR\n"
+            "WHERE p.event_type = 'purchase'\n"
+            "GROUP BY p.user_id, p.ts, p.event_id"
         ),
         "winnowing_fingerprints": _winnowing_sql(),
         "ngram_jaccard_pairs": (

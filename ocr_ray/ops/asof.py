@@ -77,6 +77,93 @@ def asof_attach(tagged, key: str, time: str, left_cols: list[str],
     )
 
 
+def range_count_attach(tagged, key: str, time: str, window_us: int,
+                       count_name: str):
+    """Key-scoped RANGE join, count form: for every left row (src=1),
+    the number of right rows (src=0) with ``time`` in
+    ``[left.time − window, left.time]`` (both ends inclusive), same key.
+    One hash exchange; inside each sorted group the counts are two
+    vectorized ``searchsorted`` calls over the right-row timestamps —
+    no pairwise expansion, so a burst of N right rows costs O(N log N),
+    not O(N²)."""
+    from ocr_ray.stages.grouped import grouped_map
+
+    def count_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                block.schema.field(key),
+                block.schema.field(time),
+                block.schema.field("event_id"),
+                pa.field(count_name, pa.int64()),
+            ]
+        )
+        n = block.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        src = block.column("src").to_numpy(zero_copy_only=False)
+        ts = block.column(time).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cols = {
+            key: [], time: [], "event_id": [], count_name: [],
+        }
+        key_vals = block.column(key).to_pylist()
+        ts_col = block.column(time).to_pylist()
+        ev = block.column("event_id").to_pylist()
+        ends = np.append(starts[1:], n)
+        for s, e in zip(starts, ends):
+            run_src = src[s:e]
+            right_ts = np.sort(ts[s:e][run_src == 0])
+            left_idx = np.flatnonzero(run_src == 1) + s
+            if len(left_idx) == 0:
+                continue
+            lts = ts[left_idx]
+            hi = np.searchsorted(right_ts, lts, side="right")
+            lo = np.searchsorted(right_ts, lts - window_us, side="left")
+            counts = (hi - lo).astype(np.int64)
+            for i, c in zip(left_idx, counts):
+                cols[key].append(key_vals[i])
+                cols[time].append(ts_col[i])
+                cols["event_id"].append(ev[i])
+                cols[count_name].append(int(c))
+        return pa.table(
+            {
+                key: pa.array(cols[key], out_schema.field(key).type),
+                time: pa.array(cols[time], out_schema.field(time).type),
+                "event_id": pa.array(cols["event_id"], pa.int64()),
+                count_name: pa.array(cols[count_name], pa.int64()),
+            }
+        )
+
+    return grouped_map(tagged, [key], count_block, sort_within=(time,))
+
+
+def purchases_click_count_1h(events):
+    """For each 'purchase' event: how many 'click' events the same user
+    made in the hour up to and including the purchase. Output
+    (user_id, ts, event_id, n_clicks_1h)."""
+    import pyarrow.compute as pc
+
+    def tag(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t.column("event_type"), value_set=pa.array(["click", "purchase"])
+        )
+        t = t.filter(keep)
+        is_left = pc.equal(t.column("event_type"), "purchase")
+        return pa.table(
+            {
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "ts": t.column("ts"),
+                "src": pc.cast(is_left, pa.int8()),
+                "event_id": t.column("event_id").cast(pa.int64()),
+            }
+        )
+
+    tagged = events.map_batches(tag, batch_format="pyarrow")
+    return range_count_attach(
+        tagged, key="user_id", time="ts",
+        window_us=3_600_000_000, count_name="n_clicks_1h",
+    )
+
+
 def purchases_with_last_click(events):
     """For each 'purchase' event: the most recent at-or-before 'click'
     by the same user (click_event_id, click_value; null when the user

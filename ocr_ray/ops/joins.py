@@ -211,6 +211,11 @@ def attach_pair_payloads(pairs, side, *, key_a: str, key_b: str, side_key: str,
     pairs = pairs.materialize()
     n = pairs.count()
     if n > small_threshold:
+        if num_partitions is None:
+            # size partitions to the pair count: the native hash join
+            # crashes on partitions that receive zero blocks, so never
+            # create far more partitions than the data can populate
+            num_partitions = max(2, min(n // 10_000, 64))
         if dedupe:
             from ray.data.aggregate import Count
 

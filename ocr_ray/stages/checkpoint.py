@@ -119,6 +119,36 @@ def run_partition(
     return result
 
 
+def _patch_http_fs_probe_for_threads() -> None:
+    """Make Ray's per-read HTTP-filesystem probe thread-safe.
+
+    ``path_util._is_http_filesystem`` retries
+    ``from fsspec.implementations.http import HTTPFileSystem`` on every
+    dataset construction and only catches ``ModuleNotFoundError``. When
+    aiohttp is absent that import fails and is retried each time; two
+    threads racing the retry can observe the partially-initialized
+    module and get a plain ``ImportError`` ("cannot import name …"),
+    which Ray does not catch. Either exception means the same thing —
+    no fsspec HTTP filesystem is available — so wrap the probe to
+    answer False for both. Idempotent."""
+    try:  # pragma: no cover - depends on Ray internals being present
+        import ray.data.datasource.path_util as pu
+    except ImportError:
+        return
+    probe = getattr(pu, "_is_http_filesystem", None)
+    if probe is None or getattr(probe, "_ocr_ray_safe", False):
+        return
+
+    def safe_probe(fs):
+        try:
+            return probe(fs)
+        except ImportError:
+            return False
+
+    safe_probe._ocr_ray_safe = True
+    pu._is_http_filesystem = safe_probe
+
+
 def run_extract_checkpointed(
     input_path: str,
     output_path: str,
@@ -161,6 +191,8 @@ def run_extract_checkpointed(
     ran_results: dict[int, PartitionResult] = {}
     if max_concurrent > 1 and len(todo) > 1:
         from concurrent.futures import ThreadPoolExecutor
+
+        _patch_http_fs_probe_for_threads()
 
         with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
             futures = {

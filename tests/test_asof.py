@@ -59,3 +59,30 @@ def test_asof_semantics(ray_session):
     assert out.loc[60, "click_value"] == 51.0
     # cross-user isolation: user 2's purchase never sees user 1's clicks
     assert out.loc[40][["click_event_id", "click_value"]].isna().all()
+
+
+def test_range_count_1h(ray_session):
+    """Window [ts − 1h, ts] is inclusive at both ends; same-ts clicks
+    count; users are isolated; purchases with no clicks report 0."""
+    import ray.data as rd
+
+    from ocr_ray.ops.asof import purchases_click_count_1h
+
+    rows = [
+        # user 1: clicks at minutes 0, 30, 59 (two of them at 59,
+        # including same-ts as the purchase) → purchase@59 counts 4
+        (1, 0, 1, "click"),
+        (2, 30, 1, "click"),
+        (3, 59, 1, "click"),
+        (4, 59, 1, "click"),
+        (10, 59, 1, "purchase"),
+        # user 2: no clicks at all → 0
+        (20, 10, 2, "purchase"),
+    ]
+    out = (
+        purchases_click_count_1h(rd.from_arrow(_events(rows)))
+        .to_pandas()
+        .set_index("event_id")
+    )
+    assert out.loc[10, "n_clicks_1h"] == 4
+    assert out.loc[20, "n_clicks_1h"] == 0

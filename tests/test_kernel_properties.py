@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import re
 
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from ocr_ray.kernels import (
@@ -52,6 +52,13 @@ def test_kernels_total_no_crash(text):
 @settings(max_examples=100, deadline=None)
 @given(text_strategy)
 def test_idempotent_spelling(text):
+    # The reference's normalizer is single-pass (byte parity is the
+    # spec, pinned by goldens), so a rule whose output can recreate its
+    # own left-hand side is legitimately NOT idempotent: 'ddj' → 'dj'
+    # (leftover 'd' + dj→j output 'j') → 'j' on a second pass. Exclude
+    # exactly that self-recreating shape; idempotency must hold
+    # everywhere else.
+    assume(not re.search(r"[dD]{2,}[jJ]", text))
     once = normalize_text(text)
     assert normalize_text(once) == once
 
