@@ -605,6 +605,54 @@ def q_purchases_click_count_1h(sf_dir: str):
     return purchases_click_count_1h(events)
 
 
+def q_daily_active_users(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import daily_active_users
+
+    _quiet()
+    return daily_active_users(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    )
+
+
+def q_value_percentiles_by_type(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import value_percentiles_by_type
+
+    _quiet()
+    return value_percentiles_by_type(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        )
+    )
+
+
+def q_hll_user_registers(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.sketch import hll_registers
+
+    _quiet()
+    return hll_registers(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]),
+        "user_id",
+    )
+
+
+def q_hll_user_estimate(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.sketch import hll_distinct
+
+    _quiet()
+    return hll_distinct(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]),
+        "user_id",
+    )
+
+
 def q_tumbling_hourly(sf_dir: str):
     from ocr_ray.ops.windows import tumbling_window_counts
 
@@ -725,6 +773,10 @@ QUERIES = {
     "sample_per_lang": q_sample_per_lang,
     "purchases_last_click": q_purchases_last_click,
     "purchases_click_count_1h": q_purchases_click_count_1h,
+    "daily_active_users": q_daily_active_users,
+    "hll_user_registers": q_hll_user_registers,
+    "hll_user_estimate": q_hll_user_estimate,
+    "value_percentiles_by_type": q_value_percentiles_by_type,
     "tumbling_hourly": q_tumbling_hourly,
     "sliding_hourly": q_sliding_hourly,
     "session_stats": q_session_stats,
@@ -1188,6 +1240,37 @@ def oracle_sql() -> dict[str, str]:
             " AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR\n"
             "WHERE p.event_type = 'purchase'\n"
             "GROUP BY p.user_id, p.ts, p.event_id"
+        ),
+        "daily_active_users": (
+            "SELECT date_trunc('day', ts) AS day,"
+            " CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users"
+            " FROM events GROUP BY 1 ORDER BY day"
+        ),
+        "value_percentiles_by_type": (
+            "WITH c AS (SELECT event_type,"
+            " CAST(ROUND(value * 100.0) AS BIGINT) AS cents FROM events),\n"
+            "counts AS (SELECT event_type, cents, COUNT(*) AS cnt"
+            " FROM c GROUP BY 1, 2),\n"
+            "cum AS (\n"
+            " SELECT event_type, cents,\n"
+            "  SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum,\n"
+            "  SUM(cnt) OVER (PARTITION BY event_type) AS total\n"
+            " FROM counts)\n"
+            "SELECT event_type,\n"
+            " CAST(MIN(CASE WHEN cum >= ceil(0.5 * total) THEN cents END)"
+            " AS BIGINT) AS p50_cents,\n"
+            " CAST(MIN(CASE WHEN cum >= ceil(0.9 * total) THEN cents END)"
+            " AS BIGINT) AS p90_cents,\n"
+            " CAST(MIN(CASE WHEN cum >= ceil(0.99 * total) THEN cents END)"
+            " AS BIGINT) AS p99_cents,\n"
+            " CAST(MAX(total) AS BIGINT) AS n_events\n"
+            "FROM cum GROUP BY event_type"
+        ),
+        "hll_user_registers": (
+            "WITH h AS (\n SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hi,\n        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT AS lo\n FROM (SELECT DISTINCT user_id FROM events)\n), parts AS (\n SELECT hi & 255 AS bucket, ((hi >> 8) * 4294967296) + lo AS w FROM h\n), rho AS (\n SELECT bucket, CASE WHEN w = 0 THEN 57 ELSE 57 - length(printf('%b', w)) END AS r FROM parts\n)\nSELECT CAST(bucket AS BIGINT) AS bucket, CAST(MAX(r) AS BIGINT) AS max_rho\nFROM rho GROUP BY bucket"
+        ),
+        "hll_user_estimate": (
+            "WITH h AS (\n SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hi,\n        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT AS lo\n FROM (SELECT DISTINCT user_id FROM events)\n), parts AS (\n SELECT hi & 255 AS bucket, ((hi >> 8) * 4294967296) + lo AS w FROM h\n), rho AS (\n SELECT bucket, CASE WHEN w = 0 THEN 57 ELSE 57 - length(printf('%b', w)) END AS r FROM parts\n), regs AS (\n SELECT bucket, MAX(r) AS max_rho FROM rho GROUP BY bucket\n), s AS (\n SELECT SUM((1::HUGEINT << (57 - max_rho))) + (256 - COUNT(*)) * (1::HUGEINT << 57) AS s_int,\n  256 - COUNT(*) AS zeros, COUNT(*) AS n_regs FROM regs\n), e AS (\n SELECT 6.783892839851034e+21 / CAST(s_int AS DOUBLE) AS raw, zeros, n_regs FROM s\n)\nSELECT ROUND(CASE WHEN raw <= 640.0 AND zeros > 0 THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 2) AS hll_estimate,\n CAST(n_regs AS BIGINT) AS n_registers FROM e"
         ),
         "winnowing_fingerprints": _winnowing_sql(),
         "ngram_jaccard_pairs": (

@@ -1,0 +1,93 @@
+"""HyperLogLog distinct-count sketch, built to be SQL-reproducible.
+
+Standard HLL (Flajolet et al.) with md5-derived hashes so a DuckDB
+oracle rebuilds the EXACT same registers: per key, ``bucket`` = low 8
+bits of the first md5 half, ``w`` = the remaining 56 bits, ``rho`` =
+position of the leftmost 1-bit of ``w`` (57 when zero). The register
+table (bucket, max_rho) is integer-exact — the oracle checks it
+bit-for-bit, which is a far stronger gate than comparing a single
+floating estimate. The estimate itself avoids float-accumulation-order
+sensitivity by summing ``2^(57 − rho)`` as exact integers and doing ONE
+double division at the end.
+
+Distributed shape: map-side partial registers per batch (at most
+``m`` = 256 rows leave each batch regardless of input size) →
+groupby-max → 256 rows total. The canonical sketch pattern: constant
+shuffle volume at any corpus size, registers mergeable across shards.
+"""
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow as pa
+
+M = 256  # registers (2^8)
+_ALPHA = 0.7213 / (1.0 + 1.079 / M)
+_MAX_RHO = 57  # 56-bit w → rho in [1, 57]
+
+
+def _hash_parts(key: str) -> tuple[int, int]:
+    d = hashlib.md5(key.encode("utf-8")).hexdigest()
+    hi, lo = int(d[:8], 16), int(d[8:16], 16)
+    bucket = hi & (M - 1)
+    w = ((hi >> 8) << 32) | lo  # 24 + 32 = 56 bits
+    return bucket, w
+
+
+def _rho(w: int) -> int:
+    return _MAX_RHO if w == 0 else _MAX_RHO - w.bit_length()
+
+
+def hll_registers(ds, key_column: str):
+    """Dataset → (bucket int64, max_rho int64), ≤ M rows."""
+    from ray.data.aggregate import Max
+
+    def partials(t: pa.Table) -> pa.Table:
+        regs: dict[int, int] = {}
+        for v in t.column(key_column).to_pylist():
+            bucket, w = _hash_parts(str(v))
+            r = _rho(w)
+            if r > regs.get(bucket, 0):
+                regs[bucket] = r
+        items = sorted(regs.items())
+        return pa.table(
+            {
+                "bucket": pa.array([b for b, _ in items], pa.int64()),
+                "max_rho": pa.array([r for _, r in items], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Max("max_rho", alias_name="max_rho"))
+    )
+
+
+def hll_estimate_from_registers(rows: list[dict]) -> float:
+    """Registers → cardinality estimate. Exact-integer inner sum
+    (Σ 2^(57−rho), absent buckets count as rho=0), one double division,
+    linear-counting small-range correction — formula mirrored verbatim
+    in the SQL oracle."""
+    regs = {int(r["bucket"]) % M: int(r["max_rho"]) for r in rows}
+    s_int = sum(1 << (_MAX_RHO - regs.get(b, 0)) for b in range(M))
+    estimate = _ALPHA * M * M * float(1 << _MAX_RHO) / float(s_int)
+    zeros = M - len([b for b in regs if regs[b] > 0])
+    if estimate <= 2.5 * M and zeros > 0:
+        estimate = M * math.log(M / zeros)
+    return estimate
+
+
+def hll_distinct(ds, key_column: str):
+    """One-row (hll_estimate double ROUND 2, n_registers int64) — the
+    register pull to the driver is ≤ M rows by construction."""
+    rows = hll_registers(ds, key_column).take_all()
+    est = hll_estimate_from_registers(rows)
+    return pa.table(
+        {
+            "hll_estimate": pa.array([round(est, 2)], pa.float64()),
+            "n_registers": pa.array([len(rows)], pa.int64()),
+        }
+    )

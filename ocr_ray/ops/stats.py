@@ -1,0 +1,116 @@
+"""Distributed statistics operators over the events table.
+
+- ``daily_active_users``: exact COUNT(DISTINCT user) per day — map-side
+  (day, user) partial dedup shrinks the shuffle to unique pairs, then
+  one keyed exchange and a per-block unique count.
+- ``value_percentiles_by_type``: p50/p90/p99 of the value distribution
+  per event type at integer-cent resolution, via histogram partials:
+  map-side (type, cents) counts → groupby-sum → per-type cumulative
+  scan. The percentile rule (smallest bucket whose cumulative count
+  reaches ceil(q·n)) is integer-exact, so the DuckDB oracle reproduces
+  it bit-for-bit — unlike interpolating quantile_cont. At 100 TB the
+  shuffle carries only (type, bucket, count) partials, never values.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def daily_active_users(events):
+    """(day timestamp[us], n_users int64), exact distinct users/day."""
+    from ocr_ray.stages.grouped import grouped_map
+
+    def day_user_partials(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us"))
+        pairs = pa.table({"day": day, "user_id": t["user_id"].cast(pa.int64())})
+        # map-side dedup: unique pairs only through the shuffle
+        return pairs.group_by(["day", "user_id"]).aggregate([])
+
+    pairs = events.map_batches(day_user_partials, batch_format="pyarrow")
+
+    def count_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        out_schema = pa.schema(
+            [("day", pa.timestamp("us")), ("n_users", pa.int64())]
+        )
+        n = block.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        ends = np.append(starts[1:], n)
+        days = block.column("day")
+        users = block.column("user_id").to_numpy(zero_copy_only=False)
+        out_day, out_n = [], []
+        for s, e in zip(starts, ends):
+            out_day.append(days[s].as_py())
+            out_n.append(len(np.unique(users[s:e])))
+        return pa.table(
+            {
+                "day": pa.array(out_day, pa.timestamp("us")),
+                "n_users": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return grouped_map(pairs, ["day"], count_block).sort("day")
+
+
+_QUANTILES = (("p50_cents", 0.5), ("p90_cents", 0.9), ("p99_cents", 0.99))
+
+
+def value_percentiles_by_type(events):
+    """(event_type, p50_cents, p90_cents, p99_cents, n_events)."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    def bucket_partials(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(t["value"], 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        tbl = pa.table({"event_type": t["event_type"], "cents": cents})
+        counted = tbl.group_by(["event_type", "cents"]).aggregate(
+            [("cents", "count")]
+        )
+        return counted.rename_columns(["event_type", "cents", "partial"])
+
+    counted = (
+        events.map_batches(bucket_partials, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("partial", alias_name="cnt"))
+    )
+
+    def finish_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        out_schema = pa.schema(
+            [("event_type", pa.string())]
+            + [(name, pa.int64()) for name, _ in _QUANTILES]
+            + [("n_events", pa.int64())]
+        )
+        n = block.num_rows
+        if n == 0 or block.num_columns == 0:
+            return out_schema.empty_table()
+        ends = np.append(starts[1:], n)
+        types = block.column("event_type").to_pylist()
+        cents = block.column("cents").to_numpy(zero_copy_only=False)
+        cnts = block.column("cnt").to_numpy(zero_copy_only=False)
+        cols: dict[str, list] = {f.name: [] for f in out_schema}
+        for s, e in zip(starts, ends):
+            order = np.argsort(cents[s:e]) + s
+            cum = np.cumsum(cnts[order])
+            total = int(cum[-1])
+            cols["event_type"].append(types[s])
+            for name, q in _QUANTILES:
+                rank = math.ceil(q * total)
+                idx = int(np.searchsorted(cum, rank, side="left"))
+                cols[name].append(int(cents[order][idx]))
+            cols["n_events"].append(total)
+        return pa.table(
+            {f.name: pa.array(cols[f.name], f.type) for f in out_schema}
+        )
+
+    return grouped_map(counted, ["event_type"], finish_block)

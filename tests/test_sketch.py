@@ -1,0 +1,59 @@
+"""HyperLogLog sketch: register exactness vs a serial reference,
+estimate accuracy, merge-across-shards associativity."""
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+
+from ocr_ray.ops.sketch import (
+    M,
+    _hash_parts,
+    _rho,
+    hll_distinct,
+    hll_estimate_from_registers,
+    hll_registers,
+)
+
+
+def _serial_registers(keys):
+    regs: dict[int, int] = {}
+    for k in keys:
+        b, w = _hash_parts(str(k))
+        regs[b] = max(regs.get(b, 0), _rho(w))
+    return regs
+
+
+def test_registers_match_serial_reference(ray_session):
+    keys = list(range(5000))
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys, pa.int64())}))
+    got = {
+        int(r["bucket"]): int(r["max_rho"])
+        for r in hll_registers(ds, "k").take_all()
+    }
+    assert got == _serial_registers(keys)
+
+
+def test_estimate_accuracy_and_block_independence(ray_session):
+    n = 20_000
+    tbl = pa.table({"k": pa.array(range(n), pa.int64())})
+    est = hll_distinct(rd.from_arrow(tbl), "k").column("hll_estimate")[0].as_py()
+    # 256 registers → ~6.5% standard error; allow 3 sigma
+    assert abs(est - n) / n < 0.20
+    # duplicates never change a sketch
+    dup = pa.concat_tables([tbl, tbl])
+    est_dup = (
+        hll_distinct(rd.from_arrow(dup), "k").column("hll_estimate")[0].as_py()
+    )
+    assert est_dup == est
+
+
+def test_register_merge_is_shard_order_independent():
+    a = _serial_registers(range(0, 3000))
+    b = _serial_registers(range(2000, 6000))
+    merged = {
+        k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)
+    }
+    assert merged == _serial_registers(range(0, 6000))
+    rows = [{"bucket": k, "max_rho": v} for k, v in merged.items()]
+    est = hll_estimate_from_registers(rows)
+    assert abs(est - 6000) / 6000 < 0.20
