@@ -28,10 +28,15 @@ BENCH_QUERIES = [
     "language_id",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_minhash_verified",
     "dedup_simhash",
     "ann_brute_topk",
     "events_per_day",
     "doc_stats_by_lang",
+    "tfidf_top_terms",
+    "purchases_last_click",
+    "daily_active_users",
+    "hll_user_estimate",
 ]
 
 

@@ -922,6 +922,64 @@ def _winnowing_sql(k: int = 7, window: int = 8) -> str:
     )
 
 
+def _minhash_est_sql(num_perm: int = 64, bands: int = 16,
+                     threshold: float = 0.5) -> str:
+    """The MinHash-LSH estimate pipeline rebuilt in pure SQL: exact
+    signatures via md5 shingle hashes + 32-bit-limb modular
+    multiply-shift in HUGEINT (verified bit-for-bit against the numpy
+    kernel), banding by direct tuple equality (list aggregate ordered by
+    perm — no band hash needed in SQL), estimate = matching perms / 64
+    (an exact dyadic rational on both sides). Caveat shared with the Ray
+    side: docs with zero shingles (no word tokens) have the
+    all-max-uint64 signature; neither side emits them here because the
+    testdata has none — the verified-pairs query is the general gate."""
+    from ocr_ray.ops.dedup import _minhash_params
+
+    a_arr, b_arr = _minhash_params(num_perm)
+    rows_per_band = num_perm // bands
+    params_rows = ", ".join(
+        f"({p}, {int(a_arr[p])}::HUGEINT, {int(b_arr[p])}::HUGEINT)"
+        for p in range(num_perm)
+    )
+    return (
+        "WITH " + _SHINGLES_BODY + ",\n"
+        "hsh AS (\n"
+        " SELECT doc_id,\n"
+        "  CAST(('0x' || substr(md5(shingle), 1, 8))::BIGINT AS HUGEINT) AS hhi,\n"
+        "  CAST(('0x' || substr(md5(shingle), 9, 8))::BIGINT AS HUGEINT) AS hlo\n"
+        " FROM sh\n"
+        f"), params(perm, pa, pb) AS (VALUES {params_rows}),\n"
+        "v AS (\n"
+        " SELECT doc_id, perm,\n"
+        "  ((((pa // 4294967296) * hlo + (pa % 4294967296) * hhi)"
+        " % 4294967296) * 4294967296\n"
+        "    + (pa % 4294967296) * hlo + pb)"
+        " % 18446744073709551616::HUGEINT AS val\n"
+        " FROM hsh CROSS JOIN params\n"
+        "), sig AS (\n"
+        " SELECT doc_id, perm, MIN(val) AS mv FROM v GROUP BY doc_id, perm\n"
+        "), band_sigs AS (\n"
+        f" SELECT doc_id, perm // {rows_per_band} AS band,"
+        " list(mv ORDER BY perm) AS bvals\n"
+        f" FROM sig GROUP BY doc_id, perm // {rows_per_band}\n"
+        "), cand AS (\n"
+        " SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+        " FROM band_sigs a JOIN band_sigs b\n"
+        "  ON a.band = b.band AND a.bvals = b.bvals AND a.doc_id < b.doc_id\n"
+        "), est AS (\n"
+        " SELECT c.doc_a, c.doc_b,\n"
+        f"  SUM(CASE WHEN sa.mv = sb.mv THEN 1 ELSE 0 END) / {num_perm}.0"
+        " AS est_jaccard\n"
+        " FROM cand c\n"
+        " JOIN sig sa ON sa.doc_id = c.doc_a\n"
+        " JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm\n"
+        " GROUP BY c.doc_a, c.doc_b\n"
+        ")\n"
+        "SELECT doc_a, doc_b, est_jaccard FROM est"
+        f" WHERE est_jaccard >= {threshold}"
+    )
+
+
 def _simhash_sql(max_hamming: int = 3) -> str:
     """md5-based 64-bit SimHash rebuilt in pure SQL: per-token 32-bit
     halves from the md5 hex digest, 64 SUM(CASE) sign aggregates, pair
@@ -1272,6 +1330,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_user_estimate": (
             "WITH h AS (\n SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hi,\n        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT AS lo\n FROM (SELECT DISTINCT user_id FROM events)\n), parts AS (\n SELECT hi & 255 AS bucket, ((hi >> 8) * 4294967296) + lo AS w FROM h\n), rho AS (\n SELECT bucket, CASE WHEN w = 0 THEN 57 ELSE 57 - length(printf('%b', w)) END AS r FROM parts\n), regs AS (\n SELECT bucket, MAX(r) AS max_rho FROM rho GROUP BY bucket\n), s AS (\n SELECT SUM((1::HUGEINT << (57 - max_rho))) + (256 - COUNT(*)) * (1::HUGEINT << 57) AS s_int,\n  256 - COUNT(*) AS zeros, COUNT(*) AS n_regs FROM regs\n), e AS (\n SELECT 6.783892839851034e+21 / CAST(s_int AS DOUBLE) AS raw, zeros, n_regs FROM s\n)\nSELECT ROUND(CASE WHEN raw <= 640.0 AND zeros > 0 THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 2) AS hll_estimate,\n CAST(n_regs AS BIGINT) AS n_registers FROM e"
         ),
+        "dedup_minhash": _minhash_est_sql(),
         "winnowing_fingerprints": _winnowing_sql(),
         "ngram_jaccard_pairs": (
             "WITH " + _SHINGLES_BODY + ",\n"

@@ -106,11 +106,13 @@ def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarr
 def minhash_signature(shingles: set[str], a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """num_perm uint64 min-hashes via multiply-shift hashing
     ``(a·h + b) mod 2^64`` (odd a; natural uint64 wraparound) — fully
-    vectorized (num_perm × n_shingles), no bignum arithmetic."""
+    vectorized (num_perm × n_shingles), no bignum arithmetic. Shingle
+    hashes are md5-derived so a DuckDB oracle can rebuild the exact
+    signatures (32-bit-limb modular multiply in HUGEINT)."""
     if not shingles:
         return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
     h = np.fromiter(
-        (_stable_hash64(s) for s in shingles), dtype=np.uint64, count=len(shingles)
+        (_md5_hash64(s) for s in shingles), dtype=np.uint64, count=len(shingles)
     )
     with np.errstate(over="ignore"):
         prod = a[:, None] * h[None, :] + b[:, None]
