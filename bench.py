@@ -85,22 +85,6 @@ def run_once() -> dict:
     _consume(extract_documents(oio.read_interleaved(interleaved), ExtractConfig()))
     extract_sec = time.perf_counter() - t0
 
-    cold_sec = None
-    if os.environ.get("OCR_BENCH_SCALING"):
-        # scaling legs measure SUSTAINED throughput: the first run pays
-        # one-time session warmup (worker prestart, code distribution,
-        # object-store init — ~6 s regardless of leg size) which taxes
-        # the fast leg proportionally more and distorts the ratio; a
-        # production job amortizes it to nothing. Run the identical
-        # pipeline again and report the second wall; the cold number is
-        # carried alongside, not hidden.
-        cold_sec = extract_sec
-        t0 = time.perf_counter()
-        _consume(
-            extract_documents(oio.read_interleaved(interleaved), ExtractConfig())
-        )
-        extract_sec = time.perf_counter() - t0
-
     queries = {}
     if not os.environ.get("OCR_BENCH_SCALING"):
         for name in BENCH_QUERIES:
@@ -121,8 +105,6 @@ def run_once() -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
     }
-    if cold_sec is not None:
-        result["cold_docs_per_sec"] = round(n_docs / cold_sec, 3)
     if not os.environ.get("OCR_BENCH_SCALING") and not os.environ.get(
         "OCR_BENCH_SKIP_SCALING"
     ):
@@ -138,12 +120,20 @@ def run_once() -> dict:
 
 
 def measure_scaling(rounds: int = 3, docs: int | None = None) -> dict:
-    """North-rule evidence: the same job at N and 4N parallelism in
-    fresh processes (taskset-pinned OS CPU sets), a FIXED number of
-    interleaved rounds — no early exit, so the acceptance target cannot
-    shape the sampling (ADVICE r01) — reporting the per-round
-    efficiencies, their MEDIAN (the headline number) and the
-    best-of-legs figure for comparability with round 1."""
+    """North-rule evidence: the same job at N and 4N parallelism, a
+    FIXED number of interleaved rounds — no early exit, so the
+    acceptance target cannot shape the sampling (ADVICE r01) — with
+    per-round efficiencies, their MEDIAN (headline) and best-of-legs.
+
+    Each leg measures MARGINAL throughput by the two-point method: two
+    FRESH processes (taskset-pinned, nice'd) run the identical pipeline
+    over a small and a large corpus, and the rate is
+    Δdocs / Δwall. The one-time session warmup (~6-8 s of worker
+    prestart / code distribution / object-store init, independent of
+    corpus size) cancels exactly in the subtraction instead of taxing
+    the fast leg proportionally more; both points are cold, so there is
+    no in-session warm-run artifact either. Raw single-run throughputs
+    are reported alongside."""
     import statistics
 
     # N and 4N parallelism. Default 4→16 rather than 8→32: this VM's
@@ -154,12 +144,13 @@ def measure_scaling(rounds: int = 3, docs: int | None = None) -> dict:
     lo_cpus = int(os.environ.get("OCR_BENCH_LO", "4"))
     hi_cpus = int(os.environ.get("OCR_BENCH_HI", "16"))
     docs = docs or int(os.environ.get("OCR_BENCH_DOCS", "40000"))
+    docs_small = max(1000, docs // 8)
 
-    def run_leg(ncpu: int) -> dict:
+    def run_point(ncpu: int, ndocs: int) -> float:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            OCR_BENCH_DOCS=str(docs),
+            OCR_BENCH_DOCS=str(ndocs),
             OCR_BENCH_SCALING="1",
         )
         # pin the OS CPU set to the simulated cluster size: Ray's num_cpus
@@ -176,11 +167,21 @@ def measure_scaling(rounds: int = 3, docs: int | None = None) -> dict:
         out = subprocess.run(
             cmd, env=env, capture_output=True, text=True, check=True
         ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        return float(json.loads(out.strip().splitlines()[-1])["value"])
+
+    def run_leg(ncpu: int) -> dict:
+        w_small = run_point(ncpu, docs_small)
+        w_big = run_point(ncpu, docs)
+        marginal = (docs - docs_small) / max(w_big - w_small, 1e-6)
+        return {
+            "marginal": round(marginal, 3),
+            "raw": round(docs / w_big, 3),
+            "walls": [round(w_small, 3), round(w_big, 3)],
+        }
 
     ratio = hi_cpus / lo_cpus
     lo_tputs, hi_tputs, round_effs = [], [], []
-    cold_lo, cold_hi = [], []
+    raw_lo, raw_hi = [], []
     for r in range(rounds):
         # alternate leg order per round: ambient co-tenant load drifts
         # over the minutes a measurement takes, and a fixed order folds
@@ -191,24 +192,25 @@ def measure_scaling(rounds: int = 3, docs: int | None = None) -> dict:
         else:
             hi_leg = run_leg(hi_cpus)
             lo_leg = run_leg(lo_cpus)
-        lo, hi = lo_leg["docs_per_sec"], hi_leg["docs_per_sec"]
-        lo_tputs.append(lo)
-        hi_tputs.append(hi)
-        cold_lo.append(lo_leg.get("cold_docs_per_sec"))
-        cold_hi.append(hi_leg.get("cold_docs_per_sec"))
-        round_effs.append(round((hi / lo) / ratio, 3))
+        lo_tputs.append(lo_leg["marginal"])
+        hi_tputs.append(hi_leg["marginal"])
+        raw_lo.append(lo_leg["raw"])
+        raw_hi.append(hi_leg["raw"])
+        round_effs.append(
+            round((hi_leg["marginal"] / lo_leg["marginal"]) / ratio, 3)
+        )
     best_eff = round((max(hi_tputs) / max(lo_tputs)) / ratio, 3)
     return {
         "lo_cpus": lo_cpus,
         "hi_cpus": hi_cpus,
         "n_docs": docs,
+        "n_docs_small": docs_small,
         "rounds": rounds,
-        # sustained (2nd back-to-back in-session run; one-time session
-        # warmup excluded — see run_once) and the cold first-run numbers
+        # marginal (two-point Δdocs/Δwall) and raw single-run rates
         "docs_per_sec_lo": lo_tputs,
         "docs_per_sec_hi": hi_tputs,
-        "cold_docs_per_sec_lo": cold_lo,
-        "cold_docs_per_sec_hi": cold_hi,
+        "raw_docs_per_sec_lo": raw_lo,
+        "raw_docs_per_sec_hi": raw_hi,
         "round_efficiencies": round_effs,
         "median_efficiency": round(statistics.median(round_effs), 3),
         "best_efficiency": best_eff,
