@@ -320,6 +320,14 @@ def minhash_verified_pairs(docs, threshold: float = 0.5, num_perm: int = 64,
 
     def verify(t: pa.Table) -> pa.Table:
         out_a, out_b, out_j = [], [], []
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
         for doc_a, doc_b, ta, tb in zip(
             t.column("doc_a").to_pylist(),
             t.column("doc_b").to_pylist(),
