@@ -314,6 +314,12 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     )
 
 
+def q_frequent_shingles(sf_dir: str):
+    from ocr_ray.ops.dedup import frequent_shingles
+
+    return frequent_shingles(_docs(sf_dir), min_df=2, k=50)
+
+
 def q_orders_value_by_nation(sf_dir: str):
     """Broadcast hash join (shuffle-free): orders ⋈ customer ⋈ nation,
     grouped order counts + integer-cents totals per nation."""
@@ -788,6 +794,7 @@ QUERIES = {
     "dedup_minhash_drop_list": q_dedup_minhash_drop_list,
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "frequent_shingles": q_frequent_shingles,
     "ann_brute_topk": q_ann_brute_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_cosine_dedup": q_embedding_cosine_dedup,
@@ -1331,6 +1338,17 @@ def oracle_sql() -> dict[str, str]:
             "WITH h AS (\n SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hi,\n        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT AS lo\n FROM (SELECT DISTINCT user_id FROM events)\n), parts AS (\n SELECT hi & 255 AS bucket, ((hi >> 8) * 4294967296) + lo AS w FROM h\n), rho AS (\n SELECT bucket, CASE WHEN w = 0 THEN 57 ELSE 57 - length(printf('%b', w)) END AS r FROM parts\n), regs AS (\n SELECT bucket, MAX(r) AS max_rho FROM rho GROUP BY bucket\n), s AS (\n SELECT SUM((1::HUGEINT << (57 - max_rho))) + (256 - COUNT(*)) * (1::HUGEINT << 57) AS s_int,\n  256 - COUNT(*) AS zeros, COUNT(*) AS n_regs FROM regs\n), e AS (\n SELECT 6.783892839851034e+21 / CAST(s_int AS DOUBLE) AS raw, zeros, n_regs FROM s\n)\nSELECT ROUND(CASE WHEN raw <= 640.0 AND zeros > 0 THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 2) AS hll_estimate,\n CAST(n_regs AS BIGINT) AS n_registers FROM e"
         ),
         "dedup_minhash": _minhash_est_sql(),
+        "frequent_shingles": (
+            "WITH " + _SHINGLES_BODY + ",\n"
+            "df AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df"
+            " FROM sh GROUP BY shingle),\n"
+            "ranked AS (\n"
+            " SELECT shingle, df,"
+            " ROW_NUMBER() OVER (ORDER BY df DESC, shingle ASC) AS rank\n"
+            " FROM df WHERE df >= 2)\n"
+            "SELECT shingle, df, CAST(rank AS BIGINT) AS rank"
+            " FROM ranked WHERE rank <= 50"
+        ),
         "winnowing_fingerprints": _winnowing_sql(),
         "ngram_jaccard_pairs": (
             "WITH " + _SHINGLES_BODY + ",\n"

@@ -637,6 +637,48 @@ def dedup_exact_drop_list(docs):
     return grouped_map(hashed, ["fingerprint"], drop_non_min)
 
 
+def frequent_shingles(docs, min_df: int = 2, k: int = 50, shingle_n: int = 3):
+    """Boilerplate phrase mining (the C4-style repeated-span detector):
+    the k word n-grams appearing in the most DISTINCT documents
+    (df ≥ min_df), rank by (df DESC, shingle ASC). The global sort runs
+    only on the df-filtered vocabulary — the ``min_df`` threshold is the
+    scale lever that keeps the top-k sort input tiny. Output
+    (shingle, df, rank)."""
+    from ray.data.aggregate import Count
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids, out = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for s in word_shingles(text, shingle_n):
+                ids.append(doc_id)
+                out.append(s)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "shingle": pa.array(out, pa.string()),
+            }
+        )
+
+    counted = (
+        docs.map_batches(shingle_rows, batch_format="pyarrow")
+        .groupby("shingle")
+        .aggregate(Count(alias_name="df"))
+        .filter(expr=f"df >= {min_df}")
+        .sort(["df", "shingle"], descending=[True, False])
+        .limit(k)
+    )
+    rows = counted.take_all()  # ≤ k rows by construction
+    return pa.table(
+        {
+            "shingle": pa.array([r["shingle"] for r in rows], pa.string()),
+            "df": pa.array([int(r["df"]) for r in rows], pa.int64()),
+            "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
+        }
+    )
+
+
 # ------------------------------------------- exact n-gram Jaccard pairs
 
 

@@ -383,3 +383,24 @@ def test_multimodal_stages(ray_session):
 
     with pytest.raises(NotImplementedError):
         mm.DecodeMedia(real_codecs=True)
+
+
+def test_frequent_shingles_boilerplate(ray_session):
+    from ocr_ray.ops.dedup import frequent_shingles
+
+    boiler = "all rights reserved contact us for details"
+    texts = [f"unique document number {i} says something " + boiler for i in range(6)]
+    texts.append("completely unrelated text with no repeats whatsoever here")
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    out = frequent_shingles(_ray_ds(tbl), min_df=2, k=10).to_pandas()
+    assert len(out) == 10
+    assert list(out["rank"]) == list(range(1, 11))
+    # every returned shingle is from the boilerplate span (df == 6);
+    # the unique spans never reach min_df
+    assert (out["df"] == 6).all()
+    assert all("rights" in s or "reserved" in s or "contact" in s
+               or "details" in s or "us" in s or "for" in s
+               for s in out["shingle"])
