@@ -412,3 +412,32 @@ def test_frequent_shingles_boilerplate(ray_session):
     assert list(out["rank"]) == list(range(1, len(expected) + 1))
     # the boilerplate span is shared by all 6 templated docs
     assert (out["df"] == 6).all()
+
+
+def test_identical_corpus_cluster_dedup(ray_session):
+    """Adversarial single-cluster corpus: 60 byte-identical docs land in
+    ONE bucket in every band; the full pipeline (candidates → exact
+    verify → components → drop list) must keep exactly the min doc_id,
+    agreeing with exact dedup."""
+    from ocr_ray.ops.dedup import (
+        dedup_exact_drop_list,
+        dedup_minhash_components,
+        dedup_minhash_drop_list,
+    )
+
+    text = "dokumen yang persis sama berulang kali dalam korpus ini " * 3
+    tbl = pa.table(
+        {"doc_id": pa.array(range(60), pa.int64()),
+         "text": pa.array([text] * 60, pa.string())}
+    )
+    comp = dedup_minhash_components(_ray_ds(tbl), threshold=0.5).to_pandas()
+    assert set(comp["component"]) == {0}
+    assert set(comp["doc_id"]) == set(range(60))
+
+    drop = set(
+        dedup_minhash_drop_list(_ray_ds(tbl), threshold=0.5).to_pandas()["doc_id"]
+    )
+    exact_drop = set(
+        dedup_exact_drop_list(_ray_ds(tbl)).to_pandas()["doc_id"]
+    )
+    assert drop == exact_drop == set(range(1, 60))
