@@ -38,6 +38,12 @@ def set_runtime_extra_words(words) -> int:
         fuzzy._kamus_char_index.cache_clear()
     except ImportError:  # pragma: no cover
         pass
+    try:
+        from ocr_ray.kernels import dictionary
+
+        dictionary.correct_word.cache_clear()
+    except ImportError:  # pragma: no cover
+        pass
     return len(_EXTRA_WORDS)
 
 

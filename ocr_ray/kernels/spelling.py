@@ -37,7 +37,10 @@ def _replace_preserve_case(text: str, pattern: re.Pattern, replacement: str) -> 
     return pattern.sub(repl, text)
 
 
+@functools.lru_cache(maxsize=1 << 17)
 def normalize_word(word: str) -> str:
+    # memoized per token: depends only on the STATIC spelling tables
+    # (kata_asing / j_ke_y / rules), never on the run dictionary
     if word.lower() in data.kata_asing():
         return word
 
