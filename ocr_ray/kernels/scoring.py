@@ -8,7 +8,7 @@ confidence defaulting to 75 when absent and 0-1 inputs scaled to 0-100
 """
 from __future__ import annotations
 
-from dataclasses import asdict, dataclass
+from dataclasses import dataclass
 from typing import Optional, Sequence
 
 from ocr_ray import data
@@ -31,7 +31,9 @@ class QualityScore:
     corrected_words: int
 
     def as_dict(self) -> dict:
-        return asdict(self)
+        # flat dataclass: a __dict__ copy avoids dataclasses.asdict's
+        # recursive deep-copy machinery (hot path: once per span)
+        return dict(self.__dict__)
 
 
 def quality_label(score: int) -> str:
