@@ -110,11 +110,11 @@ def run_once() -> dict:
     ):
         # embed the north-rule scaling record in the artifact the driver
         # captures (smaller corpus / fewer rounds than --scaling to keep
-        # the per-round bench under ~6 minutes; each leg runs the
-        # pipeline twice for the sustained number)
+        # the per-round bench under ~6 minutes; each leg is the same
+        # two-point marginal measurement as --scaling)
         result["scaling"] = measure_scaling(
             rounds=int(os.environ.get("OCR_BENCH_SCALING_ROUNDS", "2")),
-            docs=int(os.environ.get("OCR_BENCH_SCALING_DOCS", "16000")),
+            docs=int(os.environ.get("OCR_BENCH_SCALING_DOCS", "24000")),
         )
     return result
 
@@ -143,7 +143,10 @@ def measure_scaling(rounds: int = 3, docs: int | None = None) -> dict:
     # node scaling doesn't have. Override with OCR_BENCH_LO/HI.
     lo_cpus = int(os.environ.get("OCR_BENCH_LO", "4"))
     hi_cpus = int(os.environ.get("OCR_BENCH_HI", "16"))
-    docs = docs or int(os.environ.get("OCR_BENCH_DOCS", "40000"))
+    # 80k docs: large enough that the shuffle-finalize/pipeline-ramp
+    # tails (which the two-point subtraction does NOT cancel — they
+    # scale weakly with data) stay a small fraction of the fast leg
+    docs = docs or int(os.environ.get("OCR_BENCH_DOCS", "80000"))
     docs_small = max(1000, docs // 8)
 
     def run_point(ncpu: int, ndocs: int) -> float:
