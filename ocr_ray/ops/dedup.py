@@ -213,18 +213,26 @@ def minhash_signatures(docs, num_perm: int = 64, shingle_n: int = 3):
 
 
 def minhash_candidates(sigs, num_perm: int = 64, bands: int = 16,
-                       max_bucket: int = 64):
+                       max_bucket: int = 1024):
     """Candidate pairs (doc_a < doc_b) from banded LSH over a signature
     table. A pair colliding in several bands appears once per band —
     downstream consumers dedupe (``attach_pair_payloads(dedupe=True)``
-    does it for free in the small regime, saving a hash exchange)."""
+    does it for free in the small regime, saving a hash exchange).
+    Buckets larger than ``max_bucket`` pair all-to-all up to the cap and
+    rep-pair the overflow (see ``_bucket_pairs_block``)."""
+    import functools
+
     from ocr_ray.stages.grouped import grouped_map
 
     assert num_perm % bands == 0
     band_rows = sigs.map_batches(
         _band_rows_factory(num_perm, bands), batch_format="pyarrow"
     )
-    return grouped_map(band_rows, ["band", "band_hash"], _bucket_pairs_block)
+    return grouped_map(
+        band_rows,
+        ["band", "band_hash"],
+        functools.partial(_bucket_pairs_block, max_bucket=max_bucket),
+    )
 
 
 def _renamed(ds, mapping: dict[str, str]):
@@ -418,6 +426,7 @@ def connected_components(pairs, col_a: str = "doc_a", col_b: str = "doc_b",
 
         return apply
 
+    converged = False
     for _ in range(max_iters):
         m1 = adaptive_key_join(
             edges, _renamed(labels, {"node": "src"}), on="src"
@@ -438,8 +447,22 @@ def connected_components(pairs, col_a: str = "doc_a", col_b: str = "doc_b",
         # convergence witness computable without collecting rows
         new_sum = labels.sum("label")
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # a component shaped like a chain longer than max_iters hops
+        # (possible via rep-paired overflow buckets) would otherwise be
+        # silently split into several components — keepers of the split
+        # pieces survive dedup that should have removed them
+        import logging
+
+        logging.getLogger("ocr_ray.dedup").warning(
+            "connected_components: label propagation did NOT converge "
+            "within max_iters=%d (label sum still changing); components "
+            "with diameter > %d are split — rerun with a larger max_iters",
+            max_iters, max_iters,
+        )
     return labels
 
 

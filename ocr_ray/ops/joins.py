@@ -37,6 +37,13 @@ class _BroadcastJoiner:
         )
 
 
+def _rename_col(ds, old: str, new: str):
+    def apply(t: pa.Table) -> pa.Table:
+        return t.rename_columns([new if c == old else c for c in t.column_names])
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
 def broadcast_join(big, small: pa.Table, keys, join_type: str = "inner",
                    concurrency=(1, 8)):
     """Join a Dataset against a small in-memory Arrow table, shuffle-free.
@@ -98,10 +105,15 @@ def adaptive_key_join(left, right, on: str, *, right_on: str | None = None,
 
     - left ≤ ``small_threshold``: broadcast path — collect left's key set,
       semi-filter ``right`` down to matching rows (a broadcast ``is_in``
-      mask, no shuffle), pull that bounded remainder to the driver once
-      and broadcast-join it onto ``left``. Driver materialization is
-      bounded by the number of distinct left keys, which is below the
-      threshold by construction.
+      mask, no shuffle), pull that remainder to the driver once and
+      broadcast-join it onto ``left``. The collection is row-capped: a
+      right side with many rows per key (non-unique join key) could
+      otherwise blow driver memory while left stays under the threshold,
+      so past ``4 × small_threshold`` collected rows the join flips to
+      the INVERSE broadcast — left itself (≤ ``small_threshold`` rows by
+      construction) is collected and joined onto the still-distributed
+      filtered right. Either way driver materialization is bounded by
+      ``4 × small_threshold`` rows.
     - otherwise: Ray's native hash-partitioned ``Dataset.join``. (The
       native join crashes on partitions that receive zero blocks —
       "No match for key field" from a schema-less empty table — which is
@@ -135,13 +147,26 @@ def adaptive_key_join(left, right, on: str, *, right_on: str | None = None,
     keys = pa.concat_tables(
         [pa.table({on: b[on]}) for b in left.iter_batches(batch_format="pyarrow")]
     )[on].combine_chunks()
-    matched = [
-        b
-        for b in semi_join_filter(right, right_key, keys).iter_batches(
-            batch_format="pyarrow"
-        )
-        if b.num_rows
-    ]
+    filtered = semi_join_filter(right, right_key, keys)
+    collect_cap = 4 * small_threshold
+    matched, n_matched = [], 0
+    for b in filtered.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            matched.append(b)
+            n_matched += b.num_rows
+        if n_matched > collect_cap:
+            # fat right side (non-unique key): broadcast LEFT instead —
+            # bounded at small_threshold rows by construction — onto the
+            # distributed filtered right; inner join is symmetric so the
+            # row multiset is identical, only which side streams differs
+            left_tbl = pa.concat_tables(
+                list(left.iter_batches(batch_format="pyarrow"))
+            )
+            if right_key != on:
+                filtered = _rename_col(filtered, right_key, on)
+            return broadcast_join(
+                filtered, left_tbl.combine_chunks(), keys=[on]
+            )
     small = pa.concat_tables(matched) if matched else rs.empty_table()
     if right_key != on:
         small = small.rename_columns(

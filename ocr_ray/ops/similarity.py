@@ -153,7 +153,17 @@ def stratified_sample(embeddings, sample_size: int) -> pa.Table:
 
     sampled = embeddings.map_batches(keep, batch_format="pyarrow")
     rows = sampled.limit(4 * sample_size).take_all()
-    tbl = pa.Table.from_pylist(rows)
+    if not rows:
+        raise ValueError(
+            "stratified_sample: no rows sampled — the embeddings table "
+            "is empty (a schema-less table here would otherwise surface "
+            "as a confusing KeyError in _batch_matrix/sort_by)"
+        )
+    es = embeddings.schema(fetch_if_missing=True)
+    schema = pa.schema(
+        list(zip(es.names, es.types)) + [("_h", pa.int64())]
+    )
+    tbl = pa.Table.from_pylist(rows, schema=schema)
     # trim to sample_size by HASH order (uniform, deterministic) — an id
     # sort here would re-introduce exactly the head bias being avoided
     return tbl.sort_by([("_h", "ascending"), ("vec_id", "ascending")]).slice(

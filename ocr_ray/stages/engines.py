@@ -150,7 +150,16 @@ class TesseractEngine:
         else:
             image_path = media_ref  # already a local file path
         run = self._runner or self._subprocess_runner
-        _, out = run(self.build_command(image_path), 120)
+        try:
+            rc, out = run(self.build_command(image_path), 120)
+        except Exception as exc:  # noqa: BLE001 - mirror reference wrap
+            # reference ocr_service.py:403-407 wraps every failure
+            # (timeout included) so the caller routes it as ERR_ENGINE
+            raise Exception(f"Tesseract error: {exc}") from exc
+        if rc != 0:
+            # a failing run must not masquerade as a successful empty
+            # page with default confidences
+            raise Exception(f"Tesseract error: exit code {rc}")
         text = out.strip() if out else ""
         confidences: list[float] = []
         try:

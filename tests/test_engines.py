@@ -137,3 +137,49 @@ def test_real_engine_fetch_seam_and_tsv_failure_fallback():
     assert calls == ["s3://bucket/page-7"]
     assert text == "teks hasil"
     assert confs == [0.75]
+
+
+def test_real_engine_nonzero_exit_raises():
+    """A failing tesseract run (nonzero exit) must surface as a wrapped
+    engine error — NOT a successful empty page with default confidences
+    (reference ocr_service.py:403-407 wraps every failure)."""
+    import pytest
+
+    eng = TesseractEngine(runner=lambda cmd, timeout: (1, ""))
+    with pytest.raises(Exception, match="Tesseract error: exit code 1"):
+        eng.read_page("p.png")
+
+
+def test_real_engine_text_pass_exception_wrapped():
+    """Timeouts/exceptions in the TEXT pass propagate wrapped (the TSV
+    pass stays best-effort, tested separately)."""
+    import pytest
+
+    def runner(cmd, timeout):
+        raise TimeoutError("timed out after 120s")
+
+    eng = TesseractEngine(runner=runner)
+    with pytest.raises(Exception, match="Tesseract error: timed out"):
+        eng.read_page("p.png")
+
+
+def test_real_engine_smoke_against_real_binary(tmp_path):
+    """End-to-end against an actual tesseract subprocess when one is on
+    PATH — a codec-enabled deployment validates the seam with zero code
+    changes. Skipped in this sandbox (no binary, no image codecs); the
+    command/TSV contract is covered by the fake-runner tests above."""
+    import shutil
+
+    import pytest
+
+    if shutil.which("tesseract") is None:
+        pytest.skip("tesseract binary not installed")
+    # a 1-bit PBM "image" tesseract can open without extra codecs:
+    # plain-text format, all-white 32x32 canvas → zero or more words,
+    # but the subprocess must exit 0 and produce parseable output
+    img = tmp_path / "blank.pbm"
+    img.write_text("P1\n32 32\n" + ("0 " * 32 + "\n") * 32)
+    eng = TesseractEngine(language="en")
+    text, confs = eng.read_page(str(img))
+    assert isinstance(text, str)
+    assert confs and all(0.0 <= c <= 1.0 for c in confs)

@@ -441,3 +441,90 @@ def test_identical_corpus_cluster_dedup(ray_session):
         dedup_exact_drop_list(_ray_ds(tbl)).to_pandas()["doc_id"]
     )
     assert drop == exact_drop == set(range(1, 60))
+
+
+def test_connected_components_nonconvergence_warns(ray_session, caplog):
+    """A chain longer than max_iters hops cannot converge — the split
+    must be LOUD (ADVICE r02), not a silently wrong drop list."""
+    import logging
+
+    from ocr_ray.ops.dedup import connected_components
+
+    chain = pa.table(
+        {"doc_a": pa.array(range(8), pa.int64()),
+         "doc_b": pa.array(range(1, 9), pa.int64())}
+    )
+    with caplog.at_level(logging.WARNING, logger="ocr_ray.dedup"):
+        connected_components(_ray_ds(chain), max_iters=1).take_all()
+    assert any("did NOT converge" in r.message for r in caplog.records)
+
+    # and with the default budget the same chain converges silently
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="ocr_ray.dedup"):
+        out = {
+            r["node"]: r["label"]
+            for r in connected_components(_ray_ds(chain)).take_all()
+        }
+    assert set(out.values()) == {0}
+    assert not any("did NOT converge" in r.message for r in caplog.records)
+
+
+def test_minhash_candidates_max_bucket_forwarded(ray_session):
+    """ADVICE r02: the max_bucket knob must reach _bucket_pairs_block.
+    4 identical docs, cap 2 → head pair (0,1) + rep-pairs (0,2),(0,3);
+    the full all-pairs set would be 6 pairs."""
+    from ocr_ray.ops.dedup import minhash_candidates, minhash_signatures
+
+    tbl = pa.table(
+        {"doc_id": pa.array(range(4), pa.int64()),
+         "text": pa.array(["sama persis dokumen ini berisi teks"] * 4)}
+    )
+    sigs = minhash_signatures(_ray_ds(tbl))
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidates(sigs, max_bucket=2).take_all()
+    }
+    assert pairs == {(0, 1), (0, 2), (0, 3)}
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidates(sigs).take_all()
+    }
+    assert full == {(a, b) for a in range(4) for b in range(4) if a < b}
+
+
+def test_adaptive_key_join_fat_right_flips_to_inverse_broadcast(ray_session):
+    """ADVICE r02: a non-unique right key must not blow driver memory.
+    With the collect cap exceeded the join flips to broadcasting the
+    (bounded) left; the joined row multiset is identical."""
+    from ocr_ray.ops.joins import adaptive_key_join
+
+    left = pa.table(
+        {"k": pa.array([1, 2, 3], pa.int64()),
+         "lv": pa.array(["a", "b", "c"])}
+    )
+    # 40 rows per key > 4 * small_threshold(5) = 20 collected rows
+    ks, rvs = [], []
+    for k in (1, 2, 4):
+        for i in range(40):
+            ks.append(k)
+            rvs.append(k * 1000 + i)
+    right = pa.table({"k": pa.array(ks, pa.int64()), "rv": pa.array(rvs, pa.int64())})
+
+    out = adaptive_key_join(
+        _ray_ds(left), _ray_ds(right), on="k", small_threshold=5
+    ).take_all()
+    assert len(out) == 80  # keys 1 and 2 match, 40 rows each
+    assert {r["lv"] for r in out} == {"a", "b"}
+    assert sorted(r["rv"] for r in out if r["lv"] == "a") == [1000 + i for i in range(40)]
+    assert {set(r) == {"k", "lv", "rv"} for r in out} == {True}
+
+
+def test_stratified_sample_empty_table_raises(ray_session):
+    from ocr_ray.ops.similarity import stratified_sample
+
+    empty = pa.table(
+        {"vec_id": pa.array([], pa.int64()),
+         "vec": pa.array([], pa.list_(pa.float32()))}
+    )
+    with pytest.raises(ValueError, match="no rows sampled"):
+        stratified_sample(_ray_ds(empty), sample_size=8)
