@@ -39,11 +39,18 @@ def _quiet():
     configure()
 
 
-def _docs(sf_dir: str):
+def _docs(sf_dir: str, *columns: str):
+    """documents table, column-pruned AT THE READ (only the requested
+    columns leave the parquet scan). Default is the (doc_id, text) pair
+    every text operator consumes; callers needing lang/source/n_chars
+    list them explicitly."""
     import ray.data as rd
 
     _quiet()
-    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=list(columns) if columns else ["doc_id", "text"],
+    )
 
 
 def _events(sf_dir: str):
@@ -57,7 +64,11 @@ def _embeddings(sf_dir: str):
     import ray.data as rd
 
     _quiet()
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    # every consumer uses exactly (vec_id, embedding); the label column
+    # stays in the parquet file
+    return rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -139,9 +150,7 @@ def q_learning_stats(sf_dir: str):
 
 
 def q_doc_stats_by_lang(sf_dir: str):
-    stats = analysis.doc_stats_by_lang(
-        _docs(sf_dir).select_columns(["lang", "n_chars"])
-    )
+    stats = analysis.doc_stats_by_lang(_docs(sf_dir, "lang", "n_chars"))
 
     def finish(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["avg_chars"])
@@ -157,8 +166,7 @@ def q_doc_counts_by_lang_source(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     return (
-        _docs(sf_dir)
-        .select_columns(["lang", "source", "n_chars"])
+        _docs(sf_dir, "lang", "source", "n_chars")
         .groupby(["lang", "source"])
         .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
     )
@@ -166,8 +174,7 @@ def q_doc_counts_by_lang_source(sf_dir: str):
 
 def q_top_docs_by_chars(sf_dir: str):
     return (
-        _docs(sf_dir)
-        .select_columns(["doc_id", "n_chars"])
+        _docs(sf_dir, "doc_id", "n_chars")
         .sort(["n_chars", "doc_id"], descending=[True, False])
         .limit(20)
     )
@@ -545,8 +552,7 @@ def q_top_terms_by_lang(sf_dir: str):
         )
 
     counted = (
-        _docs(sf_dir)
-        .select_columns(["lang", "text"])
+        _docs(sf_dir, "lang", "text")
         .map_batches(partials, batch_format="pyarrow")
         .groupby(["lang", "word"])
         .aggregate(Sum("partial", alias_name="n"))
@@ -587,7 +593,7 @@ def q_sample_per_lang(sf_dir: str):
     from ocr_ray.ops.tfidf import stratified_sample_per_group
 
     return stratified_sample_per_group(
-        _docs(sf_dir).select_columns(["lang", "doc_id"]), group_col="lang", k=10
+        _docs(sf_dir, "lang", "doc_id"), group_col="lang", k=10
     )
 
 
@@ -707,6 +713,142 @@ def q_ann_ivf_topk(sf_dir: str):
     return ann_ivf_topk(_embeddings(sf_dir), _query_matrix(sf_dir), k=10)
 
 
+def q_extract_conservation(sf_dir: str):
+    """Derived SQL invariant for the (non-SQL) extraction pipeline:
+    per-document span-count / media-count / offset-sum conservation.
+    Extraction routes invalid spans to an error column instead of
+    dropping them and never renumbers offsets, so these statistics are
+    extraction-INVARIANT — the DuckDB oracle recomputes them from the
+    raw interleaved parquet with list lambdas, and any dropped,
+    duplicated or re-offset span shows up as a value-hash mismatch."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ocr_ray.pipelines.extract import ExtractConfig, extract_spans
+
+    _quiet()
+    ds = io.read_interleaved(interleaved_path_for(sf_dir))
+    spans = extract_spans(ds, ExtractConfig())
+
+    def flags(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "offset": pc.cast(t.column("offset"), pa.int64()),
+                "is_media": pc.cast(
+                    pc.not_equal(t.column("kind"), "text"), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        spans.map_batches(flags, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Count(alias_name="n_spans"),
+            Sum("is_media", alias_name="n_media_spans"),
+            Sum("offset", alias_name="sum_offsets"),
+            Min("offset", alias_name="min_offset"),
+            Max("offset", alias_name="max_offset"),
+        )
+    )
+
+
+def q_ann_ivf_violations(sf_dir: str):
+    """Derived invariant check for the (non-SQL) IVF ANN with the
+    EMPTY-table oracle: every violated invariant emits a row, so a buggy
+    IVF turns into a row-count/hash mismatch in the driver's gate.
+
+    Checked invariants (all on the bounded n_queries × k result set):
+    1. ≤ k hits per query, ranks contiguous from 1;
+    2. no duplicate (query_id, vec_id);
+    3. reported cosine equals an independent exact recompute from the
+       parquet vectors (±1e-6, the output rounding);
+    4. containment: an IVF hit whose cosine strictly beats the full
+       brute-force k-th best must itself appear in the brute top-k.
+    """
+    from ocr_ray.ops.joins import semi_join_filter
+    from ocr_ray.ops.similarity import (
+        _batch_matrix,
+        _normalize,
+        ann_brute_topk,
+        ann_ivf_topk,
+    )
+
+    _quiet()
+    k = 10
+    q = _query_matrix(sf_dir)
+    ivf = sorted(
+        ann_ivf_topk(_embeddings(sf_dir), q, k=k).take_all(),
+        key=lambda r: (r["query_id"], r["rank"]),
+    )
+    brute = ann_brute_topk(_embeddings(sf_dir), q, k=k).take_all()
+
+    violations: list[tuple[int, int, str]] = []
+
+    by_query: dict[int, list[dict]] = {}
+    seen: set[tuple[int, int]] = set()
+    for r in ivf:
+        key = (r["query_id"], r["vec_id"])
+        if key in seen:
+            violations.append((*key, "duplicate (query_id, vec_id)"))
+        seen.add(key)
+        by_query.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_query.items():
+        if len(rows) > k:
+            violations.append((qid, -1, f"{len(rows)} hits > k={k}"))
+        if [r["rank"] for r in rows] != list(range(1, len(rows) + 1)):
+            violations.append((qid, -1, "ranks not contiguous from 1"))
+        sims = [r["sim"] for r in rows]
+        if any(a < b - 1e-9 for a, b in zip(sims, sims[1:])):
+            violations.append((qid, -1, "sims not non-increasing by rank"))
+
+    # exact recompute of each hit's cosine from the stored vectors —
+    # fetched via a broadcast semi-filter, ≤ n_queries × k rows collected
+    hit_ids = sorted({r["vec_id"] for r in ivf})
+    if hit_ids:
+        hit_rows = semi_join_filter(
+            _embeddings(sf_dir), "vec_id", pa.array(hit_ids, pa.int64())
+        ).take_all()
+        tbl = pa.Table.from_pylist(hit_rows)
+        vecs = dict(
+            zip(tbl.column("vec_id").to_pylist(), _normalize(_batch_matrix(tbl)))
+        )
+        qn = _normalize(np.asarray(q, dtype=np.float64))
+        for r in ivf:
+            exact = float(qn[r["query_id"]] @ vecs[r["vec_id"]])
+            if abs(exact - r["sim"]) > 1e-6 + 1e-9:
+                violations.append(
+                    (r["query_id"], r["vec_id"],
+                     f"sim {r['sim']:.6f} != exact {exact:.6f}")
+                )
+
+    brute_hits = {(r["query_id"], r["vec_id"]) for r in brute}
+    brute_kth: dict[int, float] = {}
+    for r in brute:
+        brute_kth[r["query_id"]] = min(
+            brute_kth.get(r["query_id"], float("inf")), r["sim"]
+        )
+    for r in ivf:
+        if (
+            r["sim"] > brute_kth.get(r["query_id"], float("-inf")) + 1e-6
+            and (r["query_id"], r["vec_id"]) not in brute_hits
+        ):
+            violations.append(
+                (r["query_id"], r["vec_id"],
+                 "beats brute k-th cosine but missing from brute top-k")
+            )
+
+    # returned as a pyarrow Table (driver contract allows it): an EMPTY
+    # Ray Dataset would drop its schema on the way back to the compare
+    return pa.table(
+        {
+            "query_id": pa.array([v[0] for v in violations], pa.int64()),
+            "vec_id": pa.array([v[1] for v in violations], pa.int64()),
+            "reason": pa.array([v[2] for v in violations], pa.string()),
+        }
+    )
+
+
 _COSINE_PAIR_SCHEMA = pa.schema(
     [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cosine", pa.float64())]
 )
@@ -803,6 +945,8 @@ QUERIES = {
     "frequent_shingles": q_frequent_shingles,
     "ann_brute_topk": q_ann_brute_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "extract_conservation": q_extract_conservation,
+    "ann_ivf_violations": q_ann_ivf_violations,
     "embedding_cosine_dedup": q_embedding_cosine_dedup,
     "embedding_cosine_dedup_augmented": q_embedding_cosine_dedup_augmented,
 }
@@ -1038,6 +1182,17 @@ def _simhash_sql(max_hamming: int = 3) -> str:
         ")\n"
         f"SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}"
     )
+
+
+def _oracle_interleaved_path() -> str:
+    """Path of the synthetic interleaved corpus the conservation oracle
+    reads. The driver's correctness gate runs at sf=0.01; a local
+    harness checking another scale exports OCR_ORACLE_SF_DIR. Calling
+    this synthesizes the (cached) corpus so the SQL can always read it."""
+    import os
+
+    sf = os.environ.get("OCR_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    return interleaved_path_for(sf)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1431,5 +1586,31 @@ def oracle_sql() -> dict[str, str]:
             " FROM sims)\n"
             "SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, sim"
             " FROM ranked WHERE rank <= 10"
+        ),
+        # derived invariant for the non-SQL extraction pipeline: span
+        # count / media count / offset sum+min+max are conserved by
+        # extraction (errors are routed, never dropped; offsets are
+        # never renumbered) — recomputed here from the RAW interleaved
+        # parquet with list lambdas
+        "extract_conservation": (
+            "SELECT doc_id,\n"
+            " CAST(len(spans) AS BIGINT) AS n_spans,\n"
+            " CAST(len(list_filter(spans, s -> s.kind <> 'text')) AS BIGINT)"
+            " AS n_media_spans,\n"
+            " CAST(coalesce(list_sum(list_transform(spans, s -> s.offset)), 0)"
+            " AS BIGINT) AS sum_offsets,\n"
+            " CAST(list_min(list_transform(spans, s -> s.offset)) AS BIGINT)"
+            " AS min_offset,\n"
+            " CAST(list_max(list_transform(spans, s -> s.offset)) AS BIGINT)"
+            " AS max_offset\n"
+            f"FROM read_parquet('{_oracle_interleaved_path()}/*.parquet')"
+        ),
+        # the IVF violations query verifies its invariants on the Ray
+        # side and must come back EMPTY; a buggy IVF produces rows and
+        # fails the row-count/hash compare against this literal empty
+        "ann_ivf_violations": (
+            "SELECT CAST(NULL AS BIGINT) AS query_id,"
+            " CAST(NULL AS BIGINT) AS vec_id,"
+            " CAST(NULL AS VARCHAR) AS reason WHERE 1=0"
         ),
     }

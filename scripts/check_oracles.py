@@ -47,6 +47,12 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import os
+
+    # oracles that read the synthetic interleaved corpus resolve its
+    # path from this (the graft driver always runs at sf0.01, the default)
+    os.environ["OCR_ORACLE_SF_DIR"] = sf_dir
+
     import ray
 
     ray.init(address="local", num_cpus=8, include_dashboard=False,
