@@ -1184,6 +1184,86 @@ def _simhash_sql(max_hamming: int = 3) -> str:
     )
 
 
+def _ivf_topk_oracle_sql(k: int = 10, n_clusters: int = 16, nprobe: int = 4,
+                         sample_size: int = 2048) -> str | None:
+    """Full-value DuckDB oracle for ann_ivf_topk. The IVF *parameters*
+    (centroids + probed-cluster union) are deterministic functions of the
+    table — replicated here in numpy at oracle-BUILD time and embedded
+    as SQL literals, the same way the kamus oracle embeds its word list.
+    DuckDB then independently performs the heavy steps: nearest-centroid
+    assignment (correlated argmin over the centroid VALUES table),
+    probed-set filtering, exact cosine and per-query top-k ranking.
+
+    Returns None (rows-only fallback) iff the deterministic sample
+    replication cannot hold — the engine's ``limit(4*sample_size)``
+    binds, which needs > 8192 accepted rows and never happens at the
+    driver's sf0.01 gate."""
+    import os
+
+    from ocr_ray.ops.similarity import train_centroids
+
+    sf = os.environ.get("OCR_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    tbl = pq.read_table(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    n = tbl.num_rows
+    if n == 0:
+        return None
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    vecs = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
+    )
+    # replicate ops.similarity.stratified_sample bit-for-bit
+    h = (ids.astype(np.uint64) * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+    frac = min(1.0, (2.0 * sample_size) / max(1, n))
+    cutoff = np.uint64(int(frac * (1 << 32)))
+    mask = h < cutoff
+    if mask.sum() > 4 * sample_size:
+        return None  # limit() would bind; distributed row order not replicable
+    order = np.lexsort((ids[mask], h[mask]))
+    sample = vecs[mask][order][:sample_size]
+    if len(sample) < n_clusters:
+        return None
+    centroids = train_centroids(sample, n_clusters)
+    # replicate the probe-set union over the first-4-vec_id query matrix
+    q = vecs[np.argsort(ids, kind="stable")][:4]
+    qd = ((q[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probe = sorted(int(c) for c in np.unique(np.argsort(qd, axis=1)[:, :nprobe]))
+
+    cent_rows = ",\n  ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            c, ", ".join(repr(float(x)) for x in centroids[c])
+        )
+        for c in range(n_clusters)
+    )
+    probe_list = ", ".join(str(c) for c in probe)
+    return (
+        "WITH cent(cluster, cv) AS (VALUES\n  " + cent_rows + "\n),\n"
+        "q AS (\n"
+        " SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv\n"
+        " FROM embeddings WHERE vec_id < 4\n"
+        "), assigned AS (\n"
+        " SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,\n"
+        "  (SELECT c.cluster FROM cent c\n"
+        "   ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) ASC,"
+        " c.cluster ASC LIMIT 1) AS cluster\n"
+        " FROM embeddings e\n"
+        "), sims AS (\n"
+        " SELECT q.query_id, p.vec_id,\n"
+        "  list_cosine_similarity(p.v, q.qv) AS sim_raw\n"
+        f" FROM (SELECT * FROM assigned WHERE cluster IN ({probe_list})) p"
+        " CROSS JOIN q\n"
+        "), ranked AS (\n"
+        " SELECT query_id, vec_id,\n"
+        "  ROW_NUMBER() OVER (PARTITION BY query_id"
+        " ORDER BY sim_raw DESC, vec_id ASC) AS rank,\n"
+        "  ROUND(sim_raw, 6) AS sim\n"
+        " FROM sims)\n"
+        "SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, sim"
+        f" FROM ranked WHERE rank <= {k}"
+    )
+
+
 def _oracle_interleaved_path() -> str:
     """Path of the synthetic interleaved corpus the conservation oracle
     reads. The driver's correctness gate runs at sf=0.01; a local
@@ -1612,5 +1692,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(NULL AS BIGINT) AS query_id,"
             " CAST(NULL AS BIGINT) AS vec_id,"
             " CAST(NULL AS VARCHAR) AS reason WHERE 1=0"
+        ),
+        **(
+            {"ann_ivf_topk": ivf_sql}
+            if (ivf_sql := _ivf_topk_oracle_sql()) is not None
+            else {}
         ),
     }

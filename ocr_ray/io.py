@@ -42,12 +42,44 @@ def write_interleaved(table: pa.Table, path: str, max_rows_per_file: int = 100_0
     return str(p)
 
 
+def _default_read_blocks(path: str) -> int | None:
+    """Finer input blocks for wide actor pools. The span-processing pool
+    consumes ONE task per input block, so at Ray's default ~2×CPU blocks
+    a 12-actor pool (16 CPUs) runs ~3 coarse waves and idles a third of
+    the pool through the last wave; 8×CPU blocks rebalance the stragglers
+    (measured +18% median at 16 CPUs / 24k docs under ambient load).
+    Narrow clusters lose more to per-task overhead than they gain
+    (measured −5% at 4 CPUs), so the default only kicks in from 12 CPUs,
+    and is capped at one block per file so the read never pays
+    row-group-splitting overhead on many-file corpora."""
+    try:
+        import ray
+
+        if not ray.is_initialized():
+            return None
+        cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:  # pragma: no cover - ray import/cluster probing
+        return None
+    if cpus < 12:
+        return None
+    n_files = len(input_files(path))
+    if n_files < 2 * cpus:
+        # few big files: let Ray's own splitter choose (it can split a
+        # single parquet into row-group chunks)
+        return None
+    return min(8 * cpus, n_files)
+
+
 def read_interleaved(path: str, *, columns: list[str] | None = None, **ray_kwargs):
     """Read the interleaved table as a ``ray.data.Dataset`` (lazy)."""
     import ray.data as rd
 
     if HAS_LANCE and hasattr(rd, "read_lance") and pathlib.Path(path).suffix == ".lance":
         return rd.read_lance(path, columns=columns, **ray_kwargs)
+    if "override_num_blocks" not in ray_kwargs:
+        nb = _default_read_blocks(path)
+        if nb:
+            ray_kwargs["override_num_blocks"] = nb
     return rd.read_parquet(path, columns=columns, **ray_kwargs)
 
 
