@@ -227,6 +227,15 @@ def measure_scaling(rounds: int = 3, docs: int | None = None) -> dict:
         round_effs.append(
             round((hi_leg["marginal"] / lo_leg["marginal"]) / ratio, 3)
         )
+    # conservative companion estimator: raw single-run ratio, which still
+    # CONTAINS the session-boot tax on the fast leg (biases low); the
+    # marginal ratio can exceed 1.0 because the engine legitimately runs
+    # wide pools with finer input blocks (scale-aware read default) and
+    # a 4-CPU cluster structurally loses a larger share to whole-CPU
+    # read-task reservations
+    raw_effs = [
+        round((h / l) / ratio, 3) for h, l in zip(raw_hi, raw_lo)
+    ]
     best_eff = round((max(hi_tputs) / max(lo_tputs)) / ratio, 3)
     return {
         "lo_cpus": lo_cpus,
@@ -240,7 +249,9 @@ def measure_scaling(rounds: int = 3, docs: int | None = None) -> dict:
         "raw_docs_per_sec_lo": raw_lo,
         "raw_docs_per_sec_hi": raw_hi,
         "round_efficiencies": round_effs,
+        "raw_efficiencies": raw_effs,
         "median_efficiency": round(statistics.median(round_effs), 3),
+        "median_raw_efficiency": round(statistics.median(raw_effs), 3),
         "best_efficiency": best_eff,
     }
 

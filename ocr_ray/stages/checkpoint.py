@@ -194,6 +194,23 @@ def run_extract_checkpointed(
 
         _patch_http_fs_probe_for_threads()
 
+        if config.ocr_concurrency is None:
+            # each concurrent partition pipeline builds its OWN actor
+            # pool; left at the single-pipeline default (0.75×CPUs) the
+            # pools sum to max_concurrent × 0.75×CPUs and actor placement
+            # can never complete — every pipeline backpressures forever
+            # (observed on a 4-CPU cluster at max_concurrent=3). Divide
+            # the budget so the pools together keep the 0.75×CPUs total.
+            import dataclasses
+
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 8)) if (
+                ray.is_initialized()
+            ) else 8
+            per_pipeline = max(1, round(0.75 * cpus / max_concurrent))
+            config = dataclasses.replace(config, ocr_concurrency=per_pipeline)
+
         with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
             futures = {
                 k: pool.submit(run_partition, part_files, output_path, k, config)

@@ -109,3 +109,66 @@ def test_concurrent_partitions_same_output(ray_session, tmp_path):
         return rows
 
     assert doc_texts(out_serial) == doc_texts(out_conc)
+
+
+def test_concurrent_kill_and_resume_no_reprocessing(ray_session, tmp_path, monkeypatch):
+    """Mid-run death with max_concurrent > 1 (VERDICT r02): a run that
+    dies after committing some partitions must resume with ZERO
+    re-processed partitions and identical output. The kill is injected
+    by making the partition runner raise once a commit quota is hit —
+    committed partitions have already done their atomic rename +
+    manifest write, exactly the state a SIGKILL leaves behind."""
+    import threading
+
+    from ocr_ray.stages import checkpoint as cp
+
+    table = synth.generate_interleaved(n_docs=120, seed=7)
+    inp = tmp_path / "input"
+    io.write_interleaved(table, str(inp), max_rows_per_file=15)  # 8 files
+    out = tmp_path / "out"
+
+    real_run = cp.run_partition
+    lock = threading.Lock()
+    done = {"n": 0}
+
+    def dying_run(files, output_path, k, config):
+        with lock:
+            if done["n"] >= 3:
+                raise RuntimeError("simulated mid-run death")
+        result = real_run(files, output_path, k, config)
+        with lock:
+            done["n"] += 1
+        return result
+
+    monkeypatch.setattr(cp, "run_partition", dying_run)
+    try:
+        cp.run_extract_checkpointed(
+            str(inp), str(out), files_per_partition=1, max_concurrent=3
+        )
+        raise AssertionError("expected the injected death to propagate")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(cp, "run_partition", real_run)
+
+    committed = sorted(out.glob("_manifest/part-*.json"))
+    assert 1 <= len(committed) < 8, "death must land mid-run"
+    before = {
+        f: f.stat().st_mtime_ns
+        for f in list(out.glob("part=*/*.parquet")) + committed
+    }
+
+    metrics = cp.run_extract_checkpointed(
+        str(inp), str(out), files_per_partition=1, max_concurrent=3
+    )
+    assert metrics["partitions"] == 8
+    assert metrics["partitions_skipped"] == len(committed)
+    assert metrics["partitions_run"] == 8 - len(committed)
+    assert metrics["n_docs"] == 120
+    # zero re-processing: every pre-death output byte untouched
+    after = {f: f.stat().st_mtime_ns for f in before}
+    assert before == after
+
+    total_rows = sum(
+        pq.ParquetFile(f).metadata.num_rows for f in out.glob("part=*/*.parquet")
+    )
+    assert total_rows == 120

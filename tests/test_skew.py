@@ -53,3 +53,59 @@ def test_media_heavy_doc_spreads_across_actors(ray_session):
     assert len(pids) >= 2, f"heavy doc pinned to one actor: {pids}"
     # ...and reassembly still restores offset order downstream (covered by
     # the e2e suite); here we only assert the spreading behavior.
+
+
+def test_duplicate_heavy_corpus_bucket_throughput(ray_session):
+    """Pathological corpus-of-duplicates (VERDICT r02): half the corpus
+    is ONE duplicate cluster, so every LSH bucket is multi-doc and the
+    per-bucket pairing loop runs on all of them. Asserts (a) wall time
+    stays within a budget — the vectorized all-pairs + rep-pair overflow
+    path must not degrade to quadratic blowup — and (b) the overflow
+    rep-pairing still yields ONE connected component covering the whole
+    cluster, so cluster dedup semantics survive the cap."""
+    import time
+
+    from ocr_ray.ops.dedup import (
+        connected_components,
+        minhash_candidates,
+        minhash_signatures,
+    )
+
+    n_total, n_dup = 10_000, 5_000
+    dup_text = "dokumen yang sama persis diulang ribuan kali dalam korpus ini"
+    texts = [dup_text] * n_dup + [
+        f"dokumen unik nomor {i} berisi kata acak kode-{i * 7919 % 104729}"
+        for i in range(n_total - n_dup)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n_total), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+    t0 = time.perf_counter()
+    sigs = minhash_signatures(rd.from_arrow(tbl))
+    # cap 256 → the 5k-doc bucket rep-pairs ~4.7k overflow docs per band
+    pairs = minhash_candidates(sigs, max_bucket=256)
+    # identical docs collide in EVERY band → 16× duplicate edges; dedupe
+    # before the component pass (one slim-row shuffle) instead of
+    # 16×-joining the same edge set
+    from ray.data.aggregate import Count
+
+    distinct = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="n_bands")
+    )
+    labels = {
+        r["node"]: r["label"] for r in connected_components(distinct).take_all()
+    }
+    wall = time.perf_counter() - t0
+
+    # every duplicate doc must land in the SAME component, labeled by the
+    # minimum doc_id (0) — rep-pairing keeps the giant bucket connected
+    dup_labels = {labels[d] for d in range(n_dup)}
+    assert dup_labels == {0}, f"duplicate cluster split: {sorted(dup_labels)[:5]}"
+    # generous budget (4-CPU test fixture, shared box): the capped path
+    # is ~O(max_bucket^2 + overflow) per bucket, far below the ~10^8
+    # pairs a quadratic blowup would emit
+    assert wall < 150, f"duplicate-heavy dedup took {wall:.1f}s"
