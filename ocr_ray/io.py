@@ -42,7 +42,7 @@ def write_interleaved(table: pa.Table, path: str, max_rows_per_file: int = 100_0
     return str(p)
 
 
-def _default_read_blocks(path: str) -> int | None:
+def _default_read_blocks(path) -> int | None:
     """Finer input blocks for wide actor pools. The span-processing pool
     consumes ONE task per input block, so at Ray's default ~2×CPU blocks
     a 12-actor pool (16 CPUs) runs ~3 coarse waves and idles a third of
@@ -62,7 +62,11 @@ def _default_read_blocks(path: str) -> int | None:
         return None
     if cpus < 12:
         return None
-    n_files = len(input_files(path))
+    # path may be a directory, a single file, or an explicit file list
+    # (checkpoint partitions pass lists)
+    n_files = (
+        len(path) if isinstance(path, (list, tuple)) else len(input_files(path))
+    )
     if n_files < 2 * cpus:
         # few big files: let Ray's own splitter choose (it can split a
         # single parquet into row-group chunks)
@@ -74,7 +78,12 @@ def read_interleaved(path: str, *, columns: list[str] | None = None, **ray_kwarg
     """Read the interleaved table as a ``ray.data.Dataset`` (lazy)."""
     import ray.data as rd
 
-    if HAS_LANCE and hasattr(rd, "read_lance") and pathlib.Path(path).suffix == ".lance":
+    if (
+        HAS_LANCE
+        and hasattr(rd, "read_lance")
+        and isinstance(path, str)
+        and pathlib.Path(path).suffix == ".lance"
+    ):
         return rd.read_lance(path, columns=columns, **ray_kwargs)
     if "override_num_blocks" not in ray_kwargs:
         nb = _default_read_blocks(path)

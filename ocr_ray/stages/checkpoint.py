@@ -210,6 +210,21 @@ def run_extract_checkpointed(
             ) else 8
             per_pipeline = max(1, round(0.75 * cpus / max_concurrent))
             config = dataclasses.replace(config, ocr_concurrency=per_pipeline)
+        if config.reassemble_partitions is None:
+            # likewise shrink each pipeline's reassembly shuffle: N
+            # concurrent pipelines at the full 2×CPU partition count run
+            # N× the finalize tasks of the single-pipeline layout
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 8)) if (
+                ray.is_initialized()
+            ) else 8
+            import dataclasses
+
+            config = dataclasses.replace(
+                config,
+                reassemble_partitions=max(4, (2 * cpus) // max_concurrent),
+            )
 
         with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
             futures = {

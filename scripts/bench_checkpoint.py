@@ -19,6 +19,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 80_000
 NCPU = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 MAX_CONCURRENT = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+FILES_PER_PARTITION = int(sys.argv[4]) if len(sys.argv) > 4 else 64
 
 _CHILD = r"""
 import sys, time
@@ -45,7 +46,7 @@ else:
     from ocr_ray.stages.checkpoint import run_extract_checkpointed
 
     run_extract_checkpointed(
-        path, {out!r}, files_per_partition=64, max_concurrent={max_concurrent}
+        path, {out!r}, files_per_partition={fpp}, max_concurrent={max_concurrent}
     )
 wall = time.perf_counter() - t0
 print("WALL", wall, flush=True)
@@ -63,6 +64,7 @@ def run_child(mode: str, out: str) -> float:
         mode=mode,
         out=out,
         max_concurrent=MAX_CONCURRENT,
+        fpp=FILES_PER_PARTITION,
     )
     cmd = [sys.executable, "-c", code]
     if shutil.which("taskset"):
@@ -90,6 +92,7 @@ def main() -> None:
                 "n_docs": N_DOCS,
                 "num_cpus": NCPU,
                 "max_concurrent": MAX_CONCURRENT,
+                "files_per_partition": FILES_PER_PARTITION,
                 "straight_wall": round(w_straight, 3),
                 "checkpoint_wall": round(w_ckpt, 3),
                 "straight_docs_per_sec": round(N_DOCS / w_straight, 3),
@@ -109,6 +112,7 @@ def run_child_resume(out: str) -> float:
         mode="checkpoint",
         out=out,
         max_concurrent=MAX_CONCURRENT,
+        fpp=FILES_PER_PARTITION,
     )
     cmd = [sys.executable, "-c", code]
     if shutil.which("taskset"):
