@@ -713,6 +713,36 @@ def q_ann_ivf_topk(sf_dir: str):
     return ann_ivf_topk(_embeddings(sf_dir), _query_matrix(sf_dir), k=10)
 
 
+SEARCH_TERMS = ("hash", "join", "filter")
+
+
+def q_term_postings(sf_dir: str):
+    from ocr_ray.ops.search import term_postings
+
+    return term_postings(_docs(sf_dir))
+
+
+def q_search_topk(sf_dir: str):
+    from ocr_ray.ops.search import search_topk
+
+    return _materialized(
+        search_topk(_docs(sf_dir), SEARCH_TERMS, k=20),
+        pa.schema([("doc_id", pa.int64()), ("score", pa.int64())]),
+    )
+
+
+def q_label_centroids(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.search import label_centroids
+
+    _quiet()
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return label_centroids(emb)
+
+
 def q_extract_conservation(sf_dir: str):
     """Derived SQL invariant for the (non-SQL) extraction pipeline:
     per-document span-count / media-count / offset-sum conservation.
@@ -947,6 +977,9 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "extract_conservation": q_extract_conservation,
     "ann_ivf_violations": q_ann_ivf_violations,
+    "term_postings": q_term_postings,
+    "search_topk": q_search_topk,
+    "label_centroids": q_label_centroids,
     "embedding_cosine_dedup": q_embedding_cosine_dedup,
     "embedding_cosine_dedup_augmented": q_embedding_cosine_dedup_augmented,
 }
@@ -1692,6 +1725,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(NULL AS BIGINT) AS query_id,"
             " CAST(NULL AS BIGINT) AS vec_id,"
             " CAST(NULL AS VARCHAR) AS reason WHERE 1=0"
+        ),
+        "term_postings": (
+            "SELECT doc_id, w AS word, CAST(COUNT(*) AS BIGINT) AS tf\n"
+            "FROM (SELECT doc_id,"
+            f" unnest({_WORDS_SQL}) AS w FROM documents)\n"
+            "GROUP BY doc_id, w"
+        ),
+        "search_topk": (
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS score\n"
+            "FROM (SELECT doc_id,"
+            f" unnest({_WORDS_SQL}) AS w FROM documents)\n"
+            "WHERE w IN ("
+            + ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+            + ")\nGROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
+        ),
+        # fixed-point component sums (1e-6, half-away-from-zero) make the
+        # centroid mean exact integer arithmetic — identical under Ray's
+        # unordered partial aggregation and DuckDB's sequential SUM
+        "label_centroids": (
+            "WITH comp AS (\n"
+            " SELECT label, CAST(dim AS BIGINT) AS dim,"
+            " CAST(ROUND(val * 1000000) AS BIGINT) AS ival\n"
+            " FROM (SELECT label,"
+            " unnest(CAST(embedding AS DOUBLE[])) AS val,\n"
+            "   generate_subscripts(embedding, 1) AS dim FROM embeddings)\n"
+            ")\n"
+            "SELECT CAST(label AS BIGINT) AS label, dim,\n"
+            " CAST(SUM(ival) AS DOUBLE) / (COUNT(*) * 1000000.0) AS centroid,\n"
+            " CAST(COUNT(*) AS BIGINT) AS n_vecs\n"
+            "FROM comp GROUP BY label, dim"
         ),
         **(
             {"ann_ivf_topk": ivf_sql}

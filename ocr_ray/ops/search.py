@@ -1,0 +1,168 @@
+"""Inverted-index keyword search + per-label embedding centroids —
+training-data-pipeline operators beyond the reference (SURVEY.md §2
+extension surface; the reference's nearest analogue is the per-request
+dictionary probe, dictionary_corrector.py:217-235).
+
+Scale shape:
+
+- ``term_postings``: one stateless ``map_batches`` pass emits slim
+  ``(word, doc_id, tf)`` rows — a document's term frequencies are
+  complete within its own row, so NO shuffle is needed to build them;
+  hash-partitioning by word (for serving locality) is the caller's
+  choice via ``grouped_map``/``repartition``.
+- ``search_topk``: per-batch partial scores (each doc fully contained
+  in its batch) → global ``sort + limit`` over the ≤ one-row-per-
+  matching-doc score table. The corpus never shuffles; only matching
+  doc scores move.
+- ``label_centroids``: per-batch partial component sums as slim
+  ``(label, dim, sum, count)`` rows → small ``groupby`` — the classic
+  partial-aggregation pattern; vector components are fixed-point
+  integers end-to-end so the result is bit-reproducible (and
+  SQL-checkable) regardless of summation order.
+"""
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# shared with ops.analysis / the DuckDB oracles
+_WORD_RE = re.compile(r"[a-zA-Z]{3,}")
+
+
+def term_postings(docs):
+    """Inverted-index postings: (word, doc_id, tf) for every word
+    occurrence, tf = in-document term frequency."""
+
+    def postings(batch: pa.Table) -> pa.Table:
+        words, ids, tfs = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for w, n in Counter(_WORD_RE.findall((text or "").lower())).items():
+                words.append(w)
+                ids.append(doc_id)
+                tfs.append(n)
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(postings, batch_format="pyarrow")
+
+
+def search_topk(docs, terms, k: int = 20):
+    """Top-k documents by summed term frequency over ``terms``
+    (score DESC, doc_id ASC). The term set is captured in the task
+    closure (tiny); scores are complete per batch, so the only global
+    step is a sort+limit over matching docs."""
+    term_set = frozenset(t.lower() for t in terms)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids, scores = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            s = sum(
+                1 for w in _WORD_RE.findall((text or "").lower()) if w in term_set
+            )
+            if s:
+                ids.append(doc_id)
+                scores.append(s)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "score": pa.array(scores, pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(score, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+# fixed-point scale for centroid components: sums become exact int64
+# arithmetic, so Ray's unordered partial aggregation and DuckDB's
+# sequential SUM produce identical results (float sums are
+# order-dependent — the established integer-cents pattern)
+CENTROID_SCALE = 1_000_000
+
+
+def label_centroids(embeddings):
+    """Per-label element-wise mean vector, exploded to one row per
+    (label, dim): (label, dim, centroid, n_vecs). dim is 1-based.
+
+    Components are rounded half-away-from-zero to 1e-6 fixed point
+    BEFORE summation; the mean is the double quotient of exact integers.
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.cast(emb.flatten(), pa.float64()), float(CENTROID_SCALE)
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        dim = len(flat) // batch.num_rows if batch.num_rows else 0
+        m = flat.reshape(batch.num_rows, dim) if dim else flat.reshape(0, 0)
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        out_label, out_dim, out_sum, out_n = [], [], [], []
+        for lab in np.unique(labels):
+            rows = m[labels == lab]
+            sums = rows.sum(axis=0, dtype=np.int64)
+            out_label.extend([int(lab)] * dim)
+            out_dim.extend(range(1, dim + 1))
+            out_sum.extend(int(s) for s in sums)
+            out_n.extend([len(rows)] * dim)
+        return pa.table(
+            {
+                "label": pa.array(out_label, pa.int64()),
+                "dim": pa.array(out_dim, pa.int64()),
+                "isum": pa.array(out_sum, pa.int64()),
+                "n_vecs": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    agg = (
+        embeddings.map_batches(partials, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(
+            Sum("isum", alias_name="isum"), Sum("n_vecs", alias_name="n_vecs")
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [("label", pa.int64()), ("dim", pa.int64()),
+                 ("centroid", pa.float64()), ("n_vecs", pa.int64())]
+            ).empty_table()
+        centroid = pc.divide(
+            pc.cast(t["isum"], pa.float64()),
+            pc.multiply(pc.cast(t["n_vecs"], pa.float64()), float(CENTROID_SCALE)),
+        )
+        return pa.table(
+            {
+                "label": t.column("label"),
+                "dim": t.column("dim"),
+                "centroid": centroid,
+                "n_vecs": t.column("n_vecs"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
