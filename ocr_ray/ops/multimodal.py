@@ -4,14 +4,26 @@ Media payloads are opaque ``binary`` columns with typed metadata
 (``media_type``, ``width``/``height``/``duration``…); the transform
 stages are actor-pool ``map_batches`` classes whose Ray-side plumbing —
 schema handling, batch sizing, actor lifecycle, output layout — is real
-and tested, while the codec work itself is STUBBED: the decode libraries
-(PIL/cv2/ffmpeg) are not in this container, so decoding parses a small
-deterministic fake header (``synthesize_media`` writes it) and the real
-paths raise ``NotImplementedError`` naming the library they need.
+and tested. Two payload families flow through the same stages:
+
+- **Raw images** (``RAWI`` magic: header + uncompressed RGB bytes) need
+  no codec, so resize / deskew / background-neutralize run REAL pixel
+  math on them (:mod:`ocr_ray.kernels.pixels` — bilinear resample,
+  Otsu + projection-profile deskew, LAB+CLAHE neutralization, all
+  reimplementing the reference's preprocessing semantics,
+  ocr_service.py:19-122).
+- **Opaque fake media** (``OCRX`` magic, ``synthesize_media``) stand in
+  for compressed formats: the decode libraries (PIL/cv2/ffmpeg) are not
+  in this container, so these rows take the metadata-stub path and the
+  ``real_codecs=True`` constructors raise ``NotImplementedError`` naming
+  the missing library.
 
 Scale guidance baked into the defaults: binary rows are wide, so stages
 use small ``batch_size`` and ``batch_format="pyarrow"`` (binary columns
-do not survive pandas round-trips losslessly).
+do not survive pandas round-trips losslessly). The per-row Python loop
+inside the pixel stages is NOT a hot-path smell: each row is a whole
+image and the work per row is a vectorized numpy kernel — the image is
+the vectorization unit.
 """
 from __future__ import annotations
 
@@ -20,6 +32,8 @@ import struct
 
 import numpy as np
 import pyarrow as pa
+
+from ocr_ray.kernels import pixels as px
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -59,10 +73,116 @@ def synthesize_media(n: int, seed: int = 42) -> pa.Table:
 
 
 def _parse_header(payload: bytes) -> tuple[str, int, int, int]:
+    if payload[:4] == _RAW_MAGIC:
+        width, height = struct.unpack(">HH", payload[4:8])
+        return "image", width, height, 0
     if payload[:4] != _MAGIC:
         raise ValueError("not a synthetic media payload")
     kind_idx, width, height, duration = struct.unpack(">BHHI", payload[4:13])
     return ["image", "audio", "video"][kind_idx], width, height, duration
+
+
+# ------------------------------------------------- raw (codec-free) images
+
+_RAW_MAGIC = b"RAWI"
+
+
+def encode_raw_image(img: np.ndarray) -> bytes:
+    """Pack an (H, W, 3) uint8 RGB array as an uncompressed payload:
+    ``RAWI`` magic + big-endian (width, height) + row-major RGB bytes.
+    No codec required to read it back — this is the format the real
+    pixel kernels run on in this container."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("expected (H, W, 3) uint8 RGB")
+    h, w = img.shape[:2]
+    return _RAW_MAGIC + struct.pack(">HH", w, h) + img.tobytes()
+
+
+def decode_raw_image(payload: bytes) -> np.ndarray:
+    """Inverse of :func:`encode_raw_image` (zero-copy frombuffer view,
+    reshaped; callers must copy before mutating)."""
+    if payload[:4] != _RAW_MAGIC:
+        raise ValueError("not a raw image payload")
+    w, h = struct.unpack(">HH", payload[4:8])
+    body = np.frombuffer(payload, dtype=np.uint8, offset=8)
+    if body.size != w * h * 3:
+        raise ValueError(
+            f"raw payload body is {body.size} bytes, expected {w * h * 3}"
+        )
+    return body.reshape(h, w, 3)
+
+
+def is_raw_image(payload: bytes) -> bool:
+    return payload[:4] == _RAW_MAGIC
+
+
+def render_text_page(
+    width: int = 96,
+    height: int = 96,
+    n_lines: int = 6,
+    yellow: bool = False,
+    seed: int = 0,
+) -> np.ndarray:
+    """Deterministic synthetic document page: dark horizontal text-line
+    stripes (with per-line jittered extents, so the content mask is not
+    degenerate) on a light — optionally yellow-aged — background.
+    Gives the deskew / background kernels realistic structure without
+    any image library."""
+    img = np.full((height, width, 3), 245, dtype=np.uint8)
+    if yellow:
+        # aged-paper tint: strong in R/G, weak in B
+        img[:, :] = (235, 220, 160)
+    rng_bytes = hashlib.sha256(f"page|{seed}".encode()).digest()
+    margin_y = height // 8
+    margin_x = width // 10
+    band = max(2, (height - 2 * margin_y) // (2 * n_lines))
+    for i in range(n_lines):
+        top = margin_y + i * 2 * band
+        if top + band > height - margin_y:
+            break
+        jitter = rng_bytes[i % len(rng_bytes)] % max(1, width // 6)
+        left = margin_x + (jitter // 2)
+        right = width - margin_x - (jitter - jitter // 2)
+        if right > left:
+            img[top:top + band, left:right] = (40, 35, 30)
+    return img
+
+
+def synthesize_raw_images(
+    n: int,
+    seed: int = 42,
+    max_dim: int = 128,
+    skew_every: int = 3,
+    yellow_every: int = 4,
+) -> pa.Table:
+    """Deterministic raw-image media table (MEDIA_SCHEMA shape): every
+    ``skew_every``-th page is pre-rotated by a known angle (recorded
+    nowhere — the deskew stage must measure it), every
+    ``yellow_every``-th page is yellow-tinted."""
+    ids, kinds, payloads = [], [], []
+    for i in range(n):
+        h = hashlib.sha256(f"rawimg|{seed}|{i}".encode()).digest()
+        w = 64 + h[0] % max(1, max_dim - 63)
+        ht = 64 + h[1] % max(1, max_dim - 63)
+        page = render_text_page(
+            w, ht, n_lines=4 + h[2] % 4,
+            yellow=(yellow_every and i % yellow_every == 0), seed=i,
+        )
+        if skew_every and i % skew_every == 0:
+            angle = 2.0 + (h[3] % 80) / 10.0  # 2.0..9.9°
+            if h[4] % 2:
+                angle = -angle
+            page = px.rotate_expand(page, angle)
+        ids.append(i)
+        kinds.append("image")
+        payloads.append(encode_raw_image(page))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
 
 
 class DecodeMedia:
@@ -104,9 +224,11 @@ class DecodeMedia:
 
 class ResizeImage:
     """Actor stage: cap the max dimension, preserving aspect ratio — the
-    reference's resize guard (ocr_service.py:20-40, MAX_IMAGE_DIMENSION
-    2000). Stub arithmetic on header metadata; a real stage transforms
-    pixels."""
+    reference's resize guard (ocr_service.py:19-39, MAX_IMAGE_DIMENSION
+    2000). Raw-image payloads are REALLY resampled (bilinear,
+    kernels/pixels.py) and the payload column replaced; opaque fake
+    payloads take the metadata-arithmetic path (their codec is not in
+    this container)."""
 
     def __init__(self, max_dimension: int = 2000):
         self.max_dimension = max_dimension
@@ -115,9 +237,30 @@ class ResizeImage:
         w = batch.column("width").to_numpy(zero_copy_only=False).astype(np.float64)
         h = batch.column("height").to_numpy(zero_copy_only=False).astype(np.float64)
         scale = np.minimum(1.0, self.max_dimension / np.maximum(w, h))
-        out = batch.drop_columns([c for c in ("new_width", "new_height") if c in batch.column_names])
-        out = out.append_column("new_width", pa.array((w * scale).astype(np.int32), pa.int32()))
-        out = out.append_column("new_height", pa.array((h * scale).astype(np.int32), pa.int32()))
+        new_w = (w * scale).astype(np.int32)
+        new_h = (h * scale).astype(np.int32)
+        payloads = batch.column("payload").to_pylist()
+        changed = False
+        for i, p in enumerate(payloads):
+            if p is not None and is_raw_image(p):
+                img = decode_raw_image(p)
+                resized = px.resize_if_needed(img, self.max_dimension)
+                if resized is not img:
+                    payloads[i] = encode_raw_image(resized)
+                    changed = True
+                # authoritative dims come from the actual pixel result
+                new_h[i], new_w[i] = resized.shape[:2]
+        drop = [
+            c for c in ("new_width", "new_height") if c in batch.column_names
+        ]
+        out = batch.drop_columns(drop) if drop else batch
+        if changed:
+            idx = out.column_names.index("payload")
+            out = out.set_column(
+                idx, "payload", pa.array(payloads, pa.binary())
+            )
+        out = out.append_column("new_width", pa.array(new_w, pa.int32()))
+        out = out.append_column("new_height", pa.array(new_h, pa.int32()))
         return out
 
 
@@ -130,32 +273,74 @@ class DeskewImage:
 
     def __init__(self, min_angle: float = 0.5, real_codecs: bool = False):
         if real_codecs:
-            raise NotImplementedError("real deskew needs cv2 (not in this container)")
+            raise NotImplementedError(
+                "real deskew of COMPRESSED images needs cv2 (not in this "
+                "container); raw-image payloads are deskewed for real by "
+                "default via kernels/pixels.py"
+            )
         self.min_angle = min_angle
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import hashlib
 
         angles = []
-        for p in batch.column("payload").to_pylist():
+        payloads = batch.column("payload").to_pylist()
+        changed = False
+        for i, p in enumerate(payloads):
+            if p is not None and is_raw_image(p):
+                # real path: measure the skew (Otsu mask + projection-
+                # profile) and straighten with expanded bounds —
+                # reference _deskew_image semantics, ocr_service.py:42-89
+                img = decode_raw_image(p)
+                straightened, angle = px.deskew(img, min_angle=self.min_angle)
+                if angle != 0.0:
+                    payloads[i] = encode_raw_image(straightened)
+                    changed = True
+                angles.append(angle)
+                continue
+            # opaque payload: deterministic stub angle from the hash
             h = hashlib.blake2b(p, digest_size=2).digest()
             angle = (int.from_bytes(h, "big") % 2000 - 1000) / 100.0  # ±10°
             angles.append(angle if abs(angle) >= self.min_angle else 0.0)
-        return batch.append_column("deskew_angle", pa.array(angles, pa.float64()))
+        out = batch
+        if changed:
+            idx = out.column_names.index("payload")
+            out = out.set_column(
+                idx, "payload", pa.array(payloads, pa.binary())
+            )
+        return out.append_column("deskew_angle", pa.array(angles, pa.float64()))
 
 
 class RemoveBackground:
     """M5 analogue (reference _remove_yellow_background,
-    ocr_service.py:95-122: LAB split → CLAHE on L → neutralize a/b).
-    Stub: flags the stage as applied; a real stage transforms pixels."""
+    ocr_service.py:93-122: LAB split → CLAHE on L → neutralize a/b).
+    Raw-image payloads get the REAL transform (numpy LAB round-trip +
+    CLAHE, kernels/pixels.py); opaque payloads are flagged only (their
+    codec is not in this container)."""
 
     def __init__(self, real_codecs: bool = False):
         if real_codecs:
-            raise NotImplementedError("real background removal needs cv2")
+            raise NotImplementedError(
+                "background removal of COMPRESSED images needs cv2; "
+                "raw-image payloads are neutralized for real by default"
+            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        flags = pa.array([True] * batch.num_rows, pa.bool_())
-        return batch.append_column("background_neutralized", flags)
+        payloads = batch.column("payload").to_pylist()
+        changed = False
+        for i, p in enumerate(payloads):
+            if p is not None and is_raw_image(p):
+                img = decode_raw_image(p)
+                payloads[i] = encode_raw_image(px.neutralize_background(img))
+                changed = True
+        out = batch
+        if changed:
+            idx = out.column_names.index("payload")
+            out = out.set_column(
+                idx, "payload", pa.array(payloads, pa.binary())
+            )
+        flags = pa.array([True] * out.num_rows, pa.bool_())
+        return out.append_column("background_neutralized", flags)
 
 
 class SampleFrames:
