@@ -18,6 +18,11 @@ import pyarrow.parquet as pq
 from ocr_ray import io, synth
 from ocr_ray.ops import analysis
 from ocr_ray.ops.analysis import FREQUENCY_THRESHOLD, STOP_EN, STOP_ID, kamus_sql_list
+from ocr_ray.ops.curate import (
+    DEFAULT_MAX_PUNCT_RATIO as CURATE_MAX_PUNCT_RATIO,
+    DEFAULT_MIN_STOPWORD_RATIO as CURATE_MIN_STOPWORD_RATIO,
+    DEFAULT_MIN_WORDS as CURATE_MIN_WORDS,
+)
 
 _WORDS_SQL = "regexp_extract_all(lower(text), '[a-zA-Z]{3,}')"
 _FP_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
@@ -743,6 +748,16 @@ def q_label_centroids(sf_dir: str):
     return label_centroids(emb)
 
 
+def q_curate_corpus_stats(sf_dir: str):
+    """Composite curation pipeline (score → filter → exact-dedup →
+    per-language rollup) — one streaming scoring pass, slim-row dedup
+    shuffle, tiny final aggregate. See ops/curate.py for the scale
+    rationale; signals reuse the standalone queries' proven kernels."""
+    from ocr_ray.ops.curate import curate_stats
+
+    return curate_stats(_docs(sf_dir))
+
+
 def q_extract_conservation(sf_dir: str):
     """Derived SQL invariant for the (non-SQL) extraction pipeline:
     per-document span-count / media-count / offset-sum conservation.
@@ -980,6 +995,7 @@ QUERIES = {
     "term_postings": q_term_postings,
     "search_topk": q_search_topk,
     "label_centroids": q_label_centroids,
+    "curate_corpus_stats": q_curate_corpus_stats,
     "embedding_cosine_dedup": q_embedding_cosine_dedup,
     "embedding_cosine_dedup_augmented": q_embedding_cosine_dedup_augmented,
 }
@@ -1755,6 +1771,44 @@ def oracle_sql() -> dict[str, str]:
             " CAST(SUM(ival) AS DOUBLE) / (COUNT(*) * 1000000.0) AS centroid,\n"
             " CAST(COUNT(*) AS BIGINT) AS n_vecs\n"
             "FROM comp GROUP BY label, dim"
+        ),
+        # composes the proven fragments of token_counts / language_id /
+        # quality_heuristics / dedup_exact in the same order as
+        # ops/curate.py: score → filter → keep-min dedup → rollup
+        "curate_corpus_stats": (
+            "WITH scored AS (\n"
+            f" SELECT doc_id, {_WORDS_SQL} AS words, {_FP_SQL} AS fp,\n"
+            "  CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS punct,\n"
+            "  CAST(length(text) AS BIGINT) AS n_chars,\n"
+            "  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens\n"
+            " FROM documents\n"
+            "), derived AS (\n"
+            " SELECT doc_id, fp, n_tokens,\n"
+            "  CAST(len(words) AS BIGINT) AS n_words,\n"
+            "  CAST(punct AS DOUBLE) / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS punct_ratio,\n"
+            f"  CAST(len(list_filter(words, x -> list_contains({_stop_list_sql(sorted(set(STOP_EN) | set(STOP_ID)))}, x))) AS DOUBLE)"
+            " / CAST(GREATEST(len(words), 1) AS DOUBLE) AS stop_ratio,\n"
+            f"  CAST(len(list_filter(words, x -> list_contains({_stop_list_sql(STOP_ID)}, x))) AS BIGINT) AS stop_id,\n"
+            f"  CAST(len(list_filter(words, x -> list_contains({_stop_list_sql(STOP_EN)}, x))) AS BIGINT) AS stop_en\n"
+            " FROM scored\n"
+            "), kept AS (\n"
+            " SELECT doc_id, fp, n_tokens,\n"
+            "  CASE WHEN stop_id >= stop_en THEN 'id' ELSE 'en' END AS lang_pred\n"
+            " FROM derived\n"
+            f" WHERE n_words >= {CURATE_MIN_WORDS}"
+            f" AND stop_ratio >= {CURATE_MIN_STOPWORD_RATIO}"
+            f" AND punct_ratio <= {CURATE_MAX_PUNCT_RATIO}\n"
+            "), deduped AS (\n"
+            " SELECT fp, lang_pred, n_tokens, MIN(doc_id) AS doc_id,\n"
+            "  COUNT(*) AS n_copies\n"
+            " FROM kept GROUP BY fp, lang_pred, n_tokens\n"
+            ")\n"
+            "SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs,\n"
+            " CAST(SUM(n_copies) AS BIGINT) AS n_docs_before_dedup,\n"
+            " CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,\n"
+            " CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,\n"
+            " CAST(MAX(doc_id) AS BIGINT) AS max_doc_id\n"
+            "FROM deduped GROUP BY lang_pred"
         ),
         **(
             {"ann_ivf_topk": ivf_sql}

@@ -1,0 +1,151 @@
+"""Composite corpus-curation pipeline — the flagship shape of a
+training-data engine: score → filter → exact-dedup → rollup, in one
+streaming pass plus one slim shuffle.
+
+Scale design (the point of the composition):
+
+- ONE ``map_batches`` pass computes every per-doc signal (language-ID
+  stopword counts, quality heuristics, content fingerprint, token
+  count) and applies the keep-filter INSIDE the batch — rejected docs
+  never leave the scoring task, and the full ``text`` column never
+  enters a shuffle.
+- The dedup groupby shuffles only slim derived rows
+  ``(fingerprint, lang_pred, n_tokens)`` — ~50 bytes/doc regardless of
+  document size.
+- ``lang_pred`` and ``n_tokens`` are invariant under the fingerprint
+  normalization (lowercase + whitespace-collapse: ``\\S+`` token counts
+  and lowercased word sets cannot differ between fingerprint-equal
+  texts), so they ride in the group key instead of needing a join back
+  to the keeper row.
+- The final per-language rollup is a second groupby over
+  already-deduped slim rows — at most one row per distinct document.
+
+Filter semantics (applied BEFORE dedup, like a real curation run —
+a low-quality copy never shields a good one because fingerprint-equal
+texts score identically on every signal the filter uses):
+keep docs with ``n_words >= min_words`` AND
+``stopword_ratio >= min_stopword_ratio`` AND
+``punct_ratio <= max_punct_ratio``.
+
+All signals reuse the exact kernels of the standalone queries
+(``ops.analysis`` language-ID / fingerprint, ``ops.textstats`` quality
+heuristics), so the DuckDB oracle composes their proven SQL fragments.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ocr_ray.ops.analysis import normalize_for_fingerprint
+from ocr_ray.ops.textstats import STOP_EN, STOP_ID, _PUNCT_RE, _WORD_RE
+
+DEFAULT_MIN_WORDS = 20
+DEFAULT_MIN_STOPWORD_RATIO = 0.02
+DEFAULT_MAX_PUNCT_RATIO = 0.2
+
+
+def _score_filter_batch(
+    batch: pa.Table,
+    *,
+    min_words: int,
+    min_stopword_ratio: float,
+    max_punct_ratio: float,
+) -> pa.Table:
+    stop_id, stop_en = set(STOP_ID), set(STOP_EN)
+    stops = stop_id | stop_en
+    ids = batch.column("doc_id").to_pylist()
+    out_id, out_fp, out_lang, out_tok = [], [], [], []
+    n_words_l, punct_l, stop_l = [], [], []
+    for doc_id, text in zip(ids, batch.column("text").to_pylist()):
+        t = text or ""
+        words = _WORD_RE.findall(t.lower())
+        n_words = len(words)
+        punct_ratio = len(_PUNCT_RE.findall(t)) / max(len(t), 1)
+        stop_ratio = sum(1 for w in words if w in stops) / max(n_words, 1)
+        if (
+            n_words < min_words
+            or stop_ratio < min_stopword_ratio
+            or punct_ratio > max_punct_ratio
+        ):
+            continue
+        sid = sum(1 for w in words if w in stop_id)
+        sen = sum(1 for w in words if w in stop_en)
+        out_id.append(doc_id)
+        out_fp.append(
+            hashlib.md5(
+                normalize_for_fingerprint(t).encode("utf-8")
+            ).hexdigest()
+        )
+        out_lang.append("id" if sid >= sen else "en")
+        out_tok.append(len(t.split()))
+        n_words_l.append(n_words)
+        punct_l.append(punct_ratio)
+        stop_l.append(stop_ratio)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "fingerprint": pa.array(out_fp, pa.string()),
+            "lang_pred": pa.array(out_lang, pa.string()),
+            "n_tokens": pa.array(out_tok, pa.int64()),
+        }
+    )
+
+
+def curate_corpus(
+    docs,
+    *,
+    min_words: int = DEFAULT_MIN_WORDS,
+    min_stopword_ratio: float = DEFAULT_MIN_STOPWORD_RATIO,
+    max_punct_ratio: float = DEFAULT_MAX_PUNCT_RATIO,
+):
+    """Score + filter + exact-dedup: one row per SURVIVING distinct
+    document ``(fingerprint, lang_pred, n_tokens, doc_id=keeper,
+    n_copies)``. ``docs`` needs (doc_id, text)."""
+    from ray.data.aggregate import Count, Min
+
+    import functools
+
+    scored = docs.map_batches(
+        functools.partial(
+            _score_filter_batch,
+            min_words=min_words,
+            min_stopword_ratio=min_stopword_ratio,
+            max_punct_ratio=max_punct_ratio,
+        ),
+        batch_format="pyarrow",
+    )
+    return (
+        scored.groupby(["fingerprint", "lang_pred", "n_tokens"])
+        .aggregate(
+            Min("doc_id", alias_name="doc_id"),
+            Count(alias_name="n_copies"),
+        )
+    )
+
+
+def curate_stats(
+    docs,
+    *,
+    min_words: int = DEFAULT_MIN_WORDS,
+    min_stopword_ratio: float = DEFAULT_MIN_STOPWORD_RATIO,
+    max_punct_ratio: float = DEFAULT_MAX_PUNCT_RATIO,
+):
+    """Per-language rollup of the curated corpus: distinct surviving
+    docs, pre-dedup survivor count, total tokens, keeper-id span."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    kept = curate_corpus(
+        docs,
+        min_words=min_words,
+        min_stopword_ratio=min_stopword_ratio,
+        max_punct_ratio=max_punct_ratio,
+    )
+    return kept.groupby("lang_pred").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_copies", alias_name="n_docs_before_dedup"),
+        Sum("n_tokens", alias_name="sum_tokens"),
+        Min("doc_id", alias_name="min_doc_id"),
+        Max("doc_id", alias_name="max_doc_id"),
+    )

@@ -1,0 +1,87 @@
+"""Composite curation pipeline (ops/curate.py): score → filter →
+exact-dedup → per-language rollup.
+
+Note the word regex is ``[a-zA-Z]{3,}`` (shared with the standalone
+queries and their SQL oracles), so only stopwords of length >= 3 count
+toward the ratios — fixtures below use those.
+"""
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from ocr_ray.ops.curate import curate_corpus, curate_stats
+
+
+def _ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+# 24 words, heavy >=3-char EN stopwords -> kept, lang en
+EN_TEXT = (
+    "the report and that this from have not the analysis and that "
+    "this from have considered many options the report and that this"
+)
+# same content, different case + whitespace -> same fingerprint
+EN_DUP = "  THE report  and that this from have not the analysis and that\nthis from have considered many options the report and that this "
+# >=3-char ID stopwords dominate -> kept, lang id
+ID_TEXT = (
+    "dan dari dengan adalah pada dalam akan atau ini itu dan dari "
+    "dengan adalah pada dalam akan atau ini itu laporan keuangan tahunan"
+)
+SHORT = "the and that this from"  # < 20 words -> dropped
+NO_STOPS = " ".join(f"zzz{i:03d} qqq{i:03d}" for i in range(15))  # 30 words, 0 stopwords
+PUNCTY = "!!! ??? ;;; " * 30 + EN_TEXT  # punct_ratio > 0.2 -> dropped
+
+
+def test_curate_corpus_filter_dedup(ray_session):
+    rows = [
+        (7, EN_TEXT),
+        (3, EN_DUP),     # dup of doc 7 -> keeper is min(3, 7) = 3
+        (11, ID_TEXT),
+        (20, SHORT),
+        (21, NO_STOPS),
+        (22, PUNCTY),
+    ]
+    kept = sorted(
+        curate_corpus(_ds(rows)).take_all(), key=lambda r: r["doc_id"]
+    )
+    assert [r["doc_id"] for r in kept] == [3, 11]
+    by_id = {r["doc_id"]: r for r in kept}
+    assert by_id[3]["lang_pred"] == "en"
+    assert by_id[3]["n_copies"] == 2
+    assert by_id[11]["lang_pred"] == "id"
+    assert by_id[11]["n_copies"] == 1
+    # whitespace-insensitive token count identical across the dup pair
+    assert by_id[3]["n_tokens"] == len(EN_TEXT.split())
+
+
+def test_curate_stats_rollup(ray_session):
+    rows = [
+        (7, EN_TEXT),
+        (3, EN_DUP),
+        (11, ID_TEXT),
+        (20, SHORT),
+    ]
+    stats = {r["lang_pred"]: r for r in curate_stats(_ds(rows)).take_all()}
+    assert set(stats) == {"en", "id"}
+    en, idn = stats["en"], stats["id"]
+    assert en["n_docs"] == 1 and en["n_docs_before_dedup"] == 2
+    assert en["min_doc_id"] == en["max_doc_id"] == 3
+    assert en["sum_tokens"] == len(EN_TEXT.split())
+    assert idn["n_docs"] == idn["n_docs_before_dedup"] == 1
+    assert idn["sum_tokens"] == len(ID_TEXT.split())
+
+
+def test_curate_empty_and_all_filtered(ray_session):
+    out = curate_corpus(_ds([(1, SHORT), (2, NO_STOPS)])).take_all()
+    assert out == []
