@@ -37,6 +37,9 @@ BENCH_QUERIES = [
     "purchases_last_click",
     "daily_active_users",
     "hll_user_estimate",
+    "curate_corpus_stats",
+    "redact_pii",
+    "weighted_sample_docs",
 ]
 
 

@@ -758,6 +758,23 @@ def q_curate_corpus_stats(sf_dir: str):
     return curate_stats(_docs(sf_dir))
 
 
+def q_redact_pii(sf_dir: str):
+    """PII masking (URL/email/phone) as pure Arrow regex kernels; the
+    oracle replays the byte-identical RE2 patterns in DuckDB."""
+    from ocr_ray.ops.redact import redact_pii
+
+    return redact_pii(_docs(sf_dir))
+
+
+def q_weighted_sample_docs(sf_dir: str):
+    """Priority sampling (Duffield-Lund-Thorup) by n_chars with the
+    SQL-reproducible multiplicative hash as the uniform source."""
+    from ocr_ray.ops.sample import weighted_sample
+
+    return weighted_sample(_docs(sf_dir, "doc_id", "n_chars"),
+                           weight_col="n_chars", k=25)
+
+
 def q_extract_conservation(sf_dir: str):
     """Derived SQL invariant for the (non-SQL) extraction pipeline:
     per-document span-count / media-count / offset-sum conservation.
@@ -996,6 +1013,8 @@ QUERIES = {
     "search_topk": q_search_topk,
     "label_centroids": q_label_centroids,
     "curate_corpus_stats": q_curate_corpus_stats,
+    "redact_pii": q_redact_pii,
+    "weighted_sample_docs": q_weighted_sample_docs,
     "embedding_cosine_dedup": q_embedding_cosine_dedup,
     "embedding_cosine_dedup_augmented": q_embedding_cosine_dedup_augmented,
 }
@@ -1322,6 +1341,18 @@ def _oracle_interleaved_path() -> str:
 
     sf = os.environ.get("OCR_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     return interleaved_path_for(sf)
+
+
+def _redact_oracle_sql() -> str:
+    from ocr_ray.ops.redact import oracle_sql as _r
+
+    return _r()
+
+
+def _weighted_sample_oracle_sql(weight_col: str, k: int) -> str:
+    from ocr_ray.ops.sample import oracle_sql as _s
+
+    return _s(weight_col=weight_col, k=k)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1809,6 +1840,10 @@ def oracle_sql() -> dict[str, str]:
             " CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,\n"
             " CAST(MAX(doc_id) AS BIGINT) AS max_doc_id\n"
             "FROM deduped GROUP BY lang_pred"
+        ),
+        "redact_pii": _redact_oracle_sql(),
+        "weighted_sample_docs": _weighted_sample_oracle_sql(
+            weight_col="n_chars", k=25
         ),
         **(
             {"ann_ivf_topk": ivf_sql}
