@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "curate_corpus_stats",
     "redact_pii",
     "weighted_sample_docs",
+    "chunk_docs",
+    "contamination_report",
 ]
 
 

@@ -775,6 +775,30 @@ def q_weighted_sample_docs(sf_dir: str):
                            weight_col="n_chars", k=25)
 
 
+def q_chunk_docs(sf_dir: str):
+    """Sliding-window token chunking (64-token windows, stride 32)."""
+    from ocr_ray.ops.chunk import chunk_documents
+
+    return chunk_documents(_docs(sf_dir))
+
+
+def q_contamination_report(sf_dir: str):
+    """Benchmark decontamination: every doc's distinct 8-token shingles
+    probed against the broadcast shingle set of the benchmark subset
+    (doc_id % 50 == 0 — a deterministic stand-in for an eval set)."""
+    import numpy as np
+
+    from ocr_ray.ops.decontam import decontaminate_report
+
+    def is_bench(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 50 == 0))
+
+    docs = _docs(sf_dir)
+    bench = docs.map_batches(is_bench, batch_format="pyarrow")
+    return decontaminate_report(docs, bench)
+
+
 def q_extract_conservation(sf_dir: str):
     """Derived SQL invariant for the (non-SQL) extraction pipeline:
     per-document span-count / media-count / offset-sum conservation.
@@ -1015,6 +1039,8 @@ QUERIES = {
     "curate_corpus_stats": q_curate_corpus_stats,
     "redact_pii": q_redact_pii,
     "weighted_sample_docs": q_weighted_sample_docs,
+    "chunk_docs": q_chunk_docs,
+    "contamination_report": q_contamination_report,
     "embedding_cosine_dedup": q_embedding_cosine_dedup,
     "embedding_cosine_dedup_augmented": q_embedding_cosine_dedup_augmented,
 }
@@ -1353,6 +1379,18 @@ def _weighted_sample_oracle_sql(weight_col: str, k: int) -> str:
     from ocr_ray.ops.sample import oracle_sql as _s
 
     return _s(weight_col=weight_col, k=k)
+
+
+def _chunk_oracle_sql() -> str:
+    from ocr_ray.ops.chunk import oracle_sql as _c
+
+    return _c()
+
+
+def _decontam_oracle_sql() -> str:
+    from ocr_ray.ops.decontam import oracle_sql as _d
+
+    return _d()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1845,6 +1883,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_docs": _weighted_sample_oracle_sql(
             weight_col="n_chars", k=25
         ),
+        "chunk_docs": _chunk_oracle_sql(),
+        "contamination_report": _decontam_oracle_sql(),
         **(
             {"ann_ivf_topk": ivf_sql}
             if (ivf_sql := _ivf_topk_oracle_sql()) is not None
