@@ -102,3 +102,54 @@ def input_files(path: str) -> list[str]:
     if p.is_file():
         return [str(p)]
     return sorted(str(f) for f in p.glob("*.parquet"))
+
+
+# --------------------------------------------------------- JSONL source
+
+def write_interleaved_jsonl(
+    table: pa.Table, path: str, max_rows_per_file: int = 100_000
+) -> str:
+    """Write the interleaved table as sharded JSON-lines — the common
+    interchange format for document corpora. Row shape:
+    ``{"doc_id": ..., "spans": [{"kind", "text", "media_ref",
+    "offset"}, ...]}``."""
+    import json
+
+    p = pathlib.Path(path)
+    p.mkdir(parents=True, exist_ok=True)
+    shard = 0
+    for start in range(0, max(table.num_rows, 1), max_rows_per_file):
+        chunk = table.slice(start, max_rows_per_file)
+        with open(p / f"part-{shard:05d}.jsonl", "w") as f:
+            for row in chunk.to_pylist():
+                f.write(json.dumps(row, separators=(",", ":")) + "\n")
+        shard += 1
+    return str(p)
+
+
+def read_interleaved_jsonl(path: str, **ray_kwargs):
+    """Read a JSONL interleaved corpus as a ``ray.data.Dataset`` with
+    the SAME Arrow schema as the parquet path (spans as
+    ``list<struct<kind,text,media_ref,offset:int32>>``), so every
+    downstream stage is source-agnostic. The JSON reader infers
+    ``offset`` as int64 per block — the normalizing cast below pins the
+    canonical schema and guards against per-block drift."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ocr_ray.synth import INTERLEAVED_SCHEMA
+
+    spans_type = INTERLEAVED_SCHEMA.field("spans").type
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.string()),
+                "spans": pc.cast(batch.column("spans"), spans_type),
+            },
+            schema=INTERLEAVED_SCHEMA,
+        )
+
+    return rd.read_json(path, **ray_kwargs).map_batches(
+        normalize, batch_format="pyarrow"
+    )

@@ -38,3 +38,31 @@ def test_read_media_files_and_attach(ray_session, tmp_path):
     ).sort_by("doc_id")
     assert joined.column("payload")[0].as_py() == tbl.column("payload")[0].as_py()
     assert joined.column("payload")[1].as_py() is None
+
+
+def test_jsonl_interleaved_round_trip(ray_session, tmp_path):
+    """JSONL source yields the identical Arrow schema and rows as the
+    parquet path, and the extraction pipeline is source-agnostic."""
+    from ocr_ray import io as oio
+    from ocr_ray import synth
+    from ocr_ray.pipelines.extract import ExtractConfig, extract_documents
+
+    table = synth.generate_interleaved(n_docs=40, seed=7)
+    jdir = oio.write_interleaved_jsonl(table, str(tmp_path / "jsonl"), max_rows_per_file=16)
+    pdir = oio.write_interleaved(table, str(tmp_path / "pq"), max_rows_per_file=16)
+
+    ds_j = oio.read_interleaved_jsonl(jdir)
+    back = pa.concat_tables(
+        ds_j.iter_batches(batch_format="pyarrow")
+    ).sort_by("doc_id")
+    assert back.schema.equals(synth.INTERLEAVED_SCHEMA)
+    assert back.equals(table.sort_by("doc_id"))
+
+    # same extraction result from either source
+    out_j = pa.Table.from_pylist(
+        extract_documents(ds_j, ExtractConfig()).take_all()
+    ).sort_by("doc_id")
+    out_p = pa.Table.from_pylist(
+        extract_documents(oio.read_interleaved(pdir), ExtractConfig()).take_all()
+    ).sort_by("doc_id")
+    assert out_j.equals(out_p)
