@@ -35,10 +35,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query. The
-    extraction pipeline, MinHash/SimHash/Jaccard dedup, IVF ANN and
-    cosine dedup are genuinely non-SQL-expressible (stateful actors /
-    LSH bucketing) and get the driver's rows-only check."""
+    """DuckDB-equivalent SQL for every query except the two byte-level
+    extraction outputs (stateful actor-pool OCR/repair — genuinely
+    non-SQL; rows-only check), which are themselves covered by the
+    green derived oracle ``extract_conservation``. Everything else —
+    including MinHash (bit-exact HUGEINT signatures), SimHash, IVF ANN
+    (embedded deterministic centroids) and the cosine-dedup recall
+    gate — is oracle-backed."""
     from ocr_ray.driver import oracle_sql as _oracle
 
     return _oracle()
