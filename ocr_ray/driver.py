@@ -983,6 +983,44 @@ def q_embedding_cosine_dedup_augmented(sf_dir: str):
     )
 
 
+def q_train_split_stats(sf_dir: str):
+    from ocr_ray.ops.split import train_split_stats
+
+    return train_split_stats(_docs(sf_dir, "doc_id", "lang", "n_chars"))
+
+
+def q_rollup_lang_source(sf_dir: str):
+    from ocr_ray.ops.split import rollup_lang_source
+
+    return rollup_lang_source(_docs(sf_dir, "lang", "source", "n_chars"))
+
+
+def q_events_running_total(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.windows import running_total_per_user
+
+    _quiet()
+    return running_total_per_user(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"],
+        )
+    )
+
+
+def q_cms_registers(sf_dir: str):
+    from ocr_ray.ops.sketch import cms_registers
+
+    return cms_registers(_docs(sf_dir, "text"))
+
+
+def q_cms_heavy_hitters(sf_dir: str):
+    from ocr_ray.ops.sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(_docs(sf_dir, "text"), k=25)
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -1043,6 +1081,11 @@ QUERIES = {
     "contamination_report": q_contamination_report,
     "embedding_cosine_dedup": q_embedding_cosine_dedup,
     "embedding_cosine_dedup_augmented": q_embedding_cosine_dedup_augmented,
+    "train_split_stats": q_train_split_stats,
+    "rollup_lang_source": q_rollup_lang_source,
+    "events_running_total": q_events_running_total,
+    "cms_registers": q_cms_registers,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
 }
 
 
@@ -1391,6 +1434,63 @@ def _decontam_oracle_sql() -> str:
     from ocr_ray.ops.decontam import oracle_sql as _d
 
     return _d()
+
+
+def _train_split_oracle_sql() -> str:
+    from ocr_ray.ops.split import train_split_sql
+
+    return train_split_sql()
+
+
+def _rollup_oracle_sql() -> str:
+    from ocr_ray.ops.split import rollup_sql
+
+    return rollup_sql()
+
+
+def _cms_words_body() -> str:
+    """Shared CTE body: token multiset → per-token counts → the four
+    md5-word probe coordinates (same disjoint 32-bit md5 words as
+    ops/sketch.py:_cms_cols)."""
+    return (
+        "words AS (\n"
+        f" SELECT unnest({_WORDS_SQL}) AS word FROM documents\n"
+        "), counts AS (\n"
+        " SELECT word, COUNT(*) AS c FROM words GROUP BY word\n"
+        "), hx AS (\n"
+        " SELECT word, c, md5(word) AS h FROM counts\n"
+        "), probes AS (\n"
+        " SELECT r.r AS r,\n"
+        "  ('0x' || substr(h, 8 * r.r + 1, 8))::BIGINT & 255 AS col, c\n"
+        " FROM hx CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r\n"
+        "), regs AS (\n"
+        " SELECT r, col, SUM(c) AS cnt FROM probes GROUP BY r, col\n"
+        ")"
+    )
+
+
+def _cms_registers_sql() -> str:
+    return (
+        "WITH " + _cms_words_body() + "\n"
+        'SELECT CAST(r AS BIGINT) AS "row", CAST(col AS BIGINT) AS col,\n'
+        ' CAST(cnt AS BIGINT) AS count\nFROM regs'
+    )
+
+
+def _cms_heavy_hitters_sql(k: int = 25) -> str:
+    return (
+        "WITH " + _cms_words_body() + ",\n"
+        "top AS (\n"
+        f" SELECT word, c FROM counts ORDER BY c DESC, word ASC LIMIT {k}\n"
+        "), cand_probes AS (\n"
+        " SELECT t.word, t.c, r.r AS r,\n"
+        "  ('0x' || substr(md5(t.word), 8 * r.r + 1, 8))::BIGINT & 255 AS col\n"
+        " FROM top t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r\n"
+        ")\n"
+        "SELECT word, CAST(c AS BIGINT) AS exact_count,\n"
+        " CAST(MIN(regs.cnt) AS BIGINT) AS cms_estimate\n"
+        "FROM cand_probes JOIN regs USING (r, col) GROUP BY word, c"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1885,6 +1985,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "chunk_docs": _chunk_oracle_sql(),
         "contamination_report": _decontam_oracle_sql(),
+        "train_split_stats": _train_split_oracle_sql(),
+        "rollup_lang_source": _rollup_oracle_sql(),
+        "events_running_total": (
+            "SELECT event_id, user_id, ts,\n"
+            " CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) OVER (\n"
+            "  PARTITION BY user_id ORDER BY ts, event_id\n"
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW\n"
+            " ) AS BIGINT) AS running_cents\n"
+            "FROM events"
+        ),
+        "cms_registers": _cms_registers_sql(),
+        "cms_heavy_hitters": _cms_heavy_hitters_sql(),
         **(
             {"ann_ivf_topk": ivf_sql}
             if (ivf_sql := _ivf_topk_oracle_sql()) is not None

@@ -91,3 +91,108 @@ def hll_distinct(ds, key_column: str):
             "n_registers": pa.array([len(rows)], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005), SQL-reproducible like
+# the HLL above: the D row-hashes are the four disjoint 32-bit words of
+# md5(token), so a DuckDB oracle rebuilds the register table bit-for-bit
+# and replays the min-over-rows estimate. Distributed shape: per-batch
+# partial registers (≤ D × W slim rows leave a batch regardless of input
+# size) → groupby-sum — constant shuffle volume, registers mergeable
+# across shards, the canonical sketch pattern.
+
+CMS_D = 4  # hash rows (md5 yields exactly four 32-bit words)
+CMS_W = 256  # columns per row (power of two: col = word & (W-1))
+
+def _cms_cols(token: str) -> list[int]:
+    d = hashlib.md5(token.encode("utf-8")).hexdigest()
+    return [int(d[8 * r : 8 * r + 8], 16) & (CMS_W - 1) for r in range(CMS_D)]
+
+
+def _cms_partials(batch: pa.Table) -> pa.Table:
+    from collections import Counter
+
+    from ocr_ray.ops.analysis import _WORD_RE
+
+    counts: Counter[str] = Counter()
+    for text in batch.column("text").to_pylist():
+        counts.update(_WORD_RE.findall((text or "").lower()))
+    regs: Counter[tuple[int, int]] = Counter()
+    for token, c in counts.items():
+        for r, col in enumerate(_cms_cols(token)):
+            regs[(r, col)] += c
+    items = sorted(regs.items())
+    return pa.table(
+        {
+            "row": pa.array([k[0] for k, _ in items], pa.int64()),
+            "col": pa.array([k[1] for k, _ in items], pa.int64()),
+            "count": pa.array([v for _, v in items], pa.int64()),
+        }
+    )
+
+
+def cms_registers(docs):
+    """(row, col, count) — the Count-Min register table over the token
+    multiset of ``docs`` (needs text); ≤ D × W rows total."""
+    from ray.data.aggregate import Sum
+
+    return (
+        docs.map_batches(_cms_partials, batch_format="pyarrow")
+        .groupby(["row", "col"])
+        .aggregate(Sum("count", alias_name="count"))
+    )
+
+
+def cms_heavy_hitters(docs, k: int = 25):
+    """(word, exact_count, cms_estimate) for the top-``k`` tokens by
+    exact global count (ties broken by word ASC — frozen, SQL-matched).
+    The CMS estimate is min over the D probed registers; estimate ≥
+    exact always (one-sided error), equality when no collisions.
+
+    Driver-side materializations are bounded by construction: the
+    register table (≤ D × W rows) and the k-row top-k. The corpus is
+    scanned twice (exact counts, registers) — acceptable for a
+    diagnostics query; production top-k-without-exact-counts would pair
+    the single-scan ``cms_registers`` with a candidate stream."""
+    from ray.data.aggregate import Sum
+
+    exact = (
+        docs.map_batches(_token_count_partials, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("partial", alias_name="exact_count"))
+        .sort(["exact_count", "word"], descending=[True, False])
+        .limit(k)
+    )
+    regs = {
+        (int(r["row"]), int(r["col"])): int(r["count"])
+        for r in cms_registers(docs).take_all()
+    }
+
+    def estimate(t: pa.Table) -> pa.Table:
+        words = t.column("word").to_pylist()
+        est = [
+            min(regs.get((r, col), 0) for r, col in enumerate(_cms_cols(w)))
+            for w in words
+        ]
+        return t.append_column("cms_estimate", pa.array(est, pa.int64()))
+
+    # ≤ k rows after limit(); one pass to attach estimates
+    return exact.map_batches(estimate, batch_format="pyarrow")
+
+
+def _token_count_partials(batch: pa.Table) -> pa.Table:
+    from collections import Counter
+
+    from ocr_ray.ops.analysis import _WORD_RE
+
+    counts: Counter[str] = Counter()
+    for text in batch.column("text").to_pylist():
+        counts.update(_WORD_RE.findall((text or "").lower()))
+    items = sorted(counts.items())
+    return pa.table(
+        {
+            "word": pa.array([w for w, _ in items], pa.string()),
+            "partial": pa.array([c for _, c in items], pa.int64()),
+        }
+    )

@@ -1,0 +1,194 @@
+"""Deterministic corpus partitioning for training mixes.
+
+- ``train_split_stats``: assign every document to train/val/test by the
+  SQL-reproducible multiplicative hash of ``doc_id`` (the same Knuth
+  constant as the samplers in ops/sample.py and ops/tfidf.py) and roll
+  up per-(split, lang) document and character counts. The assignment is
+  a pure function of the key — stable under re-runs, repartitioning and
+  resume, which is the property a 100 TB training-data split actually
+  needs (no RNG state, no global coordination).
+
+- ``rollup_lang_source``: GROUPING-SETS-style rollup
+  ((lang, source) → (lang) → ()) with the 'ALL' sentinel. Shape: one
+  distributed partial aggregation per batch → one tiny groupby on the
+  (lang × source)-row base — the super-aggregates are derived from the
+  base aggregate, never from a second scan of the corpus.
+
+Both shuffle only a handful of partial-aggregate rows per input batch
+regardless of corpus size.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_KNUTH = np.uint64(2654435761)
+_M32 = np.uint64(0xFFFFFFFF)
+
+# percentile thresholds of the 0-99 hash bucket: [0, 90) train,
+# [90, 95) val, [95, 100) test
+TRAIN_PCT = 90
+VAL_PCT = 95
+_SPLIT_NAMES = ("train", "val", "test")
+
+
+def split_of(ids: np.ndarray) -> np.ndarray:
+    """Vectorized split code (0=train, 1=val, 2=test) per doc_id —
+    ``((doc_id * 2654435761) mod 2^32) mod 100`` against the
+    thresholds; bit-identical to the SQL oracle's HUGEINT arithmetic."""
+    pct = ((ids.astype(np.uint64) * _KNUTH) & _M32) % np.uint64(100)
+    return (pct >= TRAIN_PCT).astype(np.int8) + (pct >= VAL_PCT).astype(np.int8)
+
+
+def _partials(batch: pa.Table) -> pa.Table:
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    chars = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+    codes = split_of(ids).astype(np.int64)
+    langs, lang_idx = np.unique(
+        np.asarray(batch.column("lang").to_pylist(), dtype=object),
+        return_inverse=True,
+    )
+    key = codes * len(langs) + lang_idx
+    nkeys = 3 * len(langs)
+    n_docs = np.bincount(key, minlength=nkeys)
+    sum_chars = np.bincount(key, weights=chars, minlength=nkeys).astype(np.int64)
+    live = np.flatnonzero(n_docs)
+    return pa.table(
+        {
+            "split": pa.array(
+                [_SPLIT_NAMES[k // len(langs)] for k in live], pa.string()
+            ),
+            "lang": pa.array([langs[k % len(langs)] for k in live], pa.string()),
+            "n_docs": pa.array(n_docs[live], pa.int64()),
+            "sum_chars": pa.array(sum_chars[live], pa.int64()),
+        }
+    )
+
+
+def train_split_stats(docs):
+    """(split, lang, n_docs, sum_chars) — deterministic 90/5/5
+    hash split of ``docs`` (needs doc_id, lang, n_chars). The shuffle
+    carries ≤ 3 × n_langs partial rows per input batch."""
+    from ray.data.aggregate import Sum
+
+    return (
+        docs.map_batches(_partials, batch_format="pyarrow")
+        .groupby(["split", "lang"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+    )
+
+
+def train_split_sql() -> str:
+    return (
+        "WITH b AS (\n"
+        " SELECT lang, n_chars,\n"
+        "  ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) % 100 AS pct\n"
+        " FROM documents\n"
+        "), s AS (\n"
+        f" SELECT CASE WHEN pct < {TRAIN_PCT} THEN 'train'\n"
+        f"             WHEN pct < {VAL_PCT} THEN 'val'\n"
+        "             ELSE 'test' END AS split, lang, n_chars FROM b\n"
+        ")\n"
+        "SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,\n"
+        " CAST(SUM(n_chars) AS BIGINT) AS sum_chars\n"
+        "FROM s GROUP BY split, lang"
+    )
+
+
+def _base_partials(batch: pa.Table) -> pa.Table:
+    chars = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+    langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+    sources = np.asarray(batch.column("source").to_pylist(), dtype=object)
+    pairs, idx = np.unique(
+        np.char.add(np.char.add(langs.astype(str), "\x1f"), sources.astype(str)),
+        return_inverse=True,
+    )
+    n_docs = np.bincount(idx, minlength=len(pairs))
+    sum_chars = np.bincount(idx, weights=chars, minlength=len(pairs)).astype(
+        np.int64
+    )
+    split_pairs = [p.split("\x1f", 1) for p in pairs]
+    return pa.table(
+        {
+            "lang": pa.array([p[0] for p in split_pairs], pa.string()),
+            "source": pa.array([p[1] for p in split_pairs], pa.string()),
+            "n_docs": pa.array(n_docs, pa.int64()),
+            "sum_chars": pa.array(sum_chars, pa.int64()),
+        }
+    )
+
+
+def rollup_lang_source(docs):
+    """(lang, source, n_docs, sum_chars) at three grouping levels —
+    (lang, source), (lang, 'ALL'), ('ALL', 'ALL') — over ``docs``
+    (needs lang, source, n_chars). Super-aggregate levels re-aggregate
+    the tiny (lang × source)-row base, not the corpus."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    base = (
+        docs.map_batches(_base_partials, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+        # materialize the ≤ (n_langs × n_sources)-row base so the three
+        # union branches below share ONE corpus scan instead of each
+        # re-executing the aggregate lineage (bounded by key cardinality,
+        # never by corpus size)
+        .materialize()
+    )
+
+    def _all_source(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "source", pa.array(["ALL"] * t.num_rows, pa.string())
+        )
+
+    lang_level = (
+        base.groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+        .map_batches(_all_source, batch_format="pyarrow")
+    )
+
+    def _totals(t: pa.Table) -> pa.Table:
+        # single ≤(n_langs × n_sources)-row block after repartition(1)
+        return pa.table(
+            {
+                "lang": pa.array(["ALL"], pa.string()),
+                "source": pa.array(["ALL"], pa.string()),
+                "n_docs": pa.array(
+                    [pc.sum(t.column("n_docs")).as_py() or 0], pa.int64()
+                ),
+                "sum_chars": pa.array(
+                    [pc.sum(t.column("sum_chars")).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    total_level = base.repartition(1).map_batches(
+        _totals, batch_format="pyarrow"
+    )
+    cols = ["lang", "source", "n_docs", "sum_chars"]
+    return (
+        base.select_columns(cols)
+        .union(lang_level.select_columns(cols))
+        .union(total_level.select_columns(cols))
+    )
+
+
+def rollup_sql() -> str:
+    return (
+        "SELECT COALESCE(lang, 'ALL') AS lang,"
+        " COALESCE(source, 'ALL') AS source,\n"
+        " CAST(COUNT(*) AS BIGINT) AS n_docs,"
+        " CAST(SUM(n_chars) AS BIGINT) AS sum_chars\n"
+        "FROM documents GROUP BY ROLLUP (lang, source)"
+    )

@@ -137,3 +137,46 @@ def session_stats_per_user(events, gap_sec: int = 1800):
         )
 
     return grouped_map(events, ["user_id"], block_fn, sort_within=["ts"])
+
+
+def running_total_per_user(events):
+    """(event_id, user_id, ts, running_cents): the per-user running sum
+    of event value (integer cents — the float window-frame accumulation
+    order differs between engines, so the cumulative quantity is kept
+    integer-exact), ordered by (ts, event_id) within the user. The SQL
+    analogue is ``SUM(...) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id)`` — here a block-level grouped map: one hash shuffle on
+    user_id, then one vectorized cumsum per block with per-group base
+    subtraction (no per-group Python dispatch)."""
+    from ocr_ray.driver import _cents
+    from ocr_ray.stages.grouped import grouped_map
+
+    def block_fn(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "running_cents": pa.array([], pa.int64()),
+                }
+            )
+        # block arrives sorted by (user_id, ts, event_id)
+        cents = _cents(block["value"]).to_numpy(zero_copy_only=False)
+        cs = np.cumsum(cents)
+        base = np.where(starts > 0, cs[starts - 1], 0)
+        sizes = np.diff(np.append(starts, n))
+        running = cs - np.repeat(base, sizes)
+        return pa.table(
+            {
+                "event_id": block.column("event_id"),
+                "user_id": block.column("user_id"),
+                "ts": pc.cast(block.column("ts"), pa.timestamp("us")),
+                "running_cents": pa.array(running, pa.int64()),
+            }
+        )
+
+    return grouped_map(
+        events, ["user_id"], block_fn, sort_within=["ts", "event_id"]
+    )

@@ -1,0 +1,155 @@
+"""Train/val/test hash split, ROLLUP grouping sets, per-user running
+totals, and the Count-Min sketch: semantic properties beyond the SQL
+oracles (partition completeness, super-aggregate consistency, CMS
+one-sided error, block-layout independence)."""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ocr_ray.ops.sketch import CMS_D, CMS_W, _cms_cols, cms_heavy_hitters, cms_registers
+from ocr_ray.ops.split import rollup_lang_source, split_of, train_split_stats
+from ocr_ray.ops.windows import running_total_per_user
+
+
+def _docs_table(n=400, seed=7):
+    rng = np.random.default_rng(seed)
+    langs = np.array(["id", "en", "mix"])[rng.integers(0, 3, n)]
+    sources = np.array(["scan", "web", "pdf", "mail"])[rng.integers(0, 4, n)]
+    words = ["dokumen", "gaji", "pasar", "utara", "jalan", "kantor"]
+    texts = [
+        " ".join(rng.choice(words, rng.integers(3, 12)).tolist()) for _ in range(n)
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "lang": pa.array(langs.tolist(), pa.string()),
+            "source": pa.array(sources.tolist(), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def test_split_partitions_every_doc_and_is_stable(ray_session):
+    tbl = _docs_table()
+    rows = train_split_stats(rd.from_arrow(tbl)).take_all()
+    # the three splits partition the corpus: doc and char totals conserved
+    assert sum(r["n_docs"] for r in rows) == tbl.num_rows
+    assert sum(r["sum_chars"] for r in rows) == sum(
+        tbl.column("n_chars").to_pylist()
+    )
+    # assignment is a pure function of doc_id — block layout irrelevant
+    rows2 = train_split_stats(
+        rd.from_arrow(tbl).repartition(13)
+    ).take_all()
+    assert sorted(map(tuple, (sorted(r.items()) for r in rows))) == sorted(
+        map(tuple, (sorted(r.items()) for r in rows2))
+    )
+    # ~90/5/5 by construction of the thresholds
+    by_split = {}
+    for r in rows:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    assert by_split["train"] > 6 * (by_split["val"] + by_split["test"])
+
+
+def test_split_code_matches_hash_formula():
+    ids = np.array([0, 1, 2, 99, 10**9, 7_654_321], dtype=np.int64)
+    pct = ((ids.astype(np.uint64) * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)) % 100
+    expect = np.where(pct < 90, 0, np.where(pct < 95, 1, 2))
+    assert (split_of(ids) == expect).all()
+
+
+def test_rollup_super_aggregates_consistent(ray_session):
+    tbl = _docs_table()
+    rows = rollup_lang_source(rd.from_arrow(tbl)).take_all()
+    base = [r for r in rows if r["lang"] != "ALL" and r["source"] != "ALL"]
+    lang_lvl = [r for r in rows if r["lang"] != "ALL" and r["source"] == "ALL"]
+    total = [r for r in rows if r["lang"] == "ALL"]
+    assert len(total) == 1 and total[0]["source"] == "ALL"
+    assert total[0]["n_docs"] == tbl.num_rows
+    assert sum(r["n_docs"] for r in base) == tbl.num_rows
+    for lr in lang_lvl:
+        member = [r for r in base if r["lang"] == lr["lang"]]
+        assert lr["n_docs"] == sum(r["n_docs"] for r in member)
+        assert lr["sum_chars"] == sum(r["sum_chars"] for r in member)
+
+
+def test_running_total_matches_serial(ray_session):
+    rng = np.random.default_rng(3)
+    n = 2000
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": pa.array(rng.integers(0, 37, n), pa.int64()),
+            "ts": pa.array(
+                rng.integers(0, 10**6, n) * 1_000_000, pa.int64()
+            ).cast(pa.timestamp("us")),
+            "value": pa.array(rng.uniform(-5, 50, n), pa.float64()),
+        }
+    )
+    got = {
+        r["event_id"]: r["running_cents"]
+        for r in running_total_per_user(
+            rd.from_arrow(tbl).repartition(9)
+        ).take_all()
+    }
+    assert len(got) == n
+    # serial reference: sort by (user, ts, event_id), cumulative cents
+    import math
+
+    order = sorted(
+        range(n),
+        key=lambda i: (
+            tbl.column("user_id")[i].as_py(),
+            tbl.column("ts")[i].as_py(),
+            i,
+        ),
+    )
+    acc: dict[int, int] = {}
+    for i in order:
+        u = tbl.column("user_id")[i].as_py()
+        v = tbl.column("value")[i].as_py()
+        cents = int(math.floor(abs(v) * 100.0 + 0.5)) * (1 if v >= 0 else -1)
+        acc[u] = acc.get(u, 0) + cents
+        assert got[i] == acc[u], f"event {i}"
+
+
+def test_cms_estimate_dominates_exact_and_registers_conserve(ray_session):
+    tbl = _docs_table(n=300)
+    ds = rd.from_arrow(tbl).repartition(7)
+    regs = cms_registers(ds).take_all()
+    assert len(regs) <= CMS_D * CMS_W
+    # every row of the sketch holds the full token mass
+    from collections import Counter
+
+    from ocr_ray.ops.analysis import _WORD_RE
+
+    mass = sum(
+        Counter(_WORD_RE.findall(t.lower())).total()
+        for t in tbl.column("text").to_pylist()
+    )
+    by_row = Counter()
+    for r in regs:
+        by_row[r["row"]] += r["count"]
+    assert set(by_row) == set(range(CMS_D))
+    assert all(v == mass for v in by_row.values())
+
+    hh = cms_heavy_hitters(ds, k=5).take_all()
+    assert len(hh) == 5
+    for r in hh:
+        assert r["cms_estimate"] >= r["exact_count"]
+
+
+def test_cms_cols_are_disjoint_md5_words():
+    import hashlib
+
+    word = "dokumen"
+    h = hashlib.md5(word.encode()).hexdigest()
+    assert _cms_cols(word) == [
+        int(h[0:8], 16) % CMS_W,
+        int(h[8:16], 16) % CMS_W,
+        int(h[16:24], 16) % CMS_W,
+        int(h[24:32], 16) % CMS_W,
+    ]
