@@ -149,45 +149,87 @@ def _band_rows_factory(num_perm: int, bands: int):
     return band_rows
 
 
+def _dedup_sorted_by_group(ids: np.ndarray, gidx: np.ndarray,
+                           *payloads: np.ndarray):
+    """Sort rows by (group, id), drop duplicate (group, id) rows
+    (defensive — upstream emits set-distinct rows), and return the
+    deduped (ids, gidx, *payloads) plus nothing else. Fully vectorized."""
+    order = np.lexsort((ids, gidx))
+    ids_s, g_s = ids[order], gidx[order]
+    keep = np.ones(len(ids_s), dtype=bool)
+    keep[1:] = (g_s[1:] != g_s[:-1]) | (ids_s[1:] != ids_s[:-1])
+    return (ids_s[keep], g_s[keep],
+            *[p[order][keep] for p in payloads])
+
+
+def _intra_group_pair_indices(gidx: np.ndarray, cap: int,
+                              drop_over: bool = False):
+    """Row-index pairs (ii, jj) for every intra-group (i < j) pair in a
+    (group, id)-sorted array, vectorized ACROSS groups by batching the
+    groups of each distinct size through one shared triu index template
+    — no per-group Python dispatch, so a pathological
+    corpus-of-duplicates (every bucket multi-doc) stays vectorized.
+
+    Groups larger than ``cap``: with ``drop_over`` the whole group is
+    skipped (stop-shingle guard semantics); otherwise the first ``cap``
+    rows pair all-to-all and each overflow row pairs with the group's
+    first row (= minimum id — rep-pairing keeps giant buckets connected
+    for the component pass). Returns (ii, jj, n_overflow_groups)."""
+    n = len(gidx)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), 0
+    starts = np.flatnonzero(np.r_[True, gidx[1:] != gidx[:-1]])
+    sizes = np.diff(np.append(starts, n))
+    ii_parts: list[np.ndarray] = []
+    jj_parts: list[np.ndarray] = []
+    overflow_groups = 0
+    for s in np.unique(sizes):
+        if s < 2 or (drop_over and s > cap):
+            continue
+        gs = starts[sizes == s]
+        k = int(min(s, cap))
+        ti, tj = np.triu_indices(k, k=1)
+        ii_parts.append((gs[:, None] + ti[None, :]).ravel())
+        jj_parts.append((gs[:, None] + tj[None, :]).ravel())
+        if s > cap:
+            overflow_groups += len(gs)
+            tail = np.arange(cap, s)
+            ii_parts.append(np.repeat(gs, len(tail)))
+            jj_parts.append((gs[:, None] + tail[None, :]).ravel())
+    ii = np.concatenate(ii_parts) if ii_parts else np.empty(0, np.int64)
+    jj = np.concatenate(jj_parts) if jj_parts else np.empty(0, np.int64)
+    return ii, jj, overflow_groups
+
+
 def _bucket_pairs_block(block: pa.Table, starts: np.ndarray,
                         max_bucket: int = 1024) -> pa.Table:
     """Candidate (doc_a, doc_b) pairs from every multi-row LSH bucket in
     one sorted block — single-doc buckets (the overwhelming majority)
-    are skipped in bulk via the precomputed run boundaries. The first
+    contribute nothing and cost one vectorized mask. The first
     ``max_bucket`` docs (by doc_id) pair all-to-all; overflow docs each
     pair with the bucket minimum so giant buckets stay connected for the
     component pass instead of being silently truncated."""
-    a_out: list[np.ndarray] = []
-    b_out: list[np.ndarray] = []
-    ends = np.append(starts[1:], block.num_rows)
-    multi = ends - starts >= 2
-    if multi.any():
-        ids_col = block.column("doc_id")
-        for s, e in zip(starts[multi], ends[multi]):
-            ids = np.unique(ids_col.slice(s, e - s).to_numpy(zero_copy_only=False))
-            if len(ids) < 2:
-                continue
-            head = ids[:max_bucket]
-            ii, jj = np.triu_indices(len(head), k=1)
-            a_out.append(head[ii])
-            b_out.append(head[jj])
-            tail = ids[max_bucket:]
-            if len(tail):
-                import logging
+    n = block.num_rows
+    if n == 0 or len(starts) == 0:
+        empty = pa.array(np.empty(0, np.int64), pa.int64())
+        return pa.table({"doc_a": empty, "doc_b": empty})
+    ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+    gidx = np.repeat(
+        np.arange(len(starts)), np.diff(np.append(starts, n))
+    )
+    ids_d, g_d = _dedup_sorted_by_group(ids, gidx)
+    ii, jj, n_over = _intra_group_pair_indices(g_d, max_bucket)
+    if n_over:
+        import logging
 
-                logging.getLogger("ocr_ray.dedup").warning(
-                    "LSH bucket of %d docs exceeds max_bucket=%d; "
-                    "%d overflow docs rep-paired only",
-                    len(ids), max_bucket, len(tail),
-                )
-                a_out.append(np.full(len(tail), ids[0], dtype=ids.dtype))
-                b_out.append(tail)
-    a = np.concatenate(a_out) if a_out else np.empty(0, dtype=np.int64)
-    b = np.concatenate(b_out) if b_out else np.empty(0, dtype=np.int64)
+        logging.getLogger("ocr_ray.dedup").warning(
+            "%d LSH buckets exceed max_bucket=%d; overflow docs "
+            "rep-paired only", n_over, max_bucket,
+        )
     return pa.table(
         {
-            "doc_a": pa.array(a, pa.int64()),
-            "doc_b": pa.array(b, pa.int64()),
+            "doc_a": pa.array(ids_d[ii], pa.int64()),
+            "doc_b": pa.array(ids_d[jj], pa.int64()),
         }
     )
 
@@ -729,34 +771,31 @@ def _shingle_rows_factory(shingle_n: int):
 
 def _cooccur_block_factory(max_df: int):
     def cooccur(block: pa.Table, starts: np.ndarray) -> pa.Table:
-        a_out, b_out, sa, sb = [], [], [], []
-        ends = np.append(starts[1:], block.num_rows)
-        sizes = ends - starts
-        multi = (sizes >= 2) & (sizes <= max_df)  # stop-shingle guard
-        if multi.any():
-            ids_col = block.column("doc_id")
-            size_col = block.column("set_size")
-            for s, e in zip(starts[multi], ends[multi]):
-                ids = sorted(
-                    zip(
-                        ids_col.slice(s, e - s).to_pylist(),
-                        size_col.slice(s, e - s).to_pylist(),
-                    )
-                )
-                for i in range(len(ids)):
-                    for j in range(i + 1, len(ids)):
-                        if ids[i][0] == ids[j][0]:
-                            continue
-                        a_out.append(ids[i][0])
-                        b_out.append(ids[j][0])
-                        sa.append(ids[i][1])
-                        sb.append(ids[j][1])
+        """Co-occurrence pairs per shingle bucket, vectorized across
+        buckets (shared triu template per distinct bucket size — see
+        ``_intra_group_pair_indices``). Buckets larger than ``max_df``
+        are dropped whole: the stop-shingle guard, mirrored by the
+        oracle's df filter."""
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            empty = pa.array(np.empty(0, np.int64), pa.int64())
+            return pa.table(
+                {"doc_a": empty, "doc_b": empty,
+                 "size_a": empty, "size_b": empty}
+            )
+        ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+        set_sizes = block.column("set_size").to_numpy(zero_copy_only=False)
+        gidx = np.repeat(
+            np.arange(len(starts)), np.diff(np.append(starts, n))
+        )
+        ids_d, g_d, sz_d = _dedup_sorted_by_group(ids, gidx, set_sizes)
+        ii, jj, _ = _intra_group_pair_indices(g_d, max_df, drop_over=True)
         return pa.table(
             {
-                "doc_a": pa.array(a_out, pa.int64()),
-                "doc_b": pa.array(b_out, pa.int64()),
-                "size_a": pa.array(sa, pa.int64()),
-                "size_b": pa.array(sb, pa.int64()),
+                "doc_a": pa.array(ids_d[ii], pa.int64()),
+                "doc_b": pa.array(ids_d[jj], pa.int64()),
+                "size_a": pa.array(sz_d[ii], pa.int64()),
+                "size_b": pa.array(sz_d[jj], pa.int64()),
             }
         )
 
