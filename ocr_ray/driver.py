@@ -1009,6 +1009,81 @@ def q_events_running_total(sf_dir: str):
     )
 
 
+def q_top_docs_per_lang(sf_dir: str):
+    from ocr_ray.ops.stats import top_n_per_group
+
+    return top_n_per_group(
+        _docs(sf_dir, "doc_id", "lang", "n_chars"),
+        "lang", "n_chars", "doc_id", k=3,
+    )
+
+
+def q_distinct_users_by_type(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import distinct_users_by_type
+
+    _quiet()
+    return distinct_users_by_type(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+        )
+    )
+
+
+_HIGH_VALUE_ORDER = 300_000
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Distributed anti join: customers with no high-value order
+    (o_totalprice ≥ 300k; every customer in the testdata has SOME order,
+    which would make the unfiltered anti join an empty — and therefore
+    weak — check). The right side is reduced to distinct keys (map-side
+    dedup partials + one keyed aggregate — slim rows only), then a
+    hash-partitioned LEFT OUTER join marks matches and the null-marker
+    rows survive. Both sides stream; nothing is broadcast or
+    driver-materialized."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ocr_ray.ops.joins import large_join
+
+    _quiet()
+    customers = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def high_value_keys(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t["o_totalprice"], _HIGH_VALUE_ORDER)
+        return (
+            t.filter(keep).select(["o_custkey"])
+            .group_by("o_custkey").aggregate([])
+        )
+
+    okeys = (
+        orders.map_batches(high_value_keys, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="_n"))
+    )
+    joined = large_join(
+        customers, okeys, on="c_custkey", right_on="o_custkey",
+        join_type="left_outer",
+    )
+
+    def keep_unmatched(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t["_n"])).select(
+            ["c_custkey", "c_mktsegment"]
+        )
+
+    return _materialized(
+        joined.map_batches(keep_unmatched, batch_format="pyarrow"),
+        pa.schema([("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]),
+    )
+
+
 def q_cms_registers(sf_dir: str):
     from ocr_ray.ops.sketch import cms_registers
 
@@ -1086,6 +1161,9 @@ QUERIES = {
     "events_running_total": q_events_running_total,
     "cms_registers": q_cms_registers,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "top_docs_per_lang": q_top_docs_per_lang,
+    "distinct_users_by_type": q_distinct_users_by_type,
+    "customers_without_orders": q_customers_without_orders,
 }
 
 
@@ -1997,6 +2075,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cms_registers": _cms_registers_sql(),
         "cms_heavy_hitters": _cms_heavy_hitters_sql(),
+        "top_docs_per_lang": (
+            "SELECT lang, doc_id, n_chars, CAST(rnk AS BIGINT) AS rank\n"
+            "FROM (\n"
+            " SELECT lang, doc_id, n_chars,\n"
+            "  ROW_NUMBER() OVER (PARTITION BY lang"
+            " ORDER BY n_chars DESC, doc_id ASC) AS rnk\n"
+            " FROM documents)\n"
+            "WHERE rnk <= 3"
+        ),
+        "distinct_users_by_type": (
+            "SELECT event_type,"
+            " CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users\n"
+            "FROM events GROUP BY event_type"
+        ),
+        "customers_without_orders": (
+            "SELECT c_custkey, c_mktsegment FROM customer\n"
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders"
+            f" WHERE o_totalprice >= {_HIGH_VALUE_ORDER})"
+        ),
         **(
             {"ann_ivf_topk": ivf_sql}
             if (ivf_sql := _ivf_topk_oracle_sql()) is not None

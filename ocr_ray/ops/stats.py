@@ -114,3 +114,100 @@ def value_percentiles_by_type(events):
         )
 
     return grouped_map(counted, ["event_type"], finish_block)
+
+
+def distinct_users_by_type(events):
+    """(event_type, n_users) — exact COUNT(DISTINCT user_id) per event
+    type. Same shape as ``daily_active_users``: map-side (type, user)
+    pair dedup per batch, one keyed exchange of unique pairs, then a
+    per-block run count (the pairs for one type never straddle blocks)."""
+    from ocr_ray.stages.grouped import grouped_map
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        pairs = pa.table(
+            {
+                "event_type": t["event_type"],
+                "user_id": t["user_id"].cast(pa.int64()),
+            }
+        )
+        return pairs.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = events.map_batches(pair_partials, batch_format="pyarrow")
+
+    def count_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        out_schema = pa.schema(
+            [("event_type", pa.string()), ("n_users", pa.int64())]
+        )
+        n = block.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        # map-side partials can repeat a pair across batches: one final
+        # in-block dedupe, then a vectorized per-type count
+        counted = (
+            block.group_by(["event_type", "user_id"])
+            .aggregate([])
+            .group_by("event_type")
+            .aggregate([("user_id", "count")])
+        )
+        return pa.table(
+            {
+                "event_type": counted["event_type"],
+                "n_users": counted["user_id_count"].cast(pa.int64()),
+            }
+        )
+
+    return grouped_map(pairs, ["event_type"], count_block)
+
+
+def top_n_per_group(ds, group_col: str, order_col: str, id_col: str,
+                    k: int = 3):
+    """(group, id, order_col, rank) — the rank-based top-``k`` rows per
+    group, ordered by (order_col DESC, id ASC); the window-function
+    ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC, id)`` family.
+
+    Two-phase: each batch emits only its LOCAL top-k per group (the
+    global top-k is a subset of the union), so the shuffle carries
+    ≤ k × groups-per-batch slim rows; the final per-group rank is one
+    vectorized pass per block."""
+    from ocr_ray.stages.grouped import grouped_map
+
+    def _ranked_topk(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        out_schema = pa.schema(
+            [
+                (group_col, pa.string()),
+                (id_col, pa.int64()),
+                (order_col, pa.int64()),
+                ("rank", pa.int64()),
+            ]
+        )
+        if n == 0:
+            return out_schema.empty_table()
+        vals = t[order_col].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        gcodes = pc.dictionary_encode(
+            t[group_col].combine_chunks()
+        ).indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -vals, gcodes))
+        g_sorted = gcodes[order]
+        starts = np.flatnonzero(np.r_[True, g_sorted[1:] != g_sorted[:-1]])
+        sizes = np.diff(np.append(starts, n))
+        rank = np.arange(n) - np.repeat(starts, sizes)
+        keep = order[rank < k]
+        return pa.table(
+            {
+                group_col: t[group_col].take(pa.array(keep)),
+                id_col: pa.array(ids[keep], pa.int64()),
+                order_col: pa.array(vals[keep], pa.int64()),
+                "rank": pa.array((rank[rank < k] + 1), pa.int64()),
+            }
+        )
+
+    local = ds.map_batches(_ranked_topk, batch_format="pyarrow")
+
+    def final_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        # re-rank the unioned local top-ks; the rank column from the
+        # local pass is recomputed (it only bounded the candidates)
+        return _ranked_topk(block.drop_columns(["rank"]))
+
+    return grouped_map(local, [group_col], final_block)

@@ -153,3 +153,56 @@ def test_cms_cols_are_disjoint_md5_words():
         int(h[16:24], 16) % CMS_W,
         int(h[24:32], 16) % CMS_W,
     ]
+
+
+def test_top_n_per_group_matches_serial(ray_session):
+    from ocr_ray.ops.stats import top_n_per_group
+
+    tbl = _docs_table(n=500, seed=11)
+    got = sorted(
+        (r["lang"], r["rank"], r["doc_id"], r["n_chars"])
+        for r in top_n_per_group(
+            rd.from_arrow(tbl).repartition(11), "lang", "n_chars", "doc_id", k=3
+        ).take_all()
+    )
+    rows = sorted(
+        zip(
+            tbl.column("lang").to_pylist(),
+            [-c for c in tbl.column("n_chars").to_pylist()],
+            tbl.column("doc_id").to_pylist(),
+        )
+    )
+    expect = []
+    seen: dict[str, int] = {}
+    for lang, negc, did in rows:
+        r = seen.get(lang, 0) + 1
+        seen[lang] = r
+        if r <= 3:
+            expect.append((lang, r, did, -negc))
+    assert got == sorted(expect)
+
+
+def test_distinct_users_by_type_exact(ray_session):
+    from ocr_ray.ops.stats import distinct_users_by_type
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    types = np.array(["click", "view", "buy"])[rng.integers(0, 3, n)]
+    users = rng.integers(0, 80, n)
+    tbl = pa.table(
+        {
+            "event_type": pa.array(types.tolist(), pa.string()),
+            "user_id": pa.array(users, pa.int64()),
+        }
+    )
+    got = {
+        r["event_type"]: r["n_users"]
+        for r in distinct_users_by_type(
+            rd.from_arrow(tbl).repartition(7)
+        ).take_all()
+    }
+    expect = {
+        t: len({int(u) for u, tt in zip(users, types) if tt == t})
+        for t in set(types.tolist())
+    }
+    assert got == expect
