@@ -1084,6 +1084,25 @@ def q_customers_without_orders(sf_dir: str):
     )
 
 
+def q_events_pivot_daily(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import events_pivot_daily
+
+    _quiet()
+    return events_pivot_daily(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+        )
+    )
+
+
+def q_bigram_familiarity(sf_dir: str):
+    from ocr_ray.ops.lm import bigram_familiarity
+
+    return bigram_familiarity(_docs(sf_dir))
+
+
 def q_cms_registers(sf_dir: str):
     from ocr_ray.ops.sketch import cms_registers
 
@@ -1164,6 +1183,8 @@ QUERIES = {
     "top_docs_per_lang": q_top_docs_per_lang,
     "distinct_users_by_type": q_distinct_users_by_type,
     "customers_without_orders": q_customers_without_orders,
+    "events_pivot_daily": q_events_pivot_daily,
+    "bigram_familiarity": q_bigram_familiarity,
 }
 
 
@@ -2093,6 +2114,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_mktsegment FROM customer\n"
             "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders"
             f" WHERE o_totalprice >= {_HIGH_VALUE_ORDER})"
+        ),
+        "events_pivot_daily": (
+            "SELECT date_trunc('day', ts) AS day,\n"
+            + ",\n".join(
+                f" CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+                f" AS BIGINT) AS n_{t}"
+                for t in ("click", "error", "purchase", "signup", "view")
+            )
+            + "\nFROM events GROUP BY 1"
+        ),
+        "bigram_familiarity": (
+            "WITH toks AS (\n"
+            f" SELECT doc_id, {_WORDS_SQL} AS ws FROM documents\n"
+            "), pairs AS (\n"
+            " SELECT doc_id, unnest(list_transform("
+            "generate_series(1, len(ws) - 1),"
+            " i -> ws[i] || ' ' || ws[i+1])) AS bigram\n"
+            " FROM toks WHERE len(ws) >= 2\n"
+            "), bg AS (\n"
+            " SELECT bigram, COUNT(*) AS c FROM pairs GROUP BY bigram\n"
+            ")\n"
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,\n"
+            " CAST(SUM(c) AS BIGINT) AS familiarity\n"
+            "FROM pairs JOIN bg USING (bigram) GROUP BY doc_id"
         ),
         **(
             {"ann_ivf_topk": ivf_sql}

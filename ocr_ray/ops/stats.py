@@ -211,3 +211,63 @@ def top_n_per_group(ds, group_col: str, order_col: str, id_col: str,
         return _ranked_topk(block.drop_columns(["rank"]))
 
     return grouped_map(local, [group_col], final_block)
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot_daily(events, types: tuple[str, ...] = EVENT_TYPES):
+    """(day, n_click, n_error, n_purchase, n_signup, n_view) — the
+    long→wide pivot (conditional aggregation) per day. Map-side partials
+    count (day, type) per batch (≤ days × types slim rows leave a
+    batch); the final pivot runs per day-group on the tiny aggregate."""
+    from ocr_ray.stages.grouped import grouped_map
+
+    type_idx = {t: i for i, t in enumerate(types)}
+
+    def partials(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us"))
+        day_np = pc.cast(day, pa.int64()).to_numpy(zero_copy_only=False)
+        codes = np.array(
+            [type_idx.get(v, -1) for v in t["event_type"].to_pylist()],
+            dtype=np.int64,
+        )
+        ok = codes >= 0
+        days_u, day_inv = np.unique(day_np[ok], return_inverse=True)
+        key = day_inv * len(types) + codes[ok]
+        counts = np.bincount(key, minlength=len(days_u) * len(types))
+        live = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "day": pc.cast(
+                    pa.array(days_u[live // len(types)], pa.int64()),
+                    pa.timestamp("us"),
+                ),
+                "type_code": pa.array(live % len(types), pa.int64()),
+                "n": pa.array(counts[live], pa.int64()),
+            }
+        )
+
+    rows = events.map_batches(partials, batch_format="pyarrow")
+
+    def pivot_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        out_fields = [("day", pa.timestamp("us"))] + [
+            (f"n_{t}", pa.int64()) for t in types
+        ]
+        n = block.num_rows
+        if n == 0:
+            return pa.schema(out_fields).empty_table()
+        days = pc.cast(block["day"], pa.int64()).to_numpy(zero_copy_only=False)
+        codes = block["type_code"].to_numpy(zero_copy_only=False)
+        cnts = block["n"].to_numpy(zero_copy_only=False)
+        days_u, inv = np.unique(days, return_inverse=True)
+        mat = np.zeros((len(days_u), len(types)), dtype=np.int64)
+        np.add.at(mat, (inv, codes), cnts)
+        cols = {
+            "day": pc.cast(pa.array(days_u, pa.int64()), pa.timestamp("us"))
+        }
+        for i, t in enumerate(types):
+            cols[f"n_{t}"] = pa.array(mat[:, i], pa.int64())
+        return pa.table(cols)
+
+    return grouped_map(rows, ["day"], pivot_block)

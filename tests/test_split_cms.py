@@ -206,3 +206,62 @@ def test_distinct_users_by_type_exact(ray_session):
         for t in set(types.tolist())
     }
     assert got == expect
+
+
+def test_events_pivot_daily_conserves_counts(ray_session):
+    from ocr_ray.ops.stats import events_pivot_daily
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    types = np.array(["click", "error", "purchase", "signup", "view"])
+    tvals = types[rng.integers(0, 5, n)]
+    tbl = pa.table(
+        {
+            "ts": pa.array(
+                rng.integers(0, 30, n) * 86_400_000_000
+                + rng.integers(0, 86_400_000_000, n),
+                pa.int64(),
+            ).cast(pa.timestamp("us")),
+            "event_type": pa.array(tvals.tolist(), pa.string()),
+        }
+    )
+    rows = events_pivot_daily(rd.from_arrow(tbl).repartition(8)).take_all()
+    total = sum(sum(r[f"n_{t}"] for t in types) for r in rows)
+    assert total == n
+    from collections import Counter
+
+    per_type = Counter(tvals.tolist())
+    for t in types:
+        assert sum(r[f"n_{t}"] for r in rows) == per_type[t]
+
+
+def test_bigram_familiarity_matches_serial(ray_session):
+    from collections import Counter
+
+    from ocr_ray.ops.lm import bigram_familiarity
+
+    tbl = _docs_table(n=120, seed=13)
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["familiarity"])
+        for r in bigram_familiarity(
+            rd.from_arrow(tbl).repartition(5)
+        ).take_all()
+    }
+    import re
+
+    wre = re.compile(r"[a-zA-Z]{3,}")
+    docs_pairs = {}
+    model: Counter = Counter()
+    for did, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        ws = wre.findall(text.lower())
+        ps = [ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1)]
+        if ps:
+            docs_pairs[did] = ps
+            model.update(ps)
+    expect = {
+        did: (len(ps), sum(model[p] for p in ps))
+        for did, ps in docs_pairs.items()
+    }
+    assert got == expect
