@@ -1084,6 +1084,42 @@ def q_customers_without_orders(sf_dir: str):
     )
 
 
+def q_dedup_exact_incremental(sf_dir: str):
+    """Incremental dedup of a synthetic 'new shard' against the corpus:
+    the shard is the documents table with ids shifted by 100000 and text
+    modified for doc_id % 3 != 0 (suffix ' v2'); the unmodified third
+    collide with known fingerprints and must be rejected, the modified
+    rest admitted — a non-trivial both-ways check of the known-overlap
+    anti join."""
+    from ocr_ray.ops.dedup import dedup_exact_incremental
+
+    def mutate(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        new_texts = [
+            txt if i % 3 == 0 else (txt or "") + " v2"
+            for i, txt in zip(ids, texts)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids + 100_000, pa.int64()),
+                "text": pa.array(new_texts, pa.string()),
+            }
+        )
+
+    new_shard = _docs(sf_dir).map_batches(mutate, batch_format="pyarrow")
+    return _materialized(
+        dedup_exact_incremental(new_shard, _docs(sf_dir)),
+        pa.schema(
+            [
+                ("fingerprint", pa.string()),
+                ("doc_id", pa.int64()),
+                ("n_copies_new", pa.int64()),
+            ]
+        ),
+    )
+
+
 def q_events_pivot_daily(sf_dir: str):
     import ray.data as rd
 
@@ -1185,6 +1221,7 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "events_pivot_daily": q_events_pivot_daily,
     "bigram_familiarity": q_bigram_familiarity,
+    "dedup_exact_incremental": q_dedup_exact_incremental,
 }
 
 
@@ -2114,6 +2151,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_mktsegment FROM customer\n"
             "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders"
             f" WHERE o_totalprice >= {_HIGH_VALUE_ORDER})"
+        ),
+        "dedup_exact_incremental": (
+            "WITH new_shard AS (\n"
+            " SELECT doc_id + 100000 AS doc_id,\n"
+            "  CASE WHEN doc_id % 3 = 0 THEN text"
+            " ELSE text || ' v2' END AS text\n"
+            " FROM documents\n"
+            "), fps_new AS (\n"
+            " SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+            " AS fingerprint,\n"
+            "  MIN(doc_id) AS doc_id, COUNT(*) AS n\n"
+            " FROM new_shard GROUP BY 1\n"
+            "), fps_known AS (\n"
+            " SELECT DISTINCT"
+            " md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+            " AS fingerprint FROM documents\n"
+            ")\n"
+            "SELECT fingerprint, doc_id,"
+            " CAST(n AS BIGINT) AS n_copies_new\n"
+            "FROM fps_new WHERE fingerprint NOT IN"
+            " (SELECT fingerprint FROM fps_known)"
         ),
         "events_pivot_daily": (
             "SELECT date_trunc('day', ts) AS day,\n"

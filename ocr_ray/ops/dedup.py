@@ -845,3 +845,52 @@ def ngram_jaccard_pairs(docs, shingle_n: int = 3, threshold: float = 0.5,
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
     return counted.map_batches(add_jaccard, batch_format="pyarrow")
+
+
+def dedup_exact_incremental(new_docs, known_docs):
+    """Incremental exact dedup — the operational mode of a growing
+    corpus: deduplicate a NEW shard against the fingerprints of the
+    EXISTING corpus without re-deduplicating the existing corpus.
+
+    Returns the new docs to ADMIT: per content fingerprint the smallest
+    new doc_id, and only for fingerprints absent from ``known_docs``.
+    Shape: both sides reduce to slim (fingerprint[, doc_id]) rows, the
+    known side to distinct fingerprints with a marker; one
+    hash-partitioned LEFT OUTER join; null-marker survivors. Both sides
+    stream — at 100 TB the known-fingerprint table would be the
+    persisted output of the previous run, read directly (no rescan of
+    the known corpus text)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    from ocr_ray.ops.joins import large_join
+
+    new_keepers = (
+        new_docs.map_batches(_hash_batch, batch_format="pyarrow")
+        .groupby("fingerprint")
+        .aggregate(
+            Min("doc_id", alias_name="doc_id"),
+            Count(alias_name="n_copies_new"),
+        )
+    )
+    known_fps = (
+        known_docs.map_batches(_hash_batch, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.select(["fingerprint"])
+            .group_by("fingerprint")
+            .aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby("fingerprint")
+        .aggregate(Count(alias_name="_known"))
+    )
+    joined = large_join(
+        new_keepers, known_fps, on="fingerprint", join_type="left_outer"
+    )
+
+    def admit(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t["_known"])).select(
+            ["fingerprint", "doc_id", "n_copies_new"]
+        )
+
+    return joined.map_batches(admit, batch_format="pyarrow")

@@ -265,3 +265,50 @@ def test_bigram_familiarity_matches_serial(ray_session):
         for did, ps in docs_pairs.items()
     }
     assert got == expect
+
+
+def test_dedup_exact_incremental_semantics(ray_session):
+    from ocr_ray.ops.dedup import dedup_exact_incremental
+
+    known = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["alpha beta", "gamma delta", "epsilon"], pa.string()),
+        }
+    )
+    # new shard: 10 collides with known (whitespace/case variant → same
+    # fingerprint), 11+13 are internal duplicates (keeper = min id),
+    # 12 is genuinely new
+    new = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "text": pa.array(
+                ["  Alpha   BETA ", "zeta eta", "theta iota", "zeta  eta"],
+                pa.string(),
+            ),
+        }
+    )
+    rows = {
+        r["doc_id"]: r["n_copies_new"]
+        for r in dedup_exact_incremental(
+            rd.from_arrow(new).repartition(3), rd.from_arrow(known)
+        ).take_all()
+    }
+    assert rows == {11: 2, 12: 1}
+
+
+def test_bigram_familiarity_join_plan_matches_broadcast(ray_session):
+    from ocr_ray.ops.lm import bigram_familiarity
+
+    tbl = _docs_table(n=80, seed=17)
+    ds = rd.from_arrow(tbl).repartition(4)
+    broadcast = sorted(
+        tuple(sorted(r.items()))
+        for r in bigram_familiarity(ds).take_all()
+    )
+    # threshold 0 forces the big-big join plan; results must be identical
+    joined = sorted(
+        tuple(sorted(r.items()))
+        for r in bigram_familiarity(ds, broadcast_threshold=0).take_all()
+    )
+    assert broadcast == joined
