@@ -1084,6 +1084,19 @@ def q_customers_without_orders(sf_dir: str):
     )
 
 
+def q_purchases_next_click(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.asof import purchases_with_next_click
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    return purchases_with_next_click(events)
+
+
 def q_dedup_exact_incremental(sf_dir: str):
     """Incremental dedup of a synthetic 'new shard' against the corpus:
     the shard is the documents table with ids shifted by 100000 and text
@@ -1222,6 +1235,7 @@ QUERIES = {
     "events_pivot_daily": q_events_pivot_daily,
     "bigram_familiarity": q_bigram_familiarity,
     "dedup_exact_incremental": q_dedup_exact_incremental,
+    "purchases_next_click": q_purchases_next_click,
 }
 
 
@@ -1891,6 +1905,22 @@ def oracle_sql() -> dict[str, str]:
             " c.click_event_id, c.click_value\n"
             "FROM purchases p ASOF LEFT JOIN clicks c\n"
             " ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "purchases_next_click": (
+            "WITH clicks AS (\n"
+            " SELECT user_id, ts, event_id, value FROM events"
+            " WHERE event_type = 'click'\n"
+            "), purchases AS (\n"
+            " SELECT event_id, user_id, ts FROM events"
+            " WHERE event_type = 'purchase'\n"
+            ")\n"
+            "SELECT p.user_id, p.ts, p.event_id,"
+            " c.click_event_id, c.click_value\n"
+            "FROM purchases p LEFT JOIN LATERAL (\n"
+            " SELECT event_id AS click_event_id, value AS click_value\n"
+            " FROM clicks c WHERE c.user_id = p.user_id AND c.ts >= p.ts\n"
+            " ORDER BY c.ts ASC, c.event_id ASC LIMIT 1\n"
+            ") c ON TRUE"
         ),
         "purchases_click_count_1h": (
             "SELECT p.user_id, p.ts, p.event_id,"

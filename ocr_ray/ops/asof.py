@@ -204,3 +204,106 @@ def purchases_with_last_click(events):
         left_cols=["event_id"],
         payload_cols=["click_event_id", "click_value"],
     )
+
+
+def asof_attach_forward(tagged, key: str, time: str, left_cols: list[str],
+                        payload_cols: list[str]):
+    """Forward as-of: for every LEFT row, attach the payload of the
+    EARLIEST right row with ``time >= left.time`` for the same key
+    (right rows at the exact left timestamp match; ties on timestamp
+    break to the SMALLEST event_id — the mirror of the backward join's
+    largest-wins). Same single-exchange shape as ``asof_attach``; inside
+    each group the match is one vectorized ``searchsorted`` of left
+    times into the ordered right times."""
+    from ocr_ray.stages.grouped import grouped_map
+
+    def fill_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = block.num_rows
+        out_schema = pa.schema(
+            [block.schema.field(c) for c in (key, time, *left_cols)]
+            + [block.schema.field(c) for c in payload_cols]
+        )
+        if n == 0:
+            return out_schema.empty_table()
+        src = block.column("src").to_numpy(zero_copy_only=False)
+        ts = block.column(time).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ends = np.append(starts[1:], n)
+        left_parts: list[np.ndarray] = []
+        match_parts: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            run_src = src[s:e]
+            # block order within the group is (time, src, event_id) —
+            # so the right rows appear sorted by (time, event_id)
+            p_r = np.flatnonzero(run_src == 0) + s
+            p_l = np.flatnonzero(run_src == 1) + s
+            if len(p_l) == 0:
+                continue
+            if len(p_r):
+                idx = np.searchsorted(ts[p_r], ts[p_l], side="left")
+                match = np.where(
+                    idx < len(p_r), p_r[np.minimum(idx, len(p_r) - 1)], -1
+                )
+            else:
+                match = np.full(len(p_l), -1, dtype=np.int64)
+            left_parts.append(p_l)
+            match_parts.append(match)
+        if not left_parts:
+            return out_schema.empty_table()
+        left_idx = np.concatenate(left_parts)
+        match_idx = np.concatenate(match_parts)
+        left_rows = block.take(pa.array(left_idx, pa.int64()))
+        has = pa.array(match_idx >= 0)
+        safe = pa.array(np.where(match_idx >= 0, match_idx, 0), pa.int64())
+        cols = {c: left_rows.column(c) for c in (key, time, *left_cols)}
+        for c in payload_cols:
+            taken = block.column(c).take(safe)
+            if isinstance(taken, pa.ChunkedArray):
+                taken = taken.combine_chunks()
+            cols[c] = pc.if_else(has, taken, pa.scalar(None, taken.type))
+        return pa.table(cols).select(out_schema.names)
+
+    return grouped_map(
+        tagged, [key], fill_block, sort_within=(time, "src", "event_id")
+    )
+
+
+def purchases_with_next_click(events):
+    """For each 'purchase' event: the earliest at-or-after 'click' by
+    the same user (null when the user never clicks again). Output
+    (event_id, user_id, ts, click_event_id, click_value)."""
+    import pyarrow.compute as pc
+
+    def tag(t: pa.Table) -> pa.Table:
+        types = t.column("event_type")
+        keep = pc.is_in(types, value_set=pa.array(["click", "purchase"]))
+        t = t.filter(keep)
+        is_left = pc.equal(t.column("event_type"), "purchase")
+        return pa.table(
+            {
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "ts": t.column("ts"),
+                "src": pc.cast(is_left, pa.int8()),
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "click_event_id": pc.if_else(
+                    is_left,
+                    pa.scalar(None, pa.int64()),
+                    t.column("event_id").cast(pa.int64()),
+                ),
+                "click_value": pc.if_else(
+                    is_left,
+                    pa.scalar(None, pa.float64()),
+                    t.column("value").cast(pa.float64()),
+                ),
+            }
+        )
+
+    tagged = events.map_batches(tag, batch_format="pyarrow")
+    return asof_attach_forward(
+        tagged,
+        key="user_id",
+        time="ts",
+        left_cols=["event_id"],
+        payload_cols=["click_event_id", "click_value"],
+    )

@@ -86,3 +86,45 @@ def test_range_count_1h(ray_session):
     )
     assert out.loc[10, "n_clicks_1h"] == 4
     assert out.loc[20, "n_clicks_1h"] == 0
+
+
+def test_forward_asof_equal_ts_and_tiebreak(ray_session):
+    """Forward as-of: an at-timestamp click matches; equal-ts clicks
+    break to the SMALLEST event_id; a purchase after the user's last
+    click gets nulls."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.asof import purchases_with_next_click
+
+    us = 1_000_000
+    rows = [
+        # user 1: purchase at t=10 with clicks at t=10 (ids 100, 101)
+        (1, 1, 10 * us, "purchase", 0.0),
+        (100, 1, 10 * us, "click", 5.0),
+        (101, 1, 10 * us, "click", 7.0),
+        # user 1: purchase at t=20, next click at t=25
+        (2, 1, 20 * us, "purchase", 0.0),
+        (102, 1, 25 * us, "click", 9.0),
+        # user 2: purchase with no click ever after
+        (3, 2, 30 * us, "purchase", 0.0),
+        (103, 2, 29 * us, "click", 1.0),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+    got = {
+        r["event_id"]: (r["click_event_id"], r["click_value"])
+        for r in purchases_with_next_click(
+            rd.from_arrow(tbl).repartition(3)
+        ).take_all()
+    }
+    assert got == {1: (100, 5.0), 2: (102, 9.0), 3: (None, None)}
