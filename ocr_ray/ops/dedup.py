@@ -103,17 +103,29 @@ def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarr
     return a, b
 
 
-def minhash_signature(shingles: set[str], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+def minhash_signature(shingles: set[str], a: np.ndarray, b: np.ndarray,
+                      memo: dict[str, int] | None = None) -> np.ndarray:
     """num_perm uint64 min-hashes via multiply-shift hashing
     ``(a·h + b) mod 2^64`` (odd a; natural uint64 wraparound) — fully
     vectorized (num_perm × n_shingles), no bignum arithmetic. Shingle
     hashes are md5-derived so a DuckDB oracle can rebuild the exact
-    signatures (32-bit-limb modular multiply in HUGEINT)."""
+    signatures (32-bit-limb modular multiply in HUGEINT). ``memo``
+    caches shingle→hash across calls (near-dup corpora repeat most
+    shingles batch-wide; md5 is the per-shingle hot cost)."""
     if not shingles:
         return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
-    h = np.fromiter(
-        (_md5_hash64(s) for s in shingles), dtype=np.uint64, count=len(shingles)
-    )
+    if memo is None:
+        hashes = (_md5_hash64(s) for s in shingles)
+    else:
+        def _memoized():
+            for s in shingles:
+                v = memo.get(s)
+                if v is None:
+                    v = memo[s] = _md5_hash64(s)
+                yield v
+
+        hashes = _memoized()
+    h = np.fromiter(hashes, dtype=np.uint64, count=len(shingles))
     with np.errstate(over="ignore"):
         prod = a[:, None] * h[None, :] + b[:, None]
     return prod.min(axis=1)
@@ -126,23 +138,46 @@ def _band_rows_factory(num_perm: int, bands: int):
         """(doc_id, signature) → bands rows of (band, band_hash, doc_id):
         ~20 bytes per band row through the bucket shuffle instead of the
         full signature (the round-1 design shipped 512 B × 16 bands =
-        8 KB/doc; this ships ~0.3 KB/doc)."""
-        doc_ids, out_band, out_hash = [], [], []
-        ids = batch.column("doc_id").to_pylist()
-        for doc_id, sig in zip(ids, batch.column("signature").to_pylist()):
-            s = np.frombuffer(sig, dtype=np.uint64)
+        8 KB/doc; this ships ~0.3 KB/doc). The band hash is a vectorized
+        FNV-style uint64 fold + avalanche over the band's limbs —
+        internal bucketing only (the SQL oracle bands by tuple equality),
+        so no cryptographic hash and no per-doc Python loop; int64 keys
+        also shuffle lighter than the old 16-char hex strings."""
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        sigs = np.frombuffer(
+            b"".join(batch.column("signature").to_pylist()), dtype=np.uint64
+        ).reshape(n, num_perm)
+        band_col = np.repeat(np.arange(bands, dtype=np.int32), n)
+        hash_parts: list[np.ndarray] = []
+        fnv = np.uint64(1099511628211)
+        with np.errstate(over="ignore"):
             for band in range(bands):
-                chunk = s[band * rows_per_band : (band + 1) * rows_per_band]
-                doc_ids.append(doc_id)
-                out_band.append(band)
-                out_hash.append(
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                )
+                chunk = sigs[:, band * rows_per_band : (band + 1) * rows_per_band]
+                h = np.full(n, np.uint64(14695981039346656037))
+                for col in chunk.T:
+                    h = (h ^ col) * fnv
+                # avalanche (splitmix64 finalizer) so near-equal bands
+                # don't cluster in the hash partitioner
+                h ^= h >> np.uint64(30)
+                h *= np.uint64(0xBF58476D1CE4E5B9)
+                h ^= h >> np.uint64(27)
+                h *= np.uint64(0x94D049BB133111EB)
+                h ^= h >> np.uint64(31)
+                hash_parts.append(h.view(np.int64))
         return pa.table(
             {
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.string()),
-                "doc_id": pa.array(doc_ids, pa.int64()),
+                "band": pa.array(band_col, pa.int32()),
+                "band_hash": pa.array(np.concatenate(hash_parts), pa.int64()),
+                "doc_id": pa.array(np.tile(ids, bands), pa.int64()),
             }
         )
 
@@ -242,8 +277,11 @@ def minhash_signatures(docs, num_perm: int = 64, shingle_n: int = 3):
     a, b = _minhash_params(num_perm)
 
     def sig_batch(batch: pa.Table) -> pa.Table:
+        memo: dict[str, int] = {}
         sigs = [
-            minhash_signature(word_shingles(text, shingle_n), a, b).tobytes()
+            minhash_signature(
+                word_shingles(text, shingle_n), a, b, memo=memo
+            ).tobytes()
             for text in batch.column("text").to_pylist()
         ]
         return pa.table(
