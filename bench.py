@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "weighted_sample_docs",
     "chunk_docs",
     "contamination_report",
+    "bigram_familiarity",
+    "dedup_exact_incremental",
 ]
 
 
@@ -262,7 +264,10 @@ def measure_scaling(rounds: int = 3, docs: int | None = None) -> dict:
 
 
 def run_scaling() -> None:
-    s = measure_scaling(rounds=int(os.environ.get("OCR_BENCH_SCALING_ROUNDS", "3")))
+    s = measure_scaling(
+        rounds=int(os.environ.get("OCR_BENCH_SCALING_ROUNDS", "3")),
+        docs=int(os.environ.get("OCR_BENCH_SCALING_DOCS", "0")) or None,
+    )
     print(
         json.dumps(
             {
