@@ -1084,6 +1084,24 @@ def q_customers_without_orders(sf_dir: str):
     )
 
 
+def q_length_outliers(sf_dir: str):
+    from ocr_ray.ops.curate import length_outliers
+
+    # k=1.5 rather than the 3.0 default: the synthetic lengths are
+    # near-uniform, and a 0-row result would be a weak check (59 rows
+    # at sf0.01 exercises both boundary directions)
+    return _materialized(
+        length_outliers(_docs(sf_dir, "doc_id", "lang", "n_chars"), k_sigma=1.5),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("lang", pa.string()),
+                ("n_chars", pa.int64()),
+            ]
+        ),
+    )
+
+
 def q_purchases_next_click(sf_dir: str):
     import ray.data as rd
 
@@ -1236,6 +1254,7 @@ QUERIES = {
     "bigram_familiarity": q_bigram_familiarity,
     "dedup_exact_incremental": q_dedup_exact_incremental,
     "purchases_next_click": q_purchases_next_click,
+    "length_outliers": q_length_outliers,
 }
 
 
@@ -1590,6 +1609,12 @@ def _train_split_oracle_sql() -> str:
     from ocr_ray.ops.split import train_split_sql
 
     return train_split_sql()
+
+
+def _length_outliers_oracle_sql() -> str:
+    from ocr_ray.ops.curate import length_outliers_sql
+
+    return length_outliers_sql(k_sigma=1.5)
 
 
 def _rollup_oracle_sql() -> str:
@@ -2152,6 +2177,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": _chunk_oracle_sql(),
         "contamination_report": _decontam_oracle_sql(),
         "train_split_stats": _train_split_oracle_sql(),
+        "length_outliers": _length_outliers_oracle_sql(),
         "rollup_lang_source": _rollup_oracle_sql(),
         "events_running_total": (
             "SELECT event_id, user_id, ts,\n"

@@ -149,3 +149,80 @@ def curate_stats(
         Min("doc_id", alias_name="min_doc_id"),
         Max("doc_id", alias_name="max_doc_id"),
     )
+
+
+def length_outliers(docs, k_sigma: float = 3.0):
+    """(doc_id, lang, n_chars) — documents whose length is more than
+    ``k_sigma`` population standard deviations from their language's
+    mean: the two-pass normalized filter every curation pipeline runs
+    (pass 1: tiny per-language integer aggregate; pass 2: map-side
+    filter against the broadcast thresholds — no shuffle of documents).
+
+    Cross-engine determinism: the per-language sums are exact integers,
+    and mean/std derive from them via the SAME IEEE expression the SQL
+    oracle uses (each op correctly rounded, identical association order
+    → bit-identical doubles → identical boundary decisions):
+    ``mean = s/n``, ``std = sqrt(ss/n - (s/n)*(s/n))``.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def square_partials(t: pa.Table) -> pa.Table:
+        chars = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "n_chars": pa.array(chars, pa.int64()),
+                "sq": pa.array(chars * chars, pa.int64()),
+            }
+        )
+
+    stats_rows = (
+        docs.map_batches(square_partials, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("n_chars", alias_name="s"),
+            Sum("sq", alias_name="ss"),
+        )
+        .take_all()  # ≤ n_langs rows by construction
+    )
+    bounds: dict[str, tuple[float, float]] = {}
+    for r in stats_rows:
+        n, s, ss = float(r["n"]), float(r["s"]), float(r["ss"])
+        mean = s / n
+        std = float(np.sqrt(ss / n - (s / n) * (s / n)))
+        bounds[r["lang"]] = (mean - k_sigma * std, mean + k_sigma * std)
+
+    def flag(t: pa.Table) -> pa.Table:
+        chars = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        langs = t.column("lang").to_pylist()
+        lo = np.array([bounds[l][0] for l in langs])
+        hi = np.array([bounds[l][1] for l in langs])
+        keep = (chars < lo) | (chars > hi)
+        return t.select(["doc_id", "lang", "n_chars"]).filter(pa.array(keep))
+
+    return docs.map_batches(flag, batch_format="pyarrow")
+
+
+def length_outliers_sql(k_sigma: float = 3.0) -> str:
+    """Oracle: identical integer aggregates, identical IEEE expression
+    for the bounds, identical strict-inequality boundary rule."""
+    return (
+        "WITH st AS (\n"
+        " SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,\n"
+        "  CAST(SUM(n_chars) AS DOUBLE) AS s,\n"
+        "  CAST(SUM(n_chars * n_chars) AS DOUBLE) AS ss\n"
+        " FROM documents GROUP BY lang\n"
+        "), b AS (\n"
+        f" SELECT lang, (s/n) - {k_sigma} * sqrt(ss/n - (s/n)*(s/n)) AS lo,\n"
+        f"  (s/n) + {k_sigma} * sqrt(ss/n - (s/n)*(s/n)) AS hi\n"
+        " FROM st\n"
+        ")\n"
+        "SELECT d.doc_id, d.lang, d.n_chars\n"
+        "FROM documents d JOIN b USING (lang)\n"
+        "WHERE CAST(d.n_chars AS DOUBLE) < b.lo"
+        " OR CAST(d.n_chars AS DOUBLE) > b.hi"
+    )

@@ -85,3 +85,43 @@ def test_curate_stats_rollup(ray_session):
 def test_curate_empty_and_all_filtered(ray_session):
     out = curate_corpus(_ds([(1, SHORT), (2, NO_STOPS)])).take_all()
     assert out == []
+
+
+def test_length_outliers_matches_serial(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.curate import length_outliers
+
+    rng = np.random.default_rng(21)
+    n = 400
+    langs = np.array(["id", "en"])[rng.integers(0, 2, n)]
+    chars = rng.integers(50, 200, n)
+    chars[::97] = 5000  # planted high outliers
+    chars[5] = 1        # planted low outlier
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "lang": pa.array(langs.tolist(), pa.string()),
+            "n_chars": pa.array(chars, pa.int64()),
+        }
+    )
+    got = {
+        r["doc_id"]
+        for r in length_outliers(
+            rd.from_arrow(tbl).repartition(7), k_sigma=2.0
+        ).take_all()
+    }
+    expect = set()
+    for lang in ("id", "en"):
+        sel = langs == lang
+        x = chars[sel].astype(np.int64)
+        nl, s, ss = float(len(x)), float(x.sum()), float((x * x).sum())
+        mean = s / nl
+        std = float(np.sqrt(ss / nl - (s / nl) * (s / nl)))
+        ids = np.arange(n)[sel]
+        mask = (x < mean - 2.0 * std) | (x > mean + 2.0 * std)
+        expect.update(ids[mask].tolist())
+    assert got == expect
+    assert len(got) > 0  # planted outliers must be flagged
