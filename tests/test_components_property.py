@@ -33,8 +33,14 @@ def _union_find_labels(edges):
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_components_match_union_find(ray_session, seed):
+    # denser than the old 45-edge config: random sparse graphs drew
+    # diameter-17 components, and at test scale each propagation round
+    # costs ~10 s of fixed Ray overhead (~250 s/seed). Diameter shrinks
+    # to ~4 at 90 edges while the union-find comparison property is
+    # unchanged; the deep-diameter path is covered by the long-chain
+    # pointer-doubling test below.
     rng = np.random.RandomState(seed)
-    n_nodes, n_edges = 60, 45
+    n_nodes, n_edges = 60, 90
     a = rng.randint(0, n_nodes, n_edges)
     b = rng.randint(0, n_nodes, n_edges)
     keep = a != b
@@ -91,3 +97,35 @@ def test_attach_pair_payloads_regime_equivalence(ray_session):
     # every payload correctly looked up
     for a, b, pa_, pb in small:
         assert pa_ == f"p{a}" and pb == f"p{b}"
+
+
+def test_long_chain_converges_via_pointer_doubling(ray_session, caplog):
+    """A 64-hop chain with a 12-round budget — pure min-label
+    propagation (O(diameter) rounds) could not converge it; pointer
+    doubling, which engages after ``doubling_from=3`` propagation-only
+    rounds, must — silently, with every node labeled 0. (The 4-CPU test
+    fixture pays ~6-10 s of fixed per-round Ray overhead, so the
+    in-suite case stays small; a 300-hop chain converges the same
+    way — measured out-of-band.)"""
+    import logging
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.dedup import connected_components
+
+    n = 64
+    chain = pa.table(
+        {
+            "doc_a": pa.array(range(n), pa.int64()),
+            "doc_b": pa.array(range(1, n + 1), pa.int64()),
+        }
+    )
+    with caplog.at_level(logging.WARNING, logger="ocr_ray.dedup"):
+        out = {
+            r["node"]: r["label"]
+            for r in connected_components(rd.from_arrow(chain), max_iters=12).take_all()
+        }
+    assert len(out) == n + 1
+    assert set(out.values()) == {0}
+    assert not any("did NOT converge" in r.message for r in caplog.records)
