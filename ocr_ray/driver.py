@@ -517,6 +517,12 @@ def q_bpe_token_counts(sf_dir: str):
     return bpe_token_counts(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def q_repetition_stats(sf_dir: str):
+    from ocr_ray.ops.textstats import repetition_stats
+
+    return repetition_stats(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
 def q_winnowing_fingerprints(sf_dir: str):
     from ocr_ray.ops.textstats import winnowing_fingerprints
 
@@ -1206,6 +1212,7 @@ QUERIES = {
     "doc_unknown_counts": q_doc_unknown_counts,
     "quality_heuristics": q_quality_heuristics,
     "bpe_token_counts": q_bpe_token_counts,
+    "repetition_stats": q_repetition_stats,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "top_terms_by_lang": q_top_terms_by_lang,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1824,6 +1831,49 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(regexp_extract_all(text,"
             " '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+'"
             ")) AS BIGINT) AS n_bpe_tokens FROM documents"
+        ),
+        "repetition_stats": (
+            # Same tokenizer (split on non-alnum, drop empty edge
+            # pieces), same GREATEST(n,1)-guarded integer→double
+            # divisions in the same operand order as the Ray kernel.
+            "WITH lst AS (\n"
+            " SELECT doc_id,"
+            " list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+            " x -> x <> '') AS ws FROM documents\n"
+            "), tok AS (\n"
+            " SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos"
+            " FROM lst\n"
+            "), wc AS (\n"
+            " SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w\n"
+            "), agg AS (\n"
+            " SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,"
+            " CAST(COUNT(*) AS BIGINT) AS n_distinct,"
+            " CAST(MAX(c) AS BIGINT) AS top_c FROM wc GROUP BY doc_id\n"
+            "), bc AS (\n"
+            " SELECT a.doc_id, a.w AS w1, b.w AS w2, COUNT(*) AS c\n"
+            " FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1\n"
+            " GROUP BY a.doc_id, a.w, b.w\n"
+            "), bagg AS (\n"
+            " SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,"
+            " CAST(MAX(c) AS BIGINT) AS top_bc FROM bc GROUP BY doc_id\n"
+            ")\n"
+            "SELECT d.doc_id,\n"
+            " COALESCE(agg.n_words, 0) AS n_words,\n"
+            " COALESCE(agg.n_distinct, 0) AS n_distinct_words,\n"
+            " COALESCE(agg.top_c, 0) AS top_word_count,\n"
+            " CAST(COALESCE(agg.top_c, 0) AS DOUBLE)"
+            " / CAST(GREATEST(COALESCE(agg.n_words, 0), 1) AS DOUBLE)"
+            " AS top_word_frac,\n"
+            " COALESCE(bagg.top_bc, 0) AS top_bigram_count,\n"
+            " CAST(COALESCE(bagg.top_bc, 0) AS DOUBLE)"
+            " / CAST(GREATEST(COALESCE(bagg.n_bigrams, 0), 1) AS DOUBLE)"
+            " AS top_bigram_frac,\n"
+            " 1.0 - (CAST(COALESCE(agg.n_distinct, 0) AS DOUBLE)"
+            " / CAST(GREATEST(COALESCE(agg.n_words, 0), 1) AS DOUBLE))"
+            " AS dup_word_frac\n"
+            "FROM documents d"
+            " LEFT JOIN agg ON d.doc_id = agg.doc_id"
+            " LEFT JOIN bagg ON d.doc_id = bagg.doc_id"
         ),
         "top_terms_by_lang": (
             "WITH words AS (\n"

@@ -15,6 +15,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ocr_ray.ops.analysis import STOP_EN, STOP_ID
 
@@ -80,6 +81,87 @@ def bpe_token_counts(docs):
     """Whitespace + BPE-ish regex token counts (pattern shared verbatim
     with the DuckDB oracle)."""
     return docs.map_batches(bpe_token_counts_batch, batch_format="pyarrow")
+
+
+# ------------------------------------------------- repetition stats
+
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style intra-document repetition signals, vectorized across
+    the whole batch: one pyarrow regex split produces the token lists,
+    then token factorization (np.unique) + integer-keyed (doc, token)
+    and (doc, bigram) count reductions + unbuffered segment max
+    (np.maximum.at) compute every per-doc statistic with zero per-row
+    Python dispatch. Fractions are single IEEE divisions of exact
+    integers in the same operand order as the DuckDB oracle, so values
+    match bit-for-bit.
+    """
+    n = batch.num_rows
+    col = batch.column("text")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lst = pc.split_pattern_regex(pc.utf8_lower(col), pattern="[^a-z0-9]+")
+    lengths = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+    lengths = np.nan_to_num(lengths.astype(np.float64)).astype(np.int64)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    vals = np.asarray(lst.flatten().to_pylist(), dtype=object)
+    keep = vals != ""  # regex split emits empty edge pieces; drop them
+    vals, doc_idx = vals[keep], doc_idx[keep]
+
+    n_words = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    top_c = np.zeros(n, dtype=np.int64)
+    top_bc = np.zeros(n, dtype=np.int64)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    n_bigrams = np.zeros(n, dtype=np.int64)
+    if len(vals):
+        uniq, inv = np.unique(vals, return_inverse=True)
+        U = np.int64(len(uniq))
+        key = doc_idx * U + inv
+        uk, uc = np.unique(key, return_counts=True)
+        pair_doc = uk // U
+        n_distinct = np.bincount(pair_doc, minlength=n).astype(np.int64)
+        np.maximum.at(top_c, pair_doc, uc)
+
+        adj = doc_idx[1:] == doc_idx[:-1]  # split preserves doc order
+        bdoc = doc_idx[:-1][adj]
+        n_bigrams = np.bincount(bdoc, minlength=n).astype(np.int64)
+        if len(bdoc):
+            t1, t2 = inv[:-1][adj], inv[1:][adj]
+            if int(n) * int(U) * int(U) < (1 << 62):
+                bkey = (bdoc * U + t1) * U + t2
+                buk, buc = np.unique(bkey, return_counts=True)
+                bpair_doc = buk // (U * U)
+            else:  # giant-vocabulary batch: key would overflow int64
+                buk, buc = np.unique(
+                    np.stack([bdoc, t1, t2], axis=1), axis=0, return_counts=True
+                )
+                bpair_doc = buk[:, 0]
+            np.maximum.at(top_bc, bpair_doc, buc)
+
+    safe_w = np.maximum(n_words, 1).astype(np.float64)
+    safe_b = np.maximum(n_bigrams, 1).astype(np.float64)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_distinct_words": pa.array(n_distinct, pa.int64()),
+            "top_word_count": pa.array(top_c, pa.int64()),
+            "top_word_frac": pa.array(top_c.astype(np.float64) / safe_w, pa.float64()),
+            "top_bigram_count": pa.array(top_bc, pa.int64()),
+            "top_bigram_frac": pa.array(top_bc.astype(np.float64) / safe_b, pa.float64()),
+            "dup_word_frac": pa.array(
+                1.0 - (n_distinct.astype(np.float64) / safe_w), pa.float64()
+            ),
+        }
+    )
+
+
+def repetition_stats(docs):
+    """Per-document repetition quality signals (Rae et al. Gopher
+    curation family): total/distinct word counts, most-frequent word
+    and bigram mass fractions, duplicate-word fraction. Stateless
+    per-batch map — no shuffle, streams at any scale."""
+    return docs.map_batches(repetition_stats_batch, batch_format="pyarrow")
 
 
 # ------------------------------------------------- winnowing fingerprints

@@ -162,3 +162,64 @@ def test_label_centroids_fixed_point_exact(ray_session):
     assert rows[(0, 2)] == (4.0, 2)
     assert rows[(1, 1)] == (5.0, 1)
     assert rows[(1, 2)] == (-1.5, 1)
+
+
+def test_repetition_stats_hand_checked():
+    from ocr_ray.ops.textstats import repetition_stats_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    # 6 words, 3 distinct; "the cat" bigram twice of 5
+                    "the cat the cat the dog",
+                    # all distinct
+                    "alpha beta gamma",
+                    # single word
+                    "solo",
+                    # empty after tokenization
+                    "  ...  ",
+                ]
+            ),
+        }
+    )
+    out = repetition_stats_batch(batch)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+
+    r1 = rows[1]
+    assert r1["n_words"] == 6 and r1["n_distinct_words"] == 3
+    assert r1["top_word_count"] == 3  # "the"
+    assert r1["top_word_frac"] == 3 / 6
+    assert r1["top_bigram_count"] == 2  # "the cat"
+    assert r1["top_bigram_frac"] == 2 / 5
+    assert r1["dup_word_frac"] == 1.0 - 3 / 6
+
+    r2 = rows[2]
+    assert r2["n_words"] == 3 and r2["n_distinct_words"] == 3
+    assert r2["top_word_count"] == 1 and r2["top_bigram_count"] == 1
+    assert r2["dup_word_frac"] == 0.0
+
+    r3 = rows[3]
+    assert r3["n_words"] == 1 and r3["top_bigram_count"] == 0
+    assert r3["top_bigram_frac"] == 0.0
+
+    r4 = rows[4]
+    assert r4["n_words"] == 0 and r4["n_distinct_words"] == 0
+    assert r4["top_word_frac"] == 0.0 and r4["top_bigram_frac"] == 0.0
+
+
+def test_repetition_stats_pathological_single_token_doc():
+    from ocr_ray.ops.textstats import repetition_stats_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([7], pa.int64()),
+            "text": pa.array(["spam " * 100]),
+        }
+    )
+    (r,) = repetition_stats_batch(batch).to_pylist()
+    assert r["n_words"] == 100 and r["n_distinct_words"] == 1
+    assert r["top_word_frac"] == 1.0
+    assert r["top_bigram_count"] == 99 and r["top_bigram_frac"] == 1.0
+    assert r["dup_word_frac"] == 1.0 - 1 / 100
