@@ -523,6 +523,12 @@ def q_repetition_stats(sf_dir: str):
     return repetition_stats(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def q_dup_ngram_coverage(sf_dir: str):
+    from ocr_ray.ops.decontam import dup_ngram_coverage
+
+    return dup_ngram_coverage(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
 def q_winnowing_fingerprints(sf_dir: str):
     from ocr_ray.ops.textstats import winnowing_fingerprints
 
@@ -1213,6 +1219,7 @@ QUERIES = {
     "quality_heuristics": q_quality_heuristics,
     "bpe_token_counts": q_bpe_token_counts,
     "repetition_stats": q_repetition_stats,
+    "dup_ngram_coverage": q_dup_ngram_coverage,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "top_terms_by_lang": q_top_terms_by_lang,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1610,6 +1617,12 @@ def _decontam_oracle_sql() -> str:
     from ocr_ray.ops.decontam import oracle_sql as _d
 
     return _d()
+
+
+def _dup_ngram_coverage_oracle_sql() -> str:
+    from ocr_ray.ops.decontam import dup_ngram_coverage_sql
+
+    return dup_ngram_coverage_sql()
 
 
 def _train_split_oracle_sql() -> str:
@@ -2226,6 +2239,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "chunk_docs": _chunk_oracle_sql(),
         "contamination_report": _decontam_oracle_sql(),
+        "dup_ngram_coverage": _dup_ngram_coverage_oracle_sql(),
         "train_split_stats": _train_split_oracle_sql(),
         "length_outliers": _length_outliers_oracle_sql(),
         "rollup_lang_source": _rollup_oracle_sql(),

@@ -111,6 +111,152 @@ def decontaminate_report(docs, benchmark_docs, *, k: int = DEFAULT_K):
     return contamination_counts(docs, bench, k=k)
 
 
+# ----------------------------------------- duplicate n-gram coverage
+
+
+def _dup_shingle_rows_factory(k: int):
+    def rows(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ocr_ray.ops.dedup import _md5_hash64
+
+        hs, ids = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            # set-of-hashes (not set-of-shingles then hash): dedup at
+            # the hash level mirrors the oracle's DISTINCT (doc, hi, lo)
+            # so even an md5 collision produces identical output
+            hset = {_md5_hash64(s) for s in _shingles(text, k)}
+            hs.extend(hset)
+            ids.extend([doc_id] * len(hset))
+        return pa.table(
+            {
+                "h": pa.array(np.array(hs, dtype=np.uint64), pa.uint64()),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    return rows
+
+
+def _df_flag_block(block: pa.Table, starts) -> pa.Table:
+    """Per shingle-hash group (rows already distinct per doc), df is
+    simply the group size; emit (doc_id, dup∈{0,1}) — one vectorized
+    repeat per block, no Python per group."""
+    import numpy as np
+
+    n = block.num_rows
+    if n == 0 or len(starts) == 0:
+        empty = pa.array(np.empty(0, np.int64), pa.int64())
+        return pa.table({"doc_id": empty, "dup": empty})
+    sizes = np.diff(np.append(starts, n))
+    dup = np.repeat((sizes >= 2).astype(np.int64), sizes)
+    return pa.table(
+        {
+            "doc_id": block.column("doc_id"),
+            "dup": pa.array(dup, pa.int64()),
+        }
+    )
+
+
+def dup_ngram_coverage(docs, *, k: int = DEFAULT_K):
+    """RefinedWeb-style cross-document duplicate n-gram coverage: for
+    every document, how many of its distinct ``k``-token shingles occur
+    in at least one OTHER document (corpus document frequency ≥ 2), and
+    the fraction of its shingle set that mass represents — the standard
+    "document is mostly boilerplate shared with the rest of the crawl"
+    curation signal.
+
+    Scale design: documents never shuffle. One stateless map explodes
+    each doc into slim distinct ``(md5-hash64, doc_id)`` rows (16
+    bytes/shingle); a hash partition on the shingle hash co-locates
+    equal shingles so df is the group size (no df table, no big-big
+    join — the flag is computed inside the partitioned block); a keyed
+    aggregate rolls the flags back up per doc; a LEFT OUTER join against
+    the doc-id spine restores zero-shingle docs. Two shuffles of derived
+    slim rows total.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from ocr_ray.ops.joins import large_join
+    from ocr_ray.stages.grouped import grouped_map
+
+    rows = docs.map_batches(
+        _dup_shingle_rows_factory(k), batch_format="pyarrow"
+    )
+    flags = grouped_map(rows, ["h"], _df_flag_block)
+    per_doc = (
+        flags.groupby("doc_id")
+        .aggregate(
+            Count(alias_name="n_shingles"),
+            Sum("dup", alias_name="n_dup_shingles"),
+        )
+    )
+    spine = docs.select_columns(["doc_id"])
+    joined = large_join(
+        spine, per_doc, on="doc_id", join_type="left_outer"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n_sh = pc.fill_null(t.column("n_shingles"), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        n_dup = pc.fill_null(t.column("n_dup_shingles"), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        safe = np.maximum(n_sh, 1).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_shingles": pa.array(n_sh, pa.int64()),
+                "n_dup_shingles": pa.array(n_dup, pa.int64()),
+                "dup_shingle_frac": pa.array(
+                    n_dup.astype(np.float64) / safe, pa.float64()
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def dup_ngram_coverage_sql(k: int = DEFAULT_K) -> str:
+    """DuckDB equivalent — identical shingle definition, identical
+    md5-halves hash grouping, identical GREATEST-guarded division."""
+    return (
+        "WITH toks AS (\n"
+        " SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '\\S+') AS t\n"
+        " FROM documents\n"
+        "), sh AS (\n"
+        " SELECT DISTINCT doc_id,\n"
+        f"  array_to_string(t[s + 1 : s + {k}], ' ') AS shingle\n"
+        f" FROM (SELECT doc_id, t, unnest(range(0, len(t) - {k} + 1)) AS s\n"
+        f"       FROM toks WHERE len(t) >= {k})\n"
+        "), hs AS (\n"
+        " SELECT DISTINCT doc_id,\n"
+        "  ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hi,\n"
+        "  ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS lo\n"
+        " FROM sh\n"
+        "), df AS (\n"
+        " SELECT hi, lo, COUNT(*) AS df FROM hs GROUP BY hi, lo\n"
+        "), per AS (\n"
+        " SELECT hs.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,\n"
+        "  CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_dup\n"
+        " FROM hs JOIN df USING (hi, lo) GROUP BY hs.doc_id\n"
+        ")\n"
+        "SELECT d.doc_id,\n"
+        " COALESCE(per.n_shingles, 0) AS n_shingles,\n"
+        " COALESCE(per.n_dup, 0) AS n_dup_shingles,\n"
+        " CAST(COALESCE(per.n_dup, 0) AS DOUBLE)"
+        " / CAST(GREATEST(COALESCE(per.n_shingles, 0), 1) AS DOUBLE)"
+        " AS dup_shingle_frac\n"
+        "FROM documents d LEFT JOIN per USING (doc_id)"
+    )
+
+
 def oracle_sql(k: int = DEFAULT_K, benchmark_pred: str = "doc_id % 50 = 0") -> str:
     """DuckDB equivalent: distinct shingles per doc LEFT-semi-counted
     against the distinct benchmark shingle set."""

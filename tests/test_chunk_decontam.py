@@ -89,3 +89,39 @@ def test_decontaminate_report_case_insensitive(ray_session):
     }
     # shingling lowercases, so the upper/lower pair coincide exactly
     assert out[1]["n_contaminated"] == 3
+
+
+def test_dup_ngram_coverage(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.ops.decontam import dup_ngram_coverage
+
+    shared = "one two three four five six seven eight"  # exactly 8 tokens
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        f"{shared} tail alpha",
+                        f"head {shared} tail beta",
+                        "completely different words nine ten eleven twelve "
+                        "thirteen fourteen fifteen",
+                        "short doc",  # < 8 tokens: zero shingles
+                    ]
+                ),
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in dup_ngram_coverage(docs, k=8).take_all()}
+    assert len(rows) == 4
+    # doc 1: 3 shingles; "one…eight" AND "two…eight tail" occur in doc 2
+    assert rows[1]["n_shingles"] == 3 and rows[1]["n_dup_shingles"] == 2
+    assert rows[1]["dup_shingle_frac"] == 2 / 3
+    # doc 2: 4 shingles, the same two shared
+    assert rows[2]["n_shingles"] == 4 and rows[2]["n_dup_shingles"] == 2
+    # doc 3: 10 tokens → 3 shingles, all unique
+    assert rows[3]["n_shingles"] == 3 and rows[3]["n_dup_shingles"] == 0
+    assert rows[3]["dup_shingle_frac"] == 0.0
+    # doc 4: too short — zero shingles survives via the spine join
+    assert rows[4]["n_shingles"] == 0 and rows[4]["dup_shingle_frac"] == 0.0
