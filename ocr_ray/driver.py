@@ -710,6 +710,18 @@ def q_session_stats(sf_dir: str):
     return session_stats_per_user(events, gap_sec=1800)
 
 
+def q_inter_event_gap_stats(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.windows import inter_event_gap_stats
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    return inter_event_gap_stats(events)
+
+
 def _query_matrix(sf_dir: str, n: int = 4) -> np.ndarray:
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     tbl = tbl.sort_by("vec_id").slice(0, n)
@@ -1233,6 +1245,7 @@ QUERIES = {
     "tumbling_hourly": q_tumbling_hourly,
     "sliding_hourly": q_sliding_hourly,
     "session_stats": q_session_stats,
+    "inter_event_gap_stats": q_inter_event_gap_stats,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_drop_list": q_dedup_exact_drop_list,
     "dedup_minhash": q_dedup_minhash,
@@ -1923,6 +1936,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions,\n"
             " CAST(COUNT(*) AS BIGINT) AS n_events\n"
             "FROM gaps GROUP BY user_id"
+        ),
+        "inter_event_gap_stats": (
+            "WITH o AS (\n"
+            " SELECT user_id, epoch_us(ts) AS t,\n"
+            "  LAG(epoch_us(ts)) OVER"
+            " (PARTITION BY user_id ORDER BY ts, event_id) AS prev\n"
+            " FROM events\n"
+            "), gaps AS (\n"
+            " SELECT user_id, t - prev AS gap FROM o WHERE prev IS NOT NULL\n"
+            "), base AS (\n"
+            " SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events"
+            " FROM events GROUP BY user_id\n"
+            "), agg AS (\n"
+            " SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,\n"
+            "  CAST(MIN(gap) AS BIGINT) AS mn, CAST(MAX(gap) AS BIGINT) AS mx,\n"
+            "  CAST(SUM(gap) AS BIGINT) AS sm\n"
+            " FROM gaps GROUP BY user_id\n"
+            ")\n"
+            "SELECT b.user_id, b.n_events,\n"
+            " COALESCE(a.n_gaps, 0) AS n_gaps,\n"
+            " COALESCE(a.mn, 0) AS min_gap_us,\n"
+            " COALESCE(a.mx, 0) AS max_gap_us,\n"
+            " CAST(COALESCE(a.sm, 0) AS DOUBLE)"
+            " / CAST(GREATEST(COALESCE(a.n_gaps, 0), 1) AS DOUBLE)"
+            " AS mean_gap_us\n"
+            "FROM base b LEFT JOIN agg a USING (user_id)"
         ),
         "doc_unknown_counts": (
             "WITH doc_words AS (\n"

@@ -139,6 +139,75 @@ def session_stats_per_user(events, gap_sec: int = 1800):
     return grouped_map(events, ["user_id"], block_fn, sort_within=["ts"])
 
 
+def inter_event_gap_stats(events):
+    """Per-user LAG-family statistics over consecutive-event time gaps
+    (microseconds): (user_id, n_events, n_gaps, min_gap_us, max_gap_us,
+    mean_gap_us). Order within a user is (ts, event_id) — the same
+    deterministic tie-break as the oracle's window frame.
+
+    Fully vectorized across groups: one np.diff over the whole sorted
+    block with group-boundary masking, then unbuffered segment
+    reductions (np.add.at / minimum.at / maximum.at) — no Python
+    dispatch per user. Gaps are exact int64 microseconds; the mean is
+    the single IEEE division sum/GREATEST(n_gaps,1) shared with the
+    SQL oracle. One hash shuffle of the events, nothing materialized.
+    """
+    from ocr_ray.stages.grouped import grouped_map
+
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_events", pa.int64()),
+            ("n_gaps", pa.int64()),
+            ("min_gap_us", pa.int64()),
+            ("max_gap_us", pa.int64()),
+            ("mean_gap_us", pa.float64()),
+        ]
+    )
+
+    def block_fn(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return schema.empty_table()
+        g_n = len(starts)
+        users = block.column("user_id").to_numpy(zero_copy_only=False)
+        micros = pc.cast(block.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ends = np.append(starts[1:], n)
+        sizes = ends - starts
+        gidx = np.repeat(np.arange(g_n), sizes)
+        diffs = np.diff(micros)
+        within = gidx[1:] == gidx[:-1]
+        g = gidx[:-1][within]
+        d = diffs[within]
+        n_gaps = np.bincount(g, minlength=g_n).astype(np.int64)
+        sum_g = np.zeros(g_n, dtype=np.int64)
+        np.add.at(sum_g, g, d)
+        min_g = np.full(g_n, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(min_g, g, d)
+        min_g[n_gaps == 0] = 0
+        max_g = np.zeros(g_n, dtype=np.int64)
+        np.maximum.at(max_g, g, d)
+        safe = np.maximum(n_gaps, 1).astype(np.float64)
+        return pa.table(
+            {
+                "user_id": pa.array(users[starts], pa.int64()),
+                "n_events": pa.array(sizes.astype(np.int64), pa.int64()),
+                "n_gaps": pa.array(n_gaps, pa.int64()),
+                "min_gap_us": pa.array(min_g, pa.int64()),
+                "max_gap_us": pa.array(max_g, pa.int64()),
+                "mean_gap_us": pa.array(
+                    sum_g.astype(np.float64) / safe, pa.float64()
+                ),
+            }
+        )
+
+    return grouped_map(
+        events, ["user_id"], block_fn, sort_within=["ts", "event_id"]
+    )
+
+
 def running_total_per_user(events):
     """(event_id, user_id, ts, running_cents): the per-user running sum
     of event value (integer cents — the float window-frame accumulation

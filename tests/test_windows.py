@@ -72,3 +72,53 @@ def test_sessions(ray_session):
         row = out[out["user_id"] == user].iloc[0]
         assert row["n_sessions"] == expect_sessions
         assert row["n_events"] == len(g)
+
+
+def test_inter_event_gap_stats(ray_session):
+    from ocr_ray.ops.windows import inter_event_gap_stats
+
+    tbl = _events_table(n=400)
+    out = inter_event_gap_stats(_ds(tbl)).to_pandas()
+    df = tbl.to_pandas()
+    df["us"] = df["ts"].astype("int64")
+    assert len(out) == df["user_id"].nunique()
+    for user, g in df.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"])
+        gaps = np.diff(g["us"].to_numpy())
+        row = out[out["user_id"] == user].iloc[0]
+        assert row["n_events"] == len(g)
+        assert row["n_gaps"] == len(gaps)
+        if len(gaps):
+            assert row["min_gap_us"] == gaps.min()
+            assert row["max_gap_us"] == gaps.max()
+            assert row["mean_gap_us"] == int(gaps.sum()) / max(len(gaps), 1)
+        else:
+            assert row["min_gap_us"] == 0 and row["mean_gap_us"] == 0.0
+
+
+def test_inter_event_gap_stats_single_event_user(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.ops.windows import inter_event_gap_stats
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2], pa.int64()),
+            "ts": pa.array(
+                np.array([10, 10, 99], dtype=np.int64) * 1_000_000,
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([5, 5, 7], pa.int64()),
+        }
+    )
+    rows = {
+        r["user_id"]: r
+        for r in inter_event_gap_stats(rd.from_arrow(tbl)).take_all()
+    }
+    # user 5: two events at the same timestamp — tie broken by event_id,
+    # gap of exactly 0 microseconds (counted, not dropped)
+    assert rows[5]["n_gaps"] == 1 and rows[5]["min_gap_us"] == 0
+    assert rows[5]["mean_gap_us"] == 0.0
+    # user 7: single event, no gaps
+    assert rows[7]["n_events"] == 1 and rows[7]["n_gaps"] == 0
+    assert rows[7]["min_gap_us"] == 0 and rows[7]["max_gap_us"] == 0
