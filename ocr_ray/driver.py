@@ -1058,6 +1058,91 @@ def q_distinct_users_by_type(sf_dir: str):
 _HIGH_VALUE_ORDER = 300_000
 
 
+_Q3_SEGMENT = "BUILDING"
+_Q3_CUTOFF = "1998-06-01"
+
+
+def q_top_unshipped_orders(sf_dir: str):
+    """TPC-H Q3-shaped shipping-priority query: revenue of orders from
+    one market segment placed before the cutoff with lineitems still
+    shipping after it, top 10 by revenue.
+
+    Scale shape: the customer side collapses to a key set (semi join,
+    broadcast once); lineitem — the 100 TB table — is filtered and
+    pre-aggregated to slim (orderkey, cents) partials map-side before
+    its one keyed aggregate; the final join is slim-slim hash-partitioned;
+    only the ≤10-row result is driver-materialized. Revenue is integer
+    cents with half-away-from-zero rounding so the SQL oracle matches
+    bit-for-bit."""
+    import datetime as _dt
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.joins import broadcast_join, large_join
+
+    _quiet()
+    cutoff = _dt.datetime.fromisoformat(_Q3_CUTOFF)
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_keys = (
+        cust.filter(pc.equal(cust["c_mktsegment"], _Q3_SEGMENT))
+        .select(["c_custkey"])
+        .rename_columns(["o_custkey"])
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def order_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff)))
+
+    orders_f = broadcast_join(
+        orders.map_batches(order_filter, batch_format="pyarrow"),
+        seg_keys,
+        keys=["o_custkey"],
+        join_type="left semi",
+    ).select_columns(["o_orderkey", "o_orderdate"])
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def revenue_partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
+        cents = _cents(
+            pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            )
+        )
+        return (
+            t.select(["l_orderkey"])
+            .append_column("cents", cents)
+            .group_by("l_orderkey")
+            .aggregate([("cents", "sum")])
+            .rename_columns(["l_orderkey", "cents"])
+        )
+
+    rev = (
+        lineitem.map_batches(revenue_partials, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("cents", alias_name="revenue_cents"))
+    )
+
+    joined = large_join(
+        orders_f, rev, on="o_orderkey", right_on="l_orderkey"
+    ).select_columns(["o_orderkey", "revenue_cents", "o_orderdate"])
+    return joined.sort(
+        ["revenue_cents", "o_orderdate", "o_orderkey"],
+        descending=[True, False, False],
+    ).limit(10)
+
+
 def q_customers_without_orders(sf_dir: str):
     """Distributed anti join: customers with no high-value order
     (o_totalprice ≥ 300k; every customer in the testdata has SOME order,
@@ -1277,6 +1362,7 @@ QUERIES = {
     "top_docs_per_lang": q_top_docs_per_lang,
     "distinct_users_by_type": q_distinct_users_by_type,
     "customers_without_orders": q_customers_without_orders,
+    "top_unshipped_orders": q_top_unshipped_orders,
     "events_pivot_daily": q_events_pivot_daily,
     "bigram_familiarity": q_bigram_familiarity,
     "dedup_exact_incremental": q_dedup_exact_incremental,
@@ -2305,6 +2391,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type,"
             " CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users\n"
             "FROM events GROUP BY event_type"
+        ),
+        "top_unshipped_orders": (
+            "SELECT o.o_orderkey,\n"
+            " CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount)"
+            " * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents,\n"
+            " o.o_orderdate\n"
+            "FROM customer c\n"
+            "JOIN orders o ON c.c_custkey = o.o_custkey\n"
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey\n"
+            f"WHERE c.c_mktsegment = '{_Q3_SEGMENT}'\n"
+            f" AND o.o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'\n"
+            f" AND l.l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'\n"
+            "GROUP BY o.o_orderkey, o.o_orderdate\n"
+            "ORDER BY revenue_cents DESC, o_orderdate ASC, o_orderkey ASC\n"
+            "LIMIT 10"
         ),
         "customers_without_orders": (
             "SELECT c_custkey, c_mktsegment FROM customer\n"
