@@ -710,6 +710,31 @@ def q_session_stats(sf_dir: str):
     return session_stats_per_user(events, gap_sec=1800)
 
 
+def q_histogram_quantiles(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.sketch import histogram_quantiles
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return histogram_quantiles(events)
+
+
+def q_user_first_last_event(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.windows import user_first_last_event
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return user_first_last_event(events)
+
+
 def q_inter_event_gap_stats(sf_dir: str):
     import ray.data as rd
 
@@ -1331,6 +1356,8 @@ QUERIES = {
     "sliding_hourly": q_sliding_hourly,
     "session_stats": q_session_stats,
     "inter_event_gap_stats": q_inter_event_gap_stats,
+    "user_first_last_event": q_user_first_last_event,
+    "histogram_quantiles": q_histogram_quantiles,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_drop_list": q_dedup_exact_drop_list,
     "dedup_minhash": q_dedup_minhash,
@@ -1724,6 +1751,12 @@ def _dup_ngram_coverage_oracle_sql() -> str:
     return dup_ngram_coverage_sql()
 
 
+def _histogram_quantiles_oracle_sql() -> str:
+    from ocr_ray.ops.sketch import histogram_quantiles_sql
+
+    return histogram_quantiles_sql()
+
+
 def _train_split_oracle_sql() -> str:
     from ocr_ray.ops.split import train_split_sql
 
@@ -2022,6 +2055,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions,\n"
             " CAST(COUNT(*) AS BIGINT) AS n_events\n"
             "FROM gaps GROUP BY user_id"
+        ),
+        "histogram_quantiles": _histogram_quantiles_oracle_sql(),
+        "user_first_last_event": (
+            "WITH o AS (\n"
+            " SELECT user_id, ts, event_type,\n"
+            "  ROW_NUMBER() OVER"
+            " (PARTITION BY user_id ORDER BY ts, event_id) AS rn,\n"
+            "  COUNT(*) OVER (PARTITION BY user_id) AS n\n"
+            " FROM events\n"
+            ")\n"
+            "SELECT f.user_id, f.ts AS first_ts, f.event_type AS first_type,\n"
+            " l.ts AS last_ts, l.event_type AS last_type,\n"
+            " CAST(f.n AS BIGINT) AS n_events\n"
+            "FROM (SELECT * FROM o WHERE rn = 1) f\n"
+            "JOIN (SELECT * FROM o WHERE rn = n) l USING (user_id)"
         ),
         "inter_event_gap_stats": (
             "WITH o AS (\n"

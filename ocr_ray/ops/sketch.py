@@ -196,3 +196,125 @@ def _token_count_partials(batch: pa.Table) -> pa.Table:
             "partial": pa.array([c for _, c in items], pa.int64()),
         }
     )
+
+
+# ------------------------------------------- histogram quantile sketch
+
+HIST_BINS = 4096
+HIST_WIDTH = 0.125  # covers [0, 512); out-of-range values clamp to edge bins
+
+
+def histogram_quantiles(ds, value_col: str = "value",
+                        key_col: str = "event_type",
+                        qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
+    """Mergeable fixed-bin histogram quantile sketch — the
+    approximate-percentile scale path (exact percentiles need the full
+    value multiset per key; this needs ≤ ``HIST_BINS`` rows per key at
+    any corpus size).
+
+    Per batch, values bin to ``floor(v / width)`` clamped to
+    [0, bins) and pre-aggregate to (key, bin, count) partials — at most
+    keys × bins slim rows leave each batch regardless of input size.
+    One keyed aggregate merges shards (counts are addition-mergeable,
+    exactly like the HLL/CMS registers); a grouped block pass walks the
+    cumulative histogram and reports, for each requested quantile q,
+    the LOWER EDGE of the first bin whose cumulative count reaches
+    ``ceil(q · n)``. Every step is integer or a single shared IEEE
+    expression, so the DuckDB oracle reproduces the estimates
+    bit-for-bit. Estimate error is bounded by the bin width.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    def partials(t: pa.Table) -> pa.Table:
+        vals = t.column(value_col).to_numpy(zero_copy_only=False)
+        bins = np.clip(
+            np.floor(vals / HIST_WIDTH), 0, HIST_BINS - 1
+        ).astype(np.int64)
+        ones = np.ones(len(bins), dtype=np.int64)
+        return (
+            pa.table(
+                {
+                    key_col: t.column(key_col),
+                    "bin": pa.array(bins, pa.int64()),
+                    "c": pa.array(ones, pa.int64()),
+                }
+            )
+            .group_by([key_col, "bin"])
+            .aggregate([("c", "sum")])
+            .rename_columns([key_col, "bin", "c"])
+        )
+
+    hist = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby([key_col, "bin"])
+        .aggregate(Sum("c", alias_name="cnt"))
+    )
+
+    out_fields = [(key_col, pa.string()), ("n_values", pa.int64())]
+    q_names = [f"p{int(q * 100)}_est" for q in qs]
+    out_fields += [(name, pa.float64()) for name in q_names]
+    schema = pa.schema(out_fields)
+
+    def block_fn(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        import math
+
+        nrows = block.num_rows
+        if nrows == 0 or len(starts) == 0:
+            return schema.empty_table()
+        ends = np.append(starts[1:], nrows)
+        keys = block.column(key_col).to_pylist()
+        bins = block.column("bin").to_numpy(zero_copy_only=False)
+        cnts = block.column("cnt").to_numpy(zero_copy_only=False)
+        out = {name: [] for name in q_names}
+        out_keys, out_n = [], []
+        for s, e in zip(starts, ends):  # one iteration per KEY (≤ #types)
+            cum = np.cumsum(cnts[s:e])
+            n = int(cum[-1])
+            out_keys.append(keys[s])
+            out_n.append(n)
+            for q, name in zip(qs, q_names):
+                thr = math.ceil(q * n)
+                idx = int(np.searchsorted(cum, thr, side="left"))
+                out[name].append(float(bins[s + idx]) * HIST_WIDTH)
+        cols = {key_col: pa.array(out_keys, pa.string()),
+                "n_values": pa.array(out_n, pa.int64())}
+        for name in q_names:
+            cols[name] = pa.array(out[name], pa.float64())
+        return pa.table(cols)
+
+    return grouped_map(hist, [key_col], block_fn, sort_within=["bin"])
+
+
+def histogram_quantiles_sql(value_col: str = "value",
+                            key_col: str = "event_type",
+                            table: str = "events",
+                            qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> str:
+    """DuckDB equivalent — identical binning expression, identical
+    ceil-threshold first-qualifying-bin walk, identical bin→value
+    product."""
+    q_exprs = "".join(
+        f" CAST(MIN(CASE WHEN cum >= CEIL({q} * n) THEN bin END) AS DOUBLE)"
+        f" * {HIST_WIDTH} AS p{int(q * 100)}_est,\n"
+        for q in qs
+    ).rstrip("\n").rstrip(",")
+    return (
+        "WITH b AS (\n"
+        f" SELECT {key_col},\n"
+        f"  LEAST(GREATEST(CAST(FLOOR({value_col} / {HIST_WIDTH}) AS BIGINT),"
+        f" 0), {HIST_BINS - 1}) AS bin\n"
+        f" FROM {table}\n"
+        "), h AS (\n"
+        f" SELECT {key_col}, bin, COUNT(*) AS c FROM b GROUP BY {key_col}, bin\n"
+        "), cum AS (\n"
+        f" SELECT {key_col}, bin,\n"
+        f"  SUM(c) OVER (PARTITION BY {key_col} ORDER BY bin) AS cum,\n"
+        f"  SUM(c) OVER (PARTITION BY {key_col}) AS n\n"
+        " FROM h\n"
+        ")\n"
+        f"SELECT {key_col}, CAST(MAX(n) AS BIGINT) AS n_values,\n"
+        f"{q_exprs}\n"
+        f"FROM cum GROUP BY {key_col}"
+    )

@@ -139,6 +139,50 @@ def session_stats_per_user(events, gap_sec: int = 1800):
     return grouped_map(events, ["user_id"], block_fn, sort_within=["ts"])
 
 
+def user_first_last_event(events):
+    """Per-user FIRST_VALUE/LAST_VALUE family: the first and last event
+    (timestamp + type) under deterministic (ts, event_id) ordering, plus
+    the event count. One hash shuffle; inside each block the first/last
+    rows of every group are gathered with two vectorized takes at the
+    group boundary offsets — no per-group Python."""
+    from ocr_ray.stages.grouped import grouped_map
+
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("first_ts", pa.timestamp("us")),
+            ("first_type", pa.string()),
+            ("last_ts", pa.timestamp("us")),
+            ("last_type", pa.string()),
+            ("n_events", pa.int64()),
+        ]
+    )
+
+    def block_fn(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return schema.empty_table()
+        ends = np.append(starts[1:], n)
+        first = block.take(pa.array(starts, pa.int64()))
+        last = block.take(pa.array(ends - 1, pa.int64()))
+        return pa.table(
+            {
+                "user_id": first.column("user_id"),
+                "first_ts": first.column("ts"),
+                "first_type": first.column("event_type"),
+                "last_ts": last.column("ts"),
+                "last_type": last.column("event_type"),
+                "n_events": pa.array(
+                    (ends - starts).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return grouped_map(
+        events, ["user_id"], block_fn, sort_within=["ts", "event_id"]
+    )
+
+
 def inter_event_gap_stats(events):
     """Per-user LAG-family statistics over consecutive-event time gaps
     (microseconds): (user_id, n_events, n_gaps, min_gap_us, max_gap_us,

@@ -2,6 +2,7 @@
 estimate accuracy, merge-across-shards associativity."""
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
@@ -57,3 +58,37 @@ def test_register_merge_is_shard_order_independent():
     rows = [{"bucket": k, "max_rho": v} for k, v in merged.items()]
     est = hll_estimate_from_registers(rows)
     assert abs(est - 6000) / 6000 < 0.20
+
+
+def test_histogram_quantiles_within_bin_width(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.ops.sketch import HIST_WIDTH, histogram_quantiles
+
+    rng = np.random.RandomState(3)
+    vals = np.concatenate(
+        [rng.uniform(0, 100, 4000), rng.uniform(400, 600, 1000)]
+    )  # values past 512 exercise the clamp
+    tbl = pa.table(
+        {
+            "event_type": pa.array(
+                ["a" if i % 2 else "b" for i in range(len(vals))], pa.string()
+            ),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    out = {r["event_type"]: r for r in histogram_quantiles(rd.from_arrow(tbl)).take_all()}
+    df = tbl.to_pandas()
+    for key, g in df.groupby("event_type"):
+        row = out[key]
+        assert row["n_values"] == len(g)
+        v = np.sort(g["value"].to_numpy())
+        for q, name in [(0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")]:
+            exact = v[int(np.ceil(q * len(v))) - 1]
+            # estimate is the lower bin edge: within one bin width below
+            # the exact order statistic, unless the exact value sits in
+            # the clamped top bin
+            if exact < 512:
+                assert row[name] <= exact < row[name] + HIST_WIDTH
+            else:
+                assert row[name] == (512.0 - HIST_WIDTH)

@@ -122,3 +122,19 @@ def test_inter_event_gap_stats_single_event_user(ray_session):
     # user 7: single event, no gaps
     assert rows[7]["n_events"] == 1 and rows[7]["n_gaps"] == 0
     assert rows[7]["min_gap_us"] == 0 and rows[7]["max_gap_us"] == 0
+
+
+def test_user_first_last_event(ray_session):
+    from ocr_ray.ops.windows import user_first_last_event
+
+    tbl = _events_table(n=300)
+    out = user_first_last_event(_ds(tbl)).to_pandas()
+    df = tbl.to_pandas()
+    for user, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        row = out[out["user_id"] == user].iloc[0]
+        assert row["first_ts"] == g.iloc[0]["ts"]
+        assert row["first_type"] == g.iloc[0]["event_type"]
+        assert row["last_ts"] == g.iloc[-1]["ts"]
+        assert row["last_type"] == g.iloc[-1]["event_type"]
+        assert row["n_events"] == len(g)
