@@ -710,6 +710,18 @@ def q_session_stats(sf_dir: str):
     return session_stats_per_user(events, gap_sec=1800)
 
 
+def q_vocab_by_source(sf_dir: str):
+    from ocr_ray.ops.analysis import vocab_by_source
+
+    return vocab_by_source(_docs(sf_dir, "doc_id", "source", "text"))
+
+
+def q_length_percent_rank(sf_dir: str):
+    from ocr_ray.ops.curate import length_percent_rank
+
+    return length_percent_rank(_docs(sf_dir, "doc_id", "n_chars"))
+
+
 def q_histogram_quantiles(sf_dir: str):
     import ray.data as rd
 
@@ -1358,6 +1370,8 @@ QUERIES = {
     "inter_event_gap_stats": q_inter_event_gap_stats,
     "user_first_last_event": q_user_first_last_event,
     "histogram_quantiles": q_histogram_quantiles,
+    "length_percent_rank": q_length_percent_rank,
+    "vocab_by_source": q_vocab_by_source,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_drop_list": q_dedup_exact_drop_list,
     "dedup_minhash": q_dedup_minhash,
@@ -1757,6 +1771,12 @@ def _histogram_quantiles_oracle_sql() -> str:
     return histogram_quantiles_sql()
 
 
+def _length_percent_rank_oracle_sql() -> str:
+    from ocr_ray.ops.curate import length_percent_rank_sql
+
+    return length_percent_rank_sql()
+
+
 def _train_split_oracle_sql() -> str:
     from ocr_ray.ops.split import train_split_sql
 
@@ -2057,6 +2077,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM gaps GROUP BY user_id"
         ),
         "histogram_quantiles": _histogram_quantiles_oracle_sql(),
+        "length_percent_rank": _length_percent_rank_oracle_sql(),
+        "vocab_by_source": (
+            "WITH w AS (\n"
+            f" SELECT source, unnest({_WORDS_SQL}) AS word FROM documents\n"
+            "), per AS (\n"
+            " SELECT source, word, COUNT(*) AS c FROM w GROUP BY source, word\n"
+            ")\n"
+            "SELECT source,\n"
+            " CAST(SUM(c) AS BIGINT) AS n_tokens,\n"
+            " CAST(COUNT(*) AS BIGINT) AS n_distinct_words,\n"
+            " CAST(COUNT(*) AS DOUBLE)"
+            " / CAST(GREATEST(SUM(c), 1) AS DOUBLE) AS type_token_ratio\n"
+            "FROM per GROUP BY source"
+        ),
         "user_first_last_event": (
             "WITH o AS (\n"
             " SELECT user_id, ts, event_type,\n"

@@ -243,3 +243,69 @@ def doc_fingerprints(docs):
 def kamus_sql_list() -> str:
     """The frozen kamus as a SQL IN-list (for DuckDB oracles)."""
     return ", ".join("'" + w.replace("'", "''") + "'" for w in data.kamus_sorted())
+
+
+# ------------------------------------------- per-source vocabulary stats
+
+
+def vocab_by_source(docs):
+    """Exact vocabulary statistics per source: total token count,
+    distinct word count, and the type-token ratio — the corpus-health
+    rollup a mixing/reweighting step reads.
+
+    Scale shape: per-batch Counters collapse the text to slim
+    (source, word, partial-count) rows (map-side combine — the shuffle
+    carries each batch's DISTINCT words once, never token streams),
+    one keyed aggregate merges partials, and a second tiny keyed
+    aggregate (one row per (source, word) in, one row per source out)
+    produces the rollup. The ratio is the single distinct/GREATEST
+    (total, 1) IEEE division shared with the oracle.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        counts: Counter[tuple[str, str]] = Counter()
+        for source, text in zip(
+            t.column("source").to_pylist(), t.column("text").to_pylist()
+        ):
+            for w in _WORD_RE.findall((text or "").lower()):
+                counts[(source, w)] += 1
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in counts], pa.string()),
+                "word": pa.array([k[1] for k in counts], pa.string()),
+                "c": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    per_word = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby(["source", "word"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    rolled = per_word.groupby("source").aggregate(
+        Count(alias_name="n_distinct_words"),
+        Sum("c", alias_name="n_tokens"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        total = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        distinct = t.column("n_distinct_words").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "n_tokens": pa.array(total.astype("int64"), pa.int64()),
+                "n_distinct_words": pa.array(
+                    distinct.astype("int64"), pa.int64()
+                ),
+                "type_token_ratio": pa.array(
+                    distinct.astype("float64")
+                    / np.maximum(total, 1).astype("float64"),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return rolled.map_batches(finish, batch_format="pyarrow")

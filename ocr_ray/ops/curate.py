@@ -226,3 +226,85 @@ def length_outliers_sql(k_sigma: float = 3.0) -> str:
         "WHERE CAST(d.n_chars AS DOUBLE) < b.lo"
         " OR CAST(d.n_chars AS DOUBLE) > b.hi"
     )
+
+
+# -------------------------------------------- distributed percent rank
+
+
+def length_percent_rank(docs, col: str = "n_chars"):
+    """Global RANK / PERCENT_RANK over an integer column WITHOUT a
+    global sort: a two-pass broadcast-histogram plan.
+
+    Pass 1 reduces the corpus to a tiny exact histogram of distinct
+    column values (map-side per-batch value counts → one keyed
+    aggregate; the result is bounded by the number of DISTINCT values —
+    for document lengths that is ≤ max plausible length, a few hundred
+    thousand rows at worst, independent of corpus row count). The
+    driver turns it into a cumulative lookup, ships it once with
+    ``ray.put``, and pass 2 assigns every row its rank map-side with
+    one vectorized searchsorted — no all-to-all exchange of documents,
+    ever. Rank semantics match SQL RANK() (ties share the minimum
+    rank); pct_rank = (rank−1)/(n−1) as the single IEEE division both
+    engines perform.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    hist = (
+        docs.map_batches(
+            lambda t: pa.table(
+                {
+                    "v": t.column(col),
+                    "c": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                }
+            )
+            .group_by("v")
+            .aggregate([("c", "sum")])
+            .rename_columns(["v", "c"]),
+            batch_format="pyarrow",
+        )
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="cnt"))
+    )
+    rows = hist.sort("v").take_all()  # bounded by #distinct values
+    vals = np.array([r["v"] for r in rows], dtype=np.int64)
+    cnts = np.array([r["cnt"] for r in rows], dtype=np.int64)
+    cum_less = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+    n = int(cnts.sum())
+    lookup_ref = ray.put((vals, cum_less, n))
+
+    class _Ranker:
+        def __init__(self, ref):
+            self.vals, self.cum_less, self.n = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = t.column(col).to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.vals, v)
+            rank = self.cum_less[idx] + 1
+            denom = float(max(self.n - 1, 1))
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    col: t.column(col),
+                    "rnk": pa.array(rank.astype(np.int64), pa.int64()),
+                    "pct_rank": pa.array(
+                        (rank - 1).astype(np.float64) / denom, pa.float64()
+                    ),
+                }
+            )
+
+    return docs.map_batches(
+        _Ranker,
+        fn_constructor_kwargs={"ref": lookup_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def length_percent_rank_sql(col: str = "n_chars") -> str:
+    return (
+        f"SELECT doc_id, {col},\n"
+        f" CAST(RANK() OVER (ORDER BY {col}) AS BIGINT) AS rnk,\n"
+        f" PERCENT_RANK() OVER (ORDER BY {col}) AS pct_rank\n"
+        "FROM documents"
+    )

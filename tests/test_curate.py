@@ -7,6 +7,7 @@ toward the ratios — fixtures below use those.
 """
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pytest
 
@@ -125,3 +126,54 @@ def test_length_outliers_matches_serial(ray_session):
         expect.update(ids[mask].tolist())
     assert got == expect
     assert len(got) > 0  # planted outliers must be flagged
+
+
+def test_length_percent_rank_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.ops.curate import length_percent_rank
+
+    rng = np.random.RandomState(5)
+    lengths = rng.randint(10, 40, size=200)  # heavy ties
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(200), pa.int64()),
+            "n_chars": pa.array(lengths, pa.int64()),
+        }
+    )
+    out = (
+        length_percent_rank(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    df = tbl.to_pandas()
+    expect_rank = df["n_chars"].rank(method="min").astype(int)
+    assert (out["rnk"] == expect_rank).all()
+    expect_pct = (expect_rank - 1) / (len(df) - 1)
+    assert np.array_equal(out["pct_rank"].to_numpy(), expect_pct.to_numpy())
+
+
+def test_vocab_by_source_hand_checked(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.ops.analysis import vocab_by_source
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "source": pa.array(["a", "a", "b"], pa.string()),
+            # tokenizer is [a-zA-Z]{3,} on lowered text: "to" drops out
+            "text": pa.array(
+                ["the cat the dog", "the cat runs to", "solo words"]
+            ),
+        }
+    )
+    rows = {r["source"]: r for r in vocab_by_source(rd.from_arrow(tbl)).take_all()}
+    a = rows["a"]
+    # source a tokens: the,cat,the,dog,the,cat,runs → 7; distinct 4
+    assert a["n_tokens"] == 7 and a["n_distinct_words"] == 4
+    assert a["type_token_ratio"] == 4 / 7
+    b = rows["b"]
+    assert b["n_tokens"] == 2 and b["n_distinct_words"] == 2
+    assert b["type_token_ratio"] == 1.0
