@@ -734,6 +734,71 @@ def q_histogram_quantiles(sf_dir: str):
     return histogram_quantiles(events)
 
 
+def q_user_purchase_click_totals(sf_dir: str):
+    """FULL OUTER join demo: per-user purchase cents vs click cents —
+    two independent keyed aggregates (each over a filtered slice of the
+    events stream) merged with a hash-partitioned full outer join;
+    users present on only one side survive with the other total
+    COALESCEd to 0. Both sides shuffle slim (user, cents) rows only."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.joins import large_join
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+
+    def side(event_type: str, out_col: str):
+        def pick(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], event_type))
+            return pa.table(
+                {"user_id": t["user_id"], "cents": _cents(t["value"])}
+            )
+
+        return (
+            events.map_batches(pick, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Sum("cents", alias_name=out_col))
+        )
+
+    purchases = side("purchase", "purchase_cents")
+    clicks = side("click", "click_cents")
+    # Ray's join coalesces equal-named keys into ONE user_id column,
+    # populated from whichever side the row came from
+    joined = large_join(
+        purchases, clicks, on="user_id", join_type="full_outer"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "purchase_cents": pc.coalesce(
+                    pc.cast(t["purchase_cents"], pa.int64()), pa.scalar(0)
+                ),
+                "click_cents": pc.coalesce(
+                    pc.cast(t["click_cents"], pa.int64()), pa.scalar(0)
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def q_mode_event_type_per_user(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import mode_event_type_per_user
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return mode_event_type_per_user(events)
+
+
 def q_user_first_last_event(sf_dir: str):
     import ray.data as rd
 
@@ -1372,6 +1437,8 @@ QUERIES = {
     "histogram_quantiles": q_histogram_quantiles,
     "length_percent_rank": q_length_percent_rank,
     "vocab_by_source": q_vocab_by_source,
+    "mode_event_type_per_user": q_mode_event_type_per_user,
+    "user_purchase_click_totals": q_user_purchase_click_totals,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_drop_list": q_dedup_exact_drop_list,
     "dedup_minhash": q_dedup_minhash,
@@ -2090,6 +2157,29 @@ def oracle_sql() -> dict[str, str]:
             " CAST(COUNT(*) AS DOUBLE)"
             " / CAST(GREATEST(SUM(c), 1) AS DOUBLE) AS type_token_ratio\n"
             "FROM per GROUP BY source"
+        ),
+        "user_purchase_click_totals": (
+            "SELECT user_id,\n"
+            " CAST(SUM(CASE WHEN event_type = 'purchase'"
+            " THEN CAST(ROUND(value * 100.0) AS BIGINT) ELSE 0 END)"
+            " AS BIGINT) AS purchase_cents,\n"
+            " CAST(SUM(CASE WHEN event_type = 'click'"
+            " THEN CAST(ROUND(value * 100.0) AS BIGINT) ELSE 0 END)"
+            " AS BIGINT) AS click_cents\n"
+            "FROM events WHERE event_type IN ('purchase', 'click')\n"
+            "GROUP BY user_id"
+        ),
+        "mode_event_type_per_user": (
+            "WITH c AS (\n"
+            " SELECT user_id, event_type, COUNT(*) AS cnt\n"
+            " FROM events GROUP BY user_id, event_type\n"
+            "), r AS (\n"
+            " SELECT user_id, event_type, cnt, ROW_NUMBER() OVER\n"
+            "  (PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rn\n"
+            " FROM c\n"
+            ")\n"
+            "SELECT user_id, event_type AS mode_type,"
+            " CAST(cnt AS BIGINT) AS mode_count FROM r WHERE rn = 1"
         ),
         "user_first_last_event": (
             "WITH o AS (\n"

@@ -271,3 +271,73 @@ def events_pivot_daily(events, types: tuple[str, ...] = EVENT_TYPES):
         return pa.table(cols)
 
     return grouped_map(rows, ["day"], pivot_block)
+
+
+def mode_event_type_per_user(events):
+    """MODE aggregate: each user's most frequent event type (ties break
+    to the lexicographically smallest type — the same ORDER BY cnt DESC,
+    type ASC rule as the SQL window oracle).
+
+    Scale shape: map-side (user, type, count) Counter partials → one
+    keyed merge → per-user argmax inside the user-partitioned block.
+    The argmax is one np.lexsort over (type-code, −count, user) + a
+    first-per-user mask — no Python per group. Only slim count rows
+    ever shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    def partials(t: pa.Table) -> pa.Table:
+        ones = np.ones(t.num_rows, dtype=np.int64)
+        return (
+            pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "event_type": t.column("event_type"),
+                    "c": pa.array(ones, pa.int64()),
+                }
+            )
+            .group_by(["user_id", "event_type"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["user_id", "event_type", "c"])
+        )
+
+    counts = (
+        events.map_batches(partials, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("c", alias_name="cnt"))
+    )
+
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("mode_type", pa.string()),
+            ("mode_count", pa.int64()),
+        ]
+    )
+
+    def block_fn(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return schema.empty_table()
+        users = block.column("user_id").to_numpy(zero_copy_only=False)
+        types = np.asarray(block.column("event_type").to_pylist(), dtype=object)
+        cnt = block.column("cnt").to_numpy(zero_copy_only=False)
+        # np.unique returns lexicographically sorted uniques, so the
+        # inverse codes order exactly like ORDER BY event_type ASC
+        _, codes = np.unique(types, return_inverse=True)
+        order = np.lexsort((codes, -cnt, users))
+        u_sorted = users[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = u_sorted[1:] != u_sorted[:-1]
+        pick = order[first]
+        return pa.table(
+            {
+                "user_id": pa.array(users[pick], pa.int64()),
+                "mode_type": pa.array(types[pick].tolist(), pa.string()),
+                "mode_count": pa.array(cnt[pick].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return grouped_map(counts, ["user_id"], block_fn)

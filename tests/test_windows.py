@@ -138,3 +138,55 @@ def test_user_first_last_event(ray_session):
         assert row["last_ts"] == g.iloc[-1]["ts"]
         assert row["last_type"] == g.iloc[-1]["event_type"]
         assert row["n_events"] == len(g)
+
+
+def test_mode_event_type_per_user(ray_session):
+    from ocr_ray.ops.stats import mode_event_type_per_user
+
+    tbl = _events_table(n=300)
+    out = {
+        r["user_id"]: r
+        for r in mode_event_type_per_user(_ds(tbl)).take_all()
+    }
+    df = tbl.to_pandas()
+    for user, g in df.groupby("user_id"):
+        counts = g["event_type"].value_counts()
+        top = counts.max()
+        # tie-break: lexicographically smallest among max-count types
+        expect = sorted(t for t, c in counts.items() if c == top)[0]
+        assert out[user]["mode_type"] == expect
+        assert out[user]["mode_count"] == top
+
+
+def test_user_purchase_click_totals_full_outer_edges(ray_session):
+    import ray.data as rd
+    import tempfile, os
+
+    from ocr_ray.driver import q_user_purchase_click_totals
+
+    # user 1: purchase only; user 2: click only; user 3: both
+    tbl = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                np.array([1, 2, 3, 4], dtype=np.int64) * 1_000_000,
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1, 2, 3, 3], pa.int64()),
+            "event_type": pa.array(
+                ["purchase", "click", "purchase", "click"], pa.string()
+            ),
+            "value": pa.array([10.0, 2.5, 4.0, 1.0], pa.float64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        import pyarrow.parquet as pq
+
+        pq.write_table(tbl, os.path.join(d, "events.parquet"))
+        rows = {
+            r["user_id"]: r
+            for r in q_user_purchase_click_totals(d).take_all()
+        }
+    assert rows[1]["purchase_cents"] == 1000 and rows[1]["click_cents"] == 0
+    assert rows[2]["purchase_cents"] == 0 and rows[2]["click_cents"] == 250
+    assert rows[3]["purchase_cents"] == 400 and rows[3]["click_cents"] == 100
