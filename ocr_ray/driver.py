@@ -787,6 +787,18 @@ def q_user_purchase_click_totals(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def q_user_funnel(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import user_funnel
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return user_funnel(events)
+
+
 def q_mode_event_type_per_user(sf_dir: str):
     import ray.data as rd
 
@@ -1439,6 +1451,7 @@ QUERIES = {
     "vocab_by_source": q_vocab_by_source,
     "mode_event_type_per_user": q_mode_event_type_per_user,
     "user_purchase_click_totals": q_user_purchase_click_totals,
+    "user_funnel": q_user_funnel,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_drop_list": q_dedup_exact_drop_list,
     "dedup_minhash": q_dedup_minhash,
@@ -2157,6 +2170,29 @@ def oracle_sql() -> dict[str, str]:
             " CAST(COUNT(*) AS DOUBLE)"
             " / CAST(GREATEST(SUM(c), 1) AS DOUBLE) AS type_token_ratio\n"
             "FROM per GROUP BY source"
+        ),
+        "user_funnel": (
+            "WITH s AS (\n"
+            " SELECT user_id, MIN(ts) AS t1 FROM events"
+            " WHERE event_type = 'signup' GROUP BY user_id\n"
+            "), c AS (\n"
+            " SELECT e.user_id, MIN(e.ts) AS t2 FROM events e\n"
+            " JOIN s ON e.user_id = s.user_id AND e.ts > s.t1\n"
+            " WHERE e.event_type = 'click' GROUP BY e.user_id\n"
+            "), p AS (\n"
+            " SELECT e.user_id, MIN(e.ts) AS t3 FROM events e\n"
+            " JOIN c ON e.user_id = c.user_id AND e.ts > c.t2\n"
+            " WHERE e.event_type = 'purchase' GROUP BY e.user_id\n"
+            ")\n"
+            "SELECT u.user_id, s.t1 AS signup_ts, c.t2 AS click_ts,\n"
+            " p.t3 AS purchase_ts,\n"
+            " CAST(CASE WHEN p.t3 IS NOT NULL THEN 3\n"
+            "  WHEN c.t2 IS NOT NULL THEN 2\n"
+            "  WHEN s.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage\n"
+            "FROM (SELECT DISTINCT user_id FROM events) u\n"
+            "LEFT JOIN s USING (user_id)\n"
+            "LEFT JOIN c USING (user_id)\n"
+            "LEFT JOIN p USING (user_id)"
         ),
         "user_purchase_click_totals": (
             "SELECT user_id,\n"

@@ -341,3 +341,84 @@ def mode_event_type_per_user(events):
         )
 
     return grouped_map(counts, ["user_id"], block_fn)
+
+
+def user_funnel(events, stages=("signup", "click", "purchase")):
+    """Sequential funnel analysis: for every user, the earliest
+    ``stages[0]`` event, the earliest ``stages[1]`` STRICTLY AFTER it,
+    and the earliest ``stages[2]`` strictly after that; ``stage`` is
+    how deep the user got (0-3). The standard conversion query, with
+    strictly-ordered timestamps so both engines compare identically.
+
+    One hash shuffle of the (user, type, ts) slice; inside each block
+    the three funnel levels resolve as three vectorized segment-min
+    passes (np.minimum.at over masked rows) — no Python per user, no
+    joins: the sequential dependency stays inside the block because the
+    user's whole history is co-located by the partition key.
+    """
+    from ocr_ray.stages.grouped import grouped_map
+
+    s0, s1, s2 = stages
+    _SENT = np.int64(np.iinfo(np.int64).max)
+
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("signup_ts", pa.timestamp("us")),
+            ("click_ts", pa.timestamp("us")),
+            ("purchase_ts", pa.timestamp("us")),
+            ("stage", pa.int64()),
+        ]
+    )
+
+    def block_fn(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return schema.empty_table()
+        g_n = len(starts)
+        ends = np.append(starts[1:], n)
+        users = block.column("user_id").to_numpy(zero_copy_only=False)
+        micros = pc.cast(block.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        types = np.asarray(block.column("event_type").to_pylist(), dtype=object)
+        gidx = np.repeat(np.arange(g_n), ends - starts)
+
+        def seg_min_after(type_name, after):
+            """min ts of ``type_name`` rows with ts strictly after the
+            group's ``after`` value (sentinel = no qualifying row)."""
+            mask = types == type_name
+            if after is not None:
+                mask &= micros > after[gidx]
+            out = np.full(g_n, _SENT, dtype=np.int64)
+            np.minimum.at(out, gidx[mask], micros[mask])
+            return out
+
+        t1 = seg_min_after(s0, None)
+        t2 = seg_min_after(s1, t1)
+        t3 = seg_min_after(s2, t2)
+        stage = (
+            (t1 != _SENT).astype(np.int64)
+            + (t2 != _SENT).astype(np.int64)
+            + (t3 != _SENT).astype(np.int64)
+        )
+
+        def ts_col(arr):
+            return pc.cast(
+                pa.array(
+                    [None if v == _SENT else int(v) for v in arr], pa.int64()
+                ),
+                pa.timestamp("us"),
+            )
+
+        return pa.table(
+            {
+                "user_id": pa.array(users[starts], pa.int64()),
+                "signup_ts": ts_col(t1),
+                "click_ts": ts_col(t2),
+                "purchase_ts": ts_col(t3),
+                "stage": pa.array(stage, pa.int64()),
+            }
+        )
+
+    return grouped_map(events, ["user_id"], block_fn)

@@ -190,3 +190,40 @@ def test_user_purchase_click_totals_full_outer_edges(ray_session):
     assert rows[1]["purchase_cents"] == 1000 and rows[1]["click_cents"] == 0
     assert rows[2]["purchase_cents"] == 0 and rows[2]["click_cents"] == 250
     assert rows[3]["purchase_cents"] == 400 and rows[3]["click_cents"] == 100
+
+
+def test_user_funnel_hand_checked(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import user_funnel
+
+    def ev(i, ts_s, uid, typ):
+        return (i, ts_s * 1_000_000, uid, typ)
+
+    rows = [
+        # user 1 completes: signup@10, click@20, purchase@30
+        ev(0, 10, 1, "signup"), ev(1, 20, 1, "click"), ev(2, 30, 1, "purchase"),
+        # user 2: purchase BEFORE click -> stops at stage 2
+        ev(3, 10, 2, "signup"), ev(4, 30, 2, "click"), ev(5, 20, 2, "purchase"),
+        # user 3: click at the SAME ts as signup (not strictly after),
+        # a later click qualifies
+        ev(6, 10, 3, "signup"), ev(7, 10, 3, "click"), ev(8, 15, 3, "click"),
+        # user 4: never signs up
+        ev(9, 5, 4, "click"), ev(10, 6, 4, "purchase"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                np.array([r[1] for r in rows], np.int64), pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    out = {r["user_id"]: r for r in user_funnel(rd.from_arrow(tbl)).take_all()}
+    assert out[1]["stage"] == 3
+    assert out[2]["stage"] == 2 and out[2]["purchase_ts"] is None
+    assert out[3]["stage"] == 2
+    assert out[3]["click_ts"].timestamp() == 15.0
+    assert out[4]["stage"] == 0 and out[4]["signup_ts"] is None
