@@ -313,6 +313,18 @@ def q_dedup_minhash_components(sf_dir: str):
     )
 
 
+def q_pagerank_neardup(sf_dir: str):
+    """Integer-exact PageRank over the MinHash near-dup pair graph —
+    surfaces the template hubs whose boilerplate radiates widest."""
+    from ocr_ray.ops.dedup import dedup_minhash
+    from ocr_ray.ops.graph import pagerank
+
+    return _materialized(
+        pagerank(dedup_minhash(_docs(sf_dir), threshold=0.5), iters=5),
+        pa.schema([("doc_id", pa.int64()), ("rank_scaled", pa.int64())]),
+    )
+
+
 def q_dedup_simhash(sf_dir: str):
     from ocr_ray.ops.dedup import dedup_simhash
 
@@ -1457,6 +1469,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_verified": q_dedup_minhash_verified,
     "dedup_minhash_components": q_dedup_minhash_components,
+    "pagerank_neardup": q_pagerank_neardup,
     "dedup_minhash_drop_list": q_dedup_minhash_drop_list,
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1855,6 +1868,12 @@ def _length_percent_rank_oracle_sql() -> str:
     from ocr_ray.ops.curate import length_percent_rank_sql
 
     return length_percent_rank_sql()
+
+
+def _pagerank_oracle_sql() -> str:
+    from ocr_ray.ops.graph import pagerank_sql
+
+    return pagerank_sql(_minhash_est_sql(), iters=5)
 
 
 def _train_split_oracle_sql() -> str:
@@ -2384,6 +2403,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH h AS (\n SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hi,\n        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT AS lo\n FROM (SELECT DISTINCT user_id FROM events)\n), parts AS (\n SELECT hi & 255 AS bucket, ((hi >> 8) * 4294967296) + lo AS w FROM h\n), rho AS (\n SELECT bucket, CASE WHEN w = 0 THEN 57 ELSE 57 - length(printf('%b', w)) END AS r FROM parts\n), regs AS (\n SELECT bucket, MAX(r) AS max_rho FROM rho GROUP BY bucket\n), s AS (\n SELECT SUM((1::HUGEINT << (57 - max_rho))) + (256 - COUNT(*)) * (1::HUGEINT << 57) AS s_int,\n  256 - COUNT(*) AS zeros, COUNT(*) AS n_regs FROM regs\n), e AS (\n SELECT 6.783892839851034e+21 / CAST(s_int AS DOUBLE) AS raw, zeros, n_regs FROM s\n)\nSELECT ROUND(CASE WHEN raw <= 640.0 AND zeros > 0 THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 2) AS hll_estimate,\n CAST(n_regs AS BIGINT) AS n_registers FROM e"
         ),
         "dedup_minhash": _minhash_est_sql(),
+        "pagerank_neardup": _pagerank_oracle_sql(),
         "frequent_shingles": (
             "WITH " + _SHINGLES_BODY + ",\n"
             "df AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df"

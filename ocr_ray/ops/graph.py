@@ -1,0 +1,160 @@
+"""Integer-exact PageRank over a document-pair graph — the iterative
+numeric graph algorithm family (the near-dup pair graph from MinHash-LSH
+is the natural input: rank identifies the "template hubs" whose
+boilerplate radiates through the corpus).
+
+Determinism design: classic PageRank iterates floating-point mass, whose
+value depends on accumulation order — useless for a cross-engine bit
+equality gate. Here every quantity is an int64: ranks start at
+``SCALE``; each iteration a node emits ``r // deg`` (floor division —
+identical in numpy and DuckDB for non-negative ints) along every edge,
+and collects ``BASE + (DAMP_NUM * Σ incoming) // DAMP_DEN``. Addition is
+order-free, so the fixed-``iters`` result is bit-identical however the
+partial sums associate — a chained-CTE DuckDB oracle reproduces it
+exactly. (The truncated remainders stay in the graph's ~1e-9 relative
+noise floor; ranking order matches float PageRank for any real use.)
+
+Scale shape (same partitioning argument as connected components,
+ops/dedup.py): iterations shuffle EDGES and slim (node, int) rows —
+never documents. Per round: two keyed joins + one keyed sum, each
+materialized so lineage stays flat. Overflow bound: the damped inflow
+``DAMP_NUM * Σ shares`` stays under 2^63 for connected components up to
+~1e8 nodes at ``SCALE`` = 1e9; a runtime guard raises rather than
+wrapping silently.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+SCALE = 10**9
+DAMP_NUM, DAMP_DEN = 85, 100
+BASE = (SCALE * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
+
+_RANK_SCHEMA = pa.schema([("node", pa.int64()), ("r", pa.int64())])
+_OUT_SCHEMA = pa.schema([("doc_id", pa.int64()), ("rank_scaled", pa.int64())])
+_GUARD = (2**63 - 1) // DAMP_NUM
+
+
+def pagerank(pairs, iters: int = 5, col_a: str = "doc_a", col_b: str = "doc_b"):
+    """(col_a, col_b) undirected pair Dataset → (doc_id, rank_scaled)
+    after ``iters`` damped integer power iterations."""
+    from ray.data.aggregate import Count, Sum
+
+    from ocr_ray.ops.dedup import _renamed, _with_schema
+    from ocr_ray.ops.joins import adaptive_key_join
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column(col_a).cast(pa.int64()).combine_chunks()
+        b = t.column(col_b).cast(pa.int64()).combine_chunks()
+        return pa.table(
+            {"src": pa.concat_arrays([a, b]), "dst": pa.concat_arrays([b, a])}
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(_OUT_SCHEMA.empty_table())
+
+    deg = _with_schema(
+        edges.groupby("src").aggregate(Count(alias_name="deg")),
+        pa.schema([("src", pa.int64()), ("deg", pa.int64())]),
+    ).materialize()
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("src").cast(pa.int64()),
+                "r": pa.array(np.full(t.num_rows, SCALE, np.int64), pa.int64()),
+            }
+        )
+
+    ranks = _with_schema(
+        deg.map_batches(init_rank, batch_format="pyarrow"), _RANK_SCHEMA
+    ).materialize()
+
+    def share_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [("src", pa.int64()), ("share", pa.int64())]
+            ).empty_table()
+        r = t.column("r").to_numpy(zero_copy_only=False)
+        d = t.column("deg").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": t.column("src").cast(pa.int64()),
+                "share": pa.array((r // d).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def msg_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [("node", pa.int64()), ("s", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "node": t.column("dst").cast(pa.int64()),
+                "s": t.column("share").cast(pa.int64()),
+            }
+        )
+
+    def new_rank(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _RANK_SCHEMA.empty_table()
+        s = t.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(s) and int(s.max()) > _GUARD:
+            raise OverflowError(
+                "pagerank inflow exceeds the int64 damping bound; "
+                "reduce SCALE or split the component"
+            )
+        return pa.table(
+            {
+                "node": t.column("node").cast(pa.int64()),
+                "r": pa.array(BASE + (DAMP_NUM * s) // DAMP_DEN, pa.int64()),
+            }
+        )
+
+    for _ in range(iters):
+        shares = adaptive_key_join(
+            _renamed(ranks, {"node": "src"}), deg, on="src"
+        ).map_batches(share_fn, batch_format="pyarrow")
+        msgs = adaptive_key_join(edges, shares, on="src").map_batches(
+            msg_fn, batch_format="pyarrow"
+        )
+        ranks = _with_schema(
+            msgs.groupby("node")
+            .aggregate(Sum("s", alias_name="s"))
+            .map_batches(new_rank, batch_format="pyarrow"),
+            _RANK_SCHEMA,
+        ).materialize()
+
+    return _renamed(ranks, {"node": "doc_id", "r": "rank_scaled"})
+
+
+def pagerank_sql(pairs_subquery: str, iters: int = 5) -> str:
+    """DuckDB equivalent: the pair set nests as a subquery (it may carry
+    its own WITH), then ``iters`` chained CTEs replay the damped integer
+    power iteration — floor division and order-free integer sums make
+    the replay bit-exact."""
+    ctes = [
+        f"pairs AS (SELECT doc_a, doc_b FROM ({pairs_subquery}))",
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        " UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs)",
+        "deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, {SCALE}::BIGINT AS r FROM deg)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"r{k} AS (SELECT e.dst AS node,"
+            f" {BASE} + ({DAMP_NUM} * SUM(p.r // d.deg)) // {DAMP_DEN} AS r"
+            f" FROM edges e"
+            f" JOIN r{k - 1} p ON p.node = e.src"
+            f" JOIN deg d ON d.node = e.src"
+            f" GROUP BY e.dst)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_scaled FROM r{iters}"
+    )

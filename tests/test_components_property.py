@@ -129,3 +129,51 @@ def test_long_chain_converges_via_pointer_doubling(ray_session, caplog):
     assert len(out) == n + 1
     assert set(out.values()) == {0}
     assert not any("did NOT converge" in r.message for r in caplog.records)
+
+
+def test_pagerank_matches_serial_reference(ray_session):
+    """Random undirected graph: the distributed integer PageRank must
+    equal a serial replay of the same recurrence exactly, and a star
+    hub must outrank leaf nodes."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.graph import BASE, DAMP_DEN, DAMP_NUM, SCALE, pagerank
+
+    rng = np.random.RandomState(7)
+    n_nodes, n_edges = 30, 45
+    a = rng.randint(0, n_nodes, n_edges)
+    b = rng.randint(0, n_nodes, n_edges)
+    keep = a != b
+    pairs = {(min(x, y), max(x, y)) for x, y in zip(a[keep], b[keep])}
+    # add a star: node 100 connected to 8 leaves
+    pairs |= {(100, 200 + i) for i in range(8)}
+    tbl = pa.table(
+        {
+            "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
+            "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+
+    # serial reference of the identical recurrence
+    adj, deg = {}, {}
+    for x, y in pairs:
+        adj.setdefault(x, []).append(y)
+        adj.setdefault(y, []).append(x)
+    for k, v in adj.items():
+        deg[k] = len(v)
+    r = {k: SCALE for k in adj}
+    for _ in range(5):
+        inflow = {k: 0 for k in adj}
+        for u, nbrs in adj.items():
+            share = r[u] // deg[u]
+            for v in nbrs:
+                inflow[v] += share
+        r = {k: BASE + (DAMP_NUM * s) // DAMP_DEN for k, s in inflow.items()}
+
+    got = {
+        row["doc_id"]: row["rank_scaled"]
+        for row in pagerank(rd.from_arrow(tbl), iters=5).take_all()
+    }
+    assert got == r
+    assert all(got[100] > got[200 + i] for i in range(8))
