@@ -325,6 +325,24 @@ def q_pagerank_neardup(sf_dir: str):
     )
 
 
+def q_copurchase_triangles(sf_dir: str):
+    """Distributed triangle counting over the part co-purchase graph
+    (parts sharing an order): wedge join + two-key closure join, then
+    per-node corner credits. The basket cap mirrors the oracle."""
+    import ray.data as rd
+
+    from ocr_ray.ops.graph import copurchase_edges, triangle_counts
+
+    _quiet()
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return _materialized(
+        triangle_counts(copurchase_edges(lineitem)),
+        pa.schema([("node", pa.int64()), ("n_triangles", pa.int64())]),
+    )
+
+
 def q_dedup_simhash(sf_dir: str):
     from ocr_ray.ops.dedup import dedup_simhash
 
@@ -1470,6 +1488,7 @@ QUERIES = {
     "dedup_minhash_verified": q_dedup_minhash_verified,
     "dedup_minhash_components": q_dedup_minhash_components,
     "pagerank_neardup": q_pagerank_neardup,
+    "copurchase_triangles": q_copurchase_triangles,
     "dedup_minhash_drop_list": q_dedup_minhash_drop_list,
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1874,6 +1893,12 @@ def _pagerank_oracle_sql() -> str:
     from ocr_ray.ops.graph import pagerank_sql
 
     return pagerank_sql(_minhash_est_sql(), iters=5)
+
+
+def _triangles_oracle_sql() -> str:
+    from ocr_ray.ops.graph import copurchase_triangles_sql
+
+    return copurchase_triangles_sql()
 
 
 def _train_split_oracle_sql() -> str:
@@ -2404,6 +2429,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_minhash": _minhash_est_sql(),
         "pagerank_neardup": _pagerank_oracle_sql(),
+        "copurchase_triangles": _triangles_oracle_sql(),
         "frequent_shingles": (
             "WITH " + _SHINGLES_BODY + ",\n"
             "df AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df"

@@ -158,3 +158,129 @@ def pagerank_sql(pairs_subquery: str, iters: int = 5) -> str:
         "WITH " + ",\n".join(ctes) + "\n"
         f"SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_scaled FROM r{iters}"
     )
+
+
+# ---------------------------------------------------- triangle counting
+
+
+def copurchase_edges(lineitem, max_basket: int = 256):
+    """Distinct co-purchase edges (part u, part v), u < v, between parts
+    appearing in the same order. Intra-order pairs are generated inside
+    the order-partitioned block with the shared vectorized triu
+    machinery (ops/dedup.py); baskets larger than ``max_basket`` are
+    dropped whole — the hot-basket skew guard, mirrored by the oracle's
+    HAVING filter. The global distinct is one keyed aggregate of slim
+    (u, v) rows."""
+    from ray.data.aggregate import Count
+
+    from ocr_ray.ops.dedup import (
+        _dedup_sorted_by_group,
+        _intra_group_pair_indices,
+    )
+    from ocr_ray.stages.grouped import grouped_map
+
+    edge_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+    def pairs_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return edge_schema.empty_table()
+        parts = block.column("l_partkey").to_numpy(zero_copy_only=False)
+        gidx = np.repeat(
+            np.arange(len(starts)), np.diff(np.append(starts, n))
+        )
+        # sorts by (order, part) and drops in-order duplicates, so the
+        # triu pairs below come out canonical (u < v)
+        p_d, g_d, _ = _dedup_sorted_by_group(parts, gidx, parts)
+        ii, jj, _ = _intra_group_pair_indices(g_d, max_basket, drop_over=True)
+        return pa.table(
+            {
+                "u": pa.array(p_d[ii].astype(np.int64), pa.int64()),
+                "v": pa.array(p_d[jj].astype(np.int64), pa.int64()),
+            }
+        )
+
+    pairs = grouped_map(
+        lineitem.select_columns(["l_orderkey", "l_partkey"]),
+        ["l_orderkey"],
+        pairs_block,
+    )
+    from ocr_ray.ops.dedup import _with_schema
+
+    return _with_schema(
+        pairs.groupby(["u", "v"]).aggregate(Count(alias_name="_n")),
+        edge_schema,
+    )
+
+
+def triangle_counts(edges):
+    """Per-node triangle participation counts over a canonical (u < v)
+    distinct edge Dataset: wedges = edges ⋈ edges on (v = u') giving
+    ordered candidates a < b < c, closed against the edge set with one
+    two-key hash join, then each triangle credits its three corners via
+    a flat explode + keyed count. All shuffles carry slim integer rows;
+    the wedge volume is the algorithm's classic cost and is bounded
+    upstream by the basket cap (degree-ordered orientation is the
+    further refinement at extreme skew)."""
+    from ray.data.aggregate import Count
+
+    from ocr_ray.ops.dedup import _renamed, _with_schema
+    from ocr_ray.ops.joins import large_join
+
+    edges = edges.materialize()
+    wedge = large_join(
+        _renamed(edges, {"u": "a", "v": "b"}),
+        _renamed(edges, {"u": "b2", "v": "c"}),
+        on="b",
+        right_on="b2",
+    )
+    wedge = _with_schema(
+        wedge,
+        pa.schema([("a", pa.int64()), ("b", pa.int64()), ("c", pa.int64())]),
+    )
+    tris = large_join(
+        wedge,
+        _renamed(edges, {"u": "a", "v": "c"}),
+        on=("a", "c"),
+    )
+
+    def corners(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema([("node", pa.int64())]).empty_table()
+        cols = [
+            t.column(c).cast(pa.int64()).combine_chunks() for c in ("a", "b", "c")
+        ]
+        return pa.table({"node": pa.concat_arrays(cols)})
+
+    return _with_schema(
+        tris.map_batches(corners, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="n_triangles")),
+        pa.schema([("node", pa.int64()), ("n_triangles", pa.int64())]),
+    )
+
+
+def copurchase_triangles_sql(max_basket: int = 256) -> str:
+    """DuckDB replay: same basket cap, same canonical orientation, same
+    a<b<c closure, same 3-corner credit."""
+    return (
+        "WITH ok_orders AS (\n"
+        " SELECT l_orderkey FROM lineitem GROUP BY l_orderkey\n"
+        f" HAVING COUNT(DISTINCT l_partkey) <= {max_basket}\n"
+        "), e AS (\n"
+        " SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v\n"
+        " FROM lineitem a JOIN lineitem b\n"
+        "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey\n"
+        " WHERE a.l_orderkey IN (SELECT l_orderkey FROM ok_orders)\n"
+        "), tri AS (\n"
+        " SELECT e1.u AS a, e1.v AS b, e2.v AS c\n"
+        " FROM e e1\n"
+        " JOIN e e2 ON e2.u = e1.v\n"
+        " JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v\n"
+        ")\n"
+        "SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (\n"
+        " SELECT a AS node FROM tri\n"
+        " UNION ALL SELECT b FROM tri\n"
+        " UNION ALL SELECT c FROM tri\n"
+        ") GROUP BY node"
+    )

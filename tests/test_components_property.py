@@ -177,3 +177,48 @@ def test_pagerank_matches_serial_reference(ray_session):
     }
     assert got == r
     assert all(got[100] > got[200 + i] for i in range(8))
+
+
+def test_triangle_counts_k4_plus_wedge(ray_session):
+    """K4 (every node in 3 triangles) plus an open wedge hanging off
+    node 3 (adds no triangle)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.graph import triangle_counts
+
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    wedge = [(3, 10), (3, 11)]  # open: 10-11 not an edge
+    edges = pa.table(
+        {
+            "u": pa.array([e[0] for e in k4 + wedge], pa.int64()),
+            "v": pa.array([e[1] for e in k4 + wedge], pa.int64()),
+        }
+    )
+    out = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(rd.from_arrow(edges)).take_all()
+    }
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_copurchase_edges_dedup_and_cap(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.graph import copurchase_edges
+
+    li = pa.table(
+        {
+            # order 1: parts 5,7,5 (dup) -> one edge (5,7)
+            # order 2: parts 1,2,3 -> three edges
+            # order 3: 4 distinct parts with max_basket=3 -> dropped whole
+            "l_orderkey": pa.array([1, 1, 1, 2, 2, 2, 3, 3, 3, 3], pa.int64()),
+            "l_partkey": pa.array([5, 7, 5, 1, 2, 3, 8, 9, 10, 11], pa.int64()),
+        }
+    )
+    got = {
+        (r["u"], r["v"])
+        for r in copurchase_edges(rd.from_arrow(li), max_basket=3).take_all()
+    }
+    assert got == {(5, 7), (1, 2), (1, 3), (2, 3)}
