@@ -817,6 +817,18 @@ def q_user_purchase_click_totals(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def q_props_k_stats(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import props_k_stats
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    return props_k_stats(events)
+
+
 def q_user_funnel(sf_dir: str):
     import ray.data as rd
 
@@ -1482,6 +1494,7 @@ QUERIES = {
     "mode_event_type_per_user": q_mode_event_type_per_user,
     "user_purchase_click_totals": q_user_purchase_click_totals,
     "user_funnel": q_user_funnel,
+    "props_k_stats": q_props_k_stats,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_drop_list": q_dedup_exact_drop_list,
     "dedup_minhash": q_dedup_minhash,
@@ -2214,6 +2227,23 @@ def oracle_sql() -> dict[str, str]:
             " CAST(COUNT(*) AS DOUBLE)"
             " / CAST(GREATEST(SUM(c), 1) AS DOUBLE) AS type_token_ratio\n"
             "FROM per GROUP BY source"
+        ),
+        "props_k_stats": (
+            "WITH x AS (\n"
+            " SELECT event_type,\n"
+            "  CAST(regexp_extract(props, '\"k\":\\s*([0-9]+)', 1)"
+            " AS BIGINT) AS k\n"
+            " FROM events\n"
+            " WHERE regexp_matches(props, '\"k\":\\s*[0-9]+')\n"
+            ")\n"
+            "SELECT event_type,\n"
+            " CAST(COUNT(*) AS BIGINT) AS n,\n"
+            " CAST(SUM(k) AS BIGINT) AS sum_k,\n"
+            " CAST(MIN(k) AS BIGINT) AS min_k,\n"
+            " CAST(MAX(k) AS BIGINT) AS max_k,\n"
+            " CAST(SUM(k) AS DOUBLE)"
+            " / CAST(GREATEST(COUNT(*), 1) AS DOUBLE) AS mean_k\n"
+            "FROM x GROUP BY event_type"
         ),
         "user_funnel": (
             "WITH s AS (\n"

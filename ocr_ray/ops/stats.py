@@ -422,3 +422,66 @@ def user_funnel(events, stages=("signup", "click", "purchase")):
         )
 
     return grouped_map(events, ["user_id"], block_fn)
+
+
+def props_k_stats(events):
+    """Semi-structured column handling: pull the integer ``k`` field out
+    of the JSON ``props`` string with ONE vectorized Arrow regex kernel
+    per batch (``pc.extract_regex`` — no per-row json.loads), then roll
+    up exact per-type stats. Rows whose props carry no integer k are
+    dropped (mirrored by the oracle's regexp_matches filter). The mean
+    is the single sum/count IEEE division shared with SQL.
+
+    Scale shape: extraction is stateless map-side; only (type, n, sum,
+    min, max) partials reach the keyed aggregate — one tiny shuffle.
+    """
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    pat = r'"k":\s*(?P<kval>[0-9]+)'
+
+    def extract(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t.column("props"), pattern=pat)
+        k = pc.cast(pc.struct_field(ex, "kval"), pa.int64())
+        out = pa.table({"event_type": t.column("event_type"), "k": k})
+        return out.filter(pc.is_valid(out["k"]))
+
+    agg = (
+        events.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("k", alias_name="sum_k"),
+            Min("k", alias_name="min_k"),
+            Max("k", alias_name="max_k"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("n", pa.int64()),
+                    ("sum_k", pa.int64()),
+                    ("min_k", pa.int64()),
+                    ("max_k", pa.int64()),
+                    ("mean_k", pa.float64()),
+                ]
+            ).empty_table()
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column("sum_k").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n": pa.array(n, pa.int64()),
+                "sum_k": pa.array(s, pa.int64()),
+                "min_k": pc.cast(t.column("min_k"), pa.int64()),
+                "max_k": pc.cast(t.column("max_k"), pa.int64()),
+                "mean_k": pa.array(
+                    s.astype(np.float64) / np.maximum(n, 1).astype(np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -227,3 +227,23 @@ def test_user_funnel_hand_checked(ray_session):
     assert out[3]["stage"] == 2
     assert out[3]["click_ts"].timestamp() == 15.0
     assert out[4]["stage"] == 0 and out[4]["signup_ts"] is None
+
+
+def test_props_k_stats_malformed_rows_dropped(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import props_k_stats
+
+    tbl = pa.table(
+        {
+            "event_type": pa.array(["a", "a", "a", "b"], pa.string()),
+            "props": pa.array(
+                ['{"k": 5}', '{"k": 11}', '{"other": 1}', '{"k": 2}']
+            ),
+        }
+    )
+    rows = {r["event_type"]: r for r in props_k_stats(rd.from_arrow(tbl)).take_all()}
+    a = rows["a"]
+    assert a["n"] == 2 and a["sum_k"] == 16
+    assert a["min_k"] == 5 and a["max_k"] == 11 and a["mean_k"] == 8.0
+    assert rows["b"]["n"] == 1 and rows["b"]["mean_k"] == 2.0
