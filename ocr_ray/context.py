@@ -50,6 +50,19 @@ def configure(num_cpus: int | None = None):
         # backpressured forever). Aggregators are memory/IPC-bound, not
         # CPU-bound, so oversubscription is safe.
         ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
+        # aggregations have their OWN override (join/repartition read the
+        # shuffle one above, groupby-aggregate reads this one); left unset
+        # it defaults to 0.125 CPU/partition → 0.5-CPU aggregator actors,
+        # and a DAG with 3+ hash aggregates deadlocks a 4-CPU cluster
+        # (observed: 6 × 0.5-CPU aggregators alive, 2 pending, 0 tasks
+        # runnable — everything waits forever)
+        if hasattr(ctx, "hash_aggregate_operator_actor_num_cpus_per_partition_override"):
+            ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.01
+        # ... and joins read a third one (0.125/partition default → 0.5
+        # CPU per join aggregator; three joins in one DAG reserve 3 full
+        # CPUs before any task runs)
+        if hasattr(ctx, "join_operator_actor_num_cpus_per_partition_override"):
+            ctx.join_operator_actor_num_cpus_per_partition_override = 0.01
     return ctx
 
 
@@ -62,6 +75,8 @@ def apply_to_dataset(ds):
         "default_hash_shuffle_parallelism",
         "max_hash_shuffle_aggregators",
         "hash_shuffle_operator_actor_num_cpus_per_partition_override",
+        "hash_aggregate_operator_actor_num_cpus_per_partition_override",
+        "join_operator_actor_num_cpus_per_partition_override",
         "enable_progress_bars",
     ):
         try:

@@ -343,6 +343,28 @@ def q_copurchase_triangles(sf_dir: str):
     )
 
 
+def q_copurchase_clustering(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.graph import clustering_coefficients, copurchase_edges
+
+    _quiet()
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return _materialized(
+        clustering_coefficients(copurchase_edges(lineitem)),
+        pa.schema(
+            [
+                ("node", pa.int64()),
+                ("deg", pa.int64()),
+                ("n_triangles", pa.int64()),
+                ("lcc", pa.float64()),
+            ]
+        ),
+    )
+
+
 def q_dedup_simhash(sf_dir: str):
     from ocr_ray.ops.dedup import dedup_simhash
 
@@ -1502,6 +1524,7 @@ QUERIES = {
     "dedup_minhash_components": q_dedup_minhash_components,
     "pagerank_neardup": q_pagerank_neardup,
     "copurchase_triangles": q_copurchase_triangles,
+    "copurchase_clustering": q_copurchase_clustering,
     "dedup_minhash_drop_list": q_dedup_minhash_drop_list,
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1912,6 +1935,12 @@ def _triangles_oracle_sql() -> str:
     from ocr_ray.ops.graph import copurchase_triangles_sql
 
     return copurchase_triangles_sql()
+
+
+def _clustering_oracle_sql() -> str:
+    from ocr_ray.ops.graph import copurchase_clustering_sql
+
+    return copurchase_clustering_sql()
 
 
 def _train_split_oracle_sql() -> str:
@@ -2460,6 +2489,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _minhash_est_sql(),
         "pagerank_neardup": _pagerank_oracle_sql(),
         "copurchase_triangles": _triangles_oracle_sql(),
+        "copurchase_clustering": _clustering_oracle_sql(),
         "frequent_shingles": (
             "WITH " + _SHINGLES_BODY + ",\n"
             "df AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df"

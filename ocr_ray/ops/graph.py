@@ -284,3 +284,100 @@ def copurchase_triangles_sql(max_basket: int = 256) -> str:
         " UNION ALL SELECT c FROM tri\n"
         ") GROUP BY node"
     )
+
+
+def clustering_coefficients(edges):
+    """Per-node local clustering coefficient over a canonical (u < v)
+    distinct edge Dataset: lcc = 2·triangles / (deg·(deg−1)), the
+    closed-wedge fraction. Degree is one keyed count over the
+    symmetrized edges; triangle credits come from ``triangle_counts``;
+    a LEFT OUTER join keeps zero-triangle nodes (lcc = 0, including
+    degree-1 nodes via the GREATEST guard — the same single IEEE
+    division the SQL oracle performs)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from ocr_ray.ops.dedup import _with_schema
+    from ocr_ray.ops.joins import large_join
+
+    edges = edges.materialize()
+
+    def sym(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema([("node", pa.int64())]).empty_table()
+        u = t.column("u").cast(pa.int64()).combine_chunks()
+        v = t.column("v").cast(pa.int64()).combine_chunks()
+        return pa.table({"node": pa.concat_arrays([u, v])})
+
+    deg = _with_schema(
+        edges.map_batches(sym, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="deg")),
+        pa.schema([("node", pa.int64()), ("deg", pa.int64())]),
+    )
+    tris = triangle_counts(edges)
+    joined = large_join(deg, tris, on="node", join_type="left_outer")
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [
+                    ("node", pa.int64()),
+                    ("deg", pa.int64()),
+                    ("n_triangles", pa.int64()),
+                    ("lcc", pa.float64()),
+                ]
+            ).empty_table()
+        d = t.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        tri = (
+            pc.fill_null(t.column("n_triangles"), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        denom = np.maximum(d * (d - 1), 1).astype(np.float64)
+        return pa.table(
+            {
+                "node": t.column("node").cast(pa.int64()),
+                "deg": pa.array(d, pa.int64()),
+                "n_triangles": pa.array(tri, pa.int64()),
+                "lcc": pa.array((2 * tri).astype(np.float64) / denom, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def copurchase_clustering_sql(max_basket: int = 256) -> str:
+    """DuckDB replay: the triangle CTE chain plus a degree CTE and the
+    identical GREATEST-guarded division."""
+    return (
+        "WITH ok_orders AS (\n"
+        " SELECT l_orderkey FROM lineitem GROUP BY l_orderkey\n"
+        f" HAVING COUNT(DISTINCT l_partkey) <= {max_basket}\n"
+        "), e AS (\n"
+        " SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v\n"
+        " FROM lineitem a JOIN lineitem b\n"
+        "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey\n"
+        " WHERE a.l_orderkey IN (SELECT l_orderkey FROM ok_orders)\n"
+        "), deg AS (\n"
+        " SELECT node, COUNT(*) AS deg FROM (\n"
+        "  SELECT u AS node FROM e UNION ALL SELECT v FROM e\n"
+        " ) GROUP BY node\n"
+        "), tri AS (\n"
+        " SELECT e1.u AS a, e1.v AS b, e2.v AS c\n"
+        " FROM e e1\n"
+        " JOIN e e2 ON e2.u = e1.v\n"
+        " JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v\n"
+        "), tc AS (\n"
+        " SELECT node, COUNT(*) AS n_triangles FROM (\n"
+        "  SELECT a AS node FROM tri\n"
+        "  UNION ALL SELECT b FROM tri\n"
+        "  UNION ALL SELECT c FROM tri\n"
+        " ) GROUP BY node\n"
+        ")\n"
+        "SELECT d.node, CAST(d.deg AS BIGINT) AS deg,\n"
+        " CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,\n"
+        " CAST(2 * COALESCE(tc.n_triangles, 0) AS DOUBLE)\n"
+        "  / CAST(GREATEST(d.deg * (d.deg - 1), 1) AS DOUBLE) AS lcc\n"
+        "FROM deg d LEFT JOIN tc USING (node)"
+    )

@@ -222,3 +222,31 @@ def test_copurchase_edges_dedup_and_cap(ray_session):
         for r in copurchase_edges(rd.from_arrow(li), max_basket=3).take_all()
     }
     assert got == {(5, 7), (1, 2), (1, 3), (2, 3)}
+
+
+def test_clustering_coefficients_k4_plus_wedge(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.graph import clustering_coefficients
+
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    wedge = [(3, 10), (3, 11)]
+    edges = pa.table(
+        {
+            "u": pa.array([e[0] for e in k4 + wedge], pa.int64()),
+            "v": pa.array([e[1] for e in k4 + wedge], pa.int64()),
+        }
+    )
+    out = {
+        r["node"]: r
+        for r in clustering_coefficients(rd.from_arrow(edges)).take_all()
+    }
+    # inner K4 nodes: deg 3, all wedges closed -> lcc 1.0
+    for n in (0, 1, 2):
+        assert out[n]["deg"] == 3 and out[n]["lcc"] == 1.0
+    # node 3: deg 5 (K4 + two leaves), 3 triangles -> 6/20
+    assert out[3]["deg"] == 5 and out[3]["n_triangles"] == 3
+    assert out[3]["lcc"] == 6 / 20
+    # leaves: deg 1, no triangles, guarded division -> 0.0
+    assert out[10]["lcc"] == 0.0 and out[11]["n_triangles"] == 0
