@@ -365,6 +365,23 @@ def q_copurchase_clustering(sf_dir: str):
     )
 
 
+def q_copurchase_kcore(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.graph import copurchase_edges, kcore
+
+    _quiet()
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    # k=80 peels the sf0.01 co-purchase graph over several rounds and
+    # leaves a non-trivial core (vs k<=42 = whole graph, k>=84 = empty)
+    return _materialized(
+        kcore(copurchase_edges(lineitem), k=80, max_iters=24),
+        pa.schema([("node", pa.int64()), ("deg", pa.int64())]),
+    )
+
+
 def q_dedup_simhash(sf_dir: str):
     from ocr_ray.ops.dedup import dedup_simhash
 
@@ -1525,6 +1542,7 @@ QUERIES = {
     "pagerank_neardup": q_pagerank_neardup,
     "copurchase_triangles": q_copurchase_triangles,
     "copurchase_clustering": q_copurchase_clustering,
+    "copurchase_kcore": q_copurchase_kcore,
     "dedup_minhash_drop_list": q_dedup_minhash_drop_list,
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1941,6 +1959,15 @@ def _clustering_oracle_sql() -> str:
     from ocr_ray.ops.graph import copurchase_clustering_sql
 
     return copurchase_clustering_sql()
+
+
+def _kcore_oracle_sql() -> str:
+    from ocr_ray.ops.graph import copurchase_kcore_sql
+
+    # any round count >= the true peel depth (6 at sf0.01, measured)
+    # replays the fixed point the engine early-stops at —
+    # post-convergence rounds are no-ops
+    return copurchase_kcore_sql(k=80, rounds=12)
 
 
 def _train_split_oracle_sql() -> str:
@@ -2490,6 +2517,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_neardup": _pagerank_oracle_sql(),
         "copurchase_triangles": _triangles_oracle_sql(),
         "copurchase_clustering": _clustering_oracle_sql(),
+        "copurchase_kcore": _kcore_oracle_sql(),
         "frequent_shingles": (
             "WITH " + _SHINGLES_BODY + ",\n"
             "df AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df"

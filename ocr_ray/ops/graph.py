@@ -295,26 +295,11 @@ def clustering_coefficients(edges):
     degree-1 nodes via the GREATEST guard — the same single IEEE
     division the SQL oracle performs)."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count
 
-    from ocr_ray.ops.dedup import _with_schema
     from ocr_ray.ops.joins import large_join
 
     edges = edges.materialize()
-
-    def sym(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or t.num_columns == 0:
-            return pa.schema([("node", pa.int64())]).empty_table()
-        u = t.column("u").cast(pa.int64()).combine_chunks()
-        v = t.column("v").cast(pa.int64()).combine_chunks()
-        return pa.table({"node": pa.concat_arrays([u, v])})
-
-    deg = _with_schema(
-        edges.map_batches(sym, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Count(alias_name="deg")),
-        pa.schema([("node", pa.int64()), ("deg", pa.int64())]),
-    )
+    deg = _edge_degrees(edges)
     tris = triangle_counts(edges)
     joined = large_join(deg, tris, on="node", join_type="left_outer")
 
@@ -380,4 +365,131 @@ def copurchase_clustering_sql(max_basket: int = 256) -> str:
         " CAST(2 * COALESCE(tc.n_triangles, 0) AS DOUBLE)\n"
         "  / CAST(GREATEST(d.deg * (d.deg - 1), 1) AS DOUBLE) AS lcc\n"
         "FROM deg d LEFT JOIN tc USING (node)"
+    )
+
+
+# ------------------------------------------------------------- k-core
+
+
+def _edge_degrees(edges):
+    """(node, deg) over a canonical (u < v) distinct edge Dataset — one
+    symmetrize map + one keyed count."""
+    from ray.data.aggregate import Count
+
+    from ocr_ray.ops.dedup import _with_schema
+
+    def sym(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema([("node", pa.int64())]).empty_table()
+        u = t.column("u").cast(pa.int64()).combine_chunks()
+        v = t.column("v").cast(pa.int64()).combine_chunks()
+        return pa.table({"node": pa.concat_arrays([u, v])})
+
+    return _with_schema(
+        edges.map_batches(sym, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="deg")),
+        pa.schema([("node", pa.int64()), ("deg", pa.int64())]),
+    )
+
+
+def kcore(edges, k: int, max_iters: int = 24):
+    """k-core decomposition by iterative peeling: repeatedly drop nodes
+    with degree < k until the survivor set is stable, then return
+    (node, deg) with degrees measured INSIDE the core subgraph.
+
+    Scale shape: every round is one keyed count over symmetrized edges
+    plus two hash semi-joins filtering the edge list on its endpoints —
+    only slim (node)/(u, v) integer rows ever shuffle, documents/payloads
+    never enter the loop, and each round's survivor edge set is
+    object-store-materialized so lineage stays flat (same argument as
+    ``connected_components``, ops/dedup.py). Driver-side state per round
+    is two scalar counts. Raises on non-convergence within ``max_iters``
+    instead of returning a silently-wrong superset (ADVICE r02 on the
+    components loop); peeling removes ≥1 node per non-converged round,
+    so rounds are bounded by the peel depth, not the node count."""
+    import ray.data as rd
+
+    from ocr_ray.ops.dedup import _renamed, _with_schema
+    from ocr_ray.ops.joins import large_join
+
+    edge_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+    out_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+    edges = _with_schema(edges, edge_schema).materialize()
+
+    def keep_mask(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t.column("deg"), k))
+
+    for _ in range(max_iters):
+        deg = _edge_degrees(edges).materialize()
+        n_nodes = deg.count()
+        keep = _with_schema(
+            deg.map_batches(keep_mask, batch_format="pyarrow"), out_schema
+        ).materialize()
+        n_keep = keep.count()
+        if n_keep == n_nodes:
+            # stable: every remaining node already has deg >= k
+            return deg
+        if n_keep == 0:
+            return rd.from_arrow(out_schema.empty_table())
+        keep_nodes = keep.select_columns(["node"])
+        filtered = large_join(
+            edges, _renamed(keep_nodes, {"node": "u"}), on="u"
+        )
+        filtered = large_join(
+            _with_schema(filtered, edge_schema),
+            _renamed(keep_nodes, {"node": "v"}),
+            on="v",
+        )
+        edges = _with_schema(filtered, edge_schema).materialize()
+        if edges.count() == 0:
+            return rd.from_arrow(out_schema.empty_table())
+    raise RuntimeError(
+        f"kcore did not converge within max_iters={max_iters}; "
+        "raise max_iters (peel depth exceeds the bound)"
+    )
+
+
+def copurchase_kcore_sql(k: int, rounds: int, max_basket: int = 256) -> str:
+    """DuckDB replay over the co-purchase graph: ``rounds`` chained
+    peel CTEs (rounds past convergence are no-ops, so any
+    ``rounds`` >= the true peel depth reproduces the fixed point the
+    engine early-stops at), then degrees inside the final edge set.
+    Every round CTE is MATERIALIZED: each round references its
+    predecessor several times, and inlined CTEs would re-expand the
+    chain exponentially (observed: 24 inlined rounds exhaust file
+    handles re-opening the parquet scan)."""
+    ctes = [
+        "ok_orders AS MATERIALIZED (SELECT l_orderkey FROM lineitem"
+        " GROUP BY l_orderkey"
+        f" HAVING COUNT(DISTINCT l_partkey) <= {max_basket})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u,"
+        " b.l_partkey AS v FROM lineitem a JOIN lineitem b"
+        " ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+        " WHERE a.l_orderkey IN (SELECT l_orderkey FROM ok_orders))",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM"
+            f" (SELECT u AS node FROM e{p} UNION ALL SELECT v FROM e{p})"
+            " GROUP BY node)"
+        )
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k})"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT u, v FROM e{p}"
+            f" WHERE u IN (SELECT node FROM k{i})"
+            f" AND v IN (SELECT node FROM k{i}))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT node, CAST(deg AS BIGINT) AS deg FROM (\n"
+        f" SELECT node, COUNT(*) AS deg FROM (SELECT u AS node FROM e{rounds}"
+        f" UNION ALL SELECT v FROM e{rounds}) GROUP BY node)"
     )

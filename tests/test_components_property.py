@@ -250,3 +250,42 @@ def test_clustering_coefficients_k4_plus_wedge(ray_session):
     assert out[3]["lcc"] == 6 / 20
     # leaves: deg 1, no triangles, guarded division -> 0.0
     assert out[10]["lcc"] == 0.0 and out[11]["n_triangles"] == 0
+
+
+def test_kcore_peeling_and_convergence(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.graph import kcore
+
+    # K4 {0,1,2,3} plus a tail 3-10-11: the tail peels off in two
+    # rounds (11 first, then 10), the K4 is the 3-core
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 10), (10, 11)]
+    tbl = pa.table(
+        {
+            "u": pa.array([e[0] for e in edges], pa.int64()),
+            "v": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    out = {r["node"]: r["deg"] for r in kcore(rd.from_arrow(tbl), k=3).take_all()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    # k above the max degree -> empty core, empty (named) schema
+    empty = kcore(rd.from_arrow(tbl), k=10).take_all()
+    assert empty == []
+
+    # k=1 keeps everything, degrees measured on the intact graph
+    all_k1 = {r["node"]: r["deg"] for r in kcore(rd.from_arrow(tbl), k=1).take_all()}
+    assert all_k1[3] == 4 and all_k1[11] == 1 and len(all_k1) == 6
+
+    # max_iters too small for the peel depth -> loud failure
+    import pytest
+
+    chain = pa.table(
+        {
+            "u": pa.array([0, 1, 2, 3], pa.int64()),
+            "v": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(rd.from_arrow(chain), k=2, max_iters=1)
