@@ -779,6 +779,24 @@ def q_session_stats(sf_dir: str):
     return session_stats_per_user(events, gap_sec=1800)
 
 
+def q_vocab_overlap(sf_dir: str):
+    from ocr_ray.ops.analysis import vocab_overlap
+
+    return _materialized(
+        vocab_overlap(_docs(sf_dir, "source", "text")),
+        pa.schema(
+            [
+                ("src_a", pa.string()),
+                ("src_b", pa.string()),
+                ("n_common", pa.int64()),
+                ("n_a", pa.int64()),
+                ("n_b", pa.int64()),
+                ("jaccard", pa.float64()),
+            ]
+        ),
+    )
+
+
 def q_vocab_by_source(sf_dir: str):
     from ocr_ray.ops.analysis import vocab_by_source
 
@@ -1530,6 +1548,7 @@ QUERIES = {
     "histogram_quantiles": q_histogram_quantiles,
     "length_percent_rank": q_length_percent_rank,
     "vocab_by_source": q_vocab_by_source,
+    "vocab_overlap": q_vocab_overlap,
     "mode_event_type_per_user": q_mode_event_type_per_user,
     "user_purchase_click_totals": q_user_purchase_click_totals,
     "user_funnel": q_user_funnel,
@@ -2271,6 +2290,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "histogram_quantiles": _histogram_quantiles_oracle_sql(),
         "length_percent_rank": _length_percent_rank_oracle_sql(),
+        "vocab_overlap": (
+            "WITH w AS MATERIALIZED (\n"
+            " SELECT DISTINCT source, word FROM (\n"
+            f"  SELECT source, unnest({_WORDS_SQL}) AS word FROM documents\n"
+            " )\n"
+            "), sz AS (\n"
+            " SELECT source, COUNT(*) AS n FROM w GROUP BY source\n"
+            "), p AS (\n"
+            " SELECT a.source AS src_a, b.source AS src_b,"
+            " COUNT(*) AS n_common\n"
+            " FROM w a JOIN w b ON a.word = b.word AND a.source < b.source\n"
+            " GROUP BY 1, 2\n"
+            ")\n"
+            "SELECT p.src_a, p.src_b,\n"
+            " CAST(p.n_common AS BIGINT) AS n_common,\n"
+            " CAST(za.n AS BIGINT) AS n_a, CAST(zb.n AS BIGINT) AS n_b,\n"
+            " CAST(p.n_common AS DOUBLE)"
+            " / CAST(za.n + zb.n - p.n_common AS DOUBLE) AS jaccard\n"
+            "FROM p JOIN sz za ON za.source = p.src_a"
+            " JOIN sz zb ON zb.source = p.src_b"
+        ),
         "vocab_by_source": (
             "WITH w AS (\n"
             f" SELECT source, unnest({_WORDS_SQL}) AS word FROM documents\n"

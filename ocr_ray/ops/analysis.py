@@ -309,3 +309,114 @@ def vocab_by_source(docs):
         )
 
     return rolled.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------- cross-source vocabulary overlap
+
+
+def vocab_overlap(docs):
+    """Pairwise vocabulary overlap between sources: for every source
+    pair (src_a < src_b), the number of distinct words both contain and
+    the Jaccard similarity of their vocabularies — the corpus-mixing
+    diagnostic (near-identical sources are redundant; disjoint ones add
+    coverage).
+
+    Scale shape — ONE document-scale shuffle: each batch emits its
+    distinct (source, word) pairs (map-side set collapse), the rows
+    hash-partition by word, and inside the word-partitioned block the
+    global (word, source) dedup and the per-word source pairs are both
+    vectorized (shared triu machinery). Each word's group additionally
+    emits its (s, s) diagonal self-pairs, so ONE keyed count downstream
+    yields intersections (off-diagonal) and vocabulary sizes (diagonal)
+    from the same slim pair stream. The final Jaccard join runs
+    driver-side on that aggregate — bounded by S(S+1)/2 rows for S
+    distinct sources (a low-cardinality dimension by construction;
+    every other row that exists is word-partitioned)."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ocr_ray.ops.dedup import (
+        _dedup_sorted_by_group,
+        _intra_group_pair_indices,
+        _with_schema,
+    )
+    from ocr_ray.stages.grouped import grouped_map
+
+    pair_schema = pa.schema([("src_a", pa.string()), ("src_b", pa.string())])
+    out_schema = pa.schema(
+        [
+            ("src_a", pa.string()),
+            ("src_b", pa.string()),
+            ("n_common", pa.int64()),
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+            ("jaccard", pa.float64()),
+        ]
+    )
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        seen: set[tuple[str, str]] = set()
+        for source, text in zip(
+            t.column("source").to_pylist(), t.column("text").to_pylist()
+        ):
+            for w in set(_WORD_RE.findall((text or "").lower())):
+                seen.add((source, w))
+        return pa.table(
+            {
+                "word": pa.array([k[1] for k in seen], pa.string()),
+                "source": pa.array([k[0] for k in seen], pa.string()),
+            }
+        )
+
+    def pairs_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return pair_schema.empty_table()
+        # factorize sources to int codes (the pair helpers lexsort;
+        # codes also make src_a < src_b follow source sort order)
+        uniq, codes = np.unique(
+            np.asarray(block.column("source").to_pylist(), dtype=object),
+            return_inverse=True,
+        )
+        gidx = np.repeat(np.arange(len(starts)), np.diff(np.append(starts, n)))
+        c_d, g_d = _dedup_sorted_by_group(codes, gidx)[:2]
+        ii, jj, _ = _intra_group_pair_indices(g_d, cap=1 << 30)
+        # off-diagonal intersections + the diagonal (s, s) size rows
+        a = np.concatenate([c_d[ii], c_d])
+        b = np.concatenate([c_d[jj], c_d])
+        return pa.table(
+            {
+                "src_a": pa.array(uniq[a], pa.string()),
+                "src_b": pa.array(uniq[b], pa.string()),
+            }
+        )
+
+    counts = _with_schema(
+        grouped_map(
+            docs.map_batches(batch_distinct, batch_format="pyarrow"),
+            ["word"],
+            pairs_block,
+        )
+        .groupby(["src_a", "src_b"])
+        .aggregate(Count(alias_name="n")),
+        pa.schema(
+            [("src_a", pa.string()), ("src_b", pa.string()), ("n", pa.int64())]
+        ),
+    )
+    rows = counts.take_all()  # bounded: S(S+1)/2 rows
+    size = {r["src_a"]: r["n"] for r in rows if r["src_a"] == r["src_b"]}
+    out = [
+        {
+            "src_a": r["src_a"],
+            "src_b": r["src_b"],
+            "n_common": r["n"],
+            "n_a": size[r["src_a"]],
+            "n_b": size[r["src_b"]],
+            "jaccard": float(r["n"])
+            / float(size[r["src_a"]] + size[r["src_b"]] - r["n"]),
+        }
+        for r in rows
+        if r["src_a"] != r["src_b"]
+    ]
+    return rd.from_arrow(pa.Table.from_pylist(out, schema=out_schema))

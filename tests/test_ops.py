@@ -528,3 +528,36 @@ def test_stratified_sample_empty_table_raises(ray_session):
     )
     with pytest.raises(ValueError, match="no rows sampled"):
         stratified_sample(_ray_ds(empty), sample_size=8)
+
+
+def test_vocab_overlap_hand_case(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.ops.analysis import vocab_overlap
+
+    # vocabularies (words >= 3 alpha chars, lowercased):
+    #   sA: {apple, banana, cherry}   sB: {banana, cherry, dates}
+    #   sC: {zebra}
+    docs = pa.table(
+        {
+            "source": pa.array(["sA", "sA", "sB", "sC"], pa.string()),
+            "text": pa.array(
+                [
+                    "Apple banana",
+                    "banana cherry",
+                    "banana cherry dates",
+                    "zebra 42",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in vocab_overlap(rd.from_arrow(docs)).take_all()
+    }
+    ab = out[("sA", "sB")]
+    assert ab["n_common"] == 2 and ab["n_a"] == 3 and ab["n_b"] == 3
+    assert ab["jaccard"] == 2 / 4
+    # disjoint vocabularies never meet in a word group -> no row
+    assert ("sA", "sC") not in out and ("sB", "sC") not in out
