@@ -779,6 +779,24 @@ def q_session_stats(sf_dir: str):
     return session_stats_per_user(events, gap_sec=1800)
 
 
+def q_pack_sequences(sf_dir: str):
+    from ocr_ray.ops.chunk import pack_sequences
+
+    # bucket_width small enough that sf0.01's 500 docs spread over
+    # several range buckets (exercises the cross-bucket offsets)
+    return _materialized(
+        pack_sequences(_docs(sf_dir), seq_len=512, bucket_width=64),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_tokens", pa.int64()),
+                ("seq_first", pa.int64()),
+                ("seq_last", pa.int64()),
+            ]
+        ),
+    )
+
+
 def q_vocab_overlap(sf_dir: str):
     from ocr_ray.ops.analysis import vocab_overlap
 
@@ -1549,6 +1567,7 @@ QUERIES = {
     "length_percent_rank": q_length_percent_rank,
     "vocab_by_source": q_vocab_by_source,
     "vocab_overlap": q_vocab_overlap,
+    "pack_sequences": q_pack_sequences,
     "mode_event_type_per_user": q_mode_event_type_per_user,
     "user_purchase_click_totals": q_user_purchase_click_totals,
     "user_funnel": q_user_funnel,
@@ -1936,6 +1955,12 @@ def _chunk_oracle_sql() -> str:
     from ocr_ray.ops.chunk import oracle_sql as _c
 
     return _c()
+
+
+def _pack_oracle_sql() -> str:
+    from ocr_ray.ops.chunk import pack_oracle_sql
+
+    return pack_oracle_sql(seq_len=512)
 
 
 def _decontam_oracle_sql() -> str:
@@ -2745,6 +2770,7 @@ def oracle_sql() -> dict[str, str]:
             weight_col="n_chars", k=25
         ),
         "chunk_docs": _chunk_oracle_sql(),
+        "pack_sequences": _pack_oracle_sql(),
         "contamination_report": _decontam_oracle_sql(),
         "dup_ngram_coverage": _dup_ngram_coverage_oracle_sql(),
         "train_split_stats": _train_split_oracle_sql(),

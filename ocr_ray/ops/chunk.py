@@ -84,3 +84,155 @@ def oracle_sql(
         f" CAST(LEAST(start + {chunk_tokens}, len(t)) - start AS BIGINT) AS n_tokens\n"
         "FROM starts"
     )
+
+
+# --------------------------------------------------- sequence packing
+
+DEFAULT_SEQ_LEN = 512
+DEFAULT_BUCKET_WIDTH = 65536
+
+
+def pack_sequences(
+    docs,
+    *,
+    seq_len: int = DEFAULT_SEQ_LEN,
+    bucket_width: int = DEFAULT_BUCKET_WIDTH,
+):
+    """Greedy concat-and-split sequence packing: documents are laid out
+    in doc_id order as one token stream and cut into training sequences
+    of ``seq_len`` tokens; each document reports the first and last
+    sequence index it lands in. Equivalent to the window cumsum
+    ``SUM(n_tokens) OVER (ORDER BY doc_id)`` — but computed as a
+    DISTRIBUTED ordered prefix sum, no global sort:
+
+    - pass 1 collapses each batch to slim (doc_id, n_tokens) rows and a
+      range bucket ``doc_id // bucket_width``;
+    - a tiny keyed aggregate yields per-bucket token totals; the
+      driver cumsums them into per-bucket base offsets (bounded:
+      one int64 pair per bucket — size ``bucket_width`` so
+      n_docs / bucket_width stays driver-small, e.g. 1e6 buckets = 16 MB
+      at 1e12 docs / width 1e6) and ``ray.put``s the lookup once;
+    - pass 2 hash-partitions the slim rows by bucket and runs one
+      vectorized in-block cumsum per bucket group (segment-base
+      subtraction), adding the broadcast base offset.
+
+    Documents themselves never shuffle; both passes move only integer
+    triples. Zero-token documents are dropped (they occupy no
+    sequence), matching the oracle's WHERE."""
+    import numpy as np
+    import ray
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    if seq_len <= 0 or bucket_width <= 0:
+        raise ValueError("seq_len and bucket_width must be positive")
+
+    tok_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("seq_first", pa.int64()),
+            ("seq_last", pa.int64()),
+        ]
+    )
+
+    def counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return tok_schema.empty_table()
+        import pyarrow.compute as pc
+
+        ids = t.column("doc_id").cast(pa.int64())
+        # vectorized \S+ run count — verified identical to DuckDB's
+        # len(regexp_extract_all(text, '\S+')) incl. unicode and nulls
+        n = pc.count_substring_regex(
+            pc.coalesce(t.column("text"), pa.scalar("")), pattern=r"\S+"
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "bucket": pc.divide(ids, pa.scalar(bucket_width, pa.int64())),
+                "doc_id": ids,
+                "n_tokens": n,
+            }
+        )
+
+    from ocr_ray.ops.dedup import _with_schema
+
+    tok = _with_schema(
+        docs.map_batches(counts, batch_format="pyarrow"), tok_schema
+    ).materialize()
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        tok.groupby("bucket").aggregate(Sum("n_tokens", alias_name="s"))
+    ).take_all()  # bounded: one row per bucket
+    totals.sort(key=lambda r: r["bucket"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in totals:
+        offsets[r["bucket"]] = acc
+        acc += r["s"]
+    offsets_ref = ray.put(offsets)
+
+    def pack_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n_rows = block.num_rows
+        if n_rows == 0 or len(starts) == 0:
+            return out_schema.empty_table()
+        base = ray.get(offsets_ref)
+        nt = block.column("n_tokens").to_numpy(zero_copy_only=False)
+        bk = block.column("bucket").to_numpy(zero_copy_only=False)
+        sizes = np.diff(np.append(starts, n_rows))
+        cum = np.cumsum(nt) - nt  # exclusive prefix within the block
+        seg_base = cum[starts]  # subtract each bucket group's base
+        prefix = cum - np.repeat(seg_base, sizes)
+        prefix += np.repeat(
+            np.array([base[int(b)] for b in bk[starts]], np.int64), sizes
+        )
+        keep = nt > 0
+        first = prefix[keep] // seq_len
+        last = (prefix[keep] + nt[keep] - 1) // seq_len
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    block.column("doc_id").to_numpy(zero_copy_only=False)[
+                        keep
+                    ],
+                    pa.int64(),
+                ),
+                "n_tokens": pa.array(nt[keep], pa.int64()),
+                "seq_first": pa.array(first, pa.int64()),
+                "seq_last": pa.array(last, pa.int64()),
+            }
+        )
+
+    return grouped_map(tok, ["bucket"], pack_block, sort_within=["doc_id"])
+
+
+def pack_oracle_sql(seq_len: int = DEFAULT_SEQ_LEN) -> str:
+    """DuckDB equivalent: the global ordered window cumsum and the same
+    integer floor divisions."""
+    return (
+        "WITH t AS (\n"
+        " SELECT doc_id,"
+        " CAST(len(regexp_extract_all(COALESCE(text, ''), '\\S+'))"
+        " AS BIGINT) AS n_tokens\n"
+        " FROM documents\n"
+        "), c AS (\n"
+        " SELECT doc_id, n_tokens,\n"
+        "  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id\n"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        " AS BIGINT) AS prefix\n"
+        " FROM t\n"
+        ")\n"
+        "SELECT doc_id, n_tokens,\n"
+        f" prefix // {seq_len} AS seq_first,\n"
+        f" (prefix + n_tokens - 1) // {seq_len} AS seq_last\n"
+        "FROM c WHERE n_tokens > 0"
+    )

@@ -125,3 +125,35 @@ def test_dup_ngram_coverage(ray_session):
     assert rows[3]["dup_shingle_frac"] == 0.0
     # doc 4: too short — zero shingles survives via the spine join
     assert rows[4]["n_shingles"] == 0 and rows[4]["dup_shingle_frac"] == 0.0
+
+
+def test_pack_sequences_hand_case(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.chunk import pack_sequences
+
+    # token counts in doc_id order: 3, 0, 5, 4  (seq_len=4)
+    # prefix:                       0, -, 3, 8
+    docs = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "text": pa.array(
+                ["a b c", "   ", "d e f g h", "i j k l"], pa.string()
+            ),
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            rd.from_arrow(docs), seq_len=4, bucket_width=2
+        ).take_all()
+    }
+    assert 11 not in out  # zero-token doc occupies no sequence
+    assert (out[10]["seq_first"], out[10]["seq_last"]) == (0, 0)
+    # doc 12 spans tokens 3..7 -> sequences 0 and 1 (crosses a cut)
+    assert (out[12]["seq_first"], out[12]["seq_last"]) == (0, 1)
+    # doc 13 spans tokens 8..11 -> exactly sequence 2; also exercises a
+    # bucket (13//2=6) whose offset comes from three earlier buckets
+    assert (out[13]["seq_first"], out[13]["seq_last"]) == (2, 2)
+    assert out[13]["n_tokens"] == 4
