@@ -779,6 +779,15 @@ def q_session_stats(sf_dir: str):
     return session_stats_per_user(events, gap_sec=1800)
 
 
+def q_kmeans_clusters(sf_dir: str):
+    from ocr_ray.ops.similarity import kmeans_integer
+
+    return _materialized(
+        kmeans_integer(_embeddings(sf_dir), k=8, iters=5),
+        pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64())]),
+    )
+
+
 def q_pack_sequences(sf_dir: str):
     from ocr_ray.ops.chunk import pack_sequences
 
@@ -1568,6 +1577,7 @@ QUERIES = {
     "vocab_by_source": q_vocab_by_source,
     "vocab_overlap": q_vocab_overlap,
     "pack_sequences": q_pack_sequences,
+    "kmeans_clusters": q_kmeans_clusters,
     "mode_event_type_per_user": q_mode_event_type_per_user,
     "user_purchase_click_totals": q_user_purchase_click_totals,
     "user_funnel": q_user_funnel,
@@ -1961,6 +1971,12 @@ def _pack_oracle_sql() -> str:
     from ocr_ray.ops.chunk import pack_oracle_sql
 
     return pack_oracle_sql(seq_len=512)
+
+
+def _kmeans_oracle_sql() -> str:
+    from ocr_ray.ops.similarity import kmeans_integer_sql
+
+    return kmeans_integer_sql(k=8, iters=5)
 
 
 def _decontam_oracle_sql() -> str:
@@ -2771,6 +2787,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "chunk_docs": _chunk_oracle_sql(),
         "pack_sequences": _pack_oracle_sql(),
+        "kmeans_clusters": _kmeans_oracle_sql(),
         "contamination_report": _decontam_oracle_sql(),
         "dup_ngram_coverage": _dup_ngram_coverage_oracle_sql(),
         "train_split_stats": _train_split_oracle_sql(),

@@ -350,3 +350,201 @@ def embedding_cosine_dedup(embeddings, threshold: float = 0.95, bits: int = 16,
         )
 
     return ab.map_batches(verify, batch_format="pyarrow")
+
+
+# ------------------------------------------------ integer-exact k-means
+
+_KM_SCALE = 1000
+_KM_OFFSET = 32768  # shifts every quantized coordinate positive, so the
+# centroid floor division SUM // COUNT never sees a negative numerator —
+# floor and truncating integer division agree on non-negatives, making
+# the engine (numpy //) and any SQL integer division bit-identical
+# without pinning either's negative-operand convention
+
+
+def _quantize_block(batch: pa.Table) -> pa.Table:
+    """(vec_id, embedding) → (vec_id, q: list<int64>) with
+    q = floor(float64(x) * SCALE) + OFFSET — the same two IEEE
+    elementary ops the oracle replays, so quantization is bit-exact."""
+    m = _batch_matrix(batch)
+    q = np.floor(m * _KM_SCALE).astype(np.int64) + _KM_OFFSET
+    ids = batch.column("vec_id").cast(pa.int64())
+    return pa.table(
+        {
+            "vec_id": ids,
+            "q": pa.FixedSizeListArray.from_arrays(
+                pa.array(q.ravel(), pa.int64()), q.shape[1]
+            ),
+        }
+    )
+
+
+def _km_assign(q: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """argmin_c Σ_dim (q − c)², ties to the smallest cluster id (argmin
+    returns the first minimum). Integer algebra throughout; the expanded
+    form (‖q‖² − 2q·c + ‖c‖²) drops the q-constant term."""
+    cross = q @ centroids.T  # int64 (n, k)
+    c_norm = np.einsum("kd,kd->k", centroids, centroids)
+    return np.argmin(c_norm[None, :] - 2 * cross, axis=1)
+
+
+def kmeans_integer(embeddings, k: int = 8, iters: int = 5):
+    """Distributed Lloyd k-means in pure int64 — bit-identical to a
+    chained-CTE SQL replay (same design as the integer PageRank,
+    ops/graph.py): coordinates quantize once, centroids start at the k
+    smallest vec_ids' vectors, and each iteration (a) assigns every
+    vector to its nearest centroid map-side against a ray.put-broadcast
+    (k × dim) matrix, (b) emits per-batch per-cluster partial sums as
+    slim (cluster, dim, s, n) rows — k × dim rows per BATCH regardless
+    of batch size — and (c) one tiny keyed aggregate + a k × dim driver
+    collect rebuilds centroids as SUM // COUNT (empty clusters keep
+    their previous centroid). Vectors never shuffle; per-iteration
+    traffic is the partial-sum rows only. Returns (vec_id, cluster)
+    from the final assignment."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.dedup import _with_schema
+
+    qds = _with_schema(
+        embeddings.map_batches(_quantize_block, batch_format="pyarrow"),
+        pa.schema(
+            [("vec_id", pa.int64()), ("q", pa.list_(pa.int64()))]
+        ),
+    ).materialize()
+
+    seed_rows = qds.sort("vec_id").limit(k).take_all()  # k rows, bounded
+    if len(seed_rows) < k:
+        raise ValueError(f"k={k} exceeds the {len(seed_rows)}-vector input")
+    centroids = np.array([r["q"] for r in seed_rows], np.int64)
+    dim = centroids.shape[1]
+
+    partial_schema = pa.schema(
+        [
+            ("cluster", pa.int64()),
+            ("dim", pa.int64()),
+            ("s", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partials(t: pa.Table, _cref=cref) -> pa.Table:
+            if t.num_rows == 0:
+                return partial_schema.empty_table()
+            cents = ray.get(_cref)
+            qm = np.asarray(
+                t.column("q").combine_chunks().flatten().to_numpy(
+                    zero_copy_only=False
+                ),
+                np.int64,
+            ).reshape(t.num_rows, dim)
+            assign = _km_assign(qm, cents)
+            ks = cents.shape[0]
+            sums = np.zeros((ks, dim), np.int64)
+            np.add.at(sums, assign, qm)
+            counts = np.bincount(assign, minlength=ks).astype(np.int64)
+            cl = np.repeat(np.arange(ks, dtype=np.int64), dim)
+            return pa.table(
+                {
+                    "cluster": pa.array(cl, pa.int64()),
+                    "dim": pa.array(np.tile(np.arange(dim), ks), pa.int64()),
+                    "s": pa.array(sums.ravel(), pa.int64()),
+                    "n": pa.array(np.repeat(counts, dim), pa.int64()),
+                }
+            )
+
+        agg = (
+            _with_schema(
+                qds.map_batches(partials, batch_format="pyarrow"),
+                partial_schema,
+            )
+            .groupby(["cluster", "dim"])
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        ).take_all()  # bounded: k × dim rows
+        new = centroids.copy()
+        for r in agg:
+            if r["n"] > 0:
+                new[r["cluster"], r["dim"]] = r["s"] // r["n"]
+        centroids = new
+
+    cref = ray.put(centroids)
+
+    def final_assign(t: pa.Table, _cref=cref) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("vec_id", pa.int64()), ("cluster", pa.int64())]
+            ).empty_table()
+        cents = ray.get(_cref)
+        qm = np.asarray(
+            t.column("q").combine_chunks().flatten().to_numpy(
+                zero_copy_only=False
+            ),
+            np.int64,
+        ).reshape(t.num_rows, dim)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id").cast(pa.int64()),
+                "cluster": pa.array(
+                    _km_assign(qm, cents).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return qds.map_batches(final_assign, batch_format="pyarrow")
+
+
+def kmeans_integer_sql(k: int = 8, iters: int = 5) -> str:
+    """DuckDB replay: quantize with the same FLOOR(x·SCALE)+OFFSET, seed
+    from the k smallest vec_ids, then ``iters`` chained
+    assign/update CTE pairs (MATERIALIZED — each references its
+    predecessor repeatedly) ending with one more assignment. Distances
+    compare via the same ‖c‖² − 2q·c expansion the engine uses (the
+    ‖q‖² term is constant per vec_id and cannot change the argmin), and
+    ties break to the smallest cluster id."""
+    ctes = [
+        "qv AS MATERIALIZED (SELECT vec_id,"
+        " generate_subscripts(embedding, 1) AS i,"
+        f" CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {_KM_SCALE})"
+        f" AS BIGINT) + {_KM_OFFSET} AS v"
+        " FROM embeddings)",
+        "seed AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1"
+        " AS cluster FROM (SELECT DISTINCT vec_id FROM qv"
+        f" ORDER BY vec_id LIMIT {k}))",
+        "c0 AS MATERIALIZED (SELECT s.cluster, q.i, q.v FROM qv q"
+        " JOIN seed s USING (vec_id))",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        ctes.append(
+            f"a{t} AS MATERIALIZED (SELECT vec_id, cluster FROM ("
+            " SELECT vec_id, cluster, ROW_NUMBER() OVER ("
+            "  PARTITION BY vec_id ORDER BY d, cluster) AS rn FROM ("
+            "  SELECT q.vec_id, c.cluster,"
+            "   SUM(c.v * c.v - 2 * q.v * c.v) AS d"
+            f"  FROM qv q JOIN c{p} c USING (i)"
+            "  GROUP BY q.vec_id, c.cluster)"
+            ") WHERE rn = 1)"
+        )
+        ctes.append(
+            f"c{t} AS MATERIALIZED (SELECT prev.cluster, prev.i,"
+            " COALESCE(upd.v, prev.v) AS v"
+            f" FROM c{p} prev LEFT JOIN ("
+            "  SELECT a.cluster, q.i, SUM(q.v) // COUNT(*) AS v"
+            f"  FROM qv q JOIN a{t} a USING (vec_id)"
+            "  GROUP BY a.cluster, q.i) upd"
+            " ON upd.cluster = prev.cluster AND upd.i = prev.i)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM ("
+        " SELECT vec_id, cluster, ROW_NUMBER() OVER ("
+        "  PARTITION BY vec_id ORDER BY d, cluster) AS rn FROM ("
+        "  SELECT q.vec_id, c.cluster,"
+        "   SUM(c.v * c.v - 2 * q.v * c.v) AS d"
+        f"  FROM qv q JOIN c{iters} c USING (i)"
+        "  GROUP BY q.vec_id, c.cluster)"
+        ") WHERE rn = 1"
+    )

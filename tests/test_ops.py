@@ -561,3 +561,33 @@ def test_vocab_overlap_hand_case(ray_session):
     assert ab["jaccard"] == 2 / 4
     # disjoint vocabularies never meet in a word group -> no row
     assert ("sA", "sC") not in out and ("sB", "sC") not in out
+
+
+def test_kmeans_integer_separated_clusters(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.ops.similarity import kmeans_integer
+
+    # two tight, well-separated blobs in 4-d; seeds (smallest vec_ids)
+    # land one in each blob, so Lloyd converges immediately
+    lo = [[0.0, 0.0, 0.1, 0.0], [0.1, 0.0, 0.0, 0.1], [0.0, 0.1, 0.0, 0.0]]
+    hi = [[5.0, 5.0, 5.1, 5.0], [5.1, 5.0, 5.0, 5.1], [5.0, 5.1, 5.0, 5.0]]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([0, 2, 4, 1, 3, 5], pa.int64()),
+            "embedding": pa.array(
+                [lo[0], lo[1], lo[2], hi[0], hi[1], hi[2]],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    out = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_integer(rd.from_arrow(tbl), k=2, iters=3).take_all()
+    }
+    # vec 0 (lo) is cluster 0's seed, vec 1 (hi) is cluster 1's seed
+    assert out[0] == out[2] == out[4] == 0
+    assert out[1] == out[3] == out[5] == 1
+
+    with pytest.raises(ValueError, match="exceeds"):
+        kmeans_integer(rd.from_arrow(tbl), k=10, iters=1)
