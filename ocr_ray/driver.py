@@ -925,6 +925,28 @@ def q_user_funnel(sf_dir: str):
     return user_funnel(events)
 
 
+def q_event_transitions(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.windows import event_transitions
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return _materialized(
+        event_transitions(events),
+        pa.schema(
+            [
+                ("prev_type", pa.string()),
+                ("next_type", pa.string()),
+                ("n", pa.int64()),
+            ]
+        ),
+    )
+
+
 def q_mode_event_type_per_user(sf_dir: str):
     import ray.data as rd
 
@@ -1578,6 +1600,7 @@ QUERIES = {
     "vocab_overlap": q_vocab_overlap,
     "pack_sequences": q_pack_sequences,
     "kmeans_clusters": q_kmeans_clusters,
+    "event_transitions": q_event_transitions,
     "mode_event_type_per_user": q_mode_event_type_per_user,
     "user_purchase_click_totals": q_user_purchase_click_totals,
     "user_funnel": q_user_funnel,
@@ -2788,6 +2811,18 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": _chunk_oracle_sql(),
         "pack_sequences": _pack_oracle_sql(),
         "kmeans_clusters": _kmeans_oracle_sql(),
+        "event_transitions": (
+            "WITH s AS (\n"
+            " SELECT user_id, event_type,\n"
+            "  LAG(event_type) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id) AS prev_type\n"
+            " FROM events\n"
+            ")\n"
+            "SELECT prev_type, event_type AS next_type,"
+            " CAST(COUNT(*) AS BIGINT) AS n\n"
+            "FROM s WHERE prev_type IS NOT NULL\n"
+            "GROUP BY prev_type, next_type"
+        ),
         "contamination_report": _decontam_oracle_sql(),
         "dup_ngram_coverage": _dup_ngram_coverage_oracle_sql(),
         "train_split_stats": _train_split_oracle_sql(),

@@ -293,3 +293,68 @@ def running_total_per_user(events):
     return grouped_map(
         events, ["user_id"], block_fn, sort_within=["ts", "event_id"]
     )
+
+
+def event_transitions(events):
+    """Global Markov transition counts over per-user event sequences:
+    for every ordered pair of event types, how often the second
+    immediately follows the first in some user's (ts, event_id)-ordered
+    stream — the session-flow model a funnel/recommendation step fits.
+
+    Scale shape: one hash shuffle of the events by user, then each
+    block resolves its consecutive pairs vectorized (factorized type
+    codes, boundary-masked shift compare, one bincount over
+    prev·K + next composite keys) and emits AT MOST K² slim partial
+    rows per block for K distinct event types; a tiny keyed sum
+    finishes. No joins, no per-user Python."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.dedup import _with_schema
+    from ocr_ray.stages.grouped import grouped_map
+
+    schema = pa.schema(
+        [
+            ("prev_type", pa.string()),
+            ("next_type", pa.string()),
+            ("c", pa.int64()),
+        ]
+    )
+
+    def block_fn(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n < 2 or len(starts) == 0:
+            return schema.empty_table()
+        types = np.asarray(
+            block.column("event_type").to_pylist(), dtype=object
+        )
+        uniq, codes = np.unique(types, return_inverse=True)
+        k = len(uniq)
+        sizes = np.diff(np.append(starts, n))
+        gidx = np.repeat(np.arange(len(starts)), sizes)
+        within = gidx[1:] == gidx[:-1]
+        pair_keys = codes[:-1][within] * k + codes[1:][within]
+        counts = np.bincount(pair_keys, minlength=k * k)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "prev_type": pa.array(uniq[nz // k], pa.string()),
+                "next_type": pa.array(uniq[nz % k], pa.string()),
+                "c": pa.array(counts[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = grouped_map(
+        events, ["user_id"], block_fn, sort_within=["ts", "event_id"]
+    )
+    return _with_schema(
+        _with_schema(partials, schema)
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("c", alias_name="n")),
+        pa.schema(
+            [
+                ("prev_type", pa.string()),
+                ("next_type", pa.string()),
+                ("n", pa.int64()),
+            ]
+        ),
+    )

@@ -247,3 +247,25 @@ def test_props_k_stats_malformed_rows_dropped(ray_session):
     assert a["n"] == 2 and a["sum_k"] == 16
     assert a["min_k"] == 5 and a["max_k"] == 11 and a["mean_k"] == 8.0
     assert rows["b"]["n"] == 1 and rows["b"]["mean_k"] == 2.0
+
+
+def test_event_transitions_hand_case(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.windows import event_transitions
+
+    # user 1: a -> b -> a ; user 2: b -> b ; transitions never cross users
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "event_id": pa.array([10, 11, 12, 20, 21], pa.int64()),
+            "ts": pa.array([1, 2, 3, 1, 2], pa.timestamp("us")),
+            "event_type": pa.array(["a", "b", "a", "b", "b"], pa.string()),
+        }
+    )
+    out = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in event_transitions(rd.from_arrow(tbl)).take_all()
+    }
+    assert out == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
