@@ -925,6 +925,29 @@ def q_user_funnel(sf_dir: str):
     return user_funnel(events)
 
 
+def q_bloom_orders_filter(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.sketch import bloom_semi_join
+
+    _quiet()
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    build = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t.column("c_acctbal"), pa.scalar(9000.0))
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    return _materialized(
+        bloom_semi_join(orders, "o_custkey", build, "c_custkey"),
+        pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+    )
+
+
 def q_event_transitions(sf_dir: str):
     import ray.data as rd
 
@@ -1601,6 +1624,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "kmeans_clusters": q_kmeans_clusters,
     "event_transitions": q_event_transitions,
+    "bloom_orders_filter": q_bloom_orders_filter,
     "mode_event_type_per_user": q_mode_event_type_per_user,
     "user_purchase_click_totals": q_user_purchase_click_totals,
     "user_funnel": q_user_funnel,
@@ -2000,6 +2024,17 @@ def _kmeans_oracle_sql() -> str:
     from ocr_ray.ops.similarity import kmeans_integer_sql
 
     return kmeans_integer_sql(k=8, iters=5)
+
+
+def _bloom_oracle_sql() -> str:
+    from ocr_ray.ops.sketch import bloom_semi_join_sql
+
+    return bloom_semi_join_sql(
+        "SELECT o_orderkey, o_custkey FROM orders",
+        "o_custkey",
+        "SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal >= 9000.0",
+        "c_custkey",
+    )
 
 
 def _decontam_oracle_sql() -> str:
@@ -2811,6 +2846,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": _chunk_oracle_sql(),
         "pack_sequences": _pack_oracle_sql(),
         "kmeans_clusters": _kmeans_oracle_sql(),
+        "bloom_orders_filter": _bloom_oracle_sql(),
         "event_transitions": (
             "WITH s AS (\n"
             " SELECT user_id, event_type,\n"

@@ -318,3 +318,102 @@ def histogram_quantiles_sql(value_col: str = "value",
         f"{q_exprs}\n"
         f"FROM cum GROUP BY {key_col}"
     )
+
+
+# ------------------------------------------------- Bloom-filter semi join
+
+BLOOM_M = 4096  # bits (power of two: position = md5 word & (M-1))
+BLOOM_H = 2  # probes per key: the first two 32-bit md5 hex words
+
+
+def _bloom_bits(key: str) -> list[int]:
+    d = hashlib.md5(key.encode("utf-8")).hexdigest()
+    return [int(d[8 * r : 8 * r + 8], 16) & (BLOOM_M - 1) for r in range(BLOOM_H)]
+
+
+def bloom_semi_join(big, key_column: str, build, build_key: str):
+    """Probabilistic semi join: keep the rows of ``big`` whose
+    ``key_column`` probes positive against a Bloom filter built from
+    ``build``'s ``build_key`` — the shuffle-avoiding pre-filter in
+    front of an expensive exact join at scale. DETERMINISTIC false
+    positives: positions are md5-derived (same convention as the
+    CMS/HLL sketches), so a SQL oracle rebuilds the exact bit set and
+    reproduces the survivor list bit-for-bit, false positives included.
+
+    Scale shape: each build batch emits its DISTINCT set-bit positions
+    (≤ BLOOM_M slim rows per batch regardless of build size), one keyed
+    dedup bounds the driver collect at BLOOM_M rows, and the packed
+    bitmap broadcasts once via ray.put; ``big`` then filters map-side —
+    neither side ever shuffles. Probing hashes each DISTINCT key per
+    batch once (np.unique memoization)."""
+    import ray
+
+    from ocr_ray.ops.dedup import _with_schema
+
+    bit_schema = pa.schema([("bit", pa.int64())])
+
+    def build_bits(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return bit_schema.empty_table()
+        keys = np.unique(
+            t.column(build_key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        bits = {b for k in keys for b in _bloom_bits(str(int(k)))}
+        return pa.table({"bit": pa.array(sorted(bits), pa.int64())})
+
+    from ray.data.aggregate import Count
+
+    bit_rows = (
+        _with_schema(
+            build.map_batches(build_bits, batch_format="pyarrow"), bit_schema
+        )
+        .groupby("bit")
+        .aggregate(Count(alias_name="_n"))
+    ).take_all()  # bounded: <= M rows
+    bitmap = np.zeros(BLOOM_M, dtype=bool)
+    for r in bit_rows:
+        bitmap[r["bit"]] = True
+    bmp_ref = ray.put(bitmap)
+
+    def probe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        bmp = ray.get(bmp_ref)
+        keys = t.column(key_column).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        uniq, inv = np.unique(keys, return_inverse=True)
+        ok_u = np.fromiter(
+            (all(bmp[b] for b in _bloom_bits(str(int(k)))) for k in uniq),
+            dtype=bool,
+            count=len(uniq),
+        )
+        return t.filter(pa.array(ok_u[inv]))
+
+    return big.map_batches(probe, batch_format="pyarrow")
+
+
+def bloom_semi_join_sql(
+    big_select: str, key_column: str, build_select: str, build_key: str
+) -> str:
+    """DuckDB replay: rebuild the bit set from the build keys with the
+    same md5 words, probe with the same AND-of-H membership."""
+    probes = ", ".join(
+        f"('0x' || substr(md5(CAST({key_column} AS VARCHAR)),"
+        f" {8 * r + 1}, 8))::BIGINT & {BLOOM_M - 1} AS b{r}"
+        for r in range(BLOOM_H)
+    )
+    bit_union = " UNION ".join(
+        f"SELECT ('0x' || substr(md5(CAST({build_key} AS VARCHAR)),"
+        f" {8 * r + 1}, 8))::BIGINT & {BLOOM_M - 1} AS bit FROM bk"
+        for r in range(BLOOM_H)
+    )
+    cond = " AND ".join(
+        f"b{r} IN (SELECT bit FROM bits)" for r in range(BLOOM_H)
+    )
+    return (
+        f"WITH bk AS MATERIALIZED ({build_select}),\n"
+        f"bits AS MATERIALIZED ({bit_union}),\n"
+        f"probes AS (SELECT *, {probes} FROM ({big_select}))\n"
+        f"SELECT * EXCLUDE (b0, b1) FROM probes WHERE {cond}"
+    )

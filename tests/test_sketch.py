@@ -92,3 +92,30 @@ def test_histogram_quantiles_within_bin_width(ray_session):
                 assert row[name] <= exact < row[name] + HIST_WIDTH
             else:
                 assert row[name] == (512.0 - HIST_WIDTH)
+
+
+def test_bloom_semi_join_membership_and_fp_determinism(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.sketch import _bloom_bits, bloom_semi_join
+
+    build_keys = list(range(0, 50))
+    big_keys = list(range(0, 2000))
+    build = rd.from_arrow(pa.table({"k": pa.array(build_keys, pa.int64())}))
+    big = rd.from_arrow(pa.table({"k": pa.array(big_keys, pa.int64())}))
+    got = sorted(
+        r["k"] for r in bloom_semi_join(big, "k", build, "k").take_all()
+    )
+    # no false negatives: every build key survives
+    assert set(build_keys) <= set(got)
+    # survivors == the deterministic md5 replay (false positives incl.)
+    bits = {b for k in build_keys for b in _bloom_bits(str(k))}
+    expect = sorted(
+        k for k in big_keys if all(b in bits for b in _bloom_bits(str(k)))
+    )
+    assert got == expect
+
+    # empty build side -> empty bitmap -> nothing survives
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    assert bloom_semi_join(big, "k", empty, "k").take_all() == []
