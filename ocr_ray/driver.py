@@ -1428,6 +1428,153 @@ def q_top_unshipped_orders(sf_dir: str):
     ).limit(10)
 
 
+_Q5_REGION = "ASIA"
+_Q5_FROM = "1996-01-01"
+_Q5_TO = "1998-01-01"
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-shaped local-supplier revenue: per nation of one region,
+    the revenue of in-window orders whose lineitems were supplied from
+    the customer's own nation.
+
+    Scale shape — classic multi-way join planning: the region→nation
+    key set broadcasts (25 rows) and semi-filters customer and supplier
+    map-side AT THE SCAN; orders date-filter map-side; then THREE
+    hash-partitioned joins, each shuffling only slim pre-projected
+    rows — orders⋈customer on custkey, lineitem⋈supplier on suppkey
+    (revenue already collapsed to integer cents), and the big-big
+    orderkey join — with the c_nation = s_nation equality applied
+    map-side right after it; per-batch partial sums collapse before the
+    final 25-row keyed aggregate. Revenue is half-away-from-zero
+    integer cents (``_cents``), bit-matched with the SQL oracle.
+    (Also a live regression for the aggregator-CPU deadlock fix: three
+    joins plus hash aggregates in ONE streaming DAG.)"""
+    import datetime as _dt
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.joins import large_join
+
+    _quiet()
+    d_from = _dt.datetime.fromisoformat(_Q5_FROM)
+    d_to = _dt.datetime.fromisoformat(_Q5_TO)
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = region.filter(pc.equal(region["r_name"], _Q5_REGION))[
+        "r_regionkey"
+    ]
+    nat = nation.filter(pc.is_in(nation["n_regionkey"], value_set=rkey))
+    nat_keys = nat["n_nationkey"].combine_chunks().cast(pa.int64())
+    nat_names = {
+        int(k): v
+        for k, v in zip(nat_keys.to_pylist(), nat["n_name"].to_pylist())
+    }
+
+    def in_region(t: pa.Table, col: str) -> pa.Table:
+        return t.filter(
+            pc.is_in(pc.cast(t[col], pa.int64()), value_set=nat_keys)
+        )
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: in_region(t, "c_nationkey"), batch_format="pyarrow"
+    )
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda t: in_region(t, "s_nationkey"), batch_format="pyarrow"
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(d_from)),
+                pc.less(t["o_orderdate"], pa.scalar(d_to)),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    oc = large_join(
+        orders, cust, on="o_custkey", right_on="c_custkey"
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "cents": _cents(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ls = large_join(
+        li, supp, on="l_suppkey", right_on="s_suppkey"
+    ).select_columns(["l_orderkey", "s_nationkey", "cents"])
+
+    j = large_join(ls, oc, on="l_orderkey", right_on="o_orderkey")
+
+    def local_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [("nationkey", pa.int64()), ("cents", pa.int64())]
+            ).empty_table()
+        t = t.filter(
+            pc.equal(
+                pc.cast(t["s_nationkey"], pa.int64()),
+                pc.cast(t["c_nationkey"], pa.int64()),
+            )
+        )
+        return (
+            pa.table(
+                {
+                    "nationkey": pc.cast(t["s_nationkey"], pa.int64()),
+                    "cents": t["cents"],
+                }
+            )
+            .group_by("nationkey")
+            .aggregate([("cents", "sum")])
+            .rename_columns(["nationkey", "cents"])
+        )
+
+    agg = (
+        j.map_batches(local_partials, batch_format="pyarrow")
+        .groupby("nationkey")
+        .aggregate(Sum("cents", alias_name="revenue_cents"))
+    )
+    rows = sorted(
+        agg.take_all(),  # bounded: one row per region nation
+        key=lambda r: (-r["revenue_cents"], r["nationkey"]),
+    )
+    return pa.Table.from_pylist(
+        [
+            {
+                "n_name": nat_names[r["nationkey"]],
+                "revenue_cents": r["revenue_cents"],
+            }
+            for r in rows
+        ],
+        schema=pa.schema(
+            [("n_name", pa.string()), ("revenue_cents", pa.int64())]
+        ),
+    )
+
+
 def q_customers_without_orders(sf_dir: str):
     """Distributed anti join: customers with no high-value order
     (o_totalprice ≥ 300k; every customer in the testdata has SOME order,
@@ -1625,6 +1772,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "event_transitions": q_event_transitions,
     "bloom_orders_filter": q_bloom_orders_filter,
+    "revenue_by_nation": q_revenue_by_nation,
     "mode_event_type_per_user": q_mode_event_type_per_user,
     "user_purchase_click_totals": q_user_purchase_click_totals,
     "user_funnel": q_user_funnel,
@@ -2847,6 +2995,19 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_oracle_sql(),
         "kmeans_clusters": _kmeans_oracle_sql(),
         "bloom_orders_filter": _bloom_oracle_sql(),
+        "revenue_by_nation": (
+            "SELECT n_name,\n"
+            " CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)"
+            " * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents\n"
+            "FROM customer, orders, lineitem, supplier, nation, region\n"
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey\n"
+            " AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey\n"
+            " AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey\n"
+            f" AND r_name = '{_Q5_REGION}'\n"
+            f" AND o_orderdate >= TIMESTAMP '{_Q5_FROM}'\n"
+            f" AND o_orderdate < TIMESTAMP '{_Q5_TO}'\n"
+            "GROUP BY n_name"
+        ),
         "event_transitions": (
             "WITH s AS (\n"
             " SELECT user_id, event_type,\n"
