@@ -925,6 +925,19 @@ def q_user_funnel(sf_dir: str):
     return user_funnel(events)
 
 
+def q_user_event_paths(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.windows import user_event_paths
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return user_event_paths(events)
+
+
 def q_bloom_orders_filter(sf_dir: str):
     import ray.data as rd
 
@@ -1773,6 +1786,7 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "bloom_orders_filter": q_bloom_orders_filter,
     "revenue_by_nation": q_revenue_by_nation,
+    "user_event_paths": q_user_event_paths,
     "mode_event_type_per_user": q_mode_event_type_per_user,
     "user_purchase_click_totals": q_user_purchase_click_totals,
     "user_funnel": q_user_funnel,
@@ -2995,6 +3009,11 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_oracle_sql(),
         "kmeans_clusters": _kmeans_oracle_sql(),
         "bloom_orders_filter": _bloom_oracle_sql(),
+        "user_event_paths": (
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,\n"
+            " STRING_AGG(event_type, '->' ORDER BY ts, event_id) AS path\n"
+            "FROM events GROUP BY user_id"
+        ),
         "revenue_by_nation": (
             "SELECT n_name,\n"
             " CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)"

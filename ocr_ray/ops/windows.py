@@ -358,3 +358,50 @@ def event_transitions(events):
             ]
         ),
     )
+
+
+def user_event_paths(events):
+    """(user_id, n_events, path): each user's full event-type path,
+    '->'-joined in (ts, event_id) order — the ordered STRING_AGG /
+    collect_list aggregate family (the relational shape of per-key
+    sequence assembly; the span reassembly stage is the same pattern
+    over document spans).
+
+    One hash shuffle by user; the block arrives (user, ts, event_id)-
+    sorted, so each group's path is one slice-and-join over the
+    factorized type codes. Path strings are built per group (strings
+    are inherently sequential), but grouping, ordering and slicing are
+    all vectorized."""
+    from ocr_ray.stages.grouped import grouped_map
+
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_events", pa.int64()),
+            ("path", pa.string()),
+        ]
+    )
+
+    def block_fn(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return schema.empty_table()
+        users = block.column("user_id").to_numpy(zero_copy_only=False)
+        types = block.column("event_type").to_pylist()
+        ends = np.append(starts[1:], n)
+        return pa.table(
+            {
+                "user_id": pa.array(users[starts], pa.int64()),
+                "n_events": pa.array(
+                    (ends - starts).astype(np.int64), pa.int64()
+                ),
+                "path": pa.array(
+                    ["->".join(types[s:e]) for s, e in zip(starts, ends)],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return grouped_map(
+        events, ["user_id"], block_fn, sort_within=["ts", "event_id"]
+    )

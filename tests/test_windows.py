@@ -269,3 +269,25 @@ def test_event_transitions_hand_case(ray_session):
         for r in event_transitions(rd.from_arrow(tbl)).take_all()
     }
     assert out == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
+
+
+def test_user_event_paths_order_and_join(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.windows import user_event_paths
+
+    tbl = pa.table(
+        {
+            "user_id": pa.array([7, 7, 7, 8], pa.int64()),
+            # same ts for the first two -> event_id breaks the tie
+            "event_id": pa.array([2, 1, 3, 9], pa.int64()),
+            "ts": pa.array([5, 5, 6, 1], pa.timestamp("us")),
+            "event_type": pa.array(["b", "a", "c", "x"], pa.string()),
+        }
+    )
+    out = {
+        r["user_id"]: r for r in user_event_paths(rd.from_arrow(tbl)).take_all()
+    }
+    assert out[7]["path"] == "a->b->c" and out[7]["n_events"] == 3
+    assert out[8]["path"] == "x" and out[8]["n_events"] == 1
