@@ -1317,6 +1317,12 @@ def q_rollup_lang_source(sf_dir: str):
     return rollup_lang_source(_docs(sf_dir, "lang", "source", "n_chars"))
 
 
+def q_cube_lang_source(sf_dir: str):
+    from ocr_ray.ops.split import cube_lang_source
+
+    return cube_lang_source(_docs(sf_dir, "lang", "source", "n_chars"))
+
+
 def q_events_running_total(sf_dir: str):
     import ray.data as rd
 
@@ -1787,6 +1793,7 @@ QUERIES = {
     "bloom_orders_filter": q_bloom_orders_filter,
     "revenue_by_nation": q_revenue_by_nation,
     "user_event_paths": q_user_event_paths,
+    "cube_lang_source": q_cube_lang_source,
     "mode_event_type_per_user": q_mode_event_type_per_user,
     "user_purchase_click_totals": q_user_purchase_click_totals,
     "user_funnel": q_user_funnel,
@@ -2186,6 +2193,12 @@ def _kmeans_oracle_sql() -> str:
     from ocr_ray.ops.similarity import kmeans_integer_sql
 
     return kmeans_integer_sql(k=8, iters=5)
+
+
+def _cube_oracle_sql() -> str:
+    from ocr_ray.ops.split import cube_sql
+
+    return cube_sql()
 
 
 def _bloom_oracle_sql() -> str:
@@ -3044,6 +3057,7 @@ def oracle_sql() -> dict[str, str]:
         "train_split_stats": _train_split_oracle_sql(),
         "length_outliers": _length_outliers_oracle_sql(),
         "rollup_lang_source": _rollup_oracle_sql(),
+        "cube_lang_source": _cube_oracle_sql(),
         "events_running_total": (
             "SELECT event_id, user_id, ts,\n"
             " CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) OVER (\n"

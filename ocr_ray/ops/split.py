@@ -192,3 +192,62 @@ def rollup_sql() -> str:
         " CAST(SUM(n_chars) AS BIGINT) AS sum_chars\n"
         "FROM documents GROUP BY ROLLUP (lang, source)"
     )
+
+
+def cube_lang_source(docs):
+    """Full CUBE over (lang, source): the ROLLUP levels plus the
+    source-only marginal — all four grouping sets derived from the SAME
+    materialized (lang × source) base aggregate, one corpus scan total
+    (the marginal the mixing dashboard reads: per-source totals across
+    languages)."""
+    from ray.data.aggregate import Sum
+
+    def _all_lang(t: pa.Table) -> pa.Table:
+        lang_all = pa.array(["ALL"] * t.num_rows, pa.string())
+        return pa.table(
+            {
+                "lang": lang_all,
+                "source": t.column("source"),
+                "n_docs": t.column("n_docs"),
+                "sum_chars": t.column("sum_chars"),
+            }
+        )
+
+    rolled = rollup_lang_source(docs)
+    # rollup_lang_source materializes the shared base internally; the
+    # source marginal re-aggregates the (lang, source) rows of the
+    # rolled output (filtering out its super-aggregate rows)
+    def _base_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(
+            pc.and_(
+                pc.not_equal(t.column("lang"), pa.scalar("ALL")),
+                pc.not_equal(t.column("source"), pa.scalar("ALL")),
+            )
+        )
+
+    rolled = rolled.materialize()
+    source_level = (
+        rolled.map_batches(_base_only, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+        .map_batches(_all_lang, batch_format="pyarrow")
+    )
+    cols = ["lang", "source", "n_docs", "sum_chars"]
+    return rolled.select_columns(cols).union(
+        source_level.select_columns(cols)
+    )
+
+
+def cube_sql() -> str:
+    return (
+        "SELECT COALESCE(lang, 'ALL') AS lang,"
+        " COALESCE(source, 'ALL') AS source,\n"
+        " CAST(COUNT(*) AS BIGINT) AS n_docs,"
+        " CAST(SUM(n_chars) AS BIGINT) AS sum_chars\n"
+        "FROM documents GROUP BY CUBE (lang, source)"
+    )

@@ -312,3 +312,20 @@ def test_bigram_familiarity_join_plan_matches_broadcast(ray_session):
         for r in bigram_familiarity(ds, broadcast_threshold=0).take_all()
     )
     assert broadcast == joined
+
+
+def test_cube_adds_source_marginal(ray_session):
+    from ocr_ray.ops.split import cube_lang_source
+
+    tbl = _docs_table()
+    rows = cube_lang_source(rd.from_arrow(tbl)).take_all()
+    base = [r for r in rows if r["lang"] != "ALL" and r["source"] != "ALL"]
+    src_lvl = [r for r in rows if r["lang"] == "ALL" and r["source"] != "ALL"]
+    totals = [r for r in rows if r["lang"] == "ALL" and r["source"] == "ALL"]
+    assert len(totals) == 1 and totals[0]["n_docs"] == tbl.num_rows
+    # the CUBE-only grouping set: one row per source, summed over langs
+    assert {r["source"] for r in src_lvl} == {r["source"] for r in base}
+    for sr in src_lvl:
+        member = [r for r in base if r["source"] == sr["source"]]
+        assert sr["n_docs"] == sum(r["n_docs"] for r in member)
+        assert sr["sum_chars"] == sum(r["sum_chars"] for r in member)
