@@ -925,6 +925,14 @@ def q_user_funnel(sf_dir: str):
     return user_funnel(events)
 
 
+def q_validate_documents(sf_dir: str):
+    from ocr_ray.ops.analysis import validate_documents
+
+    return validate_documents(
+        _docs(sf_dir, "doc_id", "text", "n_chars")
+    )
+
+
 def q_user_event_paths(sf_dir: str):
     import ray.data as rd
 
@@ -1794,6 +1802,7 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "user_event_paths": q_user_event_paths,
     "cube_lang_source": q_cube_lang_source,
+    "validate_documents": q_validate_documents,
     "mode_event_type_per_user": q_mode_event_type_per_user,
     "user_purchase_click_totals": q_user_purchase_click_totals,
     "user_funnel": q_user_funnel,
@@ -3022,6 +3031,21 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_oracle_sql(),
         "kmeans_clusters": _kmeans_oracle_sql(),
         "bloom_orders_filter": _bloom_oracle_sql(),
+        "validate_documents": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,\n"
+            " CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_null_text,\n"
+            " CAST(SUM(CASE WHEN length(COALESCE(text, '')) = 0"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,\n"
+            " CAST(SUM(CASE WHEN length(COALESCE(text, '')) != n_chars"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch,\n"
+            " CAST(MIN(n_chars) AS BIGINT) AS min_chars,\n"
+            " CAST(MAX(n_chars) AS BIGINT) AS max_chars,\n"
+            " (SELECT CAST(COUNT(*) AS BIGINT) FROM (\n"
+            "   SELECT doc_id FROM documents GROUP BY doc_id"
+            " HAVING COUNT(*) > 1)) AS n_dup_ids\n"
+            "FROM documents"
+        ),
         "user_event_paths": (
             "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,\n"
             " STRING_AGG(event_type, '->' ORDER BY ts, event_id) AS path\n"

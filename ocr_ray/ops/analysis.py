@@ -420,3 +420,141 @@ def vocab_overlap(docs):
         if r["src_a"] != r["src_b"]
     ]
     return rd.from_arrow(pa.Table.from_pylist(out, schema=out_schema))
+
+
+# ------------------------------------------------- data-quality audit
+
+
+def validate_documents(docs):
+    """One-row data-quality audit of a documents shard — the assertion
+    set a pipeline gate evaluates before admitting data (null text,
+    empty text, length-field disagreement, duplicate ids, out-of-range
+    lengths). Everything is a map-side partial over one scan plus one
+    tiny merge; duplicate detection rides the same slim (doc_id)
+    partial-dedup rows as the exact-dedup family.
+
+    Columns: n_rows, n_null_text, n_empty_text, n_len_mismatch
+    (n_chars != len(text)), n_dup_ids, min_chars, max_chars."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ocr_ray.ops.dedup import _with_schema
+
+    part_schema = pa.schema(
+        [
+            ("n_rows", pa.int64()),
+            ("n_null_text", pa.int64()),
+            ("n_empty_text", pa.int64()),
+            ("n_len_mismatch", pa.int64()),
+            ("min_chars", pa.int64()),
+            ("max_chars", pa.int64()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        text = t.column("text")
+        nulls = pc.sum(pc.cast(pc.is_null(text), pa.int64())).as_py() or 0
+        filled = pc.fill_null(text, "")
+        empty = (
+            pc.sum(
+                pc.cast(pc.equal(pc.utf8_length(filled), 0), pa.int64())
+            ).as_py()
+            or 0
+        )
+        mismatch = (
+            pc.sum(
+                pc.cast(
+                    pc.not_equal(
+                        pc.cast(pc.utf8_length(filled), pa.int64()),
+                        pc.cast(t.column("n_chars"), pa.int64()),
+                    ),
+                    pa.int64(),
+                )
+            ).as_py()
+            or 0
+        )
+        chars = pc.cast(t.column("n_chars"), pa.int64())
+        return pa.table(
+            {
+                "n_rows": pa.array([t.num_rows], pa.int64()),
+                "n_null_text": pa.array([nulls], pa.int64()),
+                "n_empty_text": pa.array([empty], pa.int64()),
+                "n_len_mismatch": pa.array([mismatch], pa.int64()),
+                "min_chars": pa.array([pc.min(chars).as_py()], pa.int64()),
+                "max_chars": pa.array([pc.max(chars).as_py()], pa.int64()),
+            }
+        )
+
+    merged = (
+        _with_schema(
+            docs.map_batches(partials, batch_format="pyarrow"), part_schema
+        )
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_null_text", alias_name="n_null_text"),
+            Sum("n_empty_text", alias_name="n_empty_text"),
+            Sum("n_len_mismatch", alias_name="n_len_mismatch"),
+            Min("min_chars", alias_name="min_chars"),
+            Max("max_chars", alias_name="max_chars"),
+        )
+    )
+
+    # duplicate ids: slim per-batch distinct (doc_id, partial-count)
+    # rows, one keyed sum, count keys seen more than once
+    def id_partials(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids, counts = np.unique(
+            t.column("doc_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            ),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    per_id = (
+        docs.map_batches(id_partials, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(_Sum("c", alias_name="c"))
+    )
+
+    def dup_flags(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.table({"d": pa.array([], pa.int64())})
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"d": pa.array([int((c > 1).sum())], pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum as _S2
+
+    n_dup = (
+        per_id.map_batches(dup_flags, batch_format="pyarrow").aggregate(
+            _S2("d", alias_name="n_dup_ids")
+        )
+    )
+
+    row = dict(merged)
+    row["n_dup_ids"] = n_dup["n_dup_ids"]
+    return pa.Table.from_pylist(
+        [row],
+        schema=pa.schema(
+            [
+                ("n_rows", pa.int64()),
+                ("n_null_text", pa.int64()),
+                ("n_empty_text", pa.int64()),
+                ("n_len_mismatch", pa.int64()),
+                ("min_chars", pa.int64()),
+                ("max_chars", pa.int64()),
+                ("n_dup_ids", pa.int64()),
+            ]
+        ),
+    )

@@ -591,3 +591,25 @@ def test_kmeans_integer_separated_clusters(ray_session):
 
     with pytest.raises(ValueError, match="exceeds"):
         kmeans_integer(rd.from_arrow(tbl), k=10, iters=1)
+
+
+def test_validate_documents_counts_violations(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.ops.analysis import validate_documents
+
+    docs = pa.table(
+        {
+            # doc_id 3 duplicated; one null text; one empty; one mismatch
+            "doc_id": pa.array([1, 2, 3, 3, 4], pa.int64()),
+            "text": pa.array(["abc", None, "", "xy", "hello"], pa.string()),
+            "n_chars": pa.array([3, 0, 0, 2, 99], pa.int64()),
+        }
+    )
+    row = validate_documents(rd.from_arrow(docs)).to_pylist()[0]
+    assert row["n_rows"] == 5
+    assert row["n_null_text"] == 1
+    assert row["n_empty_text"] == 2  # the null (coalesced) + the empty
+    assert row["n_len_mismatch"] == 1  # 'hello' vs 99
+    assert row["n_dup_ids"] == 1
+    assert row["min_chars"] == 0 and row["max_chars"] == 99
