@@ -788,6 +788,24 @@ def q_kmeans_clusters(sf_dir: str):
     )
 
 
+def q_cluster_top_terms(sf_dir: str):
+    from ocr_ray.ops.similarity import cluster_top_terms
+
+    return _materialized(
+        cluster_top_terms(
+            _embeddings(sf_dir), _docs(sf_dir), k=8, iters=5, top=3
+        ),
+        pa.schema(
+            [
+                ("cluster", pa.int64()),
+                ("word", pa.string()),
+                ("c", pa.int64()),
+                ("rank", pa.int64()),
+            ]
+        ),
+    )
+
+
 def q_pack_sequences(sf_dir: str):
     from ocr_ray.ops.chunk import pack_sequences
 
@@ -1803,6 +1821,7 @@ QUERIES = {
     "user_event_paths": q_user_event_paths,
     "cube_lang_source": q_cube_lang_source,
     "validate_documents": q_validate_documents,
+    "cluster_top_terms": q_cluster_top_terms,
     "mode_event_type_per_user": q_mode_event_type_per_user,
     "user_purchase_click_totals": q_user_purchase_click_totals,
     "user_funnel": q_user_funnel,
@@ -2208,6 +2227,28 @@ def _cube_oracle_sql() -> str:
     from ocr_ray.ops.split import cube_sql
 
     return cube_sql()
+
+
+def _cluster_terms_oracle_sql() -> str:
+    from ocr_ray.ops.similarity import kmeans_integer_sql
+
+    return (
+        "WITH assign AS MATERIALIZED (\n"
+        + kmeans_integer_sql(k=8, iters=5)
+        + "\n), w AS (\n"
+        " SELECT a.cluster,"
+        " unnest(regexp_extract_all(lower(d.text), '[a-zA-Z]{3,}')) AS word\n"
+        " FROM documents d JOIN assign a ON a.vec_id = d.doc_id\n"
+        "), cnt AS (\n"
+        " SELECT cluster, word, COUNT(*) AS c FROM w GROUP BY 1, 2\n"
+        "), r AS (\n"
+        " SELECT cluster, word, c, ROW_NUMBER() OVER ("
+        "PARTITION BY cluster ORDER BY c DESC, word ASC) AS rnk FROM cnt\n"
+        ")\n"
+        "SELECT CAST(cluster AS BIGINT) AS cluster, word,"
+        " CAST(c AS BIGINT) AS c, CAST(rnk AS BIGINT) AS rank\n"
+        "FROM r WHERE rnk <= 3"
+    )
 
 
 def _bloom_oracle_sql() -> str:
@@ -3031,6 +3072,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_oracle_sql(),
         "kmeans_clusters": _kmeans_oracle_sql(),
         "bloom_orders_filter": _bloom_oracle_sql(),
+        "cluster_top_terms": _cluster_terms_oracle_sql(),
         "validate_documents": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,\n"
             " CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)"

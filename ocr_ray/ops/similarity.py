@@ -548,3 +548,112 @@ def kmeans_integer_sql(k: int = 8, iters: int = 5) -> str:
         "  GROUP BY q.vec_id, c.cluster)"
         ") WHERE rn = 1"
     )
+
+
+def cluster_top_terms(embeddings, docs, k: int = 8, iters: int = 5,
+                      top: int = 3):
+    """Label each k-means cluster with its most frequent tokens:
+    (cluster, word, c, rank) for the ``top`` highest-count words per
+    cluster (ties → word ASC) — operators composing end-to-end: the
+    integer-exact k-means assignment joins the documents table
+    (vec_id = doc_id), token counting collapses map-side to slim
+    (cluster, word, partial) rows, one keyed sum merges them, and a
+    local-top-k two-phase rank finishes (each batch forwards only its
+    own top rows per cluster).
+
+    The SQL oracle nests the full k-means CTE chain and replays the
+    same count + ROW_NUMBER ranking."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.dedup import _with_schema
+    from ocr_ray.ops.joins import large_join
+    from ocr_ray.stages.grouped import grouped_map
+
+    word_re = re.compile(r"[a-zA-Z]{3,}")
+    assign = kmeans_integer(embeddings, k=k, iters=iters)
+    joined = large_join(
+        docs, assign, on="doc_id", right_on="vec_id"
+    ).select_columns(["cluster", "text"])
+
+    count_schema = pa.schema(
+        [("cluster", pa.int64()), ("word", pa.string()), ("c", pa.int64())]
+    )
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return count_schema.empty_table()
+        from collections import Counter
+
+        counts: Counter[tuple[int, str]] = Counter()
+        for cl, text in zip(
+            t.column("cluster").to_pylist(), t.column("text").to_pylist()
+        ):
+            for w in word_re.findall((text or "").lower()):
+                counts[(int(cl), w)] += 1
+        items = sorted(counts.items())
+        return pa.table(
+            {
+                "cluster": pa.array([i[0][0] for i in items], pa.int64()),
+                "word": pa.array([i[0][1] for i in items], pa.string()),
+                "c": pa.array([i[1] for i in items], pa.int64()),
+            }
+        )
+
+    counts = _with_schema(
+        joined.map_batches(count_partials, batch_format="pyarrow")
+        .groupby(["cluster", "word"])
+        .aggregate(Sum("c", alias_name="c")),
+        count_schema,
+    )
+
+    out_schema = pa.schema(
+        [
+            ("cluster", pa.int64()),
+            ("word", pa.string()),
+            ("c", pa.int64()),
+            ("rank", pa.int64()),
+        ]
+    )
+
+    def topk_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return out_schema.empty_table()
+        cl = block.column("cluster").to_numpy(zero_copy_only=False)
+        c = block.column("c").to_numpy(zero_copy_only=False)
+        words = np.asarray(block.column("word").to_pylist(), dtype=object)
+        # np.unique returns lexicographically sorted uniques, so code
+        # order == word ASC — the tie-break the oracle uses
+        _, wcodes = np.unique(words, return_inverse=True)
+        order = np.lexsort((wcodes, -c, cl))
+        cl_s = cl[order]
+        g_starts = np.flatnonzero(np.r_[True, cl_s[1:] != cl_s[:-1]])
+        sizes = np.diff(np.append(g_starts, n))
+        rank = np.arange(n) - np.repeat(g_starts, sizes)
+        keep = rank < top
+        idx = order[keep]
+        return pa.table(
+            {
+                "cluster": pa.array(cl[idx], pa.int64()),
+                "word": pa.array(words[idx], pa.string()),
+                "c": pa.array(c[idx], pa.int64()),
+                "rank": pa.array((rank[keep] + 1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return count_schema.empty_table()
+        t = t.sort_by([("cluster", "ascending")])
+        cl = t.column("cluster").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
+        return topk_block(t, starts).drop_columns(["rank"])
+
+    # phase 1: per-batch local top-k (global winners are a subset);
+    # phase 2: one slim shuffle by cluster, final vectorized re-rank
+    local = _with_schema(
+        counts.map_batches(local_topk, batch_format="pyarrow"), count_schema
+    )
+    return grouped_map(local, ["cluster"], topk_block)

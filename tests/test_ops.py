@@ -613,3 +613,46 @@ def test_validate_documents_counts_violations(ray_session):
     assert row["n_len_mismatch"] == 1  # 'hello' vs 99
     assert row["n_dup_ids"] == 1
     assert row["min_chars"] == 0 and row["max_chars"] == 99
+
+
+def test_cluster_top_terms_composition(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.ops.similarity import cluster_top_terms
+
+    # two separated blobs; docs of blob 0 say "alpha", blob 1 "omega"
+    lo, hi = [0.0, 0.0], [9.0, 9.0]
+    emb = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "embedding": pa.array(
+                [lo, hi, [0.1, 0.0], [9.1, 9.0]], pa.list_(pa.float32())
+            ),
+        }
+    )
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha alpha beta",
+                    "omega omega gamma",
+                    "alpha beta beta",
+                    "omega gamma",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = cluster_top_terms(
+        rd.from_arrow(emb), rd.from_arrow(docs), k=2, iters=2, top=2
+    ).take_all()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    # cluster 0 = {docs 0, 2}: beta x3, alpha x3 -> tie broken word ASC
+    c0 = sorted(by_cluster[0], key=lambda r: r["rank"])
+    assert [(r["word"], r["c"]) for r in c0] == [("alpha", 3), ("beta", 3)]
+    c1 = sorted(by_cluster[1], key=lambda r: r["rank"])
+    assert c1[0]["word"] == "omega" and c1[0]["c"] == 3
+    assert c1[1]["word"] == "gamma" and c1[1]["c"] == 2
