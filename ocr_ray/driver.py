@@ -788,6 +788,27 @@ def q_kmeans_clusters(sf_dir: str):
     )
 
 
+def q_customer_value_ntile(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import customer_value_ntile
+
+    _quiet()
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    return _materialized(
+        customer_value_ntile(orders, tiles=4),
+        pa.schema(
+            [
+                ("c_custkey", pa.int64()),
+                ("total_cents", pa.int64()),
+                ("tile", pa.int64()),
+            ]
+        ),
+    )
+
+
 def q_cluster_top_terms(sf_dir: str):
     from ocr_ray.ops.similarity import cluster_top_terms
 
@@ -1822,6 +1843,7 @@ QUERIES = {
     "cube_lang_source": q_cube_lang_source,
     "validate_documents": q_validate_documents,
     "cluster_top_terms": q_cluster_top_terms,
+    "customer_value_ntile": q_customer_value_ntile,
     "mode_event_type_per_user": q_mode_event_type_per_user,
     "user_purchase_click_totals": q_user_purchase_click_totals,
     "user_funnel": q_user_funnel,
@@ -3073,6 +3095,18 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_oracle_sql(),
         "bloom_orders_filter": _bloom_oracle_sql(),
         "cluster_top_terms": _cluster_terms_oracle_sql(),
+        "customer_value_ntile": (
+            "WITH t AS (\n"
+            " SELECT o_custkey AS c_custkey,\n"
+            "  SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))"
+            " AS total_cents\n"
+            " FROM orders GROUP BY 1\n"
+            ")\n"
+            "SELECT c_custkey, CAST(total_cents AS BIGINT) AS total_cents,\n"
+            " CAST(NTILE(4) OVER (ORDER BY total_cents, c_custkey)"
+            " AS BIGINT) AS tile\n"
+            "FROM t"
+        ),
         "validate_documents": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,\n"
             " CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)"

@@ -485,3 +485,148 @@ def props_k_stats(events):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------- NTILE without a global sort
+
+_NTILE_BUCKET_CENTS = 1 << 22  # ~42k currency units per range bucket
+
+
+def customer_value_ntile(orders, tiles: int = 4,
+                         bucket_width: int = _NTILE_BUCKET_CENTS):
+    """(c_custkey, total_cents, tile): customers bucketed into
+    ``tiles`` NTILE groups by ascending lifetime order value — the
+    window-function NTILE family, computed WITHOUT a global sort.
+
+    Global rank via value-range partitioning (how distributed sorts
+    work, minus the final exchange): totals reduce to one slim row per
+    customer; rows range-bucket by ``total_cents // bucket_width``; a
+    tiny per-bucket count aggregate cumsums driver-side into base
+    offsets (bounded by the value range / width); each bucket block
+    then sorts locally — global rank = bucket offset + in-block
+    position, tie-break c_custkey ASC like the oracle's ORDER BY. The
+    tile uses SQL NTILE's exact uneven-split rule: the first
+    ``n mod tiles`` tiles get one extra row."""
+    from ray.data.aggregate import Count, Sum
+
+    from ocr_ray.ops.dedup import _with_schema
+    from ocr_ray.stages.grouped import grouped_map
+
+    tot_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("c_custkey", pa.int64()),
+            ("total_cents", pa.int64()),
+        ]
+    )
+
+    def cents_partials(t: pa.Table) -> pa.Table:
+        from ocr_ray.driver import _cents
+
+        return (
+            pa.table(
+                {
+                    "c_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                    "cents": _cents(t["o_totalprice"]),
+                }
+            )
+            .group_by("c_custkey")
+            .aggregate([("cents", "sum")])
+            .rename_columns(["c_custkey", "cents"])
+        )
+
+    totals = (
+        orders.map_batches(cents_partials, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("cents", alias_name="total_cents"))
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return tot_schema.empty_table()
+        tc = t.column("total_cents").cast(pa.int64())
+        return pa.table(
+            {
+                "bucket": pc.divide(tc, pa.scalar(bucket_width, pa.int64())),
+                "c_custkey": t.column("c_custkey").cast(pa.int64()),
+                "total_cents": tc,
+            }
+        )
+
+    bucketed = _with_schema(
+        totals.map_batches(add_bucket, batch_format="pyarrow"), tot_schema
+    ).materialize()
+
+    counts = (
+        bucketed.groupby("bucket").aggregate(Count(alias_name="n"))
+    ).take_all()  # bounded: one row per value-range bucket
+    counts.sort(key=lambda r: r["bucket"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in counts:
+        offsets[r["bucket"]] = acc
+        acc += r["n"]
+    n_total = acc
+    if n_total == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.schema(
+                [
+                    ("c_custkey", pa.int64()),
+                    ("total_cents", pa.int64()),
+                    ("tile", pa.int64()),
+                ]
+            ).empty_table()
+        )
+    import ray
+
+    off_ref = ray.put(offsets)
+    big = n_total % tiles  # first `big` tiles get ceil(n/tiles) rows
+    size_hi = -(-n_total // tiles)
+    size_lo = n_total // tiles
+    cut = big * size_hi  # ranks 1..cut live in the oversized tiles
+
+    out_schema = pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("total_cents", pa.int64()),
+            ("tile", pa.int64()),
+        ]
+    )
+
+    def rank_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return out_schema.empty_table()
+        base = ray.get(off_ref)
+        bk = block.column("bucket").to_numpy(zero_copy_only=False)
+        sizes = np.diff(np.append(starts, n))
+        # block arrives (bucket, total_cents, c_custkey)-sorted
+        pos = np.arange(n) - np.repeat(starts, sizes)
+        rn = (
+            pos
+            + np.repeat(
+                np.array([base[int(b)] for b in bk[starts]], np.int64), sizes
+            )
+            + 1
+        )
+        tile = np.where(
+            rn <= cut,
+            (rn - 1) // size_hi + 1,
+            big + (rn - cut - 1) // max(size_lo, 1) + 1,
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": block.column("c_custkey").cast(pa.int64()),
+                "total_cents": block.column("total_cents").cast(pa.int64()),
+                "tile": pa.array(tile, pa.int64()),
+            }
+        )
+
+    return grouped_map(
+        bucketed,
+        ["bucket"],
+        rank_block,
+        sort_within=["total_cents", "c_custkey"],
+    )

@@ -291,3 +291,29 @@ def test_user_event_paths_order_and_join(ray_session):
     }
     assert out[7]["path"] == "a->b->c" and out[7]["n_events"] == 3
     assert out[8]["path"] == "x" and out[8]["n_events"] == 1
+
+
+def test_customer_value_ntile_uneven_split(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import customer_value_ntile
+
+    # 10 customers, one order each, values 1..10 -> NTILE(4) over n=10:
+    # tiles sized 3,3,2,2 (first n%k tiles get the extra row)
+    orders = pa.table(
+        {
+            "o_custkey": pa.array(list(range(1, 11)), pa.int64()),
+            "o_totalprice": pa.array(
+                [float(i) for i in range(1, 11)], pa.float64()
+            ),
+        }
+    )
+    out = {
+        r["c_custkey"]: r["tile"]
+        for r in customer_value_ntile(
+            rd.from_arrow(orders), tiles=4, bucket_width=250
+        ).take_all()
+    }
+    # ascending by total: custkey i has rank i
+    assert [out[i] for i in range(1, 11)] == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
