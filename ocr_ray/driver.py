@@ -788,6 +788,17 @@ def q_kmeans_clusters(sf_dir: str):
     )
 
 
+def q_length_token_correlation(sf_dir: str):
+    from ocr_ray.ops.stats import length_token_correlation
+
+    return _materialized(
+        length_token_correlation(_docs(sf_dir, "lang", "text", "n_chars")),
+        pa.schema(
+            [("lang", pa.string()), ("n", pa.int64()), ("corr", pa.float64())]
+        ),
+    )
+
+
 def q_customer_value_ntile(sf_dir: str):
     import ray.data as rd
 
@@ -1844,6 +1855,7 @@ QUERIES = {
     "validate_documents": q_validate_documents,
     "cluster_top_terms": q_cluster_top_terms,
     "customer_value_ntile": q_customer_value_ntile,
+    "length_token_correlation": q_length_token_correlation,
     "mode_event_type_per_user": q_mode_event_type_per_user,
     "user_purchase_click_totals": q_user_purchase_click_totals,
     "user_funnel": q_user_funnel,
@@ -3095,6 +3107,40 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_oracle_sql(),
         "bloom_orders_filter": _bloom_oracle_sql(),
         "cluster_top_terms": _cluster_terms_oracle_sql(),
+        "length_token_correlation": (
+            "WITH m AS (\n"
+            " SELECT lang,\n"
+            "  CAST(COUNT(*) AS BIGINT) AS n,\n"
+            "  CAST(SUM(n_chars) AS BIGINT) AS sx,\n"
+            "  CAST(SUM(y) AS BIGINT) AS sy,\n"
+            "  CAST(SUM(n_chars * y) AS BIGINT) AS sxy,\n"
+            "  CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx,\n"
+            "  CAST(SUM(y * y) AS BIGINT) AS syy\n"
+            " FROM (SELECT lang, n_chars,\n"
+            "   CAST(len(regexp_extract_all(COALESCE(text, ''), '\\S+'))"
+            " AS BIGINT) AS y\n"
+            "  FROM documents)\n"
+            " GROUP BY lang\n"
+            ")\n"
+            ", d AS (\n"
+            # every moment cast to DOUBLE BEFORE any arithmetic — the
+            # engine's numpy path works in float64 throughout, and
+            # integer-domain products would round differently past 2^53
+            " SELECT lang, n,\n"
+            "  CAST(n AS DOUBLE) AS fn, CAST(sx AS DOUBLE) AS fsx,\n"
+            "  CAST(sy AS DOUBLE) AS fsy, CAST(sxy AS DOUBLE) AS fsxy,\n"
+            "  CAST(sxx AS DOUBLE) AS fsxx, CAST(syy AS DOUBLE) AS fsyy\n"
+            " FROM m\n"
+            ")\n"
+            "SELECT lang, n,\n"
+            " CASE WHEN sqrt(fn * fsxx - fsx * fsx)"
+            " * sqrt(fn * fsyy - fsy * fsy) > 0.0\n"
+            "  THEN (fn * fsxy - fsx * fsy)"
+            " / (sqrt(fn * fsxx - fsx * fsx)"
+            " * sqrt(fn * fsyy - fsy * fsy))\n"
+            "  ELSE 0.0 END AS corr\n"
+            "FROM d"
+        ),
         "customer_value_ntile": (
             "WITH t AS (\n"
             " SELECT o_custkey AS c_custkey,\n"

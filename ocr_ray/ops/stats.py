@@ -630,3 +630,111 @@ def customer_value_ntile(orders, tiles: int = 4,
         rank_block,
         sort_within=["total_cents", "c_custkey"],
     )
+
+
+def length_token_correlation(docs):
+    """(lang, n, corr): Pearson correlation between character length and
+    whitespace token count per language — the statistical-moments
+    aggregate family. All five moments (Σx, Σy, Σxy, Σx², Σy²)
+    accumulate as EXACT int64 map-side partials (order-free sums), so
+    the only floating-point work is the final correlation expression —
+    subtraction, multiplication, division and IEEE-754 sqrt (exactly
+    rounded by spec) over exact integers, shared term-for-term with the
+    SQL oracle for a bit-identical result."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.dedup import _with_schema
+
+    part_schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("n", pa.int64()),
+            ("sx", pa.int64()),
+            ("sy", pa.int64()),
+            ("sxy", pa.int64()),
+            ("sxx", pa.int64()),
+            ("syy", pa.int64()),
+        ]
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        x = t.column("n_chars").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        y = (
+            pc.count_substring_regex(
+                pc.coalesce(t.column("text"), pa.scalar("")), pattern=r"\S+"
+            )
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        uniq, codes = np.unique(langs, return_inverse=True)
+        k = len(uniq)
+
+        def seg(v):
+            out = np.zeros(k, np.int64)
+            np.add.at(out, codes, v)
+            return out
+
+        ones = np.ones(len(x), np.int64)
+        return pa.table(
+            {
+                "lang": pa.array(uniq, pa.string()),
+                "n": pa.array(seg(ones), pa.int64()),
+                "sx": pa.array(seg(x), pa.int64()),
+                "sy": pa.array(seg(y), pa.int64()),
+                "sxy": pa.array(seg(x * y), pa.int64()),
+                "sxx": pa.array(seg(x * x), pa.int64()),
+                "syy": pa.array(seg(y * y), pa.int64()),
+            }
+        )
+
+    merged = _with_schema(
+        docs.map_batches(moments, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+        ),
+        part_schema,
+    )
+
+    out_schema = pa.schema(
+        [("lang", pa.string()), ("n", pa.int64()), ("corr", pa.float64())]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t.column("sx").to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = t.column("sy").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = t.column("sxy").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        sxx = t.column("sxx").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        syy = t.column("syy").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        # the exact term order the oracle replays:
+        # (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+        denom = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+        corr = np.where(denom > 0.0, (n * sxy - sx * sy) / denom, 0.0)
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "n": t.column("n").cast(pa.int64()),
+                "corr": pa.array(corr, pa.float64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
