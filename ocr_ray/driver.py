@@ -788,6 +788,12 @@ def q_kmeans_clusters(sf_dir: str):
     )
 
 
+def q_hll_vocab_by_source(sf_dir: str):
+    from ocr_ray.ops.sketch import hll_vocab_by_source
+
+    return hll_vocab_by_source(_docs(sf_dir, "source", "text"))
+
+
 def q_length_token_correlation(sf_dir: str):
     from ocr_ray.ops.stats import length_token_correlation
 
@@ -1856,6 +1862,7 @@ QUERIES = {
     "cluster_top_terms": q_cluster_top_terms,
     "customer_value_ntile": q_customer_value_ntile,
     "length_token_correlation": q_length_token_correlation,
+    "hll_vocab_by_source": q_hll_vocab_by_source,
     "mode_event_type_per_user": q_mode_event_type_per_user,
     "user_purchase_click_totals": q_user_purchase_click_totals,
     "user_funnel": q_user_funnel,
@@ -3107,6 +3114,40 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_oracle_sql(),
         "bloom_orders_filter": _bloom_oracle_sql(),
         "cluster_top_terms": _cluster_terms_oracle_sql(),
+        "hll_vocab_by_source": (
+            "WITH w AS (\n"
+            " SELECT DISTINCT source, word FROM (\n"
+            f"  SELECT source, unnest({_WORDS_SQL}) AS word FROM documents)\n"
+            "), h AS (\n"
+            " SELECT source,"
+            " ('0x' || substr(md5(word), 1, 8))::BIGINT AS hi,\n"
+            "  ('0x' || substr(md5(word), 9, 8))::BIGINT AS lo FROM w\n"
+            "), parts AS (\n"
+            " SELECT source, hi & 255 AS bucket,"
+            " ((hi >> 8) * 4294967296) + lo AS w FROM h\n"
+            "), rho AS (\n"
+            " SELECT source, bucket, CASE WHEN w = 0 THEN 57"
+            " ELSE 57 - length(printf('%b', w)) END AS r FROM parts\n"
+            "), regs AS (\n"
+            " SELECT source, bucket, MAX(r) AS max_rho FROM rho"
+            " GROUP BY 1, 2\n"
+            "), s AS (\n"
+            " SELECT source,"
+            " SUM((1::HUGEINT << (57 - max_rho)))"
+            " + (256 - COUNT(*)) * (1::HUGEINT << 57) AS s_int,\n"
+            "  256 - COUNT(*) AS zeros, COUNT(*) AS n_regs FROM regs"
+            " GROUP BY source\n"
+            "), e AS (\n"
+            " SELECT source,"
+            " 6.783892839851034e+21 / CAST(s_int AS DOUBLE) AS raw,"
+            " zeros, n_regs FROM s\n"
+            ")\n"
+            "SELECT source,\n"
+            " ROUND(CASE WHEN raw <= 640.0 AND zeros > 0"
+            " THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 2)"
+            " AS hll_vocab,\n"
+            " CAST(n_regs AS BIGINT) AS n_registers FROM e"
+        ),
         "length_token_correlation": (
             "WITH m AS (\n"
             " SELECT lang,\n"

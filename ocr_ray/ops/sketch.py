@@ -417,3 +417,78 @@ def bloom_semi_join_sql(
         f"probes AS (SELECT *, {probes} FROM ({big_select}))\n"
         f"SELECT * EXCLUDE (b0, b1) FROM probes WHERE {cond}"
     )
+
+
+# -------------------------------------------------- grouped HLL sketch
+
+
+def hll_vocab_by_source(docs):
+    """(source, hll_vocab, n_registers): approximate distinct-word count
+    per source — the GROUPED sketch shape: every batch emits per-source
+    register partials (≤ sources × M slim rows), one keyed max merges
+    them, and per-source estimates compute on the ≤ S × M-row driver
+    collect. Registers use the same md5 convention as the global HLL,
+    so the SQL oracle rebuilds them bit-for-bit and replays the
+    estimate formula (exact vocabulary lives in ``vocab_by_source`` —
+    this is its mergeable constant-traffic counterpart)."""
+    from ray.data.aggregate import Max
+
+    from ocr_ray.ops.analysis import _WORD_RE
+    from ocr_ray.ops.dedup import _with_schema
+
+    reg_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("bucket", pa.int64()),
+            ("max_rho", pa.int64()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        regs: dict[tuple[str, int], int] = {}
+        for source, text in zip(
+            t.column("source").to_pylist(), t.column("text").to_pylist()
+        ):
+            for word in set(_WORD_RE.findall((text or "").lower())):
+                bucket, w = _hash_parts(word)
+                r = _rho(w)
+                key = (source, bucket)
+                if r > regs.get(key, 0):
+                    regs[key] = r
+        items = sorted(regs.items())
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k, _ in items], pa.string()),
+                "bucket": pa.array([k[1] for k, _ in items], pa.int64()),
+                "max_rho": pa.array([r for _, r in items], pa.int64()),
+            }
+        )
+
+    rows = (
+        _with_schema(
+            docs.map_batches(partials, batch_format="pyarrow"), reg_schema
+        )
+        .groupby(["source", "bucket"])
+        .aggregate(Max("max_rho", alias_name="max_rho"))
+    ).take_all()  # bounded: <= sources x M rows
+    by_source: dict[str, list[dict]] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    out = [
+        {
+            "source": s,
+            "hll_vocab": round(hll_estimate_from_registers(rs), 2),
+            "n_registers": len(rs),
+        }
+        for s, rs in sorted(by_source.items())
+    ]
+    return pa.Table.from_pylist(
+        out,
+        schema=pa.schema(
+            [
+                ("source", pa.string()),
+                ("hll_vocab", pa.float64()),
+                ("n_registers", pa.int64()),
+            ]
+        ),
+    )

@@ -119,3 +119,31 @@ def test_bloom_semi_join_membership_and_fp_determinism(ray_session):
     # empty build side -> empty bitmap -> nothing survives
     empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
     assert bloom_semi_join(big, "k", empty, "k").take_all() == []
+
+
+def test_hll_vocab_by_source_accuracy(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.sketch import hll_vocab_by_source
+
+    def w(i: int) -> str:
+        # letters-only token (the [a-zA-Z]{3,} tokenizer drops digits)
+        return "w" + "".join(chr(ord("a") + int(d)) for d in str(i).zfill(4))
+
+    # source A: 300 distinct words; source B: 30
+    docs_a = [f"{w(i)} {w(i + 100)} {w(i + 200)}" for i in range(100)]
+    docs_b = [w(i % 30) for i in range(60)]
+    tbl = pa.table(
+        {
+            "source": pa.array(["A"] * 100 + ["B"] * 60, pa.string()),
+            "text": pa.array(docs_a + docs_b, pa.string()),
+        }
+    )
+    out = {
+        r["source"]: r for r in hll_vocab_by_source(rd.from_arrow(tbl)).to_pylist()
+    }
+    # HLL with 256 registers: ~6.5% relative error; allow 3 sigma
+    assert abs(out["A"]["hll_vocab"] - 300) / 300 < 0.25
+    assert abs(out["B"]["hll_vocab"] - 30) / 30 < 0.25
+    assert out["A"]["n_registers"] <= 256
