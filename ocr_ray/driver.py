@@ -788,6 +788,27 @@ def q_kmeans_clusters(sf_dir: str):
     )
 
 
+def q_daily_retention(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import daily_retention
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return _materialized(
+        daily_retention(events),
+        pa.schema(
+            [
+                ("cohort_day", pa.int32()),
+                ("n_users", pa.int64()),
+                ("n_retained", pa.int64()),
+            ]
+        ),
+    )
+
+
 def q_hll_vocab_by_source(sf_dir: str):
     from ocr_ray.ops.sketch import hll_vocab_by_source
 
@@ -1863,6 +1884,7 @@ QUERIES = {
     "customer_value_ntile": q_customer_value_ntile,
     "length_token_correlation": q_length_token_correlation,
     "hll_vocab_by_source": q_hll_vocab_by_source,
+    "daily_retention": q_daily_retention,
     "mode_event_type_per_user": q_mode_event_type_per_user,
     "user_purchase_click_totals": q_user_purchase_click_totals,
     "user_funnel": q_user_funnel,
@@ -3114,6 +3136,22 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_oracle_sql(),
         "bloom_orders_filter": _bloom_oracle_sql(),
         "cluster_top_terms": _cluster_terms_oracle_sql(),
+        "daily_retention": (
+            "WITH ud AS (\n"
+            " SELECT DISTINCT user_id,"
+            " CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER)"
+            " AS day FROM events\n"
+            "), f AS (\n"
+            " SELECT user_id, MIN(day) AS cohort_day FROM ud"
+            " GROUP BY user_id\n"
+            ")\n"
+            "SELECT f.cohort_day,\n"
+            " CAST(COUNT(*) AS BIGINT) AS n_users,\n"
+            " CAST(COUNT(u.user_id) AS BIGINT) AS n_retained\n"
+            "FROM f LEFT JOIN ud u\n"
+            " ON u.user_id = f.user_id AND u.day = f.cohort_day + 1\n"
+            "GROUP BY f.cohort_day"
+        ),
         "hll_vocab_by_source": (
             "WITH w AS (\n"
             " SELECT DISTINCT source, word FROM (\n"

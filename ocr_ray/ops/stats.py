@@ -738,3 +738,128 @@ def length_token_correlation(docs):
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def daily_retention(events):
+    """(cohort_day, n_users, n_retained): next-day retention per cohort
+    — users whose FIRST active day is the cohort day, and how many of
+    them are active again the following day. The cohort-analysis
+    family.
+
+    Scale shape: events collapse map-side to distinct (user, day) slim
+    rows; one keyed aggregate per user yields the first day; a
+    hash-partitioned join probes (user, first_day + 1) against the
+    distinct user-days (both sides slim — events never shuffle); a tiny
+    keyed rollup finishes."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    from ocr_ray.ops.dedup import _renamed, _with_schema
+    from ocr_ray.ops.joins import large_join
+
+    ud_schema = pa.schema([("user_id", pa.int64()), ("day", pa.int32())])
+
+    def user_days(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return ud_schema.empty_table()
+        days = pc.cast(pc.cast(t.column("ts"), pa.date32()), pa.int32())
+        users = t.column("user_id").cast(pa.int64())
+        pairs = pa.table({"user_id": users, "day": days})
+        # per-batch distinct (user, day)
+        return pairs.group_by(["user_id", "day"]).aggregate([]).select(
+            ["user_id", "day"]
+        )
+
+    ud = _with_schema(
+        events.map_batches(user_days, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="_n")),
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("day", pa.int32()),
+                ("_n", pa.int64()),
+            ]
+        ),
+    ).select_columns(["user_id", "day"]).materialize()
+
+    first = _with_schema(
+        ud.groupby("user_id").aggregate(Min("day", alias_name="cohort_day")),
+        pa.schema([("user_id", pa.int64()), ("cohort_day", pa.int32())]),
+    )
+
+    def probe_day(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("cohort_day", pa.int32()),
+                    ("next_day", pa.int32()),
+                ]
+            ).empty_table()
+        cd = t.column("cohort_day").cast(pa.int32())
+        return pa.table(
+            {
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "cohort_day": cd,
+                "next_day": pc.add(cd, pa.scalar(1, pa.int32())),
+            }
+        )
+
+    probes = first.map_batches(probe_day, batch_format="pyarrow")
+    # ud with an explicit match marker — the payload the left_outer
+    # join preserves as NULL on misses (the join coalesces the key
+    # columns themselves, so a marker column is the miss signal)
+    ud_marked = ud.map_batches(
+        lambda t: t.append_column(
+            "m", pa.array(np.ones(t.num_rows, np.int64), pa.int64())
+        )
+        if t.num_rows
+        else pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("day", pa.int32()),
+                ("m", pa.int64()),
+            ]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )
+    joined = large_join(
+        probes,
+        _renamed(ud_marked, {"day": "next_day"}),
+        on=("user_id", "next_day"),
+        join_type="left_outer",
+    )
+
+    def cohort_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [
+                    ("cohort_day", pa.int32()),
+                    ("one", pa.int64()),
+                    ("retained", pa.int64()),
+                ]
+            ).empty_table()
+        m = pc.fill_null(t.column("m"), 0)
+        return pa.table(
+            {
+                "cohort_day": t.column("cohort_day").cast(pa.int32()),
+                "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                "retained": pc.cast(m, pa.int64()),
+            }
+        )
+
+    return _with_schema(
+        joined.map_batches(cohort_partials, batch_format="pyarrow")
+        .groupby("cohort_day")
+        .aggregate(
+            Sum("one", alias_name="n_users"),
+            Sum("retained", alias_name="n_retained"),
+        ),
+        pa.schema(
+            [
+                ("cohort_day", pa.int32()),
+                ("n_users", pa.int64()),
+                ("n_retained", pa.int64()),
+            ]
+        ),
+    )

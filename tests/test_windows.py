@@ -343,3 +343,32 @@ def test_length_token_correlation_matches_numpy(ray_session):
     assert abs(out[0]["corr"] - expect) < 1e-12
     # perfectly linear relation here (n_chars = 2*tokens - 1) -> corr 1
     assert out[0]["corr"] > 0.9999
+
+
+def test_daily_retention_hand_case(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import daily_retention
+
+    day_us = 86_400_000_000
+    # u1 first day0, returns day1 (retained); u2 first day0 only;
+    # u3 first day1, returns day2; u4 first day1 only
+    rows = [
+        (1, 0), (1, 1), (2, 0), (3, 1), (3, 2), (4, 1),
+        (1, 0),  # duplicate same-day event must not double-count
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [r[1] * day_us + 5 for r in rows], pa.timestamp("us")
+            ),
+        }
+    )
+    out = {
+        r["cohort_day"]: r
+        for r in daily_retention(rd.from_arrow(tbl)).take_all()
+    }
+    assert out[0]["n_users"] == 2 and out[0]["n_retained"] == 1
+    assert out[1]["n_users"] == 2 and out[1]["n_retained"] == 1
