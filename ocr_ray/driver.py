@@ -788,6 +788,16 @@ def q_kmeans_clusters(sf_dir: str):
     )
 
 
+def q_user_skew_report(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import key_skew_report
+
+    _quiet()
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return key_skew_report(events, "user_id", k=10)
+
+
 def q_daily_retention(sf_dir: str):
     import ray.data as rd
 
@@ -1885,6 +1895,7 @@ QUERIES = {
     "length_token_correlation": q_length_token_correlation,
     "hll_vocab_by_source": q_hll_vocab_by_source,
     "daily_retention": q_daily_retention,
+    "user_skew_report": q_user_skew_report,
     "mode_event_type_per_user": q_mode_event_type_per_user,
     "user_purchase_click_totals": q_user_purchase_click_totals,
     "user_funnel": q_user_funnel,
@@ -3136,6 +3147,19 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_oracle_sql(),
         "bloom_orders_filter": _bloom_oracle_sql(),
         "cluster_top_terms": _cluster_terms_oracle_sql(),
+        "user_skew_report": (
+            "WITH c AS (\n"
+            " SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n\n"
+            " FROM events GROUP BY user_id\n"
+            "), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)\n"
+            "SELECT key, n,\n"
+            " CAST(n AS DOUBLE)"
+            " / CAST(GREATEST((SELECT total FROM t), 1) AS DOUBLE)"
+            " AS share,\n"
+            " CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key ASC)"
+            " AS BIGINT) AS rank\n"
+            "FROM c ORDER BY n DESC, key ASC LIMIT 10"
+        ),
         "daily_retention": (
             "WITH ud AS (\n"
             " SELECT DISTINCT user_id,"

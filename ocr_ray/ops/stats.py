@@ -863,3 +863,81 @@ def daily_retention(events):
             ]
         ),
     )
+
+
+def key_skew_report(ds, key_column: str, k: int = 10):
+    """(key, n, share, rank): the ``k`` heaviest values of a key column
+    and each one's share of all rows — the skew diagnostic run before
+    choosing a partitioning key (a hot key here means a hot partition
+    in every downstream groupby/join on that column).
+
+    Map-side per-batch counts → one keyed sum of slim rows → global
+    sort + limit (k rows); the total is a second pass over the already
+    slim per-key counts. Share is one IEEE division of exact integers,
+    shared with the oracle."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.dedup import _with_schema
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("key", pa.int64()), ("c", pa.int64())]
+            ).empty_table()
+        ids, counts = np.unique(
+            t.column(key_column).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            ),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "key": pa.array(ids, pa.int64()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_key = _with_schema(
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("c", alias_name="n")),
+        pa.schema([("key", pa.int64()), ("n", pa.int64())]),
+    ).materialize()
+
+    total = per_key.aggregate(Sum("n", alias_name="t"))["t"] or 0
+    top = per_key.sort(["n", "key"], descending=[True, False]).limit(k)
+
+    def finish(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("key", pa.int64()),
+                ("n", pa.int64()),
+                ("share", pa.float64()),
+            ]
+        )
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "key": t.column("key").cast(pa.int64()),
+                "n": t.column("n").cast(pa.int64()),
+                "share": pa.array(n / float(max(total, 1)), pa.float64()),
+            }
+        )
+
+    rows = top.map_batches(finish, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (-r["n"], r["key"]))
+    for i, r in enumerate(rows):
+        r["rank"] = i + 1
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("key", pa.int64()),
+                ("n", pa.int64()),
+                ("share", pa.float64()),
+                ("rank", pa.int64()),
+            ]
+        ),
+    )

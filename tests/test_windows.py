@@ -372,3 +372,18 @@ def test_daily_retention_hand_case(ray_session):
     }
     assert out[0]["n_users"] == 2 and out[0]["n_retained"] == 1
     assert out[1]["n_users"] == 2 and out[1]["n_retained"] == 1
+
+
+def test_key_skew_report_shares_and_rank(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import key_skew_report
+
+    # key 5 dominates: 6 of 10 rows
+    keys = [5] * 6 + [1, 2, 3, 4]
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys, pa.int64())}))
+    out = key_skew_report(ds, "k", k=3).to_pylist()
+    assert [r["key"] for r in out] == [5, 1, 2]
+    assert out[0]["n"] == 6 and out[0]["share"] == 0.6
+    assert [r["rank"] for r in out] == [1, 2, 3]
