@@ -365,6 +365,21 @@ def q_copurchase_clustering(sf_dir: str):
     )
 
 
+def q_copurchase_communities(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.graph import copurchase_edges, label_propagation
+
+    _quiet()
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return _materialized(
+        label_propagation(copurchase_edges(lineitem), iters=4),
+        pa.schema([("node", pa.int64()), ("label", pa.int64())]),
+    )
+
+
 def q_copurchase_kcore(sf_dir: str):
     import ray.data as rd
 
@@ -1909,6 +1924,7 @@ QUERIES = {
     "copurchase_triangles": q_copurchase_triangles,
     "copurchase_clustering": q_copurchase_clustering,
     "copurchase_kcore": q_copurchase_kcore,
+    "copurchase_communities": q_copurchase_communities,
     "dedup_minhash_drop_list": q_dedup_minhash_drop_list,
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -2376,6 +2392,12 @@ def _clustering_oracle_sql() -> str:
     from ocr_ray.ops.graph import copurchase_clustering_sql
 
     return copurchase_clustering_sql()
+
+
+def _lpa_oracle_sql() -> str:
+    from ocr_ray.ops.graph import copurchase_communities_sql
+
+    return copurchase_communities_sql(iters=4)
 
 
 def _kcore_oracle_sql() -> str:
@@ -2956,6 +2978,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_triangles": _triangles_oracle_sql(),
         "copurchase_clustering": _clustering_oracle_sql(),
         "copurchase_kcore": _kcore_oracle_sql(),
+        "copurchase_communities": _lpa_oracle_sql(),
         "frequent_shingles": (
             "WITH " + _SHINGLES_BODY + ",\n"
             "df AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df"

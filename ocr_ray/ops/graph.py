@@ -493,3 +493,148 @@ def copurchase_kcore_sql(k: int, rounds: int, max_basket: int = 256) -> str:
         f" SELECT node, COUNT(*) AS deg FROM (SELECT u AS node FROM e{rounds}"
         f" UNION ALL SELECT v FROM e{rounds}) GROUP BY node)"
     )
+
+
+# ------------------------------------------------- label propagation
+
+
+def label_propagation(edges, iters: int = 4):
+    """Synchronous label-propagation community detection over a
+    canonical (u < v) distinct edge Dataset: labels start at the node
+    id; each round every node adopts the most frequent label among its
+    neighbors, ties to the SMALLEST label — fully deterministic, so a
+    chained-CTE SQL oracle replays it exactly (the classic LPA
+    randomness is replaced by the frozen min-label tie-break).
+
+    Scale shape per round: one hash join of the symmetrized edges with
+    the slim (node, label) table, a keyed count of (node, label)
+    message partials, and one vectorized per-node argmax inside the
+    node-partitioned block — everything that moves is integer pairs;
+    rounds are object-store-materialized like the other iterative graph
+    ops. Returns (node, label) after ``iters`` rounds."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.dedup import _renamed, _with_schema
+    from ocr_ray.ops.joins import large_join
+    from ocr_ray.stages.grouped import grouped_map
+
+    lbl_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+    def sym(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [("src", pa.int64()), ("dst", pa.int64())]
+            ).empty_table()
+        u = t.column("u").cast(pa.int64()).combine_chunks()
+        v = t.column("v").cast(pa.int64()).combine_chunks()
+        return pa.table(
+            {"src": pa.concat_arrays([u, v]), "dst": pa.concat_arrays([v, u])}
+        )
+
+    sym_edges = _with_schema(
+        edges.map_batches(sym, batch_format="pyarrow"),
+        pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+    ).materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return lbl_schema.empty_table()
+        n = t.column("node").cast(pa.int64())
+        return pa.table({"node": n, "label": n})
+
+    labels = _with_schema(
+        _edge_degrees(edges)
+        .select_columns(["node"])
+        .map_batches(init_labels, batch_format="pyarrow"),
+        lbl_schema,
+    ).materialize()
+
+    msg_schema = pa.schema(
+        [("node", pa.int64()), ("label", pa.int64()), ("c", pa.int64())]
+    )
+
+    def msgs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return msg_schema.empty_table()
+        return (
+            pa.table(
+                {
+                    "node": t.column("dst").cast(pa.int64()),
+                    "label": t.column("label").cast(pa.int64()),
+                }
+            )
+            .group_by(["node", "label"])
+            .aggregate([("label", "count")])
+            .rename_columns(["node", "label", "c"])
+        )
+
+    def argmax_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return lbl_schema.empty_table()
+        node = block.column("node").to_numpy(zero_copy_only=False)
+        lab = block.column("label").to_numpy(zero_copy_only=False)
+        c = block.column("c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((lab, -c, node))
+        node_s = node[order]
+        g_starts = np.flatnonzero(np.r_[True, node_s[1:] != node_s[:-1]])
+        win = order[g_starts]
+        return pa.table(
+            {
+                "node": pa.array(node[win], pa.int64()),
+                "label": pa.array(lab[win], pa.int64()),
+            }
+        )
+
+    for _ in range(iters):
+        joined = large_join(
+            sym_edges, _renamed(labels, {"node": "src"}), on="src"
+        )
+        partials = _with_schema(
+            joined.map_batches(msgs, batch_format="pyarrow"), msg_schema
+        )
+        counts = _with_schema(
+            partials.groupby(["node", "label"]).aggregate(
+                Sum("c", alias_name="c")
+            ),
+            msg_schema,
+        )
+        labels = _with_schema(
+            grouped_map(counts, ["node"], argmax_block), lbl_schema
+        ).materialize()
+
+    return labels
+
+
+def copurchase_communities_sql(iters: int = 4, max_basket: int = 256) -> str:
+    """DuckDB replay: the co-purchase edge CTE, then ``iters`` chained
+    mode-of-neighbors rounds with the same (count DESC, label ASC)
+    tie-break."""
+    ctes = [
+        "ok_orders AS MATERIALIZED (SELECT l_orderkey FROM lineitem"
+        " GROUP BY l_orderkey"
+        f" HAVING COUNT(DISTINCT l_partkey) <= {max_basket})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u,"
+        " b.l_partkey AS v FROM lineitem a JOIN lineitem b"
+        " ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+        " WHERE a.l_orderkey IN (SELECT l_orderkey FROM ok_orders))",
+        "edges AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0"
+        " UNION ALL SELECT v, u FROM e0)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label"
+        " FROM edges)",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        ctes.append(
+            f"l{t} AS MATERIALIZED (SELECT node, label FROM ("
+            " SELECT e.dst AS node, l.label, COUNT(*) AS c,"
+            "  ROW_NUMBER() OVER (PARTITION BY e.dst"
+            " ORDER BY COUNT(*) DESC, l.label ASC) AS rn"
+            f" FROM edges e JOIN l{p} l ON l.node = e.src"
+            " GROUP BY e.dst, l.label"
+            ") WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT node, CAST(label AS BIGINT) AS label FROM l{iters}"
+    )

@@ -289,3 +289,48 @@ def test_kcore_peeling_and_convergence(ray_session):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         kcore(rd.from_arrow(chain), k=2, max_iters=1)
+
+
+def test_label_propagation_matches_serial_reference(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.graph import label_propagation
+
+    rng = np.random.default_rng(17)
+    n_nodes, n_edges, iters = 40, 90, 4
+    es = set()
+    while len(es) < n_edges:
+        u, v = rng.integers(0, n_nodes, 2)
+        if u != v:
+            es.add((min(int(u), int(v)), max(int(u), int(v))))
+    edges = sorted(es)
+
+    # serial synchronous LPA: mode of neighbor labels, ties -> min label
+    adj: dict[int, list[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    labels = {n: n for n in adj}
+    for _ in range(iters):
+        nxt = {}
+        for node, nbrs in adj.items():
+            counts: dict[int, int] = {}
+            for nb in nbrs:
+                counts[labels[nb]] = counts.get(labels[nb], 0) + 1
+            best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            nxt[node] = best[0]
+        labels = nxt
+
+    tbl = pa.table(
+        {
+            "u": pa.array([e[0] for e in edges], pa.int64()),
+            "v": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(rd.from_arrow(tbl), iters=iters).take_all()
+    }
+    assert got == labels
