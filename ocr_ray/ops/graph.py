@@ -512,6 +512,7 @@ def label_propagation(edges, iters: int = 4):
     node-partitioned block — everything that moves is integer pairs;
     rounds are object-store-materialized like the other iterative graph
     ops. Returns (node, label) after ``iters`` rounds."""
+    import ray
     from ray.data.aggregate import Sum
 
     from ocr_ray.ops.dedup import _renamed, _with_schema
@@ -519,6 +520,10 @@ def label_propagation(edges, iters: int = 4):
     from ocr_ray.stages.grouped import grouped_map
 
     lbl_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+    # below this node count the label table broadcasts once per round
+    # (ray.put + map-side searchsorted — the edges never shuffle); above
+    # it the round falls back to the hash join
+    broadcast_limit = 2_000_000
 
     def sym(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or t.num_columns == 0:
@@ -586,10 +591,43 @@ def label_propagation(edges, iters: int = 4):
             }
         )
 
+    n_nodes = labels.count()
+
     for _ in range(iters):
-        joined = large_join(
-            sym_edges, _renamed(labels, {"node": "src"}), on="src"
-        )
+        if n_nodes <= broadcast_limit:
+            # one ray.put per round; every edge batch resolves its src
+            # labels with a vectorized searchsorted against the shared
+            # object — no shuffle of the edge set at all
+            lt = pa.Table.from_pylist(labels.take_all(), schema=lbl_schema)
+            nodes_arr = lt.column("node").to_numpy(zero_copy_only=False)
+            order = np.argsort(nodes_arr)
+            lbl_ref = ray.put(
+                (
+                    nodes_arr[order],
+                    lt.column("label").to_numpy(zero_copy_only=False)[order],
+                )
+            )
+
+            def attach(t: pa.Table, _ref=lbl_ref) -> pa.Table:
+                if t.num_rows == 0 or t.num_columns == 0:
+                    return pa.schema(
+                        [("dst", pa.int64()), ("label", pa.int64())]
+                    ).empty_table()
+                nodes_s, labs_s = ray.get(_ref)
+                src = t.column("src").to_numpy(zero_copy_only=False)
+                idx = np.searchsorted(nodes_s, src)
+                return pa.table(
+                    {
+                        "dst": t.column("dst").cast(pa.int64()),
+                        "label": pa.array(labs_s[idx], pa.int64()),
+                    }
+                )
+
+            joined = sym_edges.map_batches(attach, batch_format="pyarrow")
+        else:
+            joined = large_join(
+                sym_edges, _renamed(labels, {"node": "src"}), on="src"
+            )
         partials = _with_schema(
             joined.map_batches(msgs, batch_format="pyarrow"), msg_schema
         )
