@@ -44,6 +44,13 @@ BENCH_QUERIES = [
     "contamination_report",
     "bigram_familiarity",
     "dedup_exact_incremental",
+    # round-3 operator families
+    "pack_sequences",
+    "kmeans_clusters",
+    "vocab_overlap",
+    "event_transitions",
+    "bloom_orders_filter",
+    "revenue_by_nation",
 ]
 
 

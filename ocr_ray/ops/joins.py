@@ -76,9 +76,11 @@ def large_join(left, right, on, *, join_type: str = "inner",
     from ocr_ray.context import apply_to_dataset
     from ocr_ray.stages.reassemble import use_hash_shuffle
 
-    if num_partitions is None:
-        import ray
+    import math
 
+    import ray
+
+    if num_partitions is None:
         num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
     use_hash_shuffle(left)
     apply_to_dataset(right)
@@ -87,13 +89,41 @@ def large_join(left, right, on, *, join_type: str = "inner",
         None if right_on is None
         else ((right_on,) if isinstance(right_on, str) else tuple(right_on))
     )
-    return left.join(
-        right,
-        join_type=join_type,
-        num_partitions=num_partitions,
-        on=on,
-        right_on=right_on,
-    )
+    # Explicit aggregator remote args: Ray's default sizes each join
+    # aggregator's LOGICAL memory reservation off target_max_block_size
+    # (128 MB × ~8 partitions ≈ 1.7-2.6 GB per aggregator) — a DAG with
+    # three joins reserves the whole cluster's memory resource in idle
+    # aggregators and deadlocks exactly like the CPU reservations did
+    # (see context.py). Our joins move slim pre-projected rows, so pin
+    # a modest reservation instead; it is a scheduling hint, not a
+    # limit, and the object store backstops real pressure by spilling.
+    from ray.data.context import DataContext
+
+    ctx = DataContext.get_current()
+    max_aggs = getattr(ctx, "max_hash_shuffle_aggregators", None) or 8
+    ratio = math.ceil(num_partitions / max(1, min(num_partitions, max_aggs)))
+    remote_args = {
+        "num_cpus": 0.01 * ratio,
+        "memory": 128 * 1024 * 1024 * ratio,
+        "scheduling_strategy": "SPREAD",
+    }
+    try:
+        return left.join(
+            right,
+            join_type=join_type,
+            num_partitions=num_partitions,
+            on=on,
+            right_on=right_on,
+            aggregator_ray_remote_args=remote_args,
+        )
+    except TypeError:  # older Ray without the parameter
+        return left.join(
+            right,
+            join_type=join_type,
+            num_partitions=num_partitions,
+            on=on,
+            right_on=right_on,
+        )
 
 
 def adaptive_key_join(left, right, on: str, *, right_on: str | None = None,
