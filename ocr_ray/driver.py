@@ -269,6 +269,110 @@ def _materialized(ds, schema: pa.Schema) -> pa.Table:
     return pa.Table.from_pylist(ds.take_all(), schema=schema)
 
 
+def q_dedup_strategy_overlap(sf_dir: str):
+    """One-row set algebra between the exact and near-dup (MinHash
+    component) drop lists — the consistency check a curation pipeline
+    runs when layering dedup strategies (exact drops should be a
+    near-subset of the near-dup drops).
+
+    Scale shape: both drop lists are slim (doc_id) datasets; each gains
+    a constant marker column, the UNION of the marked lists flows
+    through one keyed sum (doc_id → e, m), and a vectorized flag pass +
+    three-sum aggregate produce the summary — no join at all (a
+    full-outer join of two possibly-tiny lists hits Ray's native-join
+    crash on schema-less empty partitions; the union-aggregate is also
+    one fewer shuffle side). Oracle: the two existing SQL bodies
+    composed in one WITH."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.dedup import (
+        _with_schema,
+        dedup_exact_drop_list,
+        dedup_minhash_drop_list,
+    )
+
+    _quiet()
+    pair_schema = pa.schema(
+        [("doc_id", pa.int64()), ("e", pa.int64()), ("m", pa.int64())]
+    )
+
+    def marked(ds, name: str):
+        def add(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                return pair_schema.empty_table()
+            ones = pa.array(np.ones(t.num_rows, np.int64), pa.int64())
+            zeros = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id").cast(pa.int64()),
+                    "e": ones if name == "e" else zeros,
+                    "m": ones if name == "m" else zeros,
+                }
+            )
+
+        return _with_schema(
+            ds.map_batches(add, batch_format="pyarrow"), pair_schema
+        )
+
+    ed = marked(dedup_exact_drop_list(_docs(sf_dir)), "e")
+    md = marked(dedup_minhash_drop_list(_docs(sf_dir), threshold=0.5), "m")
+    merged = _with_schema(
+        ed.union(md)
+        .groupby("doc_id")
+        .aggregate(Sum("e", alias_name="e"), Sum("m", alias_name="m")),
+        pair_schema,
+    )
+
+    def flags(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("exact_only", pa.int64()),
+                ("minhash_only", pa.int64()),
+                ("both", pa.int64()),
+            ]
+        )
+        if t.num_rows == 0 or t.num_columns == 0:
+            return schema.empty_table()
+        e = t.column("e").to_numpy(zero_copy_only=False)
+        m = t.column("m").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "exact_only": pa.array(
+                    ((e == 1) & (m == 0)).astype(np.int64), pa.int64()
+                ),
+                "minhash_only": pa.array(
+                    ((e == 0) & (m == 1)).astype(np.int64), pa.int64()
+                ),
+                "both": pa.array(
+                    ((e == 1) & (m == 1)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    agg = merged.map_batches(flags, batch_format="pyarrow").aggregate(
+        Sum("exact_only", alias_name="n_exact_only"),
+        Sum("minhash_only", alias_name="n_minhash_only"),
+        Sum("both", alias_name="n_both"),
+    )
+    return pa.Table.from_pylist(
+        [
+            {
+                "n_exact_only": agg["n_exact_only"] or 0,
+                "n_minhash_only": agg["n_minhash_only"] or 0,
+                "n_both": agg["n_both"] or 0,
+            }
+        ],
+        schema=pa.schema(
+            [
+                ("n_exact_only", pa.int64()),
+                ("n_minhash_only", pa.int64()),
+                ("n_both", pa.int64()),
+            ]
+        ),
+    )
+
+
 def q_dedup_minhash_drop_list(sf_dir: str):
     from ocr_ray.ops.dedup import dedup_minhash_drop_list
 
@@ -1926,6 +2030,7 @@ QUERIES = {
     "copurchase_kcore": q_copurchase_kcore,
     "copurchase_communities": q_copurchase_communities,
     "dedup_minhash_drop_list": q_dedup_minhash_drop_list,
+    "dedup_strategy_overlap": q_dedup_strategy_overlap,
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "frequent_shingles": q_frequent_shingles,
@@ -3024,6 +3129,25 @@ def oracle_sql() -> dict[str, str]:
             "WITH RECURSIVE " + _SHINGLES_BODY + ",\n"
             + _JACCARD_PAIRS_BODY + ",\n" + _COMPONENTS_BODY + "\n"
             "SELECT node AS doc_id FROM comp WHERE node <> component"
+        ),
+        "dedup_strategy_overlap": (
+            "WITH RECURSIVE " + _SHINGLES_BODY + ",\n"
+            + _JACCARD_PAIRS_BODY + ",\n" + _COMPONENTS_BODY + ",\n"
+            "md AS (SELECT node AS doc_id FROM comp"
+            " WHERE node <> component),\n"
+            "hashed AS (SELECT doc_id,"
+            f" {_FP_SQL} AS fp FROM documents),\n"
+            "keepers AS (SELECT fp, MIN(doc_id) AS keeper FROM hashed"
+            " GROUP BY fp),\n"
+            "ed AS (SELECT h.doc_id FROM hashed h JOIN keepers k"
+            " USING (fp) WHERE h.doc_id <> k.keeper)\n"
+            "SELECT\n"
+            " CAST((SELECT COUNT(*) FROM ed WHERE doc_id NOT IN"
+            " (SELECT doc_id FROM md)) AS BIGINT) AS n_exact_only,\n"
+            " CAST((SELECT COUNT(*) FROM md WHERE doc_id NOT IN"
+            " (SELECT doc_id FROM ed)) AS BIGINT) AS n_minhash_only,\n"
+            " CAST((SELECT COUNT(*) FROM ed WHERE doc_id IN"
+            " (SELECT doc_id FROM md)) AS BIGINT) AS n_both"
         ),
         "dedup_simhash": _simhash_sql(3),
         "embedding_cosine_dedup": (

@@ -656,3 +656,32 @@ def test_cluster_top_terms_composition(ray_session):
     c1 = sorted(by_cluster[1], key=lambda r: r["rank"])
     assert c1[0]["word"] == "omega" and c1[0]["c"] == 3
     assert c1[1]["word"] == "gamma" and c1[1]["c"] == 2
+
+
+def test_dedup_strategy_overlap_counts(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.driver import QUERIES
+
+    # doc 0/1 byte-identical (exact + near dup); doc 2 near-dup of 0/1
+    # after one word change (minhash only); doc 3 unrelated
+    base = "satu dua tiga empat lima enam tujuh delapan sembilan sepuluh " * 4
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [base, base, base.replace("lima", "xxxx", 1),
+                 "kata lain sama sekali tanpa hubungan apapun " * 5],
+                pa.string(),
+            ),
+            "lang": pa.array(["id"] * 4, pa.string()),
+            "source": pa.array(["s"] * 4, pa.string()),
+            "n_chars": pa.array([len(base)] * 4, pa.int64()),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    row = QUERIES["dedup_strategy_overlap"](str(tmp_path)).to_pylist()[0]
+    # exact drops {1}; minhash component keeps min {0}, drops {1, 2}
+    assert row["n_both"] == 1
+    assert row["n_minhash_only"] == 1
+    assert row["n_exact_only"] == 0
