@@ -269,6 +269,13 @@ def _materialized(ds, schema: pa.Schema) -> pa.Table:
     return pa.Table.from_pylist(ds.take_all(), schema=schema)
 
 
+def q_split_leakage(sf_dir: str):
+    from ocr_ray.ops.split import split_leakage_report
+
+    _quiet()
+    return split_leakage_report(_docs(sf_dir))
+
+
 def q_dedup_strategy_overlap(sf_dir: str):
     """One-row set algebra between the exact and near-dup (MinHash
     component) drop lists — the consistency check a curation pipeline
@@ -2031,6 +2038,7 @@ QUERIES = {
     "copurchase_communities": q_copurchase_communities,
     "dedup_minhash_drop_list": q_dedup_minhash_drop_list,
     "dedup_strategy_overlap": q_dedup_strategy_overlap,
+    "split_leakage": q_split_leakage,
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "frequent_shingles": q_frequent_shingles,
@@ -2518,6 +2526,12 @@ def _train_split_oracle_sql() -> str:
     from ocr_ray.ops.split import train_split_sql
 
     return train_split_sql()
+
+
+def _split_leakage_oracle_sql() -> str:
+    from ocr_ray.ops.split import split_leakage_sql
+
+    return split_leakage_sql(_FP_SQL)
 
 
 def _length_outliers_oracle_sql() -> str:
@@ -3130,6 +3144,7 @@ def oracle_sql() -> dict[str, str]:
             + _JACCARD_PAIRS_BODY + ",\n" + _COMPONENTS_BODY + "\n"
             "SELECT node AS doc_id FROM comp WHERE node <> component"
         ),
+        "split_leakage": _split_leakage_oracle_sql(),
         "dedup_strategy_overlap": (
             "WITH RECURSIVE " + _SHINGLES_BODY + ",\n"
             + _JACCARD_PAIRS_BODY + ",\n" + _COMPONENTS_BODY + ",\n"

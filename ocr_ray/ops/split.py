@@ -251,3 +251,133 @@ def cube_sql() -> str:
         " CAST(SUM(n_chars) AS BIGINT) AS sum_chars\n"
         "FROM documents GROUP BY CUBE (lang, source)"
     )
+
+
+def split_leakage_report(docs):
+    """One-row data-leakage QA gate: how many exact-duplicate content
+    fingerprints straddle the train/val/test hash split (a duplicate of
+    a training document sitting in the eval split contaminates the
+    eval), plus how many documents carry such a fingerprint.
+
+    Scale shape: each batch collapses to distinct slim
+    (fingerprint, split, partial-count) rows, one keyed sum merges
+    them, and the per-fingerprint split-span resolves vectorized inside
+    the fingerprint-partitioned block; a final tiny sum pair finishes.
+    Documents never shuffle. The oracle reuses the split's HUGEINT hash
+    and the dedup family's fingerprint expression verbatim."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.dedup import _hash_batch, _with_schema
+    from ocr_ray.stages.grouped import grouped_map
+
+    part_schema = pa.schema(
+        [
+            ("fingerprint", pa.string()),
+            ("split", pa.int64()),
+            ("c", pa.int64()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        hashed = _hash_batch(t)  # (doc_id, fingerprint)
+        ids = hashed.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        fps = np.asarray(
+            hashed.column("fingerprint").to_pylist(), dtype=object
+        )
+        sp = split_of(ids).astype(np.int64)
+        key = np.char.add(
+            np.char.add(fps.astype(str), "\x1f"), sp.astype(str)
+        )
+        uniq, idx = np.unique(key, return_inverse=True)
+        counts = np.bincount(idx, minlength=len(uniq)).astype(np.int64)
+        fp_u = np.array([k.split("\x1f")[0] for k in uniq], dtype=object)
+        sp_u = np.array([int(k.split("\x1f")[1]) for k in uniq], np.int64)
+        return pa.table(
+            {
+                "fingerprint": pa.array(fp_u, pa.string()),
+                "split": pa.array(sp_u, pa.int64()),
+                "c": pa.array(counts, pa.int64()),
+            }
+        )
+
+    merged = _with_schema(
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby(["fingerprint", "split"])
+        .aggregate(Sum("c", alias_name="c")),
+        part_schema,
+    )
+
+    flag_schema = pa.schema(
+        [("leaky", pa.int64()), ("leaked_docs", pa.int64())]
+    )
+
+    def span_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return flag_schema.empty_table()
+        c = block.column("c").to_numpy(zero_copy_only=False)
+        sizes = np.diff(np.append(starts, n))
+        gidx = np.repeat(np.arange(len(starts)), sizes)
+        n_splits = np.bincount(gidx, minlength=len(starts))
+        docs_per_fp = np.zeros(len(starts), np.int64)
+        np.add.at(docs_per_fp, gidx, c)
+        leaky = n_splits > 1
+        return pa.table(
+            {
+                "leaky": pa.array(
+                    leaky.astype(np.int64), pa.int64()
+                ),
+                "leaked_docs": pa.array(
+                    np.where(leaky, docs_per_fp, 0), pa.int64()
+                ),
+            }
+        )
+
+    agg = grouped_map(merged, ["fingerprint"], span_block).aggregate(
+        Sum("leaky", alias_name="n_leaky_fingerprints"),
+        Sum("leaked_docs", alias_name="n_leaked_docs"),
+    )
+    return pa.Table.from_pylist(
+        [
+            {
+                "n_leaky_fingerprints": agg["n_leaky_fingerprints"] or 0,
+                "n_leaked_docs": agg["n_leaked_docs"] or 0,
+            }
+        ],
+        schema=pa.schema(
+            [
+                ("n_leaky_fingerprints", pa.int64()),
+                ("n_leaked_docs", pa.int64()),
+            ]
+        ),
+    )
+
+
+def split_leakage_sql(fp_sql: str) -> str:
+    """``fp_sql``: the dedup family's fingerprint SQL expression
+    (driver-owned so both oracles stay byte-identical)."""
+    _fp = fp_sql
+    return (
+        "WITH s AS (\n"
+        f" SELECT {_fp} AS fp,\n"
+        "  CASE WHEN ((CAST(doc_id AS HUGEINT) * 2654435761)"
+        f" % 4294967296) % 100 < {TRAIN_PCT} THEN 0\n"
+        "       WHEN ((CAST(doc_id AS HUGEINT) * 2654435761)"
+        f" % 4294967296) % 100 < {VAL_PCT} THEN 1\n"
+        "       ELSE 2 END AS split\n"
+        " FROM documents\n"
+        "), g AS (\n"
+        " SELECT fp, COUNT(DISTINCT split) AS ns, COUNT(*) AS nd\n"
+        " FROM s GROUP BY fp\n"
+        ")\n"
+        "SELECT\n"
+        " CAST(COUNT(*) FILTER (WHERE ns > 1) AS BIGINT)"
+        " AS n_leaky_fingerprints,\n"
+        " CAST(COALESCE(SUM(nd) FILTER (WHERE ns > 1), 0) AS BIGINT)"
+        " AS n_leaked_docs\n"
+        "FROM g"
+    )

@@ -329,3 +329,30 @@ def test_cube_adds_source_marginal(ray_session):
         member = [r for r in base if r["source"] == sr["source"]]
         assert sr["n_docs"] == sum(r["n_docs"] for r in member)
         assert sr["sum_chars"] == sum(r["sum_chars"] for r in member)
+
+
+def test_split_leakage_detects_cross_split_duplicates(ray_session):
+    from ocr_ray.ops.split import split_leakage_report, split_of
+
+    # find one id in each of two different splits, then give them
+    # identical text (an exact duplicate straddling the split boundary)
+    ids = np.arange(0, 500, dtype=np.int64)
+    sp = split_of(ids)
+    a = int(ids[sp == 0][0])
+    b = int(ids[sp != 0][0])
+    c = int(ids[sp == 0][1])  # same-split duplicate: NOT leakage
+    d = int(ids[sp == 0][2])
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([a, b, c, d], pa.int64()),
+            "text": pa.array(
+                ["naskah yang sama persis", "naskah yang sama persis",
+                 "dokumen kembar dalam satu split",
+                 "dokumen kembar dalam satu split"],
+                pa.string(),
+            ),
+        }
+    )
+    row = split_leakage_report(rd.from_arrow(tbl)).to_pylist()[0]
+    assert row["n_leaky_fingerprints"] == 1
+    assert row["n_leaked_docs"] == 2
