@@ -914,6 +914,41 @@ def q_kmeans_clusters(sf_dir: str):
     )
 
 
+def q_semdedup_drop_list(sf_dir: str):
+    """SemDeDup over the floor-augmented embeddings (same augmentation
+    as q_embedding_cosine_dedup_augmented — the synthetic vectors are
+    near-random, max natural pairwise cosine ≈ 0.51, so the plain table
+    would make this a trivial 0-row check): every vector gains a
+    near-copy at vec_id + 1,000,000; the copy quantizes to (almost)
+    the same integer vector, lands in the same k-means cluster, and
+    must be dropped by the within-cluster cosine pass at 0.999."""
+    import numpy as np
+
+    from ocr_ray.ops.similarity import _batch_matrix, semdedup_drop_list
+
+    def add_copies(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        copies = np.floor(m * 1000.0) / 1000.0
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    np.concatenate([ids, ids + 1_000_000]), pa.int64()
+                ),
+                "embedding": pa.array(
+                    list(np.concatenate([m, copies])),
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+
+    aug = _embeddings(sf_dir).map_batches(add_copies, batch_format="pyarrow")
+    return _materialized(
+        semdedup_drop_list(aug, k=8, iters=5, threshold=0.999),
+        pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64())]),
+    )
+
+
 def q_user_skew_report(sf_dir: str):
     import ray.data as rd
 
@@ -2010,6 +2045,7 @@ QUERIES = {
     "vocab_overlap": q_vocab_overlap,
     "pack_sequences": q_pack_sequences,
     "kmeans_clusters": q_kmeans_clusters,
+    "semdedup_drop_list": q_semdedup_drop_list,
     "event_transitions": q_event_transitions,
     "bloom_orders_filter": q_bloom_orders_filter,
     "revenue_by_nation": q_revenue_by_nation,
@@ -2424,6 +2460,12 @@ def _kmeans_oracle_sql() -> str:
     from ocr_ray.ops.similarity import kmeans_integer_sql
 
     return kmeans_integer_sql(k=8, iters=5)
+
+
+def _semdedup_oracle_sql() -> str:
+    from ocr_ray.ops.similarity import semdedup_sql
+
+    return semdedup_sql(k=8, iters=5, threshold=0.999, augmented=True)
 
 
 def _cube_oracle_sql() -> str:
@@ -3307,6 +3349,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": _chunk_oracle_sql(),
         "pack_sequences": _pack_oracle_sql(),
         "kmeans_clusters": _kmeans_oracle_sql(),
+        "semdedup_drop_list": _semdedup_oracle_sql(),
         "bloom_orders_filter": _bloom_oracle_sql(),
         "cluster_top_terms": _cluster_terms_oracle_sql(),
         "user_skew_report": (

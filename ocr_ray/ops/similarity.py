@@ -401,9 +401,6 @@ def kmeans_integer(embeddings, k: int = 8, iters: int = 5):
     their previous centroid). Vectors never shuffle; per-iteration
     traffic is the partial-sum rows only. Returns (vec_id, cluster)
     from the final assignment."""
-    import ray
-    from ray.data.aggregate import Sum
-
     from ocr_ray.ops.dedup import _with_schema
 
     qds = _with_schema(
@@ -412,6 +409,20 @@ def kmeans_integer(embeddings, k: int = 8, iters: int = 5):
             [("vec_id", pa.int64()), ("q", pa.list_(pa.int64()))]
         ),
     ).materialize()
+    centroids = _fit_centroids(qds, k=k, iters=iters)
+    return _assign_clusters(qds, centroids)
+
+
+def _fit_centroids(qds, k: int, iters: int) -> np.ndarray:
+    """The Lloyd iteration loop of :func:`kmeans_integer` on an already
+    quantized+materialized (vec_id, q) dataset; returns the final
+    (k × dim) int64 centroid matrix. Split out so SemDeDup can assign
+    clusters in the same map pass that carries the raw vectors (zero
+    joins) instead of re-running the whole k-means entry point."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.dedup import _with_schema
 
     seed_rows = qds.sort("vec_id").limit(k).take_all()  # k rows, bounded
     if len(seed_rows) < k:
@@ -470,6 +481,15 @@ def kmeans_integer(embeddings, k: int = 8, iters: int = 5):
                 new[r["cluster"], r["dim"]] = r["s"] // r["n"]
         centroids = new
 
+    return centroids
+
+
+def _assign_clusters(qds, centroids: np.ndarray):
+    """(vec_id, cluster) from one map-side pass against the broadcast
+    centroid matrix."""
+    import ray
+
+    dim = centroids.shape[1]
     cref = ray.put(centroids)
 
     def final_assign(t: pa.Table, _cref=cref) -> pa.Table:
@@ -496,7 +516,8 @@ def kmeans_integer(embeddings, k: int = 8, iters: int = 5):
     return qds.map_batches(final_assign, batch_format="pyarrow")
 
 
-def kmeans_integer_sql(k: int = 8, iters: int = 5) -> str:
+def kmeans_integer_sql(k: int = 8, iters: int = 5,
+                       source: str = "embeddings") -> str:
     """DuckDB replay: quantize with the same FLOOR(x·SCALE)+OFFSET, seed
     from the k smallest vec_ids, then ``iters`` chained
     assign/update CTE pairs (MATERIALIZED — each references its
@@ -509,7 +530,7 @@ def kmeans_integer_sql(k: int = 8, iters: int = 5) -> str:
         " generate_subscripts(embedding, 1) AS i,"
         f" CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {_KM_SCALE})"
         f" AS BIGINT) + {_KM_OFFSET} AS v"
-        " FROM embeddings)",
+        f" FROM {source})",
         "seed AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1"
         " AS cluster FROM (SELECT DISTINCT vec_id FROM qv"
         f" ORDER BY vec_id LIMIT {k}))",
@@ -547,6 +568,190 @@ def kmeans_integer_sql(k: int = 8, iters: int = 5) -> str:
         f"  FROM qv q JOIN c{iters} c USING (i)"
         "  GROUP BY q.vec_id, c.cluster)"
         ") WHERE rn = 1"
+    )
+
+
+def _semdedup_block_factory(threshold: float, max_cluster: int,
+                            chunk: int = 1024):
+    """Per-block SemDeDup pair scan: for each cluster run (the block is
+    grouped by cluster), exact pairwise cosine over the cluster's
+    vectors, emitting every vec_id that has a SMALLER-id neighbor with
+    cosine ≥ threshold. Row chunking bounds the similarity matrix at
+    chunk × max_cluster float64."""
+
+    def block_fn(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+            }
+        )
+        if block.num_rows == 0:
+            return empty
+        ids_all = block.column("vec_id").to_numpy(zero_copy_only=False)
+        cl_all = block.column("cluster").to_numpy(zero_copy_only=False)
+        emb_col = block.column("emb").combine_chunks()
+        ends = np.append(starts[1:], block.num_rows)
+        out_ids: list[np.ndarray] = []
+        out_cl: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            n = int(e - s)
+            if n < 2:
+                continue
+            ids = ids_all[s:e]
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            if n > max_cluster:
+                import logging
+
+                logging.getLogger("ocr_ray.similarity").warning(
+                    "semdedup cluster of %d vecs exceeds max_cluster=%d; "
+                    "overflow vecs compared against the first %d ids only "
+                    "(overflow-overflow pairs skipped)",
+                    n, max_cluster, max_cluster,
+                )
+            vals = emb_col.slice(s, n).to_pylist()
+            m = np.stack(
+                [np.frombuffer(vals[int(o)], np.float64) for o in order]
+            )
+            mn = _normalize(m)
+            head = min(n, max_cluster)
+            dropped = np.zeros(n, dtype=bool)
+            # chunked upper-triangle scan: row i vs columns i+1..head-1
+            # (plus every overflow column, which only ever compares
+            # against the head — the same bounded-degradation policy as
+            # the LSH buckets)
+            cols = np.arange(n)[None, :]
+            for c0 in range(0, head, chunk):
+                c1 = min(c0 + chunk, head)
+                sims = mn[c0:c1] @ mn.T  # (c1-c0, n)
+                rows = np.arange(c0, c1)[:, None]
+                hit = (sims >= threshold) & (cols > rows)
+                dropped |= hit.any(axis=0)
+            if dropped.any():
+                out_ids.append(ids[dropped])
+                out_cl.append(np.full(int(dropped.sum()), cl_all[s],
+                                      dtype=np.int64))
+        if not out_ids:
+            return empty
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(out_ids), pa.int64()),
+                "cluster": pa.array(np.concatenate(out_cl), pa.int64()),
+            }
+        )
+
+    return block_fn
+
+
+def semdedup_drop_list(embeddings, k: int = 8, iters: int = 5,
+                       threshold: float = 0.9, max_cluster: int = 4096):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by exact pairwise cosine WITHIN k-means clusters —
+    the cluster partition bounds the quadratic pair space, which is the
+    whole point of the method at corpus scale. Keep rule: a vector is
+    dropped iff some SMALLER vec_id in its cluster has cosine ≥
+    threshold with it (the deterministic keeper-min rule shared with
+    exact dedup). Returns (vec_id, cluster) drop rows, globally unique
+    by construction (each vector lives in exactly one cluster, and
+    clusters never straddle grouped blocks — no distinct pass needed).
+
+    Scale shape: the integer-exact k-means fit shuffles only slim
+    partial-sum rows (see kmeans_integer); assignment AND the raw
+    vector travel together out of one map pass (zero joins); the only
+    wide op is the single hash partition on cluster. At 100 TB, k grows
+    with the corpus (SemDeDup used 50k clusters for LAION) so cluster
+    sizes stay ~bounded; clusters past ``max_cluster`` degrade to
+    head-only comparison with a logged warning, never a silent drop."""
+    from ocr_ray.ops.dedup import _with_schema
+
+    qds = _with_schema(
+        embeddings.map_batches(_quantize_block, batch_format="pyarrow"),
+        pa.schema([("vec_id", pa.int64()), ("q", pa.list_(pa.int64()))]),
+    ).materialize()
+    centroids = _fit_centroids(qds, k=k, iters=iters)
+
+    import ray
+
+    dim = centroids.shape[1]
+    cref = ray.put(centroids)
+
+    def assign_and_pack(t: pa.Table, _cref=cref) -> pa.Table:
+        """One pass: cluster assignment (broadcast centroids) + the raw
+        float64 vector packed to fixed-width binary for the shuffle."""
+        if t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("vec_id", pa.int64()),
+                    ("cluster", pa.int64()),
+                    ("emb", pa.binary()),
+                ]
+            ).empty_table()
+        cents = ray.get(_cref)
+        m = _batch_matrix(t)
+        q = np.floor(m * _KM_SCALE).astype(np.int64) + _KM_OFFSET
+        if q.shape[1] != dim:
+            raise ValueError(
+                f"embedding dim {q.shape[1]} != centroid dim {dim}"
+            )
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id").cast(pa.int64()),
+                "cluster": pa.array(
+                    _km_assign(q, cents).astype(np.int64), pa.int64()
+                ),
+                "emb": pa.array([row.tobytes() for row in m], pa.binary()),
+            }
+        )
+
+    tagged = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        assign_and_pack, batch_format="pyarrow"
+    )
+    from ocr_ray.stages.grouped import grouped_map
+
+    return grouped_map(
+        tagged, ["cluster"],
+        _semdedup_block_factory(threshold, max_cluster),
+    )
+
+
+def semdedup_sql(k: int = 8, iters: int = 5, threshold: float = 0.9,
+                 augmented: bool = False) -> str:
+    """DuckDB replay of :func:`semdedup_drop_list`: the full k-means
+    CTE chain for the cluster assignment, then same-cluster pairs with
+    ``list_cosine_similarity`` ≥ threshold, dropping the larger
+    vec_id of each qualifying pair. ``augmented`` replays the
+    floor-perturbed near-copy augmentation (vec_id + 1,000,000) the
+    driver query uses to make the pair set non-trivial on the
+    near-random synthetic embeddings."""
+    source = "embeddings"
+    prefix = "WITH "
+    if augmented:
+        source = "aug"
+        prefix = (
+            "WITH aug AS MATERIALIZED (\n"
+            " SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding"
+            " FROM embeddings\n"
+            " UNION ALL\n"
+            " SELECT vec_id + 1000000,"
+            " list_transform(CAST(embedding AS DOUBLE[]),"
+            " x -> FLOOR(x * 1000.0) / 1000.0) FROM embeddings\n"
+            "), "
+        )
+    return (
+        prefix + "assign AS MATERIALIZED (\n"
+        + kmeans_integer_sql(k=k, iters=iters, source=source)
+        + "\n), pairs AS (\n"
+        " SELECT cb.vec_id AS vec_id, cb.cluster AS cluster\n"
+        " FROM assign ca JOIN assign cb\n"
+        "  ON ca.cluster = cb.cluster AND ca.vec_id < cb.vec_id\n"
+        f" JOIN {source} a ON a.vec_id = ca.vec_id\n"
+        f" JOIN {source} b ON b.vec_id = cb.vec_id\n"
+        " WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+        " CAST(b.embedding AS DOUBLE[]))"
+        f" >= {threshold}\n"
+        ")\n"
+        "SELECT DISTINCT vec_id, cluster FROM pairs"
     )
 
 
