@@ -1715,22 +1715,24 @@ def q_revenue_by_nation(sf_dir: str):
 
     Scale shape — classic multi-way join planning: the region→nation
     key set broadcasts (25 rows) and semi-filters customer and supplier
-    map-side AT THE SCAN; orders date-filter map-side; then THREE
-    hash-partitioned joins, each shuffling only slim pre-projected
-    rows — orders⋈customer on custkey, lineitem⋈supplier on suppkey
-    (revenue already collapsed to integer cents), and the big-big
-    orderkey join — with the c_nation = s_nation equality applied
-    map-side right after it; per-batch partial sums collapse before the
-    final 25-row keyed aggregate. Revenue is half-away-from-zero
-    integer cents (``_cents``), bit-matched with the SQL oracle.
-    (Also a live regression for the aggregator-CPU deadlock fix: three
-    joins plus hash aggregates in ONE streaming DAG.)"""
+    map-side AT THE SCAN; orders date-filter map-side; the two
+    SMALL-side joins (orders⋈customer on custkey, lineitem⋈supplier on
+    suppkey, revenue already collapsed to integer cents) go through
+    ``adaptive_key_join`` — broadcast/shuffle-free below its row
+    threshold, hash-partitioned above it — and only the genuinely
+    big-big orderkey join always hash-partitions, with the
+    c_nation = s_nation equality applied map-side right after it;
+    per-batch partial sums collapse before the final 25-row keyed
+    aggregate. Revenue is half-away-from-zero integer cents
+    (``_cents``), bit-matched with the SQL oracle. (The chained
+    3×large_join DAG this replaced — the aggregator CPU/memory
+    deadlock shape — is pinned by tests/test_join_dag.py.)"""
     import datetime as _dt
 
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    from ocr_ray.ops.joins import large_join
+    from ocr_ray.ops.joins import adaptive_key_join, large_join
 
     _quiet()
     d_from = _dt.datetime.fromisoformat(_Q5_FROM)
@@ -1776,8 +1778,8 @@ def q_revenue_by_nation(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    oc = large_join(
-        orders, cust, on="o_custkey", right_on="c_custkey"
+    oc = adaptive_key_join(
+        cust, orders, on="c_custkey", right_on="o_custkey"
     ).select_columns(["o_orderkey", "c_nationkey"])
 
     li = rd.read_parquet(
@@ -1798,8 +1800,8 @@ def q_revenue_by_nation(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    ls = large_join(
-        li, supp, on="l_suppkey", right_on="s_suppkey"
+    ls = adaptive_key_join(
+        supp, li, on="s_suppkey", right_on="l_suppkey"
     ).select_columns(["l_orderkey", "s_nationkey", "cents"])
 
     j = large_join(ls, oc, on="l_orderkey", right_on="o_orderkey")

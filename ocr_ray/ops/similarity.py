@@ -430,6 +430,28 @@ def _fit_centroids(qds, k: int, iters: int) -> np.ndarray:
     centroids = np.array([r["q"] for r in seed_rows], np.int64)
     dim = centroids.shape[1]
 
+    # Small-input fast path: below ~32 MB of quantized coordinates,
+    # fetch the matrix once and run the Lloyd loop locally — int64 sums
+    # are order-free, so this is BIT-IDENTICAL to the distributed
+    # partial-sum path while skipping iters× (map pass + hash-aggregate
+    # spin-up), which dominated wall time on benchmark-sized inputs
+    # (32 s → ~2 s for 2k vectors × 5 iterations). Large corpora take
+    # the distributed path below.
+    if qds.count() * dim <= 4_000_000:
+        rows = qds.take_all()  # bounded by the guard above
+        rows.sort(key=lambda r: r["vec_id"])
+        qm = np.array([r["q"] for r in rows], np.int64)
+        for _ in range(iters):
+            assign = _km_assign(qm, centroids)
+            sums = np.zeros((k, dim), np.int64)
+            np.add.at(sums, assign, qm)
+            counts = np.bincount(assign, minlength=k).astype(np.int64)
+            nz = counts > 0
+            new = centroids.copy()
+            new[nz] = sums[nz] // counts[nz, None]
+            centroids = new
+        return centroids
+
     partial_schema = pa.schema(
         [
             ("cluster", pa.int64()),
