@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     # round-3 operator families
     "pack_sequences",
     "kmeans_clusters",
+    "semdedup_drop_list",
     "vocab_overlap",
     "event_transitions",
     "bloom_orders_filter",
