@@ -1988,6 +1988,12 @@ def q_bigram_familiarity(sf_dir: str):
     return bigram_familiarity(_docs(sf_dir))
 
 
+def q_collocation_pairs(sf_dir: str):
+    from ocr_ray.ops.lm import collocation_pairs
+
+    return collocation_pairs(_docs(sf_dir, "text"), min_count=3, lift=1)
+
+
 def q_cms_registers(sf_dir: str):
     from ocr_ray.ops.sketch import cms_registers
 
@@ -2105,6 +2111,7 @@ QUERIES = {
     "top_unshipped_orders": q_top_unshipped_orders,
     "events_pivot_daily": q_events_pivot_daily,
     "bigram_familiarity": q_bigram_familiarity,
+    "collocation_pairs": q_collocation_pairs,
     "dedup_exact_incremental": q_dedup_exact_incremental,
     "purchases_next_click": q_purchases_next_click,
     "length_outliers": q_length_outliers,
@@ -2462,6 +2469,12 @@ def _kmeans_oracle_sql() -> str:
     from ocr_ray.ops.similarity import kmeans_integer_sql
 
     return kmeans_integer_sql(k=8, iters=5)
+
+
+def _collocation_oracle_sql() -> str:
+    from ocr_ray.ops.lm import collocation_sql
+
+    return collocation_sql(min_count=3, lift=1)
 
 
 def _semdedup_oracle_sql() -> str:
@@ -3588,6 +3601,7 @@ def oracle_sql() -> dict[str, str]:
             )
             + "\nFROM events GROUP BY 1"
         ),
+        "collocation_pairs": _collocation_oracle_sql(),
         "bigram_familiarity": (
             "WITH toks AS (\n"
             f" SELECT doc_id, {_WORDS_SQL} AS ws FROM documents\n"

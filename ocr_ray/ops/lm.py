@@ -190,3 +190,213 @@ def _bigram_familiarity_join(docs, model):
             Sum("familiarity", alias_name="familiarity"),
         )
     )
+
+
+# ------------------------------------------------- collocation mining
+
+def _colloc_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch bigram multiplicities as STRING pair rows (w1, w2, m).
+    Unlike _pair_rows the words themselves are the output payload here,
+    so no hash compression applies; duplicate pairs within the batch
+    still collapse to one weighted row before the shuffle."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for text in batch.column("text").to_pylist():
+        ws = _WORD_RE.findall((text or "").lower())
+        for i in range(len(ws) - 1):
+            counts[(ws[i], ws[i + 1])] += 1
+    if not counts:
+        return pa.schema(
+            [("w1", pa.string()), ("w2", pa.string()), ("m", pa.int64())]
+        ).empty_table()
+    keys = list(counts.keys())
+    return pa.table(
+        {
+            "w1": pa.array([k[0] for k in keys], pa.string()),
+            "w2": pa.array([k[1] for k in keys], pa.string()),
+            "m": pa.array([counts[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+def _word_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch unigram multiplicities (w, m)."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for text in batch.column("text").to_pylist():
+        counts.update(_WORD_RE.findall((text or "").lower()))
+    if not counts:
+        return pa.schema(
+            [("w", pa.string()), ("m", pa.int64())]
+        ).empty_table()
+    return pa.table(
+        {
+            "w": pa.array(list(counts.keys()), pa.string()),
+            "m": pa.array(list(counts.values()), pa.int64()),
+        }
+    )
+
+
+def collocation_pairs(docs, min_count: int = 3, lift: int = 1,
+                      broadcast_threshold: int = 2_000_000):
+    """Collocation mining: adjacent word pairs whose observed corpus
+    count meets ``min_count`` AND beats independence by factor ``lift``
+    — the positive-PMI test done in EXACT integer arithmetic,
+    c_ab · N ≥ lift · c_a · c_b (N = total bigram tokens), so the
+    boundary decision is bit-identical across engines (a float
+    PMI = log(c_ab·N / (c_a·c_b)) ranking would hit libm drift).
+    Returns (w1, w2, c_ab, c_a, c_b).
+
+    Scale shape: bigram and unigram counts collapse map-side to
+    weighted rows before their keyed sums; the unigram vocabulary
+    (sublinear in corpus size) broadcasts once via ray.put when it fits
+    ``broadcast_threshold``, so attaching c_a/c_b to the bigram rows is
+    map-side — else two hash-partitioned joins (same dual-plan shape as
+    bigram_familiarity). N is a driver scalar off the materialized
+    bigram aggregate. int64 overflow of c_ab·N is guarded loudly."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cab = (
+        docs.map_batches(_colloc_partials, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("m", alias_name="c_ab"))
+        .materialize()
+    )
+    total = cab.sum("c_ab") or 0
+    uni = (
+        docs.map_batches(_word_partials, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("m", alias_name="c"))
+        .materialize()
+    )
+    if uni.count() > broadcast_threshold:
+        return _collocation_join(cab, uni, min_count, lift, total)
+
+    batches = [
+        b for b in uni.iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    tbl = (
+        pa.concat_tables(batches).combine_chunks()
+        if batches
+        else pa.schema([("w", pa.string()), ("c", pa.int64())]).empty_table()
+    )
+    lut = dict(
+        zip(tbl.column("w").to_pylist(),
+            tbl.column("c").to_numpy(zero_copy_only=False).tolist())
+    )
+    lut_ref = ray.put(lut)
+
+    def attach_filter(t: pa.Table, _ref=lut_ref) -> pa.Table:
+        empty = pa.schema(
+            [
+                ("w1", pa.string()),
+                ("w2", pa.string()),
+                ("c_ab", pa.int64()),
+                ("c_a", pa.int64()),
+                ("c_b", pa.int64()),
+            ]
+        ).empty_table()
+        if t.num_rows == 0 or "w1" not in t.column_names:
+            return empty
+        m = ray.get(_ref)
+        c_ab = t.column("c_ab").to_numpy(zero_copy_only=False)
+        c_a = np.array(
+            [m[w] for w in t.column("w1").to_pylist()], np.int64
+        )
+        c_b = np.array(
+            [m[w] for w in t.column("w2").to_pylist()], np.int64
+        )
+        if c_ab.size and (
+            int(c_ab.max()) * total >= 2 ** 62
+            or lift * int(c_a.max()) * int(c_b.max()) >= 2 ** 62
+        ):
+            raise OverflowError(
+                "collocation lift test would overflow int64; corpus too "
+                "large for the integer fast test — widen to Python-int "
+                "or HUGEINT arithmetic"
+            )
+        keep = (c_ab >= min_count) & (
+            c_ab * total >= lift * c_a * c_b
+        )
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "w1": t.column("w1").filter(mask),
+                "w2": t.column("w2").filter(mask),
+                "c_ab": t.column("c_ab").filter(mask).cast(pa.int64()),
+                "c_a": pa.array(c_a[keep], pa.int64()),
+                "c_b": pa.array(c_b[keep], pa.int64()),
+            }
+        )
+
+    return cab.map_batches(attach_filter, batch_format="pyarrow")
+
+
+def _collocation_join(cab, uni, min_count: int, lift: int, total: int):
+    """Vocabulary past the broadcast budget: two hash-partitioned joins
+    attach c_a and c_b, then the same map-side integer filter."""
+    from ocr_ray.ops.joins import large_join
+
+    j = large_join(cab, _rename_uni(uni, "w1", "c_a"), on="w1")
+    j = large_join(j, _rename_uni(uni, "w2", "c_b"), on="w2")
+
+    def filt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "w1" not in t.column_names:
+            return pa.schema(
+                [
+                    ("w1", pa.string()),
+                    ("w2", pa.string()),
+                    ("c_ab", pa.int64()),
+                    ("c_a", pa.int64()),
+                    ("c_b", pa.int64()),
+                ]
+            ).empty_table()
+        c_ab = t.column("c_ab").to_numpy(zero_copy_only=False)
+        c_a = t.column("c_a").to_numpy(zero_copy_only=False)
+        c_b = t.column("c_b").to_numpy(zero_copy_only=False)
+        if c_ab.size and (
+            int(c_ab.max()) * total >= 2 ** 62
+            or lift * int(c_a.max()) * int(c_b.max()) >= 2 ** 62
+        ):
+            raise OverflowError("collocation lift test would overflow")
+        keep = pa.array(
+            (c_ab >= min_count) & (c_ab * total >= lift * c_a * c_b)
+        )
+        return t.select(["w1", "w2", "c_ab", "c_a", "c_b"]).filter(keep)
+
+    return j.map_batches(filt, batch_format="pyarrow")
+
+
+def _rename_uni(uni, key: str, val: str):
+    def apply(t: pa.Table) -> pa.Table:
+        return t.rename_columns([key, val])
+
+    return uni.select_columns(["w", "c"]).map_batches(
+        apply, batch_format="pyarrow"
+    )
+
+
+def collocation_sql(min_count: int = 3, lift: int = 1) -> str:
+    """DuckDB replay of :func:`collocation_pairs` over the documents
+    view: positions via generate_subscripts, adjacency by i+1 self
+    join, the same integer lift test."""
+    return (
+        "WITH t AS MATERIALIZED (SELECT doc_id,"
+        " regexp_extract_all(lower(text), '[a-zA-Z]{3,}') AS ws"
+        " FROM documents),\n"
+        "pos AS MATERIALIZED (SELECT doc_id, unnest(ws) AS w,"
+        " generate_subscripts(ws, 1) AS i FROM t),\n"
+        "uni AS (SELECT w, COUNT(*) AS c FROM pos GROUP BY w),\n"
+        "bi AS (SELECT a.w AS w1, b.w AS w2 FROM pos a JOIN pos b"
+        " ON a.doc_id = b.doc_id AND b.i = a.i + 1),\n"
+        "cab AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bi GROUP BY 1, 2),\n"
+        "n AS (SELECT COUNT(*) AS total FROM bi)\n"
+        "SELECT w1, w2, c_ab, ua.c AS c_a, ub.c AS c_b\n"
+        "FROM cab, n, uni ua, uni ub\n"
+        "WHERE ua.w = cab.w1 AND ub.w = cab.w2\n"
+        f" AND c_ab >= {min_count}"
+        f" AND c_ab * n.total >= {lift} * ua.c * ub.c"
+    )
