@@ -1988,6 +1988,38 @@ def q_bigram_familiarity(sf_dir: str):
     return bigram_familiarity(_docs(sf_dir))
 
 
+def q_dedup_minhash_incremental(sf_dir: str):
+    """Near-dup admission of a synthetic 'new shard' against the corpus:
+    ids shift by 100000; doc_id % 3 == 0 keeps its text verbatim (must
+    band-collide and be rejected), the rest keep only the first half of
+    their characters + ' shard2' — enough shingle churn that some break
+    every band (admitted) while others still collide somewhere
+    (rejected). Deterministic mixed outcome (169/500 admitted at
+    sf0.01), bit-shared with the SQL replay."""
+    from ocr_ray.ops.dedup import dedup_minhash_incremental
+
+    def mutate(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        new_texts = [
+            txt if i % 3 == 0
+            else (txt or "")[: len(txt or "") // 2] + " shard2"
+            for i, txt in zip(ids, texts)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids + 100_000, pa.int64()),
+                "text": pa.array(new_texts, pa.string()),
+            }
+        )
+
+    new_shard = _docs(sf_dir).map_batches(mutate, batch_format="pyarrow")
+    return _materialized(
+        dedup_minhash_incremental(new_shard, _docs(sf_dir)),
+        pa.schema([("doc_id", pa.int64())]),
+    )
+
+
 def q_collocation_pairs(sf_dir: str):
     from ocr_ray.ops.lm import collocation_pairs
 
@@ -2112,6 +2144,7 @@ QUERIES = {
     "events_pivot_daily": q_events_pivot_daily,
     "bigram_familiarity": q_bigram_familiarity,
     "collocation_pairs": q_collocation_pairs,
+    "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "dedup_exact_incremental": q_dedup_exact_incremental,
     "purchases_next_click": q_purchases_next_click,
     "length_outliers": q_length_outliers,
@@ -2300,6 +2333,63 @@ def _minhash_est_sql(num_perm: int = 64, bands: int = 16,
         ")\n"
         "SELECT doc_a, doc_b, est_jaccard FROM est"
         f" WHERE est_jaccard >= {threshold}"
+    )
+
+
+def _minhash_incremental_sql(num_perm: int = 64, bands: int = 16) -> str:
+    """SQL replay of q_dedup_minhash_incremental: the same mutated
+    shard union'd under shifted ids, bit-exact HUGEINT signatures over
+    the union, banding by tuple equality, admit = new docs with no
+    same-band match against any known doc. (Zero-token docs emit no
+    shingle rows here while the engine gives them the all-max sentinel
+    signature — same documented caveat as _minhash_est_sql; the
+    testdata has none.)"""
+    from ocr_ray.ops.dedup import _minhash_params
+
+    a_arr, b_arr = _minhash_params(num_perm)
+    rows_per_band = num_perm // bands
+    params_rows = ", ".join(
+        f"({p}, {int(a_arr[p])}::HUGEINT, {int(b_arr[p])}::HUGEINT)"
+        for p in range(num_perm)
+    )
+    body = _SHINGLES_BODY.replace(" FROM documents\n", " FROM src\n")
+    return (
+        "WITH src AS MATERIALIZED (\n"
+        " SELECT doc_id, text FROM documents\n"
+        " UNION ALL\n"
+        " SELECT doc_id + 100000, CASE WHEN doc_id % 3 = 0 THEN text"
+        " ELSE substr(text, 1, length(text) // 2) || ' shard2' END"
+        " FROM documents\n"
+        "),\n"
+        + body + ",\n"
+        "hsh AS (\n"
+        " SELECT doc_id,\n"
+        "  CAST(('0x' || substr(md5(shingle), 1, 8))::BIGINT AS HUGEINT) AS hhi,\n"
+        "  CAST(('0x' || substr(md5(shingle), 9, 8))::BIGINT AS HUGEINT) AS hlo\n"
+        " FROM sh\n"
+        f"), params(perm, pa, pb) AS (VALUES {params_rows}),\n"
+        "v AS (\n"
+        " SELECT doc_id, perm,\n"
+        "  ((((pa // 4294967296) * hlo + (pa % 4294967296) * hhi)"
+        " % 4294967296) * 4294967296\n"
+        "    + (pa % 4294967296) * hlo + pb)"
+        " % 18446744073709551616::HUGEINT AS val\n"
+        " FROM hsh CROSS JOIN params\n"
+        "), sig AS (\n"
+        " SELECT doc_id, perm, MIN(val) AS mv FROM v GROUP BY doc_id, perm\n"
+        "), band_sigs AS (\n"
+        f" SELECT doc_id, perm // {rows_per_band} AS band,"
+        " list(mv ORDER BY perm) AS bvals\n"
+        f" FROM sig GROUP BY doc_id, perm // {rows_per_band}\n"
+        "), newdocs AS ("
+        "SELECT DISTINCT doc_id FROM band_sigs WHERE doc_id >= 100000),\n"
+        "hits AS (\n"
+        " SELECT DISTINCT n.doc_id FROM band_sigs n JOIN band_sigs k\n"
+        "  ON n.band = k.band AND n.bvals = k.bvals\n"
+        "  AND n.doc_id >= 100000 AND k.doc_id < 100000\n"
+        ")\n"
+        "SELECT doc_id FROM newdocs"
+        " WHERE doc_id NOT IN (SELECT doc_id FROM hits)"
     )
 
 
@@ -3602,6 +3692,7 @@ def oracle_sql() -> dict[str, str]:
             + "\nFROM events GROUP BY 1"
         ),
         "collocation_pairs": _collocation_oracle_sql(),
+        "dedup_minhash_incremental": _minhash_incremental_sql(),
         "bigram_familiarity": (
             "WITH toks AS (\n"
             f" SELECT doc_id, {_WORDS_SQL} AS ws FROM documents\n"

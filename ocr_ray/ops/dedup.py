@@ -965,3 +965,146 @@ def dedup_exact_incremental(new_docs, known_docs):
         )
 
     return joined.map_batches(admit, batch_format="pyarrow")
+
+
+def dedup_minhash_incremental(new_docs, known_docs, num_perm: int = 64,
+                              bands: int = 16,
+                              broadcast_threshold: int = 5_000_000):
+    """Incremental NEAR-dup admission — the growing-corpus twin of
+    :func:`dedup_exact_incremental`: a NEW doc is admitted iff none of
+    its LSH bands collides with any KNOWN doc's same-band signature
+    (no collision in any band => LSH judges it novel). Returns the
+    admitted (doc_id) rows.
+
+    Two plans, picked by the known corpus's distinct band-key count
+    (16 keys/doc before dedup — sublinear in corpus size after):
+
+    - fits ``broadcast_threshold``: the key set ships once via
+      ``ray.put`` as per-band sorted arrays and every NEW batch checks
+      its 16 band hashes map-side (vectorized isin) — signatures,
+      banding, membership and the per-doc all-bands reduction all
+      happen inside ONE batch, so the plan has ZERO shuffles of new
+      rows;
+    - larger: slim (band, band_hash) rows LEFT OUTER join the new band
+      rows hash-partitioned, keyed per-doc hit sums, admit where zero.
+      (This path needs populated partitions — Ray's native join crashes
+      on empty ones — which the scale regime guarantees.)
+
+    At 100 TB the known band keys are the persisted LSH index of the
+    previous run — read directly, no rescan of known text. Caveats
+    shared with dedup_minhash: the engine compares 64-bit band hashes
+    (a hash collision between different tuples could spuriously reject,
+    ~2^-64 per comparison), and docs with ZERO word tokens carry the
+    all-max sentinel signature, so two empty docs collide by
+    construction."""
+    import ray
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    band_fn = _band_rows_factory(num_perm, bands)
+
+    def band_rows(docs):
+        return minhash_signatures(docs, num_perm).map_batches(
+            band_fn, batch_format="pyarrow"
+        )
+
+    key_schema = pa.schema(
+        [("band", pa.int64()), ("band_hash", pa.int64()),
+         ("_known", pa.int64())]
+    )
+    known_keys = _with_schema(
+        band_rows(known_docs)
+        .map_batches(
+            # map-side distinct before the shuffle: a known doc's 16
+            # band keys repeat across its duplicates
+            lambda t: t.select(["band", "band_hash"])
+            .group_by(["band", "band_hash"])
+            .aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby(["band", "band_hash"])
+        .aggregate(Count(alias_name="_known")),
+        key_schema,
+    ).materialize()
+
+    sigs_new = minhash_signatures(new_docs, num_perm)
+
+    if known_keys.count() <= broadcast_threshold:
+        per_band: dict[int, list[np.ndarray]] = {}
+        for b in known_keys.iter_batches(batch_format="pyarrow"):
+            if not b.num_rows:
+                continue
+            bs = b.column("band").to_numpy(zero_copy_only=False)
+            hs = b.column("band_hash").to_numpy(zero_copy_only=False)
+            for band in np.unique(bs):
+                per_band.setdefault(int(band), []).append(hs[bs == band])
+        lut = {
+            band: np.unique(np.concatenate(parts))
+            for band, parts in per_band.items()
+        }
+        lut_ref = ray.put(lut)
+
+        def check(batch: pa.Table, _ref=lut_ref) -> pa.Table:
+            empty = pa.schema([("doc_id", pa.int64())]).empty_table()
+            n = batch.num_rows
+            if n == 0:
+                return empty
+            rows = band_fn(batch)  # band-major: row b*n+i = (band b, doc i)
+            hashes = rows.column("band_hash").to_numpy(
+                zero_copy_only=False
+            ).reshape(bands, n)
+            keys = ray.get(_ref)
+            hit = np.zeros(n, dtype=bool)
+            for band in range(bands):
+                arr = keys.get(band)
+                if arr is not None and arr.size:
+                    hit |= np.isin(hashes[band], arr)
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"doc_id": pa.array(ids[~hit].astype(np.int64), pa.int64())}
+            )
+
+        return sigs_new.map_batches(check, batch_format="pyarrow")
+
+    from ocr_ray.ops.joins import large_join
+
+    new_rows = _with_schema(
+        sigs_new.map_batches(band_fn, batch_format="pyarrow"),
+        pa.schema(
+            [("band", pa.int64()), ("band_hash", pa.int64()),
+             ("doc_id", pa.int64())]
+        ),
+    )
+    joined = large_join(
+        new_rows, known_keys,
+        on=("band", "band_hash"), join_type="left_outer",
+    )
+
+    flag_schema = pa.schema([("doc_id", pa.int64()), ("hit", pa.int64())])
+
+    def flag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return flag_schema.empty_table()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "hit": pc.cast(
+                    pc.is_valid(t.column("_known")), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        _with_schema(
+            joined.map_batches(flag, batch_format="pyarrow"), flag_schema
+        )
+        .groupby("doc_id")
+        .aggregate(Sum("hit", alias_name="n_band_hits"))
+    )
+
+    def admit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.schema([("doc_id", pa.int64())]).empty_table()
+        return t.filter(pc.equal(t["n_band_hits"], 0)).select(["doc_id"])
+
+    return agg.map_batches(admit, batch_format="pyarrow")
