@@ -914,17 +914,18 @@ def q_kmeans_clusters(sf_dir: str):
     )
 
 
-def q_semdedup_drop_list(sf_dir: str):
-    """SemDeDup over the floor-augmented embeddings (same augmentation
-    as q_embedding_cosine_dedup_augmented — the synthetic vectors are
-    near-random, max natural pairwise cosine ≈ 0.51, so the plain table
-    would make this a trivial 0-row check): every vector gains a
-    near-copy at vec_id + 1,000,000; the copy quantizes to (almost)
-    the same integer vector, lands in the same k-means cluster, and
-    must be dropped by the within-cluster cosine pass at 0.999."""
+def _augmented_embeddings(sf_dir: str):
+    """The embeddings table plus a deterministic near-copy of every
+    vector (vec_id + 1,000,000; components floored to 3 decimals →
+    cosine ≈ 0.999997 with the original). The synthetic vectors are
+    near-random (max natural pairwise cosine ≈ 0.51), so near-dup
+    queries run on this augmentation to get a non-trivial pair set;
+    the SQL oracles replay it with list_transform + FLOOR. Shared by
+    q_embedding_cosine_dedup_augmented and q_semdedup_drop_list —
+    engine and oracle pairs desynchronize if either copy drifts."""
     import numpy as np
 
-    from ocr_ray.ops.similarity import _batch_matrix, semdedup_drop_list
+    from ocr_ray.ops.similarity import _batch_matrix
 
     def add_copies(t: pa.Table) -> pa.Table:
         m = _batch_matrix(t)
@@ -942,9 +943,23 @@ def q_semdedup_drop_list(sf_dir: str):
             }
         )
 
-    aug = _embeddings(sf_dir).map_batches(add_copies, batch_format="pyarrow")
+    return _embeddings(sf_dir).map_batches(
+        add_copies, batch_format="pyarrow"
+    )
+
+
+def q_semdedup_drop_list(sf_dir: str):
+    """SemDeDup over the floor-augmented embeddings (see
+    _augmented_embeddings for why): every vector's near-copy quantizes
+    to (almost) the same integer vector, lands in the same k-means
+    cluster, and must be dropped by the within-cluster cosine pass at
+    0.999."""
+    from ocr_ray.ops.similarity import semdedup_drop_list
+
     return _materialized(
-        semdedup_drop_list(aug, k=8, iters=5, threshold=0.999),
+        semdedup_drop_list(
+            _augmented_embeddings(sf_dir), k=8, iters=5, threshold=0.999
+        ),
         pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64())]),
     )
 
@@ -1528,35 +1543,17 @@ def q_embedding_cosine_dedup(sf_dir: str):
 
 
 def q_embedding_cosine_dedup_augmented(sf_dir: str):
-    """Recall-exercising variant: the embeddings table is augmented with
-    a deterministic near-copy of every vector (vec_id + 1,000,000;
-    components floored to 3 decimals → cosine ≈ 0.999997 with the
-    original), and the LSH dedup must find every (orig, copy) pair at
-    threshold 0.999. The DuckDB oracle rebuilds the same augmentation
-    with list_transform + FLOOR, so this is an equality check on a
-    non-trivial pair set — a true recall gate for the bucketing."""
-    import numpy as np
+    """Recall-exercising variant over the floor-augmented embeddings
+    (see _augmented_embeddings): the LSH dedup must find every
+    (orig, copy) pair at threshold 0.999 — a true recall gate for the
+    bucketing, checked as equality on a non-trivial pair set."""
+    from ocr_ray.ops.similarity import embedding_cosine_dedup
 
-    from ocr_ray.ops.similarity import _batch_matrix, embedding_cosine_dedup
-
-    def add_copies(t: pa.Table) -> pa.Table:
-        m = _batch_matrix(t)
-        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
-        copies = np.floor(m * 1000.0) / 1000.0
-        all_ids = np.concatenate([ids, ids + 1_000_000])
-        all_vecs = np.concatenate([m, copies])
-        return pa.table(
-            {
-                "vec_id": pa.array(all_ids, pa.int64()),
-                "embedding": pa.array(
-                    list(all_vecs), pa.list_(pa.float64())
-                ),
-            }
-        )
-
-    aug = _embeddings(sf_dir).map_batches(add_copies, batch_format="pyarrow")
     return _materialized(
-        embedding_cosine_dedup(aug, threshold=0.999, bits=16, n_tables=4),
+        embedding_cosine_dedup(
+            _augmented_embeddings(sf_dir), threshold=0.999, bits=16,
+            n_tables=4,
+        ),
         _COSINE_PAIR_SCHEMA,
     )
 
@@ -2343,7 +2340,11 @@ def _minhash_incremental_sql(num_perm: int = 64, bands: int = 16) -> str:
     same-band match against any known doc. (Zero-token docs emit no
     shingle rows here while the engine gives them the all-max sentinel
     signature — same documented caveat as _minhash_est_sql; the
-    testdata has none.)"""
+    testdata has none. The literal 100000 id shift doubles as the
+    new/known classifier here, so this replay — like
+    dedup_exact_incremental's — assumes the corpus has fewer than
+    100,000 documents; true by ~50× at every correctness scale
+    factor.)"""
     from ocr_ray.ops.dedup import _minhash_params
 
     a_arr, b_arr = _minhash_params(num_perm)

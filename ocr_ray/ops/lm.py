@@ -194,47 +194,45 @@ def _bigram_familiarity_join(docs, model):
 
 # ------------------------------------------------- collocation mining
 
+_COLLOC_PARTIAL_SCHEMA = pa.schema(
+    [("w1", pa.string()), ("w2", pa.string()), ("m", pa.int64())]
+)
+
+
 def _colloc_partials(batch: pa.Table) -> pa.Table:
-    """Per-batch bigram multiplicities as STRING pair rows (w1, w2, m).
-    Unlike _pair_rows the words themselves are the output payload here,
-    so no hash compression applies; duplicate pairs within the batch
-    still collapse to one weighted row before the shuffle."""
+    """ONE tokenization scan emitting both count families as weighted
+    rows: bigram multiplicities (w1, w2, m) and unigram multiplicities
+    as (w1=w, w2="", m) — the empty-string sentinel can never collide
+    with a real token (the word regex requires ≥3 chars), and it lets a
+    SINGLE keyed sum aggregate both families in one shuffle. The words
+    themselves are the output payload here (unlike _pair_rows), so no
+    hash compression applies; duplicates within the batch still
+    collapse to one weighted row each."""
     from collections import Counter
 
-    counts: Counter = Counter()
+    bi: Counter = Counter()
+    uni: Counter = Counter()
     for text in batch.column("text").to_pylist():
         ws = _WORD_RE.findall((text or "").lower())
+        uni.update(ws)
         for i in range(len(ws) - 1):
-            counts[(ws[i], ws[i + 1])] += 1
-    if not counts:
-        return pa.schema(
-            [("w1", pa.string()), ("w2", pa.string()), ("m", pa.int64())]
-        ).empty_table()
-    keys = list(counts.keys())
+            bi[(ws[i], ws[i + 1])] += 1
+    if not bi and not uni:
+        return _COLLOC_PARTIAL_SCHEMA.empty_table()
+    bkeys = list(bi.keys())
+    ukeys = list(uni.keys())
     return pa.table(
         {
-            "w1": pa.array([k[0] for k in keys], pa.string()),
-            "w2": pa.array([k[1] for k in keys], pa.string()),
-            "m": pa.array([counts[k] for k in keys], pa.int64()),
-        }
-    )
-
-
-def _word_partials(batch: pa.Table) -> pa.Table:
-    """Per-batch unigram multiplicities (w, m)."""
-    from collections import Counter
-
-    counts: Counter = Counter()
-    for text in batch.column("text").to_pylist():
-        counts.update(_WORD_RE.findall((text or "").lower()))
-    if not counts:
-        return pa.schema(
-            [("w", pa.string()), ("m", pa.int64())]
-        ).empty_table()
-    return pa.table(
-        {
-            "w": pa.array(list(counts.keys()), pa.string()),
-            "m": pa.array(list(counts.values()), pa.int64()),
+            "w1": pa.array(
+                [k[0] for k in bkeys] + ukeys, pa.string()
+            ),
+            "w2": pa.array(
+                [k[1] for k in bkeys] + [""] * len(ukeys), pa.string()
+            ),
+            "m": pa.array(
+                [bi[k] for k in bkeys] + [uni[k] for k in ukeys],
+                pa.int64(),
+            ),
         }
     )
 
@@ -249,29 +247,45 @@ def collocation_pairs(docs, min_count: int = 3, lift: int = 1,
     PMI = log(c_ab·N / (c_a·c_b)) ranking would hit libm drift).
     Returns (w1, w2, c_ab, c_a, c_b).
 
-    Scale shape: bigram and unigram counts collapse map-side to
-    weighted rows before their keyed sums; the unigram vocabulary
-    (sublinear in corpus size) broadcasts once via ray.put when it fits
-    ``broadcast_threshold``, so attaching c_a/c_b to the bigram rows is
-    map-side — else two hash-partitioned joins (same dual-plan shape as
+    Scale shape: ONE tokenization scan emits both count families as
+    weighted rows (unigrams under the "" sentinel w2) and ONE keyed sum
+    aggregates them together; the slim result splits into the bigram
+    and vocabulary tables. The vocabulary (sublinear in corpus size)
+    broadcasts once via ray.put when it fits ``broadcast_threshold``,
+    so attaching c_a/c_b to the bigram rows is map-side — else two
+    hash-partitioned joins (same dual-plan shape as
     bigram_familiarity). N is a driver scalar off the materialized
-    bigram aggregate. int64 overflow of c_ab·N is guarded loudly."""
+    aggregate. int64 overflow of c_ab·N is guarded loudly."""
+    import pyarrow.compute as pc
     import ray
     from ray.data.aggregate import Sum
 
-    cab = (
-        docs.map_batches(_colloc_partials, batch_format="pyarrow")
+    from ocr_ray.ops.dedup import _with_schema
+
+    agg_schema = pa.schema(
+        [("w1", pa.string()), ("w2", pa.string()), ("c", pa.int64())]
+    )
+    agg = _with_schema(
+        _with_schema(
+            docs.map_batches(_colloc_partials, batch_format="pyarrow"),
+            _COLLOC_PARTIAL_SCHEMA,
+        )
         .groupby(["w1", "w2"])
-        .aggregate(Sum("m", alias_name="c_ab"))
-        .materialize()
-    )
+        .aggregate(Sum("m", alias_name="c")),
+        agg_schema,
+    ).materialize()
+
+    def bigrams(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["w2"], ""))
+        return t.rename_columns(["w1", "w2", "c_ab"])
+
+    def unigrams(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["w2"], ""))
+        return pa.table({"w": t["w1"], "c": t["c"]})
+
+    cab = agg.map_batches(bigrams, batch_format="pyarrow")
+    uni = agg.map_batches(unigrams, batch_format="pyarrow")
     total = cab.sum("c_ab") or 0
-    uni = (
-        docs.map_batches(_word_partials, batch_format="pyarrow")
-        .groupby("w")
-        .aggregate(Sum("m", alias_name="c"))
-        .materialize()
-    )
     if uni.count() > broadcast_threshold:
         return _collocation_join(cab, uni, min_count, lift, total)
 

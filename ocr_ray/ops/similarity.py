@@ -684,12 +684,39 @@ def semdedup_drop_list(embeddings, k: int = 8, iters: int = 5,
     wide op is the single hash partition on cluster. At 100 TB, k grows
     with the corpus (SemDeDup used 50k clusters for LAION) so cluster
     sizes stay ~bounded; clusters past ``max_cluster`` degrade to
-    head-only comparison with a logged warning, never a silent drop."""
+    head-only comparison with a logged warning, never a silent drop
+    (the SQL oracle compares ALL same-cluster pairs, so it only matches
+    while no cluster exceeds ``max_cluster`` — true by orders of
+    magnitude at correctness scale)."""
     from ocr_ray.ops.dedup import _with_schema
 
+    def quantize_and_pack(t: pa.Table) -> pa.Table:
+        """One scan: quantized coordinates for the centroid fit AND the
+        raw float64 vector packed to fixed-width binary for the cluster
+        shuffle — the input pipeline executes exactly once."""
+        m = _batch_matrix(t)
+        q = np.floor(m * _KM_SCALE).astype(np.int64) + _KM_OFFSET
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id").cast(pa.int64()),
+                "q": pa.FixedSizeListArray.from_arrays(
+                    pa.array(q.ravel(), pa.int64()), q.shape[1]
+                ),
+                "emb": pa.array([row.tobytes() for row in m], pa.binary()),
+            }
+        )
+
     qds = _with_schema(
-        embeddings.map_batches(_quantize_block, batch_format="pyarrow"),
-        pa.schema([("vec_id", pa.int64()), ("q", pa.list_(pa.int64()))]),
+        embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+            quantize_and_pack, batch_format="pyarrow"
+        ),
+        pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("q", pa.list_(pa.int64())),
+                ("emb", pa.binary()),
+            ]
+        ),
     ).materialize()
     centroids = _fit_centroids(qds, k=k, iters=iters)
 
@@ -698,9 +725,7 @@ def semdedup_drop_list(embeddings, k: int = 8, iters: int = 5,
     dim = centroids.shape[1]
     cref = ray.put(centroids)
 
-    def assign_and_pack(t: pa.Table, _cref=cref) -> pa.Table:
-        """One pass: cluster assignment (broadcast centroids) + the raw
-        float64 vector packed to fixed-width binary for the shuffle."""
+    def assign(t: pa.Table, _cref=cref) -> pa.Table:
         if t.num_rows == 0:
             return pa.schema(
                 [
@@ -710,25 +735,23 @@ def semdedup_drop_list(embeddings, k: int = 8, iters: int = 5,
                 ]
             ).empty_table()
         cents = ray.get(_cref)
-        m = _batch_matrix(t)
-        q = np.floor(m * _KM_SCALE).astype(np.int64) + _KM_OFFSET
-        if q.shape[1] != dim:
-            raise ValueError(
-                f"embedding dim {q.shape[1]} != centroid dim {dim}"
-            )
+        qm = np.asarray(
+            t.column("q").combine_chunks().flatten().to_numpy(
+                zero_copy_only=False
+            ),
+            np.int64,
+        ).reshape(t.num_rows, dim)
         return pa.table(
             {
-                "vec_id": t.column("vec_id").cast(pa.int64()),
+                "vec_id": t.column("vec_id"),
                 "cluster": pa.array(
-                    _km_assign(q, cents).astype(np.int64), pa.int64()
+                    _km_assign(qm, cents).astype(np.int64), pa.int64()
                 ),
-                "emb": pa.array([row.tobytes() for row in m], pa.binary()),
+                "emb": t.column("emb"),
             }
         )
 
-    tagged = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
-        assign_and_pack, batch_format="pyarrow"
-    )
+    tagged = qds.map_batches(assign, batch_format="pyarrow")
     from ocr_ray.stages.grouped import grouped_map
 
     return grouped_map(
