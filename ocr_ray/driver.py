@@ -732,6 +732,26 @@ def q_winnowing_fingerprints(sf_dir: str):
     ).select_columns(["doc_id", "n_fingerprints"])
 
 
+def q_winnow_overlap_pairs(sf_dir: str):
+    from ocr_ray.ops.textstats import winnow_overlap_pairs
+
+    return _materialized(
+        winnow_overlap_pairs(
+            _docs(sf_dir).select_columns(["doc_id", "text"]),
+            min_shared=8, max_df=64,
+        ),
+        pa.schema(
+            [
+                ("doc_a", pa.int64()),
+                ("doc_b", pa.int64()),
+                ("n_shared", pa.int64()),
+                ("size_a", pa.int64()),
+                ("size_b", pa.int64()),
+            ]
+        ),
+    )
+
+
 def q_top_terms_by_lang(sf_dir: str):
     """Per-group top-k: the 5 most frequent words per language
     (count DESC, word ASC). Partial (lang, word) counts per batch →
@@ -2062,6 +2082,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "dup_ngram_coverage": q_dup_ngram_coverage,
     "winnowing_fingerprints": q_winnowing_fingerprints,
+    "winnow_overlap_pairs": q_winnow_overlap_pairs,
     "top_terms_by_lang": q_top_terms_by_lang,
     "tfidf_top_terms": q_tfidf_top_terms,
     "sample_per_lang": q_sample_per_lang,
@@ -2272,6 +2293,38 @@ def _winnowing_sql(k: int = 7, window: int = 8) -> str:
         "FROM documents d\n"
         "LEFT JOIN runs r USING (doc_id)\n"
         "LEFT JOIN small s USING (doc_id)"
+    )
+
+
+def _winnow_overlap_sql(min_shared: int = 8, max_df: int = 64,
+                        window: int = 8) -> str:
+    """SQL replay of winnow_overlap_pairs: reuses _winnowing_sql's CTE
+    chain up to the per-position window minima (winpos), takes the
+    DISTINCT fingerprint VALUES per doc (plus the single-fingerprint
+    small-doc branch the engine's winnow_fingerprints has), and counts
+    shared fps per pair under the same df cap."""
+    base = _winnowing_sql(window=window)
+    chain = base[: base.index("), flagged AS (")] + ")"
+    return (
+        chain + ",\n"
+        "fps AS (\n"
+        " SELECT DISTINCT doc_id, wmin AS fp FROM winpos\n"
+        " UNION\n"
+        " SELECT doc_id, MIN(h) AS fp FROM valid GROUP BY doc_id"
+        f" HAVING MAX(n_h) <= {window}\n"
+        "), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM fps"
+        " GROUP BY doc_id),\n"
+        "dfs AS (SELECT fp, COUNT(*) AS dfc FROM fps GROUP BY fp),\n"
+        "prs AS (\n"
+        " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        " COUNT(*) AS n_shared\n"
+        " FROM fps a JOIN fps b USING (fp) JOIN dfs USING (fp)\n"
+        f" WHERE a.doc_id < b.doc_id AND dfs.dfc <= {max_df}\n"
+        f" GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}\n"
+        ")\n"
+        "SELECT doc_a, doc_b, n_shared, sa.sz AS size_a, sb.sz AS size_b\n"
+        "FROM prs JOIN sizes sa ON sa.doc_id = prs.doc_a\n"
+        "JOIN sizes sb ON sb.doc_id = prs.doc_b"
     )
 
 
@@ -3258,6 +3311,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM ranked WHERE rank <= 50"
         ),
         "winnowing_fingerprints": _winnowing_sql(),
+        "winnow_overlap_pairs": _winnow_overlap_sql(),
         "ngram_jaccard_pairs": (
             "WITH " + _SHINGLES_BODY + ",\n"
             "df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),\n"

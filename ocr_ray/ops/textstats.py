@@ -219,3 +219,78 @@ def _winnow_batch(batch: pa.Table) -> pa.Table:
 
 def winnowing_fingerprints(docs):
     return docs.map_batches(_winnow_batch, batch_format="pyarrow")
+
+
+def _fp_rows(batch: pa.Table) -> pa.Table:
+    """Distinct winnowing fingerprints per doc as slim (fp, doc_id,
+    set_size) rows — the inverted-index input for overlap pairing."""
+    fp_out: list[np.ndarray] = []
+    id_out: list[np.ndarray] = []
+    sz_out: list[np.ndarray] = []
+    for doc_id, text in zip(
+        batch.column("doc_id").to_pylist(),
+        batch.column("text").to_pylist(),
+    ):
+        fps = np.unique(
+            np.array(winnow_fingerprints(text), dtype=np.int64)
+        )
+        if not fps.size:
+            continue
+        fp_out.append(fps)
+        id_out.append(np.full(fps.size, doc_id, dtype=np.int64))
+        sz_out.append(np.full(fps.size, fps.size, dtype=np.int64))
+    if not fp_out:
+        return pa.schema(
+            [("fp", pa.int64()), ("doc_id", pa.int64()),
+             ("set_size", pa.int64())]
+        ).empty_table()
+    return pa.table(
+        {
+            "fp": pa.array(np.concatenate(fp_out), pa.int64()),
+            "doc_id": pa.array(np.concatenate(id_out), pa.int64()),
+            "set_size": pa.array(np.concatenate(sz_out), pa.int64()),
+        }
+    )
+
+
+def winnow_overlap_pairs(docs, min_shared: int = 8, max_df: int = 64):
+    """MOSS-style near-copy detection (Schleimer et al. 2003): doc
+    pairs sharing at least ``min_shared`` distinct winnowing
+    fingerprints. The same distributed inverted-index join as
+    ngram_jaccard_pairs — explode distinct (fp, doc) rows, bucket by
+    fingerprint, co-occurrence pairs, keyed pair count — with the
+    stop-fingerprint guard: fingerprints in more than ``max_df`` docs
+    are dropped whole before pairing (mirrored by the oracle's df
+    filter; shared fps above the cap reduce the measured overlap, the
+    documented underestimate semantics of the jaccard family). Returns
+    (doc_a, doc_b, n_shared, size_a, size_b)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max
+
+    from ocr_ray.ops.dedup import _cooccur_block_factory
+    from ocr_ray.stages.grouped import grouped_map
+
+    rows = docs.map_batches(_fp_rows, batch_format="pyarrow")
+    pairs = grouped_map(rows, ["fp"], _cooccur_block_factory(max_df))
+    counted = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="n_shared"),
+        Max("size_a", alias_name="size_a"),
+        Max("size_b", alias_name="size_b"),
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_a" not in t.column_names:
+            return pa.schema(
+                [
+                    ("doc_a", pa.int64()),
+                    ("doc_b", pa.int64()),
+                    ("n_shared", pa.int64()),
+                    ("size_a", pa.int64()),
+                    ("size_b", pa.int64()),
+                ]
+            ).empty_table()
+        return t.select(
+            ["doc_a", "doc_b", "n_shared", "size_a", "size_b"]
+        ).filter(pc.greater_equal(t["n_shared"], min_shared))
+
+    return counted.map_batches(keep, batch_format="pyarrow")
