@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "pack_sequences",
     "kmeans_clusters",
     "semdedup_drop_list",
+    "collocation_pairs",
+    "dedup_minhash_incremental",
     "vocab_overlap",
     "event_transitions",
     "bloom_orders_filter",

@@ -918,23 +918,26 @@ def ngram_jaccard_pairs(docs, shingle_n: int = 3, threshold: float = 0.5,
     return counted.map_batches(add_jaccard, batch_format="pyarrow")
 
 
-def dedup_exact_incremental(new_docs, known_docs):
+def dedup_exact_incremental(new_docs, known_docs,
+                            broadcast_threshold: int = 2_000_000):
     """Incremental exact dedup — the operational mode of a growing
     corpus: deduplicate a NEW shard against the fingerprints of the
     EXISTING corpus without re-deduplicating the existing corpus.
 
     Returns the new docs to ADMIT: per content fingerprint the smallest
     new doc_id, and only for fingerprints absent from ``known_docs``.
-    Shape: both sides reduce to slim (fingerprint[, doc_id]) rows, the
-    known side to distinct fingerprints with a marker; one
-    hash-partitioned LEFT OUTER join; null-marker survivors. Both sides
-    stream — at 100 TB the known-fingerprint table would be the
-    persisted output of the previous run, read directly (no rescan of
-    the known corpus text)."""
+    The new side always reduces to slim keeper rows with one keyed
+    aggregate. The known-overlap check has two plans (same dispatch as
+    dedup_minhash_incremental): when the known distinct-fingerprint set
+    fits ``broadcast_threshold`` it ships once via ray.put and the
+    anti join is a map-side set probe — zero join shuffles; past the
+    threshold, distinct known fingerprints with a marker LEFT OUTER
+    join the keepers hash-partitioned and null-marker rows survive.
+    At 100 TB the known fingerprints would be the persisted output of
+    the previous run, read directly (no rescan of known text)."""
+    import ray
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Min
-
-    from ocr_ray.ops.joins import large_join
 
     new_keepers = (
         new_docs.map_batches(_hash_batch, batch_format="pyarrow")
@@ -944,16 +947,51 @@ def dedup_exact_incremental(new_docs, known_docs):
             Count(alias_name="n_copies_new"),
         )
     )
-    known_fps = (
-        known_docs.map_batches(_hash_batch, batch_format="pyarrow")
-        .map_batches(
-            lambda t: t.select(["fingerprint"])
-            .group_by("fingerprint")
-            .aggregate([]),
-            batch_format="pyarrow",
-        )
-        .groupby("fingerprint")
-        .aggregate(Count(alias_name="_known"))
+    known_local = known_docs.map_batches(
+        _hash_batch, batch_format="pyarrow"
+    ).map_batches(
+        lambda t: t.select(["fingerprint"])
+        .group_by("fingerprint")
+        .aggregate([]),
+        batch_format="pyarrow",
+    )
+
+    seen: set = set()
+    too_big = False
+    for b in known_local.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            seen.update(b.column("fingerprint").to_pylist())
+        if len(seen) > broadcast_threshold:
+            too_big = True
+            break
+
+    if not too_big:
+        seen_ref = ray.put(seen)
+
+        def probe(t: pa.Table, _ref=seen_ref) -> pa.Table:
+            empty = pa.schema(
+                [
+                    ("fingerprint", pa.string()),
+                    ("doc_id", pa.int64()),
+                    ("n_copies_new", pa.int64()),
+                ]
+            ).empty_table()
+            if t.num_rows == 0 or "fingerprint" not in t.column_names:
+                return empty
+            s = ray.get(_ref)
+            keep = pa.array(
+                [fp not in s for fp in t.column("fingerprint").to_pylist()]
+            )
+            return t.select(
+                ["fingerprint", "doc_id", "n_copies_new"]
+            ).filter(keep)
+
+        return new_keepers.map_batches(probe, batch_format="pyarrow")
+
+    from ocr_ray.ops.joins import large_join
+
+    known_fps = known_local.groupby("fingerprint").aggregate(
+        Count(alias_name="_known")
     )
     joined = large_join(
         new_keepers, known_fps, on="fingerprint", join_type="left_outer"
