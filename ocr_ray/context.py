@@ -63,7 +63,47 @@ def configure(num_cpus: int | None = None):
         # CPUs before any task runs)
         if hasattr(ctx, "join_operator_actor_num_cpus_per_partition_override"):
             ctx.join_operator_actor_num_cpus_per_partition_override = 0.01
+    _patch_hash_shuffle_empty_blocks()
     return ctx
+
+
+def _patch_hash_shuffle_empty_blocks():
+    """Work around a Ray 2.49 hash-shuffle schema-broadcast bug that
+    crashes sparse joins: the operator broadcasts each input's schema to
+    every aggregator exactly ONCE, piggybacked on the first block — but
+    ``_shuffle_block`` early-returns for 0-row blocks WITHOUT sending
+    the schema'd empty shards, while the operator still marks the
+    broadcast as done. If an input's first block is empty (hash
+    aggregates and joins emit 0-row — often column-less — blocks for
+    empty partitions), any join partition that then receives no rows
+    finalizes ``pa.table({}).join(...)`` and dies with "No match for
+    key field". Dropping 0-row blocks from shuffle input bundles fixes
+    the broadcast (the first REAL block carries it) and removes the
+    pointless shuffle tasks; 0-row blocks contribute nothing to any
+    keyed shuffle. Reproduced by tests/test_join_dag.py's sparse-graph
+    case; idempotent, pinned to the HashShufflingOperatorBase seam."""
+    import dataclasses
+
+    from ray.data._internal.execution.operators import hash_shuffle as _hs
+
+    if getattr(_hs, "_ocr_ray_empty_block_patch", False):
+        return
+    _orig = _hs.HashShufflingOperatorBase._do_add_input_inner
+
+    def _inner(self, input_bundle, input_index):
+        blocks = tuple(
+            (ref, meta)
+            for ref, meta in input_bundle.blocks
+            if meta.num_rows is None or meta.num_rows > 0
+        )
+        if len(blocks) != len(input_bundle.blocks):
+            if not blocks:
+                return None
+            input_bundle = dataclasses.replace(input_bundle, blocks=blocks)
+        return _orig(self, input_bundle, input_index)
+
+    _hs.HashShufflingOperatorBase._do_add_input_inner = _inner
+    _hs._ocr_ray_empty_block_patch = True
 
 
 def apply_to_dataset(ds):

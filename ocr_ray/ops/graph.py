@@ -597,8 +597,18 @@ def label_propagation(edges, iters: int = 4):
         if n_nodes <= broadcast_limit:
             # one ray.put per round; every edge batch resolves its src
             # labels with a vectorized searchsorted against the shared
-            # object — no shuffle of the edge set at all
-            lt = pa.Table.from_pylist(labels.take_all(), schema=lbl_schema)
+            # object — no shuffle of the edge set at all. Collected
+            # columnar (iter_batches + concat), never via per-row dicts.
+            lbl_batches = [
+                b
+                for b in labels.iter_batches(batch_format="pyarrow")
+                if b.num_rows
+            ]
+            lt = (
+                pa.concat_tables(lbl_batches).combine_chunks()
+                if lbl_batches
+                else lbl_schema.empty_table()
+            )
             nodes_arr = lt.column("node").to_numpy(zero_copy_only=False)
             order = np.argsort(nodes_arr)
             lbl_ref = ray.put(
@@ -616,6 +626,17 @@ def label_propagation(edges, iters: int = 4):
                 nodes_s, labs_s = ray.get(_ref)
                 src = t.column("src").to_numpy(zero_copy_only=False)
                 idx = np.searchsorted(nodes_s, src)
+                # verify every hit: labels cover all edge endpoints by
+                # construction, so a miss means a broken caller contract
+                # — fail loudly instead of attaching a neighbor's label
+                if idx.size and (
+                    int(idx.max()) >= len(nodes_s)
+                    or not np.array_equal(nodes_s[idx], src)
+                ):
+                    raise ValueError(
+                        "label_propagation: edge src absent from the "
+                        "label table (non-canonical edge input?)"
+                    )
                 return pa.table(
                     {
                         "dst": t.column("dst").cast(pa.int64()),

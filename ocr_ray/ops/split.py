@@ -35,12 +35,27 @@ _SPLIT_NAMES = ("train", "val", "test")
 def split_of(ids: np.ndarray) -> np.ndarray:
     """Vectorized split code (0=train, 1=val, 2=test) per doc_id —
     ``((doc_id * 2654435761) mod 2^32) mod 100`` against the
-    thresholds; bit-identical to the SQL oracle's HUGEINT arithmetic."""
+    thresholds; bit-identical to the SQL oracle's HUGEINT arithmetic
+    for non-negative ids. Negative ids raise: the engine's uint64
+    wraparound is a floor-mod where SQL's HUGEINT ``%`` truncates
+    (every negative id would land in 'train' SQL-side), so the two
+    would silently disagree — fail loudly instead."""
+    if ids.size and int(ids.min()) < 0:
+        raise ValueError(
+            "split_of requires non-negative doc_id (negative ids hash "
+            "differently in the engine and the SQL oracle)"
+        )
     pct = ((ids.astype(np.uint64) * _KNUTH) & _M32) % np.uint64(100)
     return (pct >= TRAIN_PCT).astype(np.int8) + (pct >= VAL_PCT).astype(np.int8)
 
 
 def _partials(batch: pa.Table) -> pa.Table:
+    if batch.column("lang").null_count:
+        raise ValueError(
+            "train_split_stats: null lang values are unsupported — "
+            "assign a language upstream (np.unique cannot order None, "
+            "and a silent 'None' group would diverge from SQL's NULL)"
+        )
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     chars = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
     codes = split_of(ids).astype(np.int64)
@@ -99,6 +114,24 @@ def train_split_sql() -> str:
 
 
 def _base_partials(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    for col in ("lang", "source"):
+        c = batch.column(col)
+        if c.null_count:
+            raise ValueError(
+                f"rollup/cube: null {col} values are unsupported — a "
+                "silent 'None' group would diverge from SQL's NULL"
+            )
+        bad = pc.or_(
+            pc.equal(c, pa.scalar("ALL")),
+            pc.match_substring(c, "\x1f"),
+        )
+        if pc.any(bad).as_py():
+            raise ValueError(
+                f"rollup/cube: {col} values colliding with the 'ALL' "
+                "sentinel or the \\x1f separator are unsupported"
+            )
     chars = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
     langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
     sources = np.asarray(batch.column("source").to_pylist(), dtype=object)

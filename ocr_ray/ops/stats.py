@@ -233,18 +233,29 @@ def events_pivot_daily(events, types: tuple[str, ...] = EVENT_TYPES):
             dtype=np.int64,
         )
         ok = codes >= 0
-        days_u, day_inv = np.unique(day_np[ok], return_inverse=True)
-        key = day_inv * len(types) + codes[ok]
+        # distinct days come from ALL events (SQL groups before the
+        # conditional sums): a day whose events are all untracked types
+        # must still pivot to an all-zero row, so emit a zero-count
+        # presence row for it rather than dropping the day
+        days_u, day_inv = np.unique(day_np, return_inverse=True)
+        key = day_inv[ok] * len(types) + codes[ok]
         counts = np.bincount(key, minlength=len(days_u) * len(types))
         live = np.flatnonzero(counts)
+        silent = np.flatnonzero(
+            counts.reshape(len(days_u), len(types)).sum(axis=1) == 0
+        )
+        day_col = np.concatenate([days_u[live // len(types)], days_u[silent]])
+        code_col = np.concatenate(
+            [live % len(types), np.zeros(len(silent), np.int64)]
+        )
+        n_col = np.concatenate([counts[live], np.zeros(len(silent), np.int64)])
         return pa.table(
             {
                 "day": pc.cast(
-                    pa.array(days_u[live // len(types)], pa.int64()),
-                    pa.timestamp("us"),
+                    pa.array(day_col, pa.int64()), pa.timestamp("us")
                 ),
-                "type_code": pa.array(live % len(types), pa.int64()),
-                "n": pa.array(counts[live], pa.int64()),
+                "type_code": pa.array(code_col, pa.int64()),
+                "n": pa.array(n_col, pa.int64()),
             }
         )
 
@@ -641,7 +652,7 @@ def length_token_correlation(docs):
     subtraction, multiplication, division and IEEE-754 sqrt (exactly
     rounded by spec) over exact integers, shared term-for-term with the
     SQL oracle for a bit-identical result."""
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Sum
 
     from ocr_ray.ops.dedup import _with_schema
 
@@ -654,6 +665,7 @@ def length_token_correlation(docs):
             ("sxy", pa.int64()),
             ("sxx", pa.int64()),
             ("syy", pa.int64()),
+            ("mx", pa.int64()),
         ]
     )
 
@@ -689,6 +701,16 @@ def length_token_correlation(docs):
                 "sxy": pa.array(seg(x * y), pa.int64()),
                 "sxx": pa.array(seg(x * x), pa.int64()),
                 "syy": pa.array(seg(y * y), pa.int64()),
+                # per-lang max coordinate: feeds the overflow guard in
+                # finish() — the int64 moment sums wrap silently past
+                # 2^63, which n·mx² bounds from above
+                "mx": pa.array(
+                    np.maximum.reduceat(
+                        np.maximum(x, y)[np.argsort(codes, kind="stable")],
+                        np.searchsorted(np.sort(codes), np.arange(k)),
+                    ),
+                    pa.int64(),
+                ),
             }
         )
 
@@ -702,6 +724,7 @@ def length_token_correlation(docs):
             Sum("sxy", alias_name="sxy"),
             Sum("sxx", alias_name="sxx"),
             Sum("syy", alias_name="syy"),
+            Max("mx", alias_name="mx"),
         ),
         part_schema,
     )
@@ -713,6 +736,18 @@ def length_token_correlation(docs):
     def finish(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or t.num_columns == 0:
             return out_schema.empty_table()
+        for n_i, mx_i in zip(
+            t.column("n").to_pylist(), t.column("mx").to_pylist()
+        ):
+            # conservative exact bound (Python ints): every per-batch
+            # and merged moment sum is ≤ n·mx², so below 2^63 nothing
+            # wrapped anywhere in the int64 pipeline
+            if int(n_i) * int(mx_i) * int(mx_i) >= 2 ** 63:
+                raise OverflowError(
+                    "length_token_correlation: int64 moment sums could "
+                    "overflow for this group (n*max^2 >= 2^63) — shard "
+                    "the corpus or widen the accumulator"
+                )
         n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
         sx = t.column("sx").to_numpy(zero_copy_only=False).astype(np.float64)
         sy = t.column("sy").to_numpy(zero_copy_only=False).astype(np.float64)
