@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "event_transitions",
     "bloom_orders_filter",
     "revenue_by_nation",
+    "doc_cosine_pairs",
+    "fuzzy_word_pairs",
+    "ngram_containment_pairs",
+    "kmv_user_estimate",
 ]
 
 

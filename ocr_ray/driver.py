@@ -527,6 +527,20 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     )
 
 
+def q_ngram_containment_pairs(sf_dir: str):
+    from ocr_ray.ops.dedup import ngram_containment_pairs
+
+    return _materialized(
+        ngram_containment_pairs(_docs(sf_dir), threshold=0.6),
+        pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+             ("intersection", pa.int64()), ("size_a", pa.int64()),
+             ("size_b", pa.int64()), ("cont_a", pa.float64()),
+             ("cont_b", pa.float64())]
+        ),
+    )
+
+
 def q_frequent_shingles(sf_dir: str):
     from ocr_ray.ops.dedup import frequent_shingles
 
@@ -898,6 +912,33 @@ def q_hll_user_estimate(sf_dir: str):
 
     _quiet()
     return hll_distinct(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]),
+        "user_id",
+    )
+
+
+def q_kmv_user_registers(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.sketch import kmv_registers
+
+    _quiet()
+    return _materialized(
+        kmv_registers(
+            rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]),
+            "user_id",
+        ),
+        pa.schema([("h", pa.int64())]),
+    )
+
+
+def q_kmv_user_estimate(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.sketch import kmv_distinct
+
+    _quiet()
+    return kmv_distinct(
         rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]),
         "user_id",
     )
@@ -2055,6 +2096,27 @@ def q_cms_heavy_hitters(sf_dir: str):
     return cms_heavy_hitters(_docs(sf_dir, "text"), k=25)
 
 
+def q_fuzzy_word_pairs(sf_dir: str):
+    # the part-name vocabulary is the one testdata corpus with genuine
+    # edit-distance-1 word pairs (cold/old, red/rod); the documents
+    # keyword vocabulary has none, which would make the oracle trivially
+    # empty
+    from ocr_ray.ops.strsim import fuzzy_word_pairs
+    import ray.data as rd
+
+    _quiet()
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    return fuzzy_word_pairs(parts, text_col="p_name")
+
+
+def q_doc_cosine_pairs(sf_dir: str):
+    from ocr_ray.ops.strsim import doc_cosine_pairs_sparse
+
+    return doc_cosine_pairs_sparse(
+        _docs(sf_dir, "doc_id", "text"), threshold=0.5
+    )
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -2135,6 +2197,7 @@ QUERIES = {
     "split_leakage": q_split_leakage,
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ngram_containment_pairs": q_ngram_containment_pairs,
     "frequent_shingles": q_frequent_shingles,
     "ann_brute_topk": q_ann_brute_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -2166,6 +2229,10 @@ QUERIES = {
     "dedup_exact_incremental": q_dedup_exact_incremental,
     "purchases_next_click": q_purchases_next_click,
     "length_outliers": q_length_outliers,
+    "fuzzy_word_pairs": q_fuzzy_word_pairs,
+    "doc_cosine_pairs": q_doc_cosine_pairs,
+    "kmv_user_registers": q_kmv_user_registers,
+    "kmv_user_estimate": q_kmv_user_estimate,
 }
 
 
@@ -3331,6 +3398,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_a, doc_b, intersection, size_a, size_b, jaccard"
             " FROM scored WHERE jaccard >= 0.5"
         ),
+        "ngram_containment_pairs": (
+            "WITH " + _SHINGLES_BODY + ",\n"
+            "df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),\n"
+            "inter AS (\n"
+            " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+            " CAST(COUNT(*) AS BIGINT) AS intersection\n"
+            " FROM sh a JOIN sh b USING (shingle) JOIN df d USING (shingle)\n"
+            " WHERE a.doc_id < b.doc_id AND d.df <= 256 GROUP BY 1, 2\n"
+            "), scored AS (\n"
+            " SELECT doc_a, doc_b, intersection,"
+            " CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,\n"
+            "  CAST(intersection AS DOUBLE) / CAST(sa.sz AS DOUBLE)"
+            " AS cont_a,\n"
+            "  CAST(intersection AS DOUBLE) / CAST(sb.sz AS DOUBLE)"
+            " AS cont_b\n"
+            " FROM inter JOIN sizes sa ON sa.doc_id = inter.doc_a"
+            " JOIN sizes sb ON sb.doc_id = inter.doc_b\n"
+            ")\n"
+            "SELECT doc_a, doc_b, intersection, size_a, size_b,"
+            " cont_a, cont_b\n"
+            "FROM scored WHERE GREATEST(cont_a, cont_b) >= 0.6"
+        ),
         "dedup_minhash_verified": (
             "WITH " + _SHINGLES_BODY + ",\n" + _JACCARD_PAIRS_BODY + "\n"
             "SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5"
@@ -3762,6 +3851,93 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,\n"
             " CAST(SUM(c) AS BIGINT) AS familiarity\n"
             "FROM pairs JOIN bg USING (bigram) GROUP BY doc_id"
+        ),
+        "kmv_user_registers": (
+            # the register set IS the sketch — checked bit-for-bit
+            "WITH h AS (\n"
+            " SELECT DISTINCT"
+            " ((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))"
+            "::BIGINT & 1073741823) * 4294967296)\n"
+            "  + ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))"
+            "::BIGINT AS h\n"
+            " FROM events\n"
+            ")\n"
+            "SELECT CAST(h AS BIGINT) AS h FROM h ORDER BY h LIMIT 64"
+        ),
+        "kmv_user_estimate": (
+            # (k−1)·2^62 / h_(k): numerator factors are exact doubles,
+            # the one division is the only rounding step (ops/sketch.py)
+            "WITH h AS (\n"
+            " SELECT DISTINCT"
+            " ((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))"
+            "::BIGINT & 1073741823) * 4294967296)\n"
+            "  + ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))"
+            "::BIGINT AS h\n"
+            " FROM events\n"
+            "), topk AS (SELECT h FROM h ORDER BY h LIMIT 64),\n"
+            "agg AS (SELECT COUNT(*) AS n, MAX(h) AS kth FROM topk)\n"
+            "SELECT CASE WHEN n < 64 THEN CAST(n AS DOUBLE)\n"
+            "  ELSE 63.0 * 4611686018427387904.0 / CAST(kth AS DOUBLE)"
+            " END AS kmv_estimate,\n"
+            " CAST(CASE WHEN n < 64 THEN -1 ELSE kth END AS BIGINT)"
+            " AS kth_hash,\n"
+            " CAST(n AS BIGINT) AS n_regs\n"
+            "FROM agg"
+        ),
+        "fuzzy_word_pairs": (
+            # SymSpell deletion-neighborhood join ≡ levenshtein = 1 on
+            # the df-filtered vocabulary (ops/strsim.py proves the key
+            # cover); the length prefilter mirrors the bucketing bound
+            "WITH w AS (\n"
+            " SELECT DISTINCT p_partkey,"
+            " unnest(regexp_extract_all(lower(p_name), '[a-zA-Z]{3,}'))"
+            " AS word FROM part\n"
+            "), v AS (\n"
+            " SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM w\n"
+            " WHERE length(word) <= 24 GROUP BY word"
+            " HAVING COUNT(*) >= 2\n"
+            ")\n"
+            "SELECT a.word AS word_a, b.word AS word_b,\n"
+            " a.df AS df_a, b.df AS df_b\n"
+            "FROM v a JOIN v b ON a.word < b.word\n"
+            " AND abs(length(a.word) - length(b.word)) <= 1\n"
+            " AND levenshtein(a.word, b.word) = 1"
+        ),
+        "doc_cosine_pairs": (
+            # exact sparse tf-vector cosine join; dot/norms are exact
+            # integers so only the final cosine touches floats — both
+            # engines evaluate the SAME IEEE expression and round at
+            # 1e-6 BEFORE thresholding (ops/strsim.py:finish)
+            "WITH tf AS (\n"
+            " SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf\n"
+            f" FROM (SELECT doc_id, unnest({_WORDS_SQL}) AS word"
+            " FROM documents)\n"
+            " GROUP BY doc_id, word\n"
+            "), kept AS (\n"
+            " SELECT word FROM tf GROUP BY word"
+            " HAVING COUNT(*) BETWEEN 2 AND 256\n"
+            "), t AS (\n"
+            " SELECT tf.doc_id, tf.word, tf.tf FROM tf"
+            " JOIN kept USING (word)\n"
+            "), norms AS (\n"
+            " SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS norm_sq"
+            " FROM t GROUP BY doc_id\n"
+            "), dots AS (\n"
+            " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
+            "  CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot\n"
+            " FROM t a JOIN t b ON a.word = b.word"
+            " AND a.doc_id < b.doc_id\n"
+            " GROUP BY 1, 2\n"
+            "), c AS (\n"
+            " SELECT doc_a, doc_b, dot,\n"
+            "  floor(CAST(dot AS DOUBLE)\n"
+            "   / sqrt(CAST(na.norm_sq AS DOUBLE)"
+            " * CAST(nb.norm_sq AS DOUBLE))\n"
+            "   * 1000000.0 + 0.5) / 1000000.0 AS cos\n"
+            " FROM dots JOIN norms na ON na.doc_id = dots.doc_a\n"
+            "  JOIN norms nb ON nb.doc_id = dots.doc_b\n"
+            ")\n"
+            "SELECT doc_a, doc_b, dot, cos FROM c WHERE cos >= 0.5"
         ),
         **(
             {"ann_ivf_topk": ivf_sql}

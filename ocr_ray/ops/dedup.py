@@ -890,19 +890,8 @@ def ngram_jaccard_pairs(docs, shingle_n: int = 3, threshold: float = 0.5,
     applies the same df filter); use ``minhash_verified_pairs`` when the
     unfiltered set Jaccard is required."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Max
 
-    from ocr_ray.stages.grouped import grouped_map
-
-    rows = docs.map_batches(
-        _shingle_rows_factory(shingle_n), batch_format="pyarrow"
-    )
-    pairs = grouped_map(rows, ["shingle"], _cooccur_block_factory(max_df))
-    counted = pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="intersection"),
-        Max("size_a", alias_name="size_a"),
-        Max("size_b", alias_name="size_b"),
-    )
+    counted = _ngram_cooccur_counts(docs, shingle_n, max_df)
 
     def add_jaccard(t: pa.Table) -> pa.Table:
         inter = t["intersection"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -916,6 +905,63 @@ def ngram_jaccard_pairs(docs, shingle_n: int = 3, threshold: float = 0.5,
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
     return counted.map_batches(add_jaccard, batch_format="pyarrow")
+
+
+def _ngram_cooccur_counts(docs, shingle_n: int, max_df: int):
+    """Shared inverted-index core of the shingle-set similarity joins:
+    (doc_a, doc_b, intersection, size_a, size_b) for every pair sharing
+    ≥1 surviving shingle. One shuffle of slim derived rows (shingle
+    bucketing) + one keyed count; documents never shuffle."""
+    from ray.data.aggregate import Count, Max
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    rows = docs.map_batches(
+        _shingle_rows_factory(shingle_n), batch_format="pyarrow"
+    )
+    pairs = grouped_map(rows, ["shingle"], _cooccur_block_factory(max_df))
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="intersection"),
+        Max("size_a", alias_name="size_a"),
+        Max("size_b", alias_name="size_b"),
+    )
+
+
+def ngram_containment_pairs(docs, shingle_n: int = 3,
+                            threshold: float = 0.6, max_df: int = 256):
+    """ASYMMETRIC near-dup: n-gram containment C(A→B) = |A∩B| / |A| for
+    all pairs sharing ≥1 surviving shingle, kept when EITHER direction
+    reaches ``threshold``. Catches quote-inclusion / excerpt relations
+    that symmetric Jaccard misses — a short doc fully contained in a
+    long one has high containment but low Jaccard (Broder 1997's
+    containment measure; the reference has no analogue — its dedup is
+    the UNIQUE word constraint, db_service.py:69).
+
+    Same inverted-index core, stop-shingle guard and underestimate
+    semantics as ``ngram_jaccard_pairs`` (dropped high-df shared
+    shingles shrink the intersection while set sizes stay full); the
+    DuckDB oracle applies the identical df filter and IEEE divisions."""
+    import pyarrow.compute as pc
+
+    counted = _ngram_cooccur_counts(docs, shingle_n, max_df)
+
+    def add_containment(t: pa.Table) -> pa.Table:
+        inter = (
+            t["intersection"].to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        sa = t["size_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sb = t["size_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cont_a = inter / sa
+        cont_b = inter / sb
+        out = t.append_column("cont_a", pa.array(cont_a, pa.float64()))
+        out = out.append_column("cont_b", pa.array(cont_b, pa.float64()))
+        return out.filter(
+            pc.greater_equal(
+                pc.max_element_wise(out["cont_a"], out["cont_b"]), threshold
+            )
+        )
+
+    return counted.map_batches(add_containment, batch_format="pyarrow")
 
 
 def dedup_exact_incremental(new_docs, known_docs,

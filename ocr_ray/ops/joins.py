@@ -217,6 +217,15 @@ class _PairPayloadAttacher:
         self.payloads = payloads
         self.keys = self.small[side_key].combine_chunks()
 
+    def _extra_names(self, batch: pa.Table) -> list[str]:
+        # non-key pair columns ride along untouched (the large-join
+        # regime preserves them too — the two regimes must agree)
+        return [
+            c
+            for c in batch.column_names
+            if c not in (self.key_a, self.key_b)
+        ]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             # may be a schema-less empty block — rebuild from known types
@@ -224,6 +233,8 @@ class _PairPayloadAttacher:
                 self.key_a: pa.array([], self.keys.type),
                 self.key_b: pa.array([], self.keys.type),
             }
+            for name in self._extra_names(batch):
+                cols[name] = batch[name].combine_chunks()
             for src, (na, nb) in self.payloads.items():
                 empty = self.small[src].combine_chunks().slice(0, 0)
                 cols[na] = empty
@@ -236,6 +247,8 @@ class _PairPayloadAttacher:
             batch.filter(ok), ia.filter(ok), ib.filter(ok)
         )
         cols = {self.key_a: batch[self.key_a], self.key_b: batch[self.key_b]}
+        for name in self._extra_names(batch):
+            cols[name] = batch[name]
         for src, (na, nb) in self.payloads.items():
             col = self.small[src]
             cols[na] = col.take(ia)

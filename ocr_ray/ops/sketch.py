@@ -492,3 +492,66 @@ def hll_vocab_by_source(docs):
             ]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — Bar-Yossef et al. 2002.
+# Complements HLL: the register set IS the k smallest distinct 62-bit
+# md5 hashes, so the SQL oracle checks the whole sketch bit-for-bit
+# (ORDER BY hash LIMIT k), and sketches merge by union + re-top-k.
+# Distributed shape: ≤ k slim rows leave each batch; the keyed dedup +
+# sort + limit all operate on k × n_batches rows regardless of corpus
+# size. 62-bit (not 64) so the hash stays inside BIGINT on both engines.
+
+KMV_K = 64
+_KMV_HI_MASK = 0x3FFFFFFF  # low 30 bits of the first md5 word
+
+
+def _kmv_hash(key: str) -> int:
+    d = hashlib.md5(key.encode("utf-8")).hexdigest()
+    hi, lo = int(d[:8], 16), int(d[8:16], 16)
+    return ((hi & _KMV_HI_MASK) << 32) | lo
+
+
+def kmv_registers(ds, key_column: str, k: int = KMV_K):
+    """Dataset → (h int64), the k smallest distinct hashes, sorted."""
+    from ray.data.aggregate import Count
+
+    def partials(t: pa.Table) -> pa.Table:
+        hs = sorted(
+            {_kmv_hash(str(v)) for v in t.column(key_column).to_pylist()}
+        )[:k]
+        return pa.table({"h": pa.array(hs, pa.int64())})
+
+    parts = ds.map_batches(partials, batch_format="pyarrow")
+    distinct = (
+        parts.groupby("h")
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    return distinct.sort("h").limit(k)
+
+
+def kmv_distinct(ds, key_column: str, k: int = KMV_K) -> pa.Table:
+    """One-row estimate: (k−1) · 2^62 / h_(k); exact count when the
+    register set is not full. The numerator factors are exact doubles
+    (63 · 2^62 has a 6-bit mantissa) so the single division is the only
+    rounding step — the SQL oracle evaluates the identical expression."""
+    rows = kmv_registers(ds, key_column, k).take_all()
+    n = len(rows)
+    if n < k:
+        est = float(n)
+        kth = -1
+    else:
+        kth = int(rows[-1]["h"])
+        est = float(k - 1) * float(1 << 62) / float(kth)
+    return pa.Table.from_pylist(
+        [{"kmv_estimate": est, "kth_hash": kth, "n_regs": n}],
+        schema=pa.schema(
+            [
+                ("kmv_estimate", pa.float64()),
+                ("kth_hash", pa.int64()),
+                ("n_regs", pa.int64()),
+            ]
+        ),
+    )

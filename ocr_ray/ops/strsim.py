@@ -1,0 +1,363 @@
+"""String-similarity joins over the corpus vocabulary and the sparse
+lexical document vectors — training-data-pipeline operators beyond the
+reference (SURVEY.md §2 extension surface; the reference's nearest
+analogue is the per-token fuzzy dictionary probe,
+dictionary_corrector.py:239-263, which scans the whole dictionary per
+unknown token — these are the set-at-a-time, shuffle-bounded versions).
+
+Scale shape:
+
+- ``fuzzy_word_pairs`` (SymSpell-style deletion-neighborhood join): the
+  corpus never shuffles — one stateless pass emits slim per-batch
+  ``(word, df_partial)`` rows, a tiny keyed sum builds the vocabulary,
+  and each vocabulary word emits its ≤ len+1 single-deletion variants as
+  ``(key, word, df)`` rows. Words at edit distance 1 necessarily share a
+  deletion key (substitution: delete the differing position from both;
+  indel: the shorter word IS a deletion variant of the longer), so one
+  hash shuffle by key co-locates every candidate pair. Bucket sizes are
+  bounded by construction: a key of length m can only be reached by the
+  key itself plus vocabulary words that insert one character into it
+  (≤ |alphabet|·(m+1) forms), so the per-bucket all-pairs verify never
+  degenerates — no cap/overflow machinery needed, unlike the LSH
+  families in ops/dedup.py.
+- ``doc_cosine_pairs_sparse`` (exact-threshold sparse cosine join, the
+  lexical complement of ops/similarity.py's embedding families): one
+  stateless pass emits ``(word, doc_id, tf)`` postings; one hash shuffle
+  by word puts a word's whole postings list in one block, where df is
+  just the group size — words with df < 2 or df > ``max_df`` (stop
+  words) are skipped in bulk, and the survivors emit BOTH pair partial
+  products (triu-vectorized across groups) and per-doc squared-norm
+  partials into one union table; a single keyed sum then finishes dots
+  and norms in the same shuffle. Only the reduced table (one row per
+  doc + one per co-occurring pair, the same candidate-pair regime
+  ops/dedup.py materializes) is materialized; norms attach via the
+  size-adaptive pair-payload join.
+"""
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ocr_ray.ops.dedup import _intra_group_pair_indices, _with_schema
+from ocr_ray.ops.search import _WORD_RE
+from ocr_ray.stages.grouped import grouped_map
+
+logger = logging.getLogger(__name__)
+
+
+# --------------------------------------------------------------------------
+# fuzzy vocabulary self-join (edit distance exactly 1)
+
+
+def _is_edit1(a: str, b: str) -> bool:
+    """True iff levenshtein(a, b) == 1. Candidates arrive pre-filtered
+    to |len(a)-len(b)| ≤ 1 by the deletion-key bucketing, and buckets
+    are alphabet-bounded, so the per-pair O(len) scan is cold-path."""
+    la, lb = len(a), len(b)
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if lb - la > 1:
+        return False
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) == 1
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+_VOCAB_SCHEMA = pa.schema([("word", pa.string()), ("df", pa.int64())])
+_FUZZY_SCHEMA = pa.schema(
+    [
+        ("word_a", pa.string()),
+        ("word_b", pa.string()),
+        ("df_a", pa.int64()),
+        ("df_b", pa.int64()),
+    ]
+)
+
+
+def corpus_vocabulary(docs, min_df: int = 2, max_len: int = 24,
+                      text_col: str = "text"):
+    """(word, df) over the standard [a-zA-Z]{3,} tokenizer, df = number
+    of documents containing the word. Each document is complete within
+    its batch, so the partial rows are already per-doc-distinct and the
+    keyed sum is exact — the corpus text itself never shuffles."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        words: dict[str, int] = {}
+        for text in batch.column(text_col).to_pylist():
+            for w in set(_WORD_RE.findall((text or "").lower())):
+                if len(w) <= max_len:
+                    words[w] = words.get(w, 0) + 1
+        return pa.table(
+            {
+                "word": pa.array(list(words.keys()), pa.string()),
+                "df_p": pa.array(list(words.values()), pa.int64()),
+            }
+        )
+
+    vocab = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("df_p", alias_name="df"))
+    )
+    vocab = _with_schema(vocab, _VOCAB_SCHEMA)
+    if min_df > 1:
+        vocab = vocab.filter(expr=f"df >= {int(min_df)}")
+    return vocab
+
+
+def fuzzy_word_pairs(docs, min_df: int = 2, max_len: int = 24,
+                     text_col: str = "text"):
+    """All vocabulary word pairs at levenshtein distance EXACTLY 1
+    (word_a < word_b lexically), each with its document frequency —
+    the candidate table a spell-correction / variant-merge step ranks.
+
+    SymSpell deletion-neighborhood join: every word emits itself plus
+    its single-character-deletion variants as keys; distance-1 pairs
+    provably share ≥ 1 key; bucket-local all-pairs verification keeps
+    only true positives; a final keyed dedup folds pairs that met under
+    two keys. Reference analogue: dictionary_corrector.py:239-263
+    probes one token against the whole dictionary per call — this is
+    the corpus-level join form of the same relation.
+    """
+    from ray.data.aggregate import Count
+
+    def explode_keys(batch: pa.Table) -> pa.Table:
+        keys, words, dfs = [], [], []
+        for w, df in zip(
+            batch.column("word").to_pylist(), batch.column("df").to_pylist()
+        ):
+            variants = {w}
+            for i in range(len(w)):
+                variants.add(w[:i] + w[i + 1 :])
+            for k in variants:
+                keys.append(k)
+                words.append(w)
+                dfs.append(df)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "word": pa.array(words, pa.string()),
+                "df": pa.array(dfs, pa.int64()),
+            }
+        )
+
+    def bucket_pairs(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return _FUZZY_SCHEMA.empty_table()
+        gidx = np.zeros(n, dtype=np.int64)
+        gidx[starts] = 1
+        gidx = np.cumsum(gidx)
+        # alphabet-bounded buckets: no cap needed (module docstring)
+        ii, jj, _ = _intra_group_pair_indices(gidx, cap=np.iinfo(np.int64).max)
+        if len(ii) == 0:
+            return _FUZZY_SCHEMA.empty_table()
+        words = block.column("word").to_pylist()
+        dfs = block.column("df").to_pylist()
+        wa, wb, da, db = [], [], [], []
+        for i, j in zip(ii.tolist(), jj.tolist()):
+            a, b = words[i], words[j]
+            if a == b or not _is_edit1(a, b):
+                continue
+            if a > b:
+                a, b = b, a
+                wa.append(a), wb.append(b)
+                da.append(dfs[j]), db.append(dfs[i])
+            else:
+                wa.append(a), wb.append(b)
+                da.append(dfs[i]), db.append(dfs[j])
+        return pa.table(
+            {
+                "word_a": pa.array(wa, pa.string()),
+                "word_b": pa.array(wb, pa.string()),
+                "df_a": pa.array(da, pa.int64()),
+                "df_b": pa.array(db, pa.int64()),
+            }
+        )
+
+    vocab = corpus_vocabulary(
+        docs, min_df=min_df, max_len=max_len, text_col=text_col
+    )
+    keyed = vocab.map_batches(explode_keys, batch_format="pyarrow")
+    pairs = grouped_map(keyed, ["key"], bucket_pairs, sort_within=("word",))
+    # a pair can meet under one key per differing position; fold dupes
+    # (df columns are functionally dependent on the words, so Max is a
+    # deterministic pass-through, not a choice)
+    from ray.data.aggregate import Max
+
+    deduped = (
+        _with_schema(pairs, _FUZZY_SCHEMA)
+        .groupby(["word_a", "word_b"])
+        .aggregate(Max("df_a", alias_name="df_a"), Max("df_b", alias_name="df_b"))
+    )
+    return _with_schema(deduped, _FUZZY_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# exact-threshold sparse lexical cosine join
+
+COS_SCALE = 1_000_000  # cosine reported as 1e-6-rounded double
+
+_PARTIAL_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("v", pa.int64())]
+)
+_COS_SCHEMA = pa.schema(
+    [
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("dot", pa.int64()),
+        ("cos", pa.float64()),
+    ]
+)
+
+
+def doc_cosine_pairs_sparse(docs, threshold: float = 0.5, max_df: int = 256):
+    """Document pairs whose raw term-frequency vectors (standard
+    [a-zA-Z]{3,} tokenizer, words with 2 ≤ df ≤ ``max_df``) have cosine
+    similarity ≥ ``threshold`` — the exact sparse-vector similarity
+    join (DIMSUM's exact small-df regime), the lexical complement of
+    the MinHash/SimHash estimates in ops/dedup.py.
+
+    Words with df > ``max_df`` are stop words: dropped in bulk with a
+    logged count (same documented-underestimate semantics as the
+    ngram-Jaccard guard, ops/dedup.py). Dots and norms come out of ONE
+    keyed sum over a union of slim integer partials, so the result is
+    bit-reproducible regardless of aggregation order.
+    """
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.joins import attach_pair_payloads
+
+    def postings(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        words, ids, tfs = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            for w, c in Counter(
+                _WORD_RE.findall((text or "").lower())
+            ).items():
+                words.append(w)
+                ids.append(doc_id)
+                tfs.append(c)
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    def word_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return _PARTIAL_SCHEMA.empty_table()
+        gidx = np.zeros(n, dtype=np.int64)
+        gidx[starts] = 1
+        gidx = np.cumsum(gidx)
+        sizes = np.diff(np.append(starts, n))
+        keep_group = (sizes >= 2) & (sizes <= max_df)
+        n_stop = int(np.count_nonzero(sizes > max_df))
+        if n_stop:
+            logger.warning(
+                "%d words exceed max_df=%d; dropped as stop words "
+                "(cosine computed over the remaining terms)",
+                n_stop,
+                max_df,
+            )
+        keep_row = np.repeat(keep_group, sizes)
+        ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+        tfs = block.column("tf").to_numpy(zero_copy_only=False)
+        # pair partials, triu-vectorized across kept groups (rows stay
+        # doc_id-sorted within each group, so i < j ⟹ doc_i < doc_j)
+        kidx = np.flatnonzero(keep_row)
+        ii, jj, _ = _intra_group_pair_indices(
+            gidx[kidx], cap=max_df, drop_over=True
+        )
+        pi, pj = kidx[ii], kidx[jj]
+        a = np.concatenate([ids[pi], ids[kidx]])
+        b = np.concatenate([ids[pj], np.full(len(kidx), -1, np.int64)])
+        v = np.concatenate([tfs[pi] * tfs[pj], tfs[kidx] * tfs[kidx]])
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+            }
+        )
+
+    partials = grouped_map(
+        docs.map_batches(postings, batch_format="pyarrow"),
+        ["word"],
+        word_block,
+        sort_within=("doc_id",),
+    )
+    # ONE shuffle finishes both sums; materialize the reduced table only
+    # (one row per doc + one per candidate pair — the regime the other
+    # pair ops in this engine already materialize via attach_pair_payloads)
+    reduced = (
+        _with_schema(partials, _PARTIAL_SCHEMA)
+        .groupby(["a", "b"])
+        .aggregate(Sum("v", alias_name="v"))
+        .materialize()
+    )
+
+    dots = reduced.filter(expr="b >= 0").map_batches(
+        lambda t: pa.table(
+            {
+                "doc_a": t.column("a"),
+                "doc_b": t.column("b"),
+                "dot": t.column("v"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    norms = reduced.filter(expr="b == -1").map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("a"), "norm_sq": t.column("v")}
+        ),
+        batch_format="pyarrow",
+    )
+    enriched = attach_pair_payloads(
+        dots,
+        norms,
+        key_a="doc_a",
+        key_b="doc_b",
+        side_key="doc_id",
+        payloads={"norm_sq": ("norm_a", "norm_b")},
+    )
+
+    thr = float(threshold)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _COS_SCHEMA.empty_table()
+        dot = t.column("dot").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t.column("norm_a").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t.column("norm_b").to_numpy(zero_copy_only=False).astype(np.float64)
+        cos = dot / np.sqrt(na * nb)
+        # round half-away-from-zero at 1e-6 BEFORE thresholding so the
+        # SQL oracle (which rounds identically) keeps the same rows
+        cos = np.floor(cos * COS_SCALE + 0.5) / COS_SCALE
+        keep = cos >= thr
+        return pa.table(
+            {
+                "doc_a": t.column("doc_a").filter(pa.array(keep)),
+                "doc_b": t.column("doc_b").filter(pa.array(keep)),
+                "dot": t.column("dot").filter(pa.array(keep)),
+                "cos": pa.array(cos[keep], pa.float64()),
+            }
+        )
+
+    return _with_schema(
+        enriched.map_batches(finish, batch_format="pyarrow"), _COS_SCHEMA
+    )

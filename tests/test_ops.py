@@ -101,6 +101,44 @@ def test_ngram_jaccard_exact(ray_session):
     assert got[(0, 1)] == pytest.approx(1.0)
 
 
+def test_ngram_containment_asymmetric(ray_session):
+    """An excerpt (doc fully contained in a longer doc) scores high
+    containment but low jaccard — the case the symmetric measure
+    misses."""
+    from ocr_ray.ops.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs, word_shingles,
+    )
+    import ray.data as rd
+
+    long_text = " ".join(f"word{i}" for i in range(40))
+    excerpt = " ".join(f"word{i}" for i in range(8))  # prefix excerpt
+    other = "completely different content with no shared trigrams at all"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([long_text, excerpt, other], pa.string()),
+        }
+    )
+    out = ngram_containment_pairs(
+        rd.from_arrow(tbl), threshold=0.9
+    ).to_pandas()
+    got = {
+        (int(r["doc_a"]), int(r["doc_b"])): (r["cont_a"], r["cont_b"])
+        for _, r in out.iterrows()
+    }
+    assert set(got) == {(0, 1)}
+    n_long = len(word_shingles(long_text, 3))
+    n_exc = len(word_shingles(excerpt, 3))
+    # every excerpt shingle appears in the long doc
+    assert got[(0, 1)][0] == pytest.approx(n_exc / n_long)
+    assert got[(0, 1)][1] == pytest.approx(1.0)
+    # ...while jaccard stays low: the same pair misses a 0.5 threshold
+    jac = ngram_jaccard_pairs(rd.from_arrow(tbl), threshold=0.5).to_pandas()
+    assert not any(
+        (int(r["doc_a"]), int(r["doc_b"])) == (0, 1) for _, r in jac.iterrows()
+    )
+
+
 def _embeddings_table(n=64, dim=16, seed=3):
     rng = np.random.RandomState(seed)
     vecs = rng.standard_normal((n, dim)).astype(np.float32)

@@ -147,3 +147,42 @@ def test_hll_vocab_by_source_accuracy(ray_session):
     assert abs(out["A"]["hll_vocab"] - 300) / 300 < 0.25
     assert abs(out["B"]["hll_vocab"] - 30) / 30 < 0.25
     assert out["A"]["n_registers"] <= 256
+
+
+def test_kmv_registers_exact_and_sorted(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.sketch import KMV_K, _kmv_hash, kmv_registers
+
+    vals = [f"user{i}" for i in range(500)] * 3  # duplicates collapse
+    tbl = pa.table({"k": pa.array(vals, pa.string())})
+    got = [r["h"] for r in kmv_registers(rd.from_arrow(tbl), "k").take_all()]
+    expected = sorted({_kmv_hash(v) for v in set(vals)})[:KMV_K]
+    assert got == expected
+
+
+def test_kmv_estimate_accuracy(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.sketch import kmv_distinct
+
+    n = 5000
+    tbl = pa.table({"k": pa.array([f"u{i}" for i in range(n)], pa.string())})
+    row = kmv_distinct(rd.from_arrow(tbl), "k").to_pylist()[0]
+    # KMV relative error ~ 1/sqrt(k-2) ≈ 12.7% at k=64; allow 3 sigma
+    assert abs(row["kmv_estimate"] - n) / n < 0.4
+    assert row["n_regs"] == 64 and row["kth_hash"] > 0
+
+
+def test_kmv_estimate_exact_below_k(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.sketch import kmv_distinct
+
+    tbl = pa.table({"k": pa.array([f"u{i % 20}" for i in range(200)],
+                                  pa.string())})
+    row = kmv_distinct(rd.from_arrow(tbl), "k").to_pylist()[0]
+    assert row == {"kmv_estimate": 20.0, "kth_hash": -1, "n_regs": 20}
