@@ -944,6 +944,23 @@ def q_kmv_user_estimate(sf_dir: str):
     )
 
 
+def q_kmv_user_overlap(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.sketch import kmv_overlap
+
+    _quiet()
+    return kmv_overlap(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        ),
+        "user_id",
+        "event_type",
+        "click",
+        "view",
+    )
+
+
 def q_tumbling_hourly(sf_dir: str):
     from ocr_ray.ops.windows import tumbling_window_counts
 
@@ -2233,6 +2250,7 @@ QUERIES = {
     "doc_cosine_pairs": q_doc_cosine_pairs,
     "kmv_user_registers": q_kmv_user_registers,
     "kmv_user_estimate": q_kmv_user_estimate,
+    "kmv_user_overlap": q_kmv_user_overlap,
 }
 
 
@@ -3882,6 +3900,49 @@ def oracle_sql() -> dict[str, str]:
             " CAST(CASE WHEN n < 64 THEN -1 ELSE kth END AS BIGINT)"
             " AS kth_hash,\n"
             " CAST(n AS BIGINT) AS n_regs\n"
+            "FROM agg"
+        ),
+        "kmv_user_overlap": (
+            # KMV set algebra (Beyer et al. 2007): jaccard from the
+            # union's k smallest registers; exact when |U| < k. All
+            # integers until the two final divisions (ops/sketch.py)
+            "WITH d AS (\n"
+            " SELECT DISTINCT event_type AS g,\n"
+            "  ((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))"
+            "::BIGINT & 1073741823) * 4294967296)\n"
+            "   + ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))"
+            "::BIGINT AS h\n"
+            " FROM events WHERE event_type IN ('click', 'view')\n"
+            "), regs AS (\n"
+            " SELECT g, h FROM (\n"
+            "  SELECT g, h,"
+            " ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn FROM d\n"
+            " ) WHERE rn <= 64\n"
+            "), u AS (\n"
+            " SELECT h FROM (SELECT DISTINCT h FROM regs)"
+            " ORDER BY h LIMIT 64\n"
+            "), flags AS (\n"
+            " SELECT u.h,\n"
+            "  MAX(CASE WHEN r.g = 'click' THEN 1 ELSE 0 END) AS in_a,\n"
+            "  MAX(CASE WHEN r.g = 'view' THEN 1 ELSE 0 END) AS in_b\n"
+            " FROM u JOIN regs r USING (h) GROUP BY u.h\n"
+            "), agg AS (\n"
+            " SELECT COUNT(*) AS n_u, MAX(h) AS kth,\n"
+            "  SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)"
+            " AS inter_k\n"
+            " FROM flags\n"
+            ")\n"
+            "SELECT CAST(n_u AS BIGINT) AS n_union_regs,\n"
+            " CAST(inter_k AS BIGINT) AS inter_k,\n"
+            " CAST(inter_k AS DOUBLE) / CAST(n_u AS DOUBLE)"
+            " AS jaccard_est,\n"
+            " CASE WHEN n_u < 64 THEN CAST(n_u AS DOUBLE)\n"
+            "  ELSE 63.0 * 4611686018427387904.0 / CAST(kth AS DOUBLE)"
+            " END AS est_union,\n"
+            " (CAST(inter_k AS DOUBLE) / CAST(n_u AS DOUBLE))\n"
+            " * (CASE WHEN n_u < 64 THEN CAST(n_u AS DOUBLE)\n"
+            "    ELSE 63.0 * 4611686018427387904.0 / CAST(kth AS DOUBLE)"
+            " END) AS est_intersection\n"
             "FROM agg"
         ),
         "fuzzy_word_pairs": (

@@ -555,3 +555,108 @@ def kmv_distinct(ds, key_column: str, k: int = KMV_K) -> pa.Table:
             ]
         ),
     )
+
+
+def kmv_group_registers(ds, key_column: str, group_column: str,
+                        k: int = KMV_K):
+    """Per-group KMV registers: (g string, h int64), the k smallest
+    distinct hashes of ``key_column`` within each ``group_column``
+    value. One scan (≤ k rows per group leave each batch) + one slim
+    keyed dedup + one grouped top-k; the corpus never shuffles."""
+    from ocr_ray.stages.grouped import grouped_map
+
+    def partials(t: pa.Table) -> pa.Table:
+        per: dict[str, set[int]] = {}
+        for g, v in zip(
+            t.column(group_column).to_pylist(),
+            t.column(key_column).to_pylist(),
+        ):
+            per.setdefault(str(g), set()).add(_kmv_hash(str(v)))
+        gs, hs = [], []
+        for g, vals in per.items():
+            for h in sorted(vals)[:k]:
+                gs.append(g)
+                hs.append(h)
+        return pa.table(
+            {"g": pa.array(gs, pa.string()), "h": pa.array(hs, pa.int64())}
+        )
+
+    parts = ds.map_batches(partials, batch_format="pyarrow")
+
+    def topk_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        if block.num_rows == 0 or len(starts) == 0:
+            return pa.schema(
+                [("g", pa.string()), ("h", pa.int64())]
+            ).empty_table()
+        # rows arrive sorted by (g, h); distinct + first k per group
+        gs = block.column("g").to_pylist()
+        hs = block.column("h").to_numpy(zero_copy_only=False)
+        out_g, out_h = [], []
+        bounds = np.append(starts, block.num_rows)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seen = np.unique(hs[s:e])[:k]
+            out_g.extend([gs[s]] * len(seen))
+            out_h.extend(seen.tolist())
+        return pa.table(
+            {
+                "g": pa.array(out_g, pa.string()),
+                "h": pa.array(out_h, pa.int64()),
+            }
+        )
+
+    return grouped_map(parts, ["g"], topk_block, sort_within=("h",))
+
+
+def kmv_overlap(ds, key_column: str, group_column: str, ga: str, gb: str,
+                k: int = KMV_K) -> pa.Table:
+    """Distinct-key overlap between two groups from KMV register
+    algebra (Beyer et al. 2007): U = the k smallest hashes of the
+    register UNION; jaccard = |A ∩ B ∩ U| / |U| (EXACT when |U| < k —
+    the registers are then the complete hash sets); the intersection
+    estimate is jaccard × the union estimate. Everything up to the two
+    final divisions is exact integers, so the SQL oracle reproduces the
+    row bit-for-bit."""
+    import pyarrow.compute as pc
+
+    groups = pa.array([ga, gb], pa.string())
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[group_column], value_set=groups))
+
+    regs = kmv_group_registers(
+        ds.map_batches(keep, batch_format="pyarrow"),
+        key_column,
+        group_column,
+        k,
+    )
+    rows = regs.take_all()  # ≤ 2k rows by construction
+    a = {r["h"] for r in rows if r["g"] == ga}
+    b = {r["h"] for r in rows if r["g"] == gb}
+    union = sorted(a | b)[:k]
+    n_u = len(union)
+    inter_k = sum(1 for h in union if h in a and h in b)
+    if n_u < k:
+        est_union = float(n_u)
+    else:
+        est_union = float(k - 1) * float(1 << 62) / float(union[-1])
+    jaccard = float(inter_k) / float(n_u) if n_u else 0.0
+    return pa.Table.from_pylist(
+        [
+            {
+                "n_union_regs": n_u,
+                "inter_k": inter_k,
+                "jaccard_est": jaccard,
+                "est_union": est_union,
+                "est_intersection": jaccard * est_union,
+            }
+        ],
+        schema=pa.schema(
+            [
+                ("n_union_regs", pa.int64()),
+                ("inter_k", pa.int64()),
+                ("jaccard_est", pa.float64()),
+                ("est_union", pa.float64()),
+                ("est_intersection", pa.float64()),
+            ]
+        ),
+    )

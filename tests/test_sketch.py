@@ -186,3 +186,48 @@ def test_kmv_estimate_exact_below_k(ray_session):
                                   pa.string())})
     row = kmv_distinct(rd.from_arrow(tbl), "k").to_pylist()[0]
     assert row == {"kmv_estimate": 20.0, "kth_hash": -1, "n_regs": 20}
+
+
+def test_kmv_overlap_exact_below_k(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.sketch import kmv_overlap
+
+    # A = {u0..u29}, B = {u20..u39}: |A∩B| = 10, |A∪B| = 40 < k=64
+    rows_a = [("a", f"u{i}") for i in range(30)]
+    rows_b = [("b", f"u{i}") for i in range(20, 40)]
+    tbl = pa.table(
+        {
+            "g": pa.array([g for g, _ in rows_a + rows_b] * 3, pa.string()),
+            "k": pa.array([v for _, v in rows_a + rows_b] * 3, pa.string()),
+        }
+    )
+    row = kmv_overlap(rd.from_arrow(tbl), "k", "g", "a", "b").to_pylist()[0]
+    assert row["n_union_regs"] == 40
+    assert row["inter_k"] == 10
+    assert row["jaccard_est"] == 10 / 40
+    assert row["est_union"] == 40.0
+    assert row["est_intersection"] == 10.0
+
+
+def test_kmv_overlap_estimate(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.sketch import kmv_overlap
+
+    # 3000 in each group, 1000 shared → true jaccard 1000/5000 = 0.2
+    rows = [("a", f"u{i}") for i in range(3000)]
+    rows += [("b", f"u{i}") for i in range(2000, 5000)]
+    tbl = pa.table(
+        {
+            "g": pa.array([g for g, _ in rows], pa.string()),
+            "k": pa.array([v for _, v in rows], pa.string()),
+        }
+    )
+    row = kmv_overlap(rd.from_arrow(tbl), "k", "g", "a", "b").to_pylist()[0]
+    assert row["n_union_regs"] == 64
+    # KMV jaccard std-err ~ sqrt(j(1-j)/k) ≈ 0.05 at k=64; allow 4 sigma
+    assert abs(row["jaccard_est"] - 0.2) < 0.2
+    assert abs(row["est_union"] - 5000) / 5000 < 0.4
