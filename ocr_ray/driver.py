@@ -2134,6 +2134,21 @@ def q_doc_cosine_pairs(sf_dir: str):
     )
 
 
+def q_word_variant_clusters(sf_dir: str):
+    from ocr_ray.ops.strsim import word_variant_clusters
+    import ray.data as rd
+
+    _quiet()
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    return _materialized(
+        word_variant_clusters(parts, text_col="p_name"),
+        pa.schema(
+            [("word", pa.string()), ("df", pa.int64()),
+             ("canonical", pa.string()), ("cluster_size", pa.int64())]
+        ),
+    )
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -2251,6 +2266,7 @@ QUERIES = {
     "kmv_user_registers": q_kmv_user_registers,
     "kmv_user_estimate": q_kmv_user_estimate,
     "kmv_user_overlap": q_kmv_user_overlap,
+    "word_variant_clusters": q_word_variant_clusters,
 }
 
 
@@ -3963,6 +3979,45 @@ def oracle_sql() -> dict[str, str]:
             "FROM v a JOIN v b ON a.word < b.word\n"
             " AND abs(length(a.word) - length(b.word)) <= 1\n"
             " AND levenshtein(a.word, b.word) = 1"
+        ),
+        "word_variant_clusters": (
+            # fuzzy pairs → recursive reachability → canonical by
+            # (df DESC, word ASC) window; cluster membership is
+            # representation-independent, so the oracle propagates
+            # word-string labels while the engine uses hashed int ids
+            "WITH RECURSIVE w AS (\n"
+            " SELECT DISTINCT p_partkey,"
+            " unnest(regexp_extract_all(lower(p_name), '[a-zA-Z]{3,}'))"
+            " AS word FROM part\n"
+            "), v AS (\n"
+            " SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM w\n"
+            " WHERE length(word) <= 24 GROUP BY word"
+            " HAVING COUNT(*) >= 2\n"
+            "), p AS (\n"
+            " SELECT a.word AS wa, b.word AS wb\n"
+            " FROM v a JOIN v b ON a.word < b.word\n"
+            "  AND abs(length(a.word) - length(b.word)) <= 1\n"
+            "  AND levenshtein(a.word, b.word) = 1\n"
+            "), und AS (\n"
+            " SELECT wa AS a, wb AS b FROM p"
+            " UNION SELECT wb, wa FROM p\n"
+            "), reach(node, r) AS (\n"
+            " SELECT a, a FROM und UNION SELECT b, b FROM und\n"
+            " UNION\n"
+            " SELECT u.a, r.r FROM und u JOIN reach r ON u.b = r.node\n"
+            "), comp AS (\n"
+            " SELECT node, MIN(r) AS component FROM reach GROUP BY node\n"
+            "), m AS (\n"
+            " SELECT c.node AS word, v.df, c.component\n"
+            " FROM comp c JOIN v ON v.word = c.node\n"
+            ")\n"
+            "SELECT word, df,\n"
+            " FIRST_VALUE(word) OVER"
+            " (PARTITION BY component ORDER BY df DESC, word ASC)"
+            " AS canonical,\n"
+            " CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)"
+            " AS cluster_size\n"
+            "FROM m"
         ),
         "doc_cosine_pairs": (
             # exact sparse tf-vector cosine join; dot/norms are exact

@@ -361,3 +361,122 @@ def doc_cosine_pairs_sparse(docs, threshold: float = 0.5, max_df: int = 256):
     return _with_schema(
         enriched.map_batches(finish, batch_format="pyarrow"), _COS_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# variant canonicalization: fuzzy pairs → components → canonical word
+
+_CLUSTER_SCHEMA = pa.schema(
+    [
+        ("word", pa.string()),
+        ("df", pa.int64()),
+        ("canonical", pa.string()),
+        ("cluster_size", pa.int64()),
+    ]
+)
+_ID62 = (1 << 62) - 1  # keep hashed node ids positive int64
+
+
+def word_variant_clusters(docs, min_df: int = 2, max_len: int = 24,
+                          text_col: str = "text"):
+    """Entity-canonicalization composition: the distance-1 vocabulary
+    pair graph (``fuzzy_word_pairs``) clustered with distributed
+    connected components, each cluster labeled by its CANONICAL word
+    (max df, ties to the lexically smallest). One row per clustered
+    word: (word, df, canonical, cluster_size) — the merge map a
+    variant-normalization pass applies. The reference's analogue is
+    per-token fuzzy dictionary repair (dictionary_corrector.py:670-708);
+    this is the corpus-level, set-at-a-time form.
+
+    Node ids are 62-bit blake2b hashes of the words (component
+    propagation needs integer labels for its monotone label-sum
+    convergence witness). Cluster MEMBERSHIP is representation
+    independent — the SQL oracle runs the recursive reachability over
+    the word strings directly and must partition identically (a 62-bit
+    collision would break this; at vocabulary scale the probability is
+    ~|V|²/2^63, negligible and deterministic)."""
+    from ocr_ray.ops.dedup import _stable_hash64, connected_components
+    from ocr_ray.ops.joins import adaptive_key_join
+
+    def _id(w: str) -> int:
+        return _stable_hash64(w) & _ID62
+
+    pairs = fuzzy_word_pairs(
+        docs, min_df=min_df, max_len=max_len, text_col=text_col
+    ).materialize()
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        wa = t.column("word_a").to_pylist()
+        wb = t.column("word_b").to_pylist()
+        return pa.table(
+            {
+                "ida": pa.array([_id(w) for w in wa], pa.int64()),
+                "idb": pa.array([_id(w) for w in wb], pa.int64()),
+            }
+        )
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        words, dfs = [], []
+        for side in ("a", "b"):
+            words.extend(t.column(f"word_{side}").to_pylist())
+            dfs.extend(t.column(f"df_{side}").to_pylist())
+        return pa.table(
+            {
+                "id": pa.array([_id(w) for w in words], pa.int64()),
+                "word": pa.array(words, pa.string()),
+                "df": pa.array(dfs, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    labels = connected_components(
+        pairs.map_batches(edge_rows, batch_format="pyarrow"), "ida", "idb"
+    )
+    nodes = (
+        pairs.map_batches(node_rows, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Max("word", alias_name="word"), Max("df", alias_name="df"))
+    )
+    joined = adaptive_key_join(
+        nodes,
+        _with_schema(
+            labels.map_batches(
+                lambda t: t.rename_columns(
+                    ["id" if c == "node" else c for c in t.column_names]
+                ),
+                batch_format="pyarrow",
+            ),
+            pa.schema([("id", pa.int64()), ("label", pa.int64())]),
+        ),
+        on="id",
+    )
+
+    def finish(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return _CLUSTER_SCHEMA.empty_table()
+        words = np.array(block.column("word").to_pylist(), dtype=object)
+        dfs = block.column("df").to_numpy(zero_copy_only=False)
+        labels_np = block.column("label").to_numpy(zero_copy_only=False)
+        # reorder each label group by (df desc, word asc); label stays
+        # the primary key so groups remain contiguous
+        order = np.lexsort((words, -dfs, labels_np))
+        words, dfs, labels_np = words[order], dfs[order], labels_np[order]
+        s = np.flatnonzero(np.r_[True, labels_np[1:] != labels_np[:-1]])
+        sizes = np.diff(np.append(s, n))
+        return pa.table(
+            {
+                "word": pa.array(words.tolist(), pa.string()),
+                "df": pa.array(dfs, pa.int64()),
+                "canonical": pa.array(
+                    np.repeat(words[s], sizes).tolist(), pa.string()
+                ),
+                "cluster_size": pa.array(
+                    np.repeat(sizes, sizes), pa.int64()
+                ),
+            }
+        )
+
+    out = grouped_map(joined, ["label"], finish)
+    return _with_schema(out, _CLUSTER_SCHEMA)

@@ -184,3 +184,29 @@ def test_attach_pair_payloads_keeps_extra_columns(
     ).take_all()
     got = {(r["a"], r["b"], r["dot"], r["w_a"], r["w_b"]) for r in out}
     assert got == {(1, 2, 10, 5, 6), (2, 3, 20, 6, 7), (3, 4, 30, 7, 8)}
+
+
+def test_word_variant_clusters(ray_session):
+    """Transitive chain: marge–merge–mergee cluster through the middle
+    word even though marge/mergee are at distance 2; canonical = max
+    df, ties to the lexically smallest word."""
+    from ocr_ray.ops.strsim import word_variant_clusters
+
+    got = {
+        r["word"]: (r["df"], r["canonical"], r["cluster_size"])
+        for r in word_variant_clusters(
+            _docs_ds(FUZZY_TEXTS), min_df=1
+        ).take_all()
+    }
+    # dfs: cold 3, bold 3, word 2, words 2, merge 2, marge 1, mergee 1
+    # cold/bold tie at df 3 → lexically smallest ("bold") wins
+    assert got["cold"] == (3, "bold", 2)
+    assert got["bold"] == (3, "bold", 2)
+    # word/words tie at df 2 → lexically smallest wins
+    assert got["word"] == (2, "word", 2)
+    assert got["words"] == (2, "word", 2)
+    for w in ("merge", "marge", "mergee"):
+        assert got[w][1] == "merge" and got[w][2] == 3
+    assert set(got) == {
+        "cold", "bold", "word", "words", "merge", "marge", "mergee"
+    }
