@@ -265,18 +265,16 @@ def winnow_overlap_pairs(docs, min_shared: int = 8, max_df: int = 64):
     documented underestimate semantics of the jaccard family). Returns
     (doc_a, doc_b, n_shared, size_a, size_b)."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Max
 
-    from ocr_ray.ops.dedup import _cooccur_block_factory
+    from ocr_ray.ops.dedup import _cooccur_block_factory, _pair_sum_block
     from ocr_ray.stages.grouped import grouped_map
 
     rows = docs.map_batches(_fp_rows, batch_format="pyarrow")
     pairs = grouped_map(rows, ["fp"], _cooccur_block_factory(max_df))
-    counted = pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="n_shared"),
-        Max("size_a", alias_name="size_a"),
-        Max("size_b", alias_name="size_b"),
-    )
+    # grouped_map segment-sum, not the native hash aggregate — the
+    # all-pairs candidate table is mostly singleton groups (see
+    # ops/dedup.py:_ngram_cooccur_counts)
+    counted = grouped_map(pairs, ["doc_a", "doc_b"], _pair_sum_block)
 
     def keep(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "doc_a" not in t.column_names:
@@ -289,6 +287,9 @@ def winnow_overlap_pairs(docs, min_shared: int = 8, max_df: int = 64):
                     ("size_b", pa.int64()),
                 ]
             ).empty_table()
+        t = t.rename_columns(
+            ["n_shared" if c == "intersection" else c for c in t.column_names]
+        )
         return t.select(
             ["doc_a", "doc_b", "n_shared", "size_a", "size_b"]
         ).filter(pc.greater_equal(t["n_shared"], min_shared))

@@ -53,7 +53,9 @@ def grouped_map(
     if num_partitions is None:
         import ray
 
-        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        # ≈ CPUs, not 2×: per-partition shuffle overhead is pure tax
+        # past one reduce wave (see context.py:configure)
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
 
     if use_hash_shuffle(ds):
         # sort=False: co-location needs only the hash partition (the
