@@ -231,8 +231,6 @@ def doc_cosine_pairs_sparse(docs, threshold: float = 0.5, max_df: int = 256):
     keyed sum over a union of slim integer partials, so the result is
     bit-reproducible regardless of aggregation order.
     """
-    from ray.data.aggregate import Sum
-
     from ocr_ray.ops.joins import attach_pair_payloads
 
     def postings(batch: pa.Table) -> pa.Table:
@@ -303,13 +301,28 @@ def doc_cosine_pairs_sparse(docs, threshold: float = 0.5, max_df: int = 256):
     )
     # ONE shuffle finishes both sums; materialize the reduced table only
     # (one row per doc + one per candidate pair — the regime the other
-    # pair ops in this engine already materialize via attach_pair_payloads)
-    reduced = (
-        _with_schema(partials, _PARTIAL_SCHEMA)
-        .groupby(["a", "b"])
-        .aggregate(Sum("v", alias_name="v"))
-        .materialize()
-    )
+    # pair ops in this engine already materialize via
+    # attach_pair_payloads). grouped_map segment-sum, not the native
+    # hash aggregate: the candidate table is millions of mostly-
+    # singleton groups (see ops/dedup.py:_ngram_cooccur_counts)
+    def sum_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        if block.num_rows == 0 or len(starts) == 0:
+            return _PARTIAL_SCHEMA.empty_table()
+        v = np.add.reduceat(
+            block.column("v").to_numpy(zero_copy_only=False), starts
+        )
+        idx = pa.array(starts)
+        return pa.table(
+            {
+                "a": block.column("a").take(idx),
+                "b": block.column("b").take(idx),
+                "v": pa.array(v, pa.int64()),
+            }
+        )
+
+    reduced = grouped_map(
+        _with_schema(partials, _PARTIAL_SCHEMA), ["a", "b"], sum_block
+    ).materialize()
 
     dots = reduced.filter(expr="b >= 0").map_batches(
         lambda t: pa.table(
