@@ -71,7 +71,9 @@ def large_join(left, right, on, *, join_type: str = "inner",
     """Hash-partitioned join of two large Datasets (both sides shuffle).
 
     Uses Ray Data's native ``Dataset.join`` under the tuned hash-shuffle
-    context; partition count defaults to 2×cluster CPUs.
+    context; partition count defaults to the cluster CPU count (one
+    reduce wave — per-partition overhead is pure tax past that, see
+    context.py:configure).
     """
     from ocr_ray.context import apply_to_dataset
     from ocr_ray.stages.reassemble import use_hash_shuffle
@@ -81,7 +83,7 @@ def large_join(left, right, on, *, join_type: str = "inner",
     import ray
 
     if num_partitions is None:
-        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
     use_hash_shuffle(left)
     apply_to_dataset(right)
     on = (on,) if isinstance(on, str) else tuple(on)
