@@ -504,18 +504,23 @@ def hll_vocab_by_source(docs):
 # size. 62-bit (not 64) so the hash stays inside BIGINT on both engines.
 
 KMV_K = 64
-_KMV_HI_MASK = 0x3FFFFFFF  # low 30 bits of the first md5 word
+_KMV_MASK62 = (1 << 62) - 1
 
 
 def _kmv_hash(key: str) -> int:
-    d = hashlib.md5(key.encode("utf-8")).hexdigest()
-    hi, lo = int(d[:8], 16), int(d[8:16], 16)
-    return ((hi & _KMV_HI_MASK) << 32) | lo
+    # the shared md5-hex-split convention (one definition keeps the
+    # SQL-oracle reproducibility contract in one place), masked to 62
+    # bits so the value stays inside BIGINT on both engines
+    from ocr_ray.ops.dedup import _md5_hash64
+
+    return _md5_hash64(key) & _KMV_MASK62
 
 
 def kmv_registers(ds, key_column: str, k: int = KMV_K):
     """Dataset → (h int64), the k smallest distinct hashes, sorted."""
     from ray.data.aggregate import Count
+
+    from ocr_ray.ops.dedup import _with_schema
 
     def partials(t: pa.Table) -> pa.Table:
         hs = sorted(
@@ -524,10 +529,12 @@ def kmv_registers(ds, key_column: str, k: int = KMV_K):
         return pa.table({"h": pa.array(hs, pa.int64())})
 
     parts = ds.map_batches(partials, batch_format="pyarrow")
-    distinct = (
-        parts.groupby("h")
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
+    # _with_schema both normalizes the aggregate's schema-less empty
+    # partition blocks (sort/limit crash on those when distinct keys <
+    # partitions) and drops the _n count column via its select
+    distinct = _with_schema(
+        parts.groupby("h").aggregate(Count(alias_name="_n")),
+        pa.schema([("h", pa.int64())]),
     )
     return distinct.sort("h").limit(k)
 

@@ -187,15 +187,22 @@ def fuzzy_word_pairs(docs, min_df: int = 2, max_len: int = 24,
     )
     keyed = vocab.map_batches(explode_keys, batch_format="pyarrow")
     pairs = grouped_map(keyed, ["key"], bucket_pairs, sort_within=("word",))
-    # a pair can meet under one key per differing position; fold dupes
-    # (df columns are functionally dependent on the words, so Max is a
-    # deterministic pass-through, not a choice)
-    from ray.data.aggregate import Max
 
-    deduped = (
-        _with_schema(pairs, _FUZZY_SCHEMA)
-        .groupby(["word_a", "word_b"])
-        .aggregate(Max("df_a", alias_name="df_a"), Max("df_b", alias_name="df_b"))
+    # a pair can meet under one key per differing position; fold dupes
+    # with a grouped_map first-of-group pass (df columns are
+    # functionally dependent on the words, so first is a deterministic
+    # pass-through) — NOT the native hash aggregate, whose per-group
+    # accounting dominates on mostly-singleton pair groups (see
+    # ops/dedup.py:_ngram_cooccur_counts)
+    def first_of_group(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        if block.num_rows == 0 or len(starts) == 0:
+            return _FUZZY_SCHEMA.empty_table()
+        return block.select(_FUZZY_SCHEMA.names).take(pa.array(starts))
+
+    deduped = grouped_map(
+        _with_schema(pairs, _FUZZY_SCHEMA),
+        ["word_a", "word_b"],
+        first_of_group,
     )
     return _with_schema(deduped, _FUZZY_SCHEMA)
 
@@ -446,10 +453,16 @@ def word_variant_clusters(docs, min_df: int = 2, max_len: int = 24,
     labels = connected_components(
         pairs.map_batches(edge_rows, batch_format="pyarrow"), "ida", "idb"
     )
-    nodes = (
+    # _with_schema: the hash aggregate emits schema-less empty blocks
+    # for empty partitions (small vocabularies have fewer groups than
+    # partitions) and adaptive_key_join crashes on those
+    nodes = _with_schema(
         pairs.map_batches(node_rows, batch_format="pyarrow")
         .groupby("id")
-        .aggregate(Max("word", alias_name="word"), Max("df", alias_name="df"))
+        .aggregate(Max("word", alias_name="word"), Max("df", alias_name="df")),
+        pa.schema(
+            [("id", pa.int64()), ("word", pa.string()), ("df", pa.int64())]
+        ),
     )
     joined = adaptive_key_join(
         nodes,

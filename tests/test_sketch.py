@@ -231,3 +231,19 @@ def test_kmv_overlap_estimate(ray_session):
     # KMV jaccard std-err ~ sqrt(j(1-j)/k) ≈ 0.05 at k=64; allow 4 sigma
     assert abs(row["jaccard_est"] - 0.2) < 0.2
     assert abs(row["est_union"] - 5000) / 5000 < 0.4
+
+
+def test_kmv_fewer_distinct_than_partitions(ray_session):
+    """Distinct keys < hash-shuffle partitions: the aggregate emits
+    schema-less empty blocks for empty partitions, which sort/limit
+    must survive (regression: crashed before _with_schema wrapping)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.sketch import _kmv_hash, kmv_distinct, kmv_registers
+
+    tbl = pa.table({"k": pa.array(["a", "b", "c"] * 40, pa.string())})
+    got = [r["h"] for r in kmv_registers(rd.from_arrow(tbl), "k").take_all()]
+    assert got == sorted(_kmv_hash(v) for v in ("a", "b", "c"))
+    row = kmv_distinct(rd.from_arrow(tbl), "k").to_pylist()[0]
+    assert row["kmv_estimate"] == 3.0

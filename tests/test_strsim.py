@@ -210,3 +210,17 @@ def test_word_variant_clusters(ray_session):
     assert set(got) == {
         "cold", "bold", "word", "words", "merge", "marge", "mergee"
     }
+
+
+def test_word_variant_clusters_tiny_vocab(ray_session):
+    """One pair, far fewer groups than partitions — the node aggregate's
+    schema-less empty blocks must survive the label join (regression:
+    crashed before _with_schema wrapping)."""
+    from ocr_ray.ops.strsim import word_variant_clusters
+
+    texts = ["cold winter", "bold winter", "cold bold"]
+    got = {
+        r["word"]: r["canonical"]
+        for r in word_variant_clusters(_docs_ds(texts), min_df=1).take_all()
+    }
+    assert got == {"cold": "bold", "bold": "bold"}
