@@ -162,8 +162,12 @@ def adaptive_key_join(left, right, on: str, *, right_on: str | None = None,
         return large_join(left, right, on=on, right_on=right_on,
                           num_partitions=num_partitions)
 
-    def _pa_schema(ds) -> pa.Schema:
+    def _pa_schema(ds) -> pa.Schema | None:
+        # None for a fully-empty derived dataset (zero blocks → Ray has
+        # no schema to report); callers fall back to what they do know
         s = ds.schema(fetch_if_missing=True)
+        if s is None:
+            return None
         return pa.schema(list(zip(s.names, s.types)))
 
     rs = _pa_schema(right)
@@ -171,9 +175,17 @@ def adaptive_key_join(left, right, on: str, *, right_on: str | None = None,
         import ray.data as rd
 
         ls = _pa_schema(left)
-        fields = list(zip(ls.names, ls.types)) + [
-            (nm, ty) for nm, ty in zip(rs.names, rs.types) if nm != right_key
-        ]
+        fields = (
+            [] if ls is None else list(zip(ls.names, ls.types))
+        ) + (
+            []
+            if rs is None
+            else [
+                (nm, ty)
+                for nm, ty in zip(rs.names, rs.types)
+                if nm != right_key
+            ]
+        )
         return rd.from_arrow(pa.schema(fields).empty_table())
 
     keys = pa.concat_tables(
@@ -199,6 +211,10 @@ def adaptive_key_join(left, right, on: str, *, right_on: str | None = None,
             return broadcast_join(
                 filtered, left_tbl.combine_chunks(), keys=[on]
             )
+    if not matched and rs is None:
+        # right is a fully-empty derived dataset with no schema: the
+        # inner join is empty; keep the key column typed from left
+        rs = pa.schema([(right_key, keys.type)])
     small = pa.concat_tables(matched) if matched else rs.empty_table()
     if right_key != on:
         small = small.rename_columns(
@@ -361,10 +377,11 @@ def attach_pair_payloads(pairs, side, *, key_a: str, key_b: str, side_key: str,
     if matched:
         small = pa.concat_tables(matched).select(cols).combine_chunks()
     else:
-        s = side.schema(fetch_if_missing=True)
-        small = pa.schema(
-            [(n_, t_) for n_, t_ in zip(s.names, s.types) if n_ in cols]
-        ).empty_table().select(cols)
+        # no matching side rows → inner-join semantics make the result
+        # empty regardless of payload types; short-circuit (the side may
+        # be a fully-empty derived dataset whose schema Ray cannot even
+        # report — payload column types are unknowable here)
+        return pairs.limit(0)
     small_ref = ray.put(small)
     return pairs.map_batches(
         _PairPayloadAttacher,
