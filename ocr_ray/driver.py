@@ -527,6 +527,22 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     )
 
 
+def q_ngram_jaccard_prefix(sf_dir: str):
+    # the PPJoin prefix-filtered plan; registered against the SAME
+    # oracle SQL as ngram_jaccard_pairs — prefix filtering is lossless,
+    # so a hash mismatch between the two plans is itself a bug signal
+    from ocr_ray.ops.dedup import ngram_jaccard_prefix_pairs
+
+    return _materialized(
+        ngram_jaccard_prefix_pairs(_docs(sf_dir), threshold=0.5),
+        pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+             ("intersection", pa.int64()), ("size_a", pa.int64()),
+             ("size_b", pa.int64()), ("jaccard", pa.float64())]
+        ),
+    )
+
+
 def q_ngram_containment_pairs(sf_dir: str):
     from ocr_ray.ops.dedup import ngram_containment_pairs
 
@@ -2229,6 +2245,7 @@ QUERIES = {
     "split_leakage": q_split_leakage,
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "ngram_containment_pairs": q_ngram_containment_pairs,
     "frequent_shingles": q_frequent_shingles,
     "ann_brute_topk": q_ann_brute_topk,
@@ -2895,7 +2912,7 @@ def _cms_heavy_hitters_sql(k: int = 25) -> str:
 
 def oracle_sql() -> dict[str, str]:
     kamus = kamus_sql_list()
-    return {
+    oracles = {
         "unknown_word_counts": (
             _unknown_words_cte()
             + "\nSELECT word, CAST(frequency AS BIGINT) AS frequency FROM unknown"
@@ -4061,3 +4078,7 @@ def oracle_sql() -> dict[str, str]:
             else {}
         ),
     }
+    # the prefix-filtered plan is result-identical by construction, so
+    # it shares the all-pairs oracle verbatim
+    oracles["ngram_jaccard_prefix"] = oracles["ngram_jaccard_pairs"]
+    return oracles

@@ -1240,3 +1240,240 @@ def dedup_minhash_incremental(new_docs, known_docs, num_perm: int = 64,
         return t.filter(pc.equal(t["n_band_hits"], 0)).select(["doc_id"])
 
     return agg.map_batches(admit, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PPJoin-style prefix-filtered exact Jaccard join (Xiao et al. 2008) —
+# the SCALE PATH for the all-pairs n-gram join: instead of pairing every
+# co-occurring (doc_a, doc_b) (Σ C(df, 2) candidates — quadratic in df),
+# only each doc's PREFIX shingles (its |surv| − ⌈t·|full|⌉ + 1 rarest,
+# under the global (df, shingle) order) generate candidates. Prefix
+# filtering is lossless: any pair whose (stop-guard-underestimated)
+# jaccard reaches t shares at least one prefix shingle — proof: j ≥ t
+# forces inter ≥ ⌈t·|A|⌉; if no shared shingle sat in prefix(A), every
+# shared one would be among A's last ⌈t·|A|⌉ − 1, a contradiction (and
+# symmetrically for B; the globally smallest shared shingle lies in
+# both prefixes). Results are BIT-IDENTICAL to ngram_jaccard_pairs —
+# the driver registers it against the same DuckDB oracle.
+
+_PREFIX_PAYLOAD_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("set_size", pa.int64()),
+        ("n_surv", pa.int64()),
+        ("surv_sorted", pa.binary()),   # uint64 LE, hash-sorted (intersect)
+        ("prefix", pa.binary()),        # uint64 LE, (df, shingle)-ordered
+    ]
+)
+_JACCARD_OUT_SCHEMA = pa.schema(
+    [
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("intersection", pa.int64()),
+        ("size_a", pa.int64()),
+        ("size_b", pa.int64()),
+        ("jaccard", pa.float64()),
+    ]
+)
+
+
+def ngram_jaccard_prefix_pairs(docs, shingle_n: int = 3,
+                               threshold: float = 0.5, max_df: int = 256):
+    """Exact n-gram Jaccard ≥ threshold via prefix filtering; same
+    output (and same stop-shingle underestimate semantics) as
+    ``ngram_jaccard_pairs``, different physical plan:
+
+    1. shingle-partitioned pass annotates df in-block and drops stop
+       shingles (df > max_df) — the same guard, same semantics;
+    2. doc-partitioned pass (sorted by the global (df, shingle) order)
+       packs each doc's surviving hash set and its prefix slice; docs
+       whose surviving count cannot reach ⌈t·|full|⌉ exit here;
+    3. only PREFIX rows shuffle back by shingle for candidate pairing
+       (buckets ≤ max_df by construction — stop shingles are gone);
+    4. deduped candidates get both packed sets attached
+       (size-adaptive pair-payload join) and verify with one
+       np.intersect1d each — exact intersection, full sizes, the
+       identical IEEE jaccard division the oracle evaluates.
+
+    Candidate volume scales with Σ C(df_prefix, 2) over RARE shingles
+    instead of Σ C(df, 2) over all — the difference between quadratic
+    blowup on boilerplate-heavy corpora and near-linear work."""
+    import math
+
+    from ocr_ray.ops.joins import attach_pair_payloads
+    from ocr_ray.stages.grouped import grouped_map
+
+    thr = float(threshold)
+
+    rows = docs.map_batches(
+        _shingle_rows_factory(shingle_n), batch_format="pyarrow"
+    )
+
+    surv_schema = pa.schema(
+        [
+            ("shingle", pa.uint64()),
+            ("doc_id", pa.int64()),
+            ("set_size", pa.int64()),
+            ("df", pa.int64()),
+        ]
+    )
+
+    def df_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return surv_schema.empty_table()
+        sizes = np.diff(np.append(starts, n))
+        keep_group = sizes <= max_df
+        n_stop = int(np.count_nonzero(~keep_group))
+        if n_stop:
+            import logging
+
+            logging.getLogger("ocr_ray.dedup").warning(
+                "%d stop shingles (df > %d) dropped before pairing",
+                n_stop, max_df,
+            )
+        keep = np.repeat(keep_group, sizes)
+        df = np.repeat(sizes, sizes)
+        idx = pa.array(np.flatnonzero(keep))
+        return pa.table(
+            {
+                "shingle": block.column("shingle").take(idx),
+                "doc_id": block.column("doc_id").take(idx),
+                "set_size": block.column("set_size").take(idx),
+                "df": pa.array(df[keep], pa.int64()),
+            }
+        )
+
+    surv = grouped_map(rows, ["shingle"], df_block)
+
+    def doc_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return _PREFIX_PAYLOAD_SCHEMA.empty_table()
+        sh = block.column("shingle").to_numpy(zero_copy_only=False)
+        ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+        full = block.column("set_size").to_numpy(zero_copy_only=False)
+        bounds = np.append(starts, n)
+        out = {k: [] for k in _PREFIX_PAYLOAD_SCHEMA.names}
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            s_full = int(full[s])
+            n_surv = int(e - s)
+            # required overlap for any qualifying pair involving this
+            # doc; ceil with a downward epsilon so float fuzz can only
+            # LENGTHEN the prefix (longer prefix = still lossless)
+            required = max(1, int(math.ceil(thr * s_full - 1e-9)))
+            p = n_surv - required + 1
+            if p <= 0:
+                continue  # cannot reach the threshold with any partner
+            grp = sh[s:e]  # (df, shingle)-ordered by sort_within
+            out["doc_id"].append(int(ids[s]))
+            out["set_size"].append(s_full)
+            out["n_surv"].append(n_surv)
+            out["surv_sorted"].append(
+                np.sort(grp.astype(np.uint64)).tobytes()
+            )
+            out["prefix"].append(grp[:p].astype(np.uint64).tobytes())
+        return pa.Table.from_pydict(out, schema=_PREFIX_PAYLOAD_SCHEMA)
+
+    payloads = grouped_map(
+        surv, ["doc_id"], doc_block, sort_within=("df", "shingle")
+    ).materialize()
+
+    def explode_prefix(t: pa.Table) -> pa.Table:
+        shs, ids, sizes = [], [], []
+        for doc_id, size, blob in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("set_size").to_pylist(),
+            t.column("prefix").to_pylist(),
+        ):
+            arr = np.frombuffer(blob, dtype=np.uint64)
+            shs.append(arr)
+            ids.append(np.full(len(arr), doc_id, np.int64))
+            sizes.append(np.full(len(arr), size, np.int64))
+        if not shs:
+            return pa.schema(
+                [("shingle", pa.uint64()), ("doc_id", pa.int64()),
+                 ("set_size", pa.int64())]
+            ).empty_table()
+        sh = np.concatenate(shs)
+        return pa.table(
+            {
+                "shingle": pa.array(sh, pa.uint64()),
+                "doc_id": pa.array(np.concatenate(ids), pa.int64()),
+                "set_size": pa.array(np.concatenate(sizes), pa.int64()),
+            }
+        )
+
+    prefix_rows = payloads.map_batches(explode_prefix, batch_format="pyarrow")
+    cand = grouped_map(
+        prefix_rows, ["shingle"], _cooccur_block_factory(max_df)
+    )
+
+    def first_of_group(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        schema = pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+             ("size_a", pa.int64()), ("size_b", pa.int64())]
+        )
+        if block.num_rows == 0 or len(starts) == 0:
+            return schema.empty_table()
+        idx = pa.array(starts)
+        t = pa.table(
+            {
+                "doc_a": block.column("doc_a").take(idx),
+                "doc_b": block.column("doc_b").take(idx),
+                "size_a": block.column("size_a").take(idx),
+                "size_b": block.column("size_b").take(idx),
+            }
+        )
+        # lossless length-ratio filter (Xiao et al.): j ≥ t forces
+        # min(|A|,|B|) ≥ t·max(|A|,|B|); the epsilon keeps boundary
+        # candidates (extra candidates are harmless, dropped ones not)
+        sa = t.column("size_a").to_numpy(zero_copy_only=False)
+        sb = t.column("size_b").to_numpy(zero_copy_only=False)
+        keep = np.minimum(sa, sb) + 1e-9 >= thr * np.maximum(sa, sb)
+        return t.filter(pa.array(keep))
+
+    deduped = grouped_map(cand, ["doc_a", "doc_b"], first_of_group)
+    ab = attach_pair_payloads(
+        deduped,
+        payloads,
+        key_a="doc_a",
+        key_b="doc_b",
+        side_key="doc_id",
+        payloads={"surv_sorted": ("sh_a", "sh_b")},
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _JACCARD_OUT_SCHEMA.empty_table()
+        out = {k: [] for k in _JACCARD_OUT_SCHEMA.names}
+        for da, db, sa, sb, ba, bb in zip(
+            t.column("doc_a").to_pylist(),
+            t.column("doc_b").to_pylist(),
+            t.column("size_a").to_pylist(),
+            t.column("size_b").to_pylist(),
+            t.column("sh_a").to_pylist(),
+            t.column("sh_b").to_pylist(),
+        ):
+            inter = len(
+                np.intersect1d(
+                    np.frombuffer(ba, np.uint64),
+                    np.frombuffer(bb, np.uint64),
+                    assume_unique=True,
+                )
+            )
+            if inter == 0:
+                continue
+            jac = float(inter) / float(sa + sb - inter)
+            if jac >= thr:
+                out["doc_a"].append(da)
+                out["doc_b"].append(db)
+                out["intersection"].append(inter)
+                out["size_a"].append(sa)
+                out["size_b"].append(sb)
+                out["jaccard"].append(jac)
+        return pa.Table.from_pydict(out, schema=_JACCARD_OUT_SCHEMA)
+
+    return _with_schema(
+        ab.map_batches(verify, batch_format="pyarrow"), _JACCARD_OUT_SCHEMA
+    )

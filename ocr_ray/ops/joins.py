@@ -312,7 +312,13 @@ def attach_pair_payloads(pairs, side, *, key_a: str, key_b: str, side_key: str,
             )
 
         def rename(mapping):
+            # project to the contract columns FIRST: any extra side
+            # column would ride into both sequential joins under the
+            # same name and produce a duplicate-field schema
+            cols = [side_key] + list(payloads)
+
             def apply(t: pa.Table) -> pa.Table:
+                t = t.select(cols)
                 return t.rename_columns(
                     [mapping.get(c, c) for c in t.column_names]
                 )

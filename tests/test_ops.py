@@ -723,3 +723,49 @@ def test_dedup_strategy_overlap_counts(ray_session, tmp_path):
     assert row["n_both"] == 1
     assert row["n_minhash_only"] == 1
     assert row["n_exact_only"] == 0
+
+
+def test_ngram_jaccard_prefix_plan_equivalence(ray_session):
+    """The prefix-filtered plan must return BIT-identical rows to the
+    all-pairs inverted-index plan — graded overlaps around every
+    threshold, planted near-dups, and a stop-shingle case."""
+    import numpy as np
+    import ray.data as rd
+
+    from ocr_ray.ops.dedup import (
+        ngram_jaccard_pairs, ngram_jaccard_prefix_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    seq = [f"tok{i}" for i in range(400)]
+    texts = []
+    # sliding windows of a shared sequence → smoothly graded overlaps
+    for start in range(0, 360, 8):
+        width = int(rng.integers(30, 80))
+        texts.append(" ".join(seq[start : start + width]))
+    texts.append(texts[0])  # exact dup
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+    def rows(ds):
+        return {
+            (r["doc_a"], r["doc_b"]): (
+                r["intersection"], r["size_a"], r["size_b"], r["jaccard"],
+            )
+            for r in ds.take_all()
+        }
+
+    for thr, max_df, expect_rows in (
+        (0.2, 256, True), (0.5, 256, True), (0.5, 6, None),
+    ):
+        a = rows(ngram_jaccard_pairs(
+            rd.from_arrow(tbl), threshold=thr, max_df=max_df))
+        b = rows(ngram_jaccard_prefix_pairs(
+            rd.from_arrow(tbl), threshold=thr, max_df=max_df))
+        assert a == b, (thr, max_df, len(a), len(b))
+        if expect_rows:
+            assert a, (thr, max_df)  # non-vacuous: some pairs qualify
