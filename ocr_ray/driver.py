@@ -105,6 +105,35 @@ def interleaved_path_for(sf_dir: str, seed: int = 42) -> str:
     return interleaved_path_n(interleaved_docs_count(sf_dir), seed)
 
 
+def partitioned_events_path(sf_dir: str) -> str:
+    """Hive-partitioned (day=YYYY-MM-DD) copy of the events table,
+    written once per sf under the /tmp cache — the resumable output
+    layout the checkpoint sink uses, here exercised on the READ side:
+    a day-window consumer lists only the matching day directories, so
+    pruning happens at the file listing, before any byte is scanned."""
+    key = sf_dir.strip("/").replace("/", "-")
+    path = pathlib.Path(f"/tmp/ocr_ray_cache/events-by-day-{key}")
+    marker = path / "_SUCCESS"
+    if not marker.exists():
+        import pyarrow.dataset as pads
+
+        t = pq.read_table(f"{sf_dir}/events.parquet")
+        day = pc.strftime(
+            pc.floor_temporal(t["ts"], unit="day"), format="%Y-%m-%d"
+        )
+        pads.write_dataset(
+            t.append_column("day", day),
+            str(path),
+            format="parquet",
+            partitioning=pads.partitioning(
+                pa.schema([("day", pa.string())]), flavor="hive"
+            ),
+            existing_data_behavior="overwrite_or_ignore",
+        )
+        marker.write_text("ok")
+    return str(path)
+
+
 # ---------------------------------------------------------------------------
 # query implementations
 
@@ -957,6 +986,59 @@ def q_kmv_user_estimate(sf_dir: str):
     return kmv_distinct(
         rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]),
         "user_id",
+    )
+
+
+def q_events_partition_pruned(sf_dir: str):
+    """Per-type count + value cents over a 3-day window, read from the
+    hive-partitioned copy by listing ONLY the matching day directories
+    — partition pruning at the file listing (zero bytes of any other
+    day leave storage). The oracle computes the identical window from
+    the raw table, so a pruning bug that drops or adds a day fails the
+    hash."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    _quiet()
+    root = partitioned_events_path(sf_dir)
+    days = sorted(
+        p.name.split("=", 1)[1]
+        for p in pathlib.Path(root).iterdir()
+        if p.name.startswith("day=")
+    )
+    # days 2-4 of the range: a fixed, data-derived window the oracle
+    # reproduces as MIN(day)+1 .. +3
+    window = days[1:4]
+    files = [
+        str(f)
+        for d in window
+        for f in sorted(pathlib.Path(root, f"day={d}").glob("*.parquet"))
+    ]
+    ds = rd.read_parquet(files, columns=["event_type", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("value"))
+        return (
+            pa.table({"event_type": t.column("event_type"), "cents": cents})
+            .group_by("event_type")
+            .aggregate([("cents", "sum"), ("cents", "count")])
+            .rename_columns(["event_type", "cents_p", "n_p"])
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_p", alias_name="n"),
+            Sum("cents_p", alias_name="value_cents"),
+        )
+    )
+    return _materialized(
+        agg,
+        pa.schema(
+            [("event_type", pa.string()), ("n", pa.int64()),
+             ("value_cents", pa.int64())]
+        ),
     )
 
 
@@ -2284,6 +2366,7 @@ QUERIES = {
     "kmv_user_estimate": q_kmv_user_estimate,
     "kmv_user_overlap": q_kmv_user_overlap,
     "word_variant_clusters": q_word_variant_clusters,
+    "events_partition_pruned": q_events_partition_pruned,
 }
 
 
@@ -3934,6 +4017,21 @@ def oracle_sql() -> dict[str, str]:
             " AS kth_hash,\n"
             " CAST(n AS BIGINT) AS n_regs\n"
             "FROM agg"
+        ),
+        "events_partition_pruned": (
+            # same 3-day window (days 2-4 of the range) computed from
+            # the raw table — a pruning bug that drops or adds a day
+            # directory fails the hash
+            "WITH b AS (\n"
+            " SELECT date_trunc('day', MIN(ts)) AS d0 FROM events\n"
+            ")\n"
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,\n"
+            " CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)"
+            " AS value_cents\n"
+            "FROM events, b\n"
+            "WHERE ts >= b.d0 + INTERVAL 1 DAY\n"
+            " AND ts < b.d0 + INTERVAL 4 DAY\n"
+            "GROUP BY event_type"
         ),
         "kmv_user_overlap": (
             # KMV set algebra (Beyer et al. 2007): jaccard from the
