@@ -989,6 +989,19 @@ def q_kmv_user_estimate(sf_dir: str):
     )
 
 
+def q_length_robust_outliers(sf_dir: str):
+    from ocr_ray.ops.stats import length_robust_outliers
+
+    return _materialized(
+        length_robust_outliers(_docs(sf_dir, "lang", "n_chars")),
+        pa.schema(
+            [("lang", pa.string()), ("median_chars", pa.int64()),
+             ("mad_chars", pa.int64()), ("n_docs", pa.int64()),
+             ("n_outliers", pa.int64())]
+        ),
+    )
+
+
 def q_events_partition_pruned(sf_dir: str):
     """Per-type count + value cents over a 3-day window, read from the
     hive-partitioned copy by listing ONLY the matching day directories
@@ -2367,6 +2380,7 @@ QUERIES = {
     "kmv_user_overlap": q_kmv_user_overlap,
     "word_variant_clusters": q_word_variant_clusters,
     "events_partition_pruned": q_events_partition_pruned,
+    "length_robust_outliers": q_length_robust_outliers,
 }
 
 
@@ -4017,6 +4031,43 @@ def oracle_sql() -> dict[str, str]:
             " AS kth_hash,\n"
             " CAST(n AS BIGINT) AS n_regs\n"
             "FROM agg"
+        ),
+        "length_robust_outliers": (
+            # robust z-score: lower medians via the integer rank rule
+            # (n+1)//2; 3·1.4826 enters as the exact ratio 44478/10000
+            "WITH m AS (\n"
+            " SELECT lang, n_chars, CAST(COUNT(*) AS BIGINT) AS c\n"
+            " FROM documents GROUP BY 1, 2\n"
+            "), tot AS (SELECT lang, SUM(c) AS n FROM m GROUP BY lang),\n"
+            "cum AS (\n"
+            " SELECT lang, n_chars,"
+            " SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum\n"
+            " FROM m\n"
+            "), med AS (\n"
+            " SELECT c.lang, MIN(c.n_chars) AS median FROM cum c"
+            " JOIN tot USING (lang)\n"
+            " WHERE c.cum >= (tot.n + 1) // 2 GROUP BY c.lang\n"
+            "), dev AS (\n"
+            " SELECT m.lang, abs(m.n_chars - med.median) AS d,"
+            " SUM(m.c) AS c\n"
+            " FROM m JOIN med USING (lang) GROUP BY 1, 2\n"
+            "), devcum AS (\n"
+            " SELECT lang, d,"
+            " SUM(c) OVER (PARTITION BY lang ORDER BY d) AS cum FROM dev\n"
+            "), mad AS (\n"
+            " SELECT dc.lang, MIN(dc.d) AS mad FROM devcum dc"
+            " JOIN tot USING (lang)\n"
+            " WHERE dc.cum >= (tot.n + 1) // 2 GROUP BY dc.lang\n"
+            ")\n"
+            "SELECT m.lang,\n"
+            " CAST(med.median AS BIGINT) AS median_chars,\n"
+            " CAST(mad.mad AS BIGINT) AS mad_chars,\n"
+            " CAST(SUM(m.c) AS BIGINT) AS n_docs,\n"
+            " CAST(SUM(CASE WHEN abs(m.n_chars - med.median) * 10000"
+            " > 44478 * mad.mad THEN m.c ELSE 0 END) AS BIGINT)"
+            " AS n_outliers\n"
+            "FROM m JOIN med USING (lang) JOIN mad USING (lang)\n"
+            "GROUP BY m.lang, med.median, mad.mad"
         ),
         "events_partition_pruned": (
             # same 3-day window (days 2-4 of the range) computed from

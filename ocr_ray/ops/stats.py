@@ -976,3 +976,82 @@ def key_skew_report(ds, key_column: str, k: int = 10):
             ]
         ),
     )
+
+
+def length_robust_outliers(docs):
+    """Per-language ROBUST length outliers: lower median, median
+    absolute deviation, and the count of docs with
+    |n_chars − median| > 3·1.4826·MAD — the robust z-score rule
+    (Hampel/Iglewicz-Hoaglin), integer-exact end to end so the SQL
+    oracle matches bit-for-bit: the only non-integers (3·1.4826) enter
+    as the exact ratio 44478/10000, and both medians use the
+    PERCENTILE_DISC-style rank (n+1)//2 in pure integer arithmetic.
+
+    Scale shape: one (lang, n_chars) histogram shuffle — the count
+    table is bounded by the length DOMAIN per language, not the corpus
+    — then one vectorized pass per language block. The complement of
+    ``length_outliers`` (mean/std z-score): MAD ignores the heavy tail
+    that inflates the standard deviation."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    def hist_partials(t: pa.Table) -> pa.Table:
+        counted = (
+            t.select(["lang", "n_chars"])
+            .group_by(["lang", "n_chars"])
+            .aggregate([("n_chars", "count")])
+        )
+        return counted.rename_columns(["lang", "n_chars", "partial"])
+
+    counted = (
+        docs.map_batches(hist_partials, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("partial", alias_name="cnt"))
+    )
+
+    out_schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("median_chars", pa.int64()),
+            ("mad_chars", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("n_outliers", pa.int64()),
+        ]
+    )
+
+    def _disc_median(values: np.ndarray, counts: np.ndarray) -> int:
+        # values ascending; smallest value whose cumulative count
+        # reaches rank (n+1)//2 — PERCENTILE_DISC(0.5) semantics
+        cum = np.cumsum(counts)
+        rank = (int(cum[-1]) + 1) // 2
+        return int(values[np.searchsorted(cum, rank, side="left")])
+
+    def finish_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or block.num_columns == 0:
+            return out_schema.empty_table()
+        ends = np.append(starts[1:], n)
+        langs = block.column("lang").to_pylist()
+        vals = block.column("n_chars").to_numpy(zero_copy_only=False)
+        cnts = block.column("cnt").to_numpy(zero_copy_only=False)
+        cols: dict[str, list] = {f.name: [] for f in out_schema}
+        for s, e in zip(starts, ends):
+            v, c = vals[s:e], cnts[s:e]  # n_chars-sorted via sort_within
+            med = _disc_median(v, c)
+            dev = np.abs(v - med)
+            order = np.argsort(dev, kind="stable")
+            mad = _disc_median(dev[order], c[order])
+            n_out = int(c[dev * 10000 > 44478 * mad].sum())
+            cols["lang"].append(langs[s])
+            cols["median_chars"].append(med)
+            cols["mad_chars"].append(mad)
+            cols["n_docs"].append(int(c.sum()))
+            cols["n_outliers"].append(n_out)
+        return pa.table(
+            {f.name: pa.array(cols[f.name], f.type) for f in out_schema}
+        )
+
+    return grouped_map(
+        counted, ["lang"], finish_block, sort_within=("n_chars",)
+    )

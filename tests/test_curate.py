@@ -177,3 +177,38 @@ def test_vocab_by_source_hand_checked(ray_session):
     b = rows["b"]
     assert b["n_tokens"] == 2 and b["n_distinct_words"] == 2
     assert b["type_token_ratio"] == 1.0
+
+
+def test_length_robust_outliers(ray_session):
+    """Median/MAD against a plain-python reference on a corpus with
+    planted extreme lengths; the heavy tail must flag as outliers
+    without inflating the (robust) spread estimate."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import length_robust_outliers
+
+    lengths = [100 + (i % 21) for i in range(200)]  # tight cluster
+    lengths += [5000, 6000, 7000]  # planted extremes
+    tbl = pa.table(
+        {
+            "lang": pa.array(["en"] * len(lengths), pa.string()),
+            "n_chars": pa.array(lengths, pa.int64()),
+        }
+    )
+    row = length_robust_outliers(rd.from_arrow(tbl)).take_all()[0]
+
+    def disc_median(vals):
+        vals = sorted(vals)
+        return vals[(len(vals) + 1) // 2 - 1]
+
+    med = disc_median(lengths)
+    mad = disc_median([abs(v - med) for v in lengths])
+    n_out = sum(1 for v in lengths if abs(v - med) * 10000 > 44478 * mad)
+    assert row == {
+        "lang": "en", "median_chars": med, "mad_chars": mad,
+        "n_docs": len(lengths), "n_outliers": n_out,
+    }
+    assert row["n_outliers"] >= 3  # the planted extremes are caught
+    assert row["mad_chars"] <= 21  # ...without inflating the spread
