@@ -989,6 +989,21 @@ def q_kmv_user_estimate(sf_dir: str):
     )
 
 
+def q_events_moving_avg(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.ops.windows import moving_window_sum
+
+    _quiet()
+    return moving_window_sum(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"],
+        ),
+        frame=5,
+    )
+
+
 def q_length_robust_outliers(sf_dir: str):
     from ocr_ray.ops.stats import length_robust_outliers
 
@@ -2381,6 +2396,7 @@ QUERIES = {
     "word_variant_clusters": q_word_variant_clusters,
     "events_partition_pruned": q_events_partition_pruned,
     "length_robust_outliers": q_length_robust_outliers,
+    "events_moving_avg": q_events_moving_avg,
 }
 
 
@@ -4031,6 +4047,22 @@ def oracle_sql() -> dict[str, str]:
             " AS kth_hash,\n"
             " CAST(n AS BIGINT) AS n_regs\n"
             "FROM agg"
+        ),
+        "events_moving_avg": (
+            # bounded ROWS frame; the frame SUM stays integer cents so
+            # only the final mean division is float (shared IEEE)
+            "WITH c AS (\n"
+            " SELECT event_id, user_id, ts,\n"
+            "  CAST(ROUND(value * 100.0) AS BIGINT) AS cents FROM events\n"
+            ")\n"
+            "SELECT event_id, user_id,\n"
+            " CAST(SUM(cents) OVER w AS BIGINT) AS frame_cents,\n"
+            " CAST(COUNT(*) OVER w AS BIGINT) AS n_frame,\n"
+            " CAST(SUM(cents) OVER w AS DOUBLE)"
+            " / CAST(COUNT(*) OVER w AS DOUBLE) AS moving_avg\n"
+            "FROM c\n"
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id\n"
+            " ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
         ),
         "length_robust_outliers": (
             # robust z-score: lower medians via the integer rank rule

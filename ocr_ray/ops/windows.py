@@ -405,3 +405,61 @@ def user_event_paths(events):
     return grouped_map(
         events, ["user_id"], block_fn, sort_within=["ts", "event_id"]
     )
+
+
+def moving_window_sum(events, frame: int = 5):
+    """Bounded ROWS-frame window: per user, the sum / count / mean of
+    event value over the last ``frame`` events INCLUDING the current
+    one, ordered by (ts, event_id) — SQL's ``SUM(...) OVER (PARTITION
+    BY user_id ORDER BY ts, event_id ROWS BETWEEN frame−1 PRECEDING AND
+    CURRENT ROW)``. The frame SUM is integer cents (cumsum differences
+    are exact in integers, where float frame sums would depend on
+    accumulation order), so the single mean division is the only float
+    and both engines evaluate the identical IEEE expression.
+
+    Scale shape: one hash shuffle on user_id, one vectorized cumsum +
+    shifted-difference per block with per-group boundary clamping — the
+    bounded-frame sibling of ``running_total_per_user``."""
+    from ocr_ray.driver import _cents
+    from ocr_ray.stages.grouped import grouped_map
+
+    k = int(frame)
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("frame_cents", pa.int64()),
+            ("n_frame", pa.int64()),
+            ("moving_avg", pa.float64()),
+        ]
+    )
+
+    def block_fn(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return out_schema.empty_table()
+        cents = _cents(block["value"]).to_numpy(zero_copy_only=False)
+        cs = np.cumsum(cents)
+        sizes = np.diff(np.append(starts, n))
+        # frame start row (clamped to the group start), frame length
+        lo = np.maximum(np.arange(n) - (k - 1), np.repeat(starts, sizes))
+        n_frame = np.arange(n) - lo + 1
+        base = np.where(lo > 0, cs[lo - 1], 0)
+        frame_cents = cs - base
+        avg = (
+            frame_cents.astype(np.float64)
+            / n_frame.astype(np.float64)
+        )
+        return pa.table(
+            {
+                "event_id": block.column("event_id"),
+                "user_id": block.column("user_id"),
+                "frame_cents": pa.array(frame_cents, pa.int64()),
+                "n_frame": pa.array(n_frame, pa.int64()),
+                "moving_avg": pa.array(avg, pa.float64()),
+            }
+        )
+
+    return grouped_map(
+        events, ["user_id"], block_fn, sort_within=["ts", "event_id"]
+    )

@@ -387,3 +387,45 @@ def test_key_skew_report_shares_and_rank(ray_session):
     assert [r["key"] for r in out] == [5, 1, 2]
     assert out[0]["n"] == 6 and out[0]["share"] == 0.6
     assert [r["rank"] for r in out] == [1, 2, 3]
+
+
+def test_moving_window_sum(ray_session):
+    """Bounded ROWS frame vs a plain-python sliding window, including
+    group boundaries (frames never cross users) and short heads."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.windows import moving_window_sum
+
+    rng = np.random.default_rng(9)
+    rows = []
+    eid = 0
+    for user in range(7):
+        for i in range(int(rng.integers(1, 12))):
+            rows.append((eid, user, i, float(rng.integers(0, 500)) / 7.0))
+            eid += 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+    got = {
+        r["event_id"]: (r["frame_cents"], r["n_frame"], r["moving_avg"])
+        for r in moving_window_sum(rd.from_arrow(tbl), frame=3).take_all()
+    }
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for eid_, user, _, v in rows:
+        c = int(np.round(v * 100.0))  # half-away matches _cents on .5
+        per_user[user].append((eid_, c))
+    for user, seq in per_user.items():
+        for i, (eid_, _) in enumerate(seq):
+            window = [c for _, c in seq[max(0, i - 2): i + 1]]
+            s, n = sum(window), len(window)
+            assert got[eid_] == (s, n, float(s) / float(n)), (user, i)
+    assert len(got) == len(rows)
