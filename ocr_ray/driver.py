@@ -989,6 +989,61 @@ def q_kmv_user_estimate(sf_dir: str):
     )
 
 
+def q_orders_window_pushdown(sf_dir: str):
+    """Per-priority order counts + totals over a date window, with the
+    row filter pushed INTO the parquet scan (`read_parquet(filter=...)`
+    prunes row groups via column statistics before any row
+    materializes) alongside the column projection — the read-side
+    pruning pair the 100 TB design note calls for. The oracle runs the
+    identical WHERE on the raw table, so a pushdown bug that drops or
+    leaks rows fails the hash."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    _quiet()
+    d_from = _dt.datetime.fromisoformat(_Q5_FROM)
+    d_to = _dt.datetime.fromisoformat(_Q5_TO)
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+        filter=(
+            (pads.field("o_orderdate") >= pa.scalar(d_from))
+            & (pads.field("o_orderdate") < pa.scalar(d_to))
+        ),
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("o_totalprice"))
+        return (
+            pa.table(
+                {"o_orderpriority": t.column("o_orderpriority"),
+                 "cents": cents}
+            )
+            .group_by("o_orderpriority")
+            .aggregate([("cents", "sum"), ("cents", "count")])
+            .rename_columns(["o_orderpriority", "cents_p", "n_p"])
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_p", alias_name="n_orders"),
+            Sum("cents_p", alias_name="total_cents"),
+        )
+    )
+    return _materialized(
+        agg,
+        pa.schema(
+            [("o_orderpriority", pa.string()), ("n_orders", pa.int64()),
+             ("total_cents", pa.int64())]
+        ),
+    )
+
+
 def q_events_moving_avg(sf_dir: str):
     import ray.data as rd
 
@@ -2397,6 +2452,7 @@ QUERIES = {
     "events_partition_pruned": q_events_partition_pruned,
     "length_robust_outliers": q_length_robust_outliers,
     "events_moving_avg": q_events_moving_avg,
+    "orders_window_pushdown": q_orders_window_pushdown,
 }
 
 
@@ -4047,6 +4103,15 @@ def oracle_sql() -> dict[str, str]:
             " AS kth_hash,\n"
             " CAST(n AS BIGINT) AS n_regs\n"
             "FROM agg"
+        ),
+        "orders_window_pushdown": (
+            "SELECT o_orderpriority,\n"
+            " CAST(COUNT(*) AS BIGINT) AS n_orders,\n"
+            " CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))"
+            " AS BIGINT) AS total_cents\n"
+            f"FROM orders WHERE o_orderdate >= TIMESTAMP '{_Q5_FROM}'\n"
+            f" AND o_orderdate < TIMESTAMP '{_Q5_TO}'\n"
+            "GROUP BY o_orderpriority"
         ),
         "events_moving_avg": (
             # bounded ROWS frame; the frame SUM stays integer cents so
