@@ -989,6 +989,21 @@ def q_kmv_user_estimate(sf_dir: str):
     )
 
 
+def q_events_unpivot_daily(sf_dir: str):
+    from ocr_ray.ops.stats import events_unpivot_daily
+
+    return events_unpivot_daily(_events_pivot_input(sf_dir))
+
+
+def _events_pivot_input(sf_dir: str):
+    import ray.data as rd
+
+    _quiet()
+    return rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+
 def q_orders_window_pushdown(sf_dir: str):
     """Per-priority order counts + totals over a date window, with the
     row filter pushed INTO the parquet scan (`read_parquet(filter=...)`
@@ -2453,6 +2468,7 @@ QUERIES = {
     "length_robust_outliers": q_length_robust_outliers,
     "events_moving_avg": q_events_moving_avg,
     "orders_window_pushdown": q_orders_window_pushdown,
+    "events_unpivot_daily": q_events_unpivot_daily,
 }
 
 
@@ -4103,6 +4119,25 @@ def oracle_sql() -> dict[str, str]:
             " AS kth_hash,\n"
             " CAST(n AS BIGINT) AS n_regs\n"
             "FROM agg"
+        ),
+        "events_unpivot_daily": (
+            # melt of the wide pivot, zero cells preserved: every
+            # (day × type) cell exists whether or not events occurred
+            "WITH days AS (\n"
+            " SELECT DISTINCT date_trunc('day', ts) AS day FROM events\n"
+            "), t AS (\n"
+            " SELECT unnest(['click', 'error', 'purchase', 'signup',"
+            " 'view']) AS event_type\n"
+            "), c AS (\n"
+            " SELECT date_trunc('day', ts) AS day, event_type,"
+            " COUNT(*) AS n\n"
+            " FROM events GROUP BY 1, 2\n"
+            ")\n"
+            "SELECT days.day, t.event_type,\n"
+            " CAST(COALESCE(c.n, 0) AS BIGINT) AS n\n"
+            "FROM days CROSS JOIN t\n"
+            "LEFT JOIN c ON c.day = days.day"
+            " AND c.event_type = t.event_type"
         ),
         "orders_window_pushdown": (
             "SELECT o_orderpriority,\n"

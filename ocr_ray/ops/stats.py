@@ -1055,3 +1055,46 @@ def length_robust_outliers(docs):
     return grouped_map(
         counted, ["lang"], finish_block, sort_within=("n_chars",)
     )
+
+
+def events_unpivot_daily(events, types: tuple[str, ...] = EVENT_TYPES):
+    """Wide→long UNPIVOT (melt) — the inverse of ``events_pivot_daily``:
+    the per-day wide counts flattened back to one (day, event_type, n)
+    row per cell, INCLUDING zero cells (the wide row materializes them,
+    so the melt preserves them — the property a naive re-aggregation of
+    the raw events loses). Shuffle-free beyond the pivot itself: the
+    melt is one stateless k-way column interleave per block."""
+    wide = events_pivot_daily(events, types)
+    out_schema = pa.schema(
+        [
+            ("day", pa.timestamp("us")),
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        k = len(types)
+        day = pc.cast(t.column("day"), pa.timestamp("us"))
+        counts = np.stack(
+            [
+                t.column(f"n_{ty}").to_numpy(zero_copy_only=False)
+                for ty in types
+            ],
+            axis=1,
+        ).ravel()  # row-major: all k cells of row 0, then row 1, ...
+        day_np = pc.cast(day, pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "day": pa.array(np.repeat(day_np, k), pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "event_type": pa.array(list(types) * n, pa.string()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return wide.map_batches(melt, batch_format="pyarrow")
