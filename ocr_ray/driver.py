@@ -989,6 +989,24 @@ def q_kmv_user_estimate(sf_dir: str):
     )
 
 
+def q_hll_user_estimate_incremental(sf_dir: str):
+    # streaming-state fold over 5 micro-batches; HLL merge is exact so
+    # the oracle is hll_user_estimate's SQL verbatim
+    import ray.data as rd
+
+    from ocr_ray.ops.sketch import hll_distinct_incremental
+
+    _quiet()
+    return hll_distinct_incremental(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+        ),
+        "user_id",
+        "event_id",
+        n_chunks=5,
+    )
+
+
 def q_events_unpivot_daily(sf_dir: str):
     from ocr_ray.ops.stats import events_unpivot_daily
 
@@ -2469,6 +2487,7 @@ QUERIES = {
     "events_moving_avg": q_events_moving_avg,
     "orders_window_pushdown": q_orders_window_pushdown,
     "events_unpivot_daily": q_events_unpivot_daily,
+    "hll_user_estimate_incremental": q_hll_user_estimate_incremental,
 }
 
 
@@ -4362,4 +4381,7 @@ def oracle_sql() -> dict[str, str]:
     # the prefix-filtered plan is result-identical by construction, so
     # it shares the all-pairs oracle verbatim
     oracles["ngram_jaccard_prefix"] = oracles["ngram_jaccard_pairs"]
+    # HLL register merge is exact (max of maxima), so the incremental
+    # fold shares the one-shot sketch's oracle verbatim
+    oracles["hll_user_estimate_incremental"] = oracles["hll_user_estimate"]
     return oracles

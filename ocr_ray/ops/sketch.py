@@ -667,3 +667,48 @@ def kmv_overlap(ds, key_column: str, group_column: str, ga: str, gb: str,
             ]
         ),
     )
+
+
+def hll_distinct_incremental(ds, key_column: str, chunk_column: str,
+                             n_chunks: int = 5):
+    """STREAMING-state fold: the dataset is processed as ``n_chunks``
+    sequential micro-batches (hash of ``chunk_column`` mod n_chunks —
+    any disjoint cover works); each step sketches ONLY its chunk and
+    merges registers into the running state (groupby-max over ≤ 2·M
+    slim rows). HLL merge is exact — max of register maxima — so the
+    final row is IDENTICAL to the one-shot batch sketch, and the driver
+    registers this against the SAME oracle as ``hll_distinct``. The
+    operational shape of a daily-append pipeline: yesterday's persisted
+    registers + today's chunk, never a rescan of history."""
+    state: pa.Table | None = None
+    for i in range(n_chunks):
+        def keep(t: pa.Table, _i: int = i) -> pa.Table:
+            mod = np.mod(
+                t.column(chunk_column).to_numpy(zero_copy_only=False),
+                n_chunks,
+            )
+            return t.filter(pa.array(mod == _i))
+
+        chunk = ds.map_batches(keep, batch_format="pyarrow")
+        regs_rows = hll_registers(chunk, key_column).take_all()  # ≤ M
+        regs = pa.Table.from_pylist(
+            regs_rows,
+            schema=pa.schema([("bucket", pa.int64()), ("max_rho", pa.int64())]),
+        )
+        if state is None:
+            state = regs
+        else:
+            state = (
+                pa.concat_tables([state, regs])
+                .group_by("bucket")
+                .aggregate([("max_rho", "max")])
+                .rename_columns(["bucket", "max_rho"])
+            )
+    rows = state.to_pylist() if state is not None else []
+    est = hll_estimate_from_registers(rows)
+    return pa.table(
+        {
+            "hll_estimate": pa.array([round(est, 2)], pa.float64()),
+            "n_registers": pa.array([len(rows)], pa.int64()),
+        }
+    )

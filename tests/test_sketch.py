@@ -247,3 +247,25 @@ def test_kmv_fewer_distinct_than_partitions(ray_session):
     assert got == sorted(_kmv_hash(v) for v in ("a", "b", "c"))
     row = kmv_distinct(rd.from_arrow(tbl), "k").to_pylist()[0]
     assert row["kmv_estimate"] == 3.0
+
+
+def test_hll_incremental_equals_batch(ray_session):
+    """The chunked register fold must be IDENTICAL to the one-shot
+    sketch (HLL merge is exact), for several chunk counts."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.sketch import hll_distinct, hll_distinct_incremental
+
+    tbl = pa.table(
+        {
+            "k": pa.array([f"u{i % 700}" for i in range(2000)], pa.string()),
+            "cid": pa.array(list(range(2000)), pa.int64()),
+        }
+    )
+    batch = hll_distinct(rd.from_arrow(tbl), "k").to_pylist()
+    for n_chunks in (1, 3, 7):
+        inc = hll_distinct_incremental(
+            rd.from_arrow(tbl), "k", "cid", n_chunks=n_chunks
+        ).to_pylist()
+        assert inc == batch, n_chunks
