@@ -2363,6 +2363,31 @@ def q_word_variant_clusters(sf_dir: str):
     )
 
 
+def q_char_diversity(sf_dir: str):
+    """Char-distribution quality profile (ops.textstats.char_diversity):
+    integer Simpson-diversity core, map-side only, no shuffle."""
+    from ocr_ray.ops.textstats import char_diversity
+
+    _quiet()
+    return char_diversity(_docs(sf_dir, "doc_id", "text"))
+
+
+def q_decayed_user_value(sf_dir: str):
+    """Recency-weighted spend per user: dyadic weekly decay, exact
+    int64 micro-units end-to-end (see ops.stats.decayed_user_value)."""
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import decayed_user_value
+
+    _quiet()
+    return decayed_user_value(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["ts", "user_id", "event_type", "value"],
+        )
+    )
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -2488,6 +2513,8 @@ QUERIES = {
     "orders_window_pushdown": q_orders_window_pushdown,
     "events_unpivot_daily": q_events_unpivot_daily,
     "hll_user_estimate_incremental": q_hll_user_estimate_incremental,
+    "decayed_user_value": q_decayed_user_value,
+    "char_diversity": q_char_diversity,
 }
 
 
@@ -4384,4 +4411,37 @@ def oracle_sql() -> dict[str, str]:
     # HLL register merge is exact (max of maxima), so the incremental
     # fold shares the one-shot sketch's oracle verbatim
     oracles["hll_user_estimate_incremental"] = oracles["hll_user_estimate"]
+    # dyadic weekly decay: floor(1e6 * 2^-weeks) is exact in doubles in
+    # both engines (no ROUND half-way ties), contributions are int64,
+    # integer sums are order-free — bit equality by construction
+    oracles["decayed_user_value"] = (
+        "WITH anchor AS (SELECT epoch_us(MAX(ts)) AS a FROM events),\n"
+        "p AS (\n"
+        " SELECT user_id,\n"
+        "  CAST(ROUND(value * 100.0) AS BIGINT) AS cents,\n"
+        "  ((SELECT a FROM anchor) - epoch_us(ts)) // 604800000000 AS wk\n"
+        " FROM events WHERE event_type = 'purchase'\n"
+        ")\n"
+        "SELECT user_id,\n"
+        " CAST(SUM(cents * CAST(FLOOR(1000000.0 * POWER(2.0, -wk))"
+        " AS BIGINT)) AS BIGINT) AS decayed_micros,\n"
+        " CAST(COUNT(*) AS BIGINT) AS n_events\n"
+        "FROM p GROUP BY user_id ORDER BY user_id"
+    )
+    # per-char split at codepoint granularity (matches Python's str
+    # iteration — verified on multibyte input); empty docs excluded on
+    # both sides (string_split('','') yields [''])
+    oracles["char_diversity"] = (
+        "WITH ch AS (\n"
+        " SELECT doc_id, unnest(string_split(text, '')) AS c\n"
+        " FROM documents WHERE length(text) > 0\n"
+        "), cnt AS (\n"
+        " SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS k\n"
+        " FROM ch GROUP BY doc_id, c\n"
+        ")\n"
+        "SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_chars,\n"
+        " CAST(COUNT(*) AS BIGINT) AS n_distinct,\n"
+        " CAST(SUM(k * k) AS BIGINT) AS sum_sq\n"
+        "FROM cnt GROUP BY doc_id ORDER BY doc_id"
+    )
     return oracles

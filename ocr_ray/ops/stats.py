@@ -1098,3 +1098,87 @@ def events_unpivot_daily(events, types: tuple[str, ...] = EVENT_TYPES):
         )
 
     return wide.map_batches(melt, batch_format="pyarrow")
+
+
+def decayed_user_value(events, anchor_us: int | None = None,
+                       half_life_weeks: int = 1,
+                       event_type: str = "purchase"):
+    """Exponentially time-decayed engagement score per user —
+    (user_id, decayed_micros, n_events), the feature-store "recency-
+    weighted spend" rollup (reference analogue: the per-key rolling
+    stats the history DB's /stats endpoints aggregate, ocr_history
+    time-bucketed rollups).
+
+    Determinism design (cross-engine bit equality): the decay weight is
+    DYADIC — age is floored to whole weeks w, and the weight is
+    ``floor(1e6 * 2^-w)`` — both 2^-w and the product are exact in
+    IEEE doubles, and FLOOR is unambiguous (no half-way ties, unlike
+    ROUND on 1e6/2^7 = 7812.5). Each event contributes the int64
+    ``cents * weight_ppm``; integer sums are order-free, so any
+    partial-aggregation plan matches the DuckDB oracle exactly.
+
+    Scale shape: one stateless map_batches computes (user, contrib)
+    partials with a map-side group-sum, then a single keyed groupby-sum
+    over slim int rows. The anchor (global max ts) is one streaming
+    column scan. 100 TB: the shuffle carries at most one row per
+    (user, block) — never events.
+    """
+    from ray.data.aggregate import Sum
+
+    if anchor_us is None:
+        anchor = events.max("ts")
+        anchor_us = int(pa.scalar(anchor, pa.timestamp("us")).value)
+    week_us = 7 * 86_400 * 1_000_000
+
+    def partials(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t["event_type"], event_type)
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            return pa.schema(
+                [("user_id", pa.int64()), ("contrib", pa.int64()),
+                 ("n", pa.int64())]
+            ).empty_table()
+        cents = pc.cast(
+            pc.round(pc.multiply(t["value"], 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        weeks = (anchor_us - ts_us) // (week_us * half_life_weeks)
+        weight_ppm = np.floor(1e6 * np.ldexp(1.0, -np.minimum(weeks, 1074))
+                              ).astype(np.int64)
+        contrib = cents * weight_ppm
+        part = pa.table({
+            "user_id": t["user_id"].cast(pa.int64()),
+            "contrib": pa.array(contrib, pa.int64()),
+        })
+        return (
+            part.group_by(["user_id"])
+            .aggregate([("contrib", "sum"), ("contrib", "count")])
+            .rename_columns(["user_id", "contrib", "n"])
+        )
+
+    out = (
+        events.map_batches(partials, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("contrib", alias_name="decayed_micros"),
+                   Sum("n", alias_name="n_events"))
+    )
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("decayed_micros", pa.int64()),
+         ("n_events", pa.int64())]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # a fully-filtered shard yields a column-less block; pin the
+            # schema so downstream union/sort never sees a mismatch
+            return out_schema.empty_table()
+        return pa.table({
+            "user_id": t["user_id"].cast(pa.int64()),
+            "decayed_micros": t["decayed_micros"].cast(pa.int64()),
+            "n_events": t["n_events"].cast(pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("user_id")

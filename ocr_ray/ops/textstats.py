@@ -295,3 +295,68 @@ def winnow_overlap_pairs(docs, min_shared: int = 8, max_df: int = 64):
         ).filter(pc.greater_equal(t["n_shared"], min_shared))
 
     return counted.map_batches(keep, batch_format="pyarrow")
+
+
+_CHAR_DIV_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_chars", pa.int64()),
+        ("n_distinct", pa.int64()),
+        ("sum_sq", pa.int64()),
+    ]
+)
+
+
+def char_diversity_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc character-distribution profile: total codepoints, distinct
+    codepoints, and the collision sum Σ count(c)² — the integer core of
+    Simpson diversity / gini impurity (sum_sq/n² = char collision
+    probability, a gibberish/repetition quality signal à la the
+    Gopher-style repetition filters). All-integer outputs so the DuckDB
+    oracle (string_split per char) matches bit-for-bit; empty docs emit
+    no row in BOTH engines (string_split('','') yields [''], excluded
+    by length(text) > 0).
+
+    Vectorized: one pass over the batch's concatenated UTF-32 codepoints;
+    per-(doc, char) counts via np.unique on composite int64 keys, then
+    segment reductions — no per-row Python beyond the join of text
+    offsets."""
+    ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    texts = batch.column("text").to_pylist()
+    lens = np.fromiter(
+        (len(t) if t else 0 for t in texts), np.int64, len(texts)
+    )
+    joined = "".join(t for t in texts if t)
+    if not joined:
+        return _CHAR_DIV_SCHEMA.empty_table()
+    cps = np.frombuffer(joined.encode("utf-32-le"), np.uint32).astype(
+        np.int64
+    )
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    keys = doc_idx * 0x110000 + cps
+    uniq, counts = np.unique(keys, return_counts=True)
+    owner = uniq // 0x110000
+    starts = np.flatnonzero(np.r_[True, owner[1:] != owner[:-1]])
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[owner[starts]], pa.int64()),
+            "n_chars": pa.array(np.add.reduceat(counts, starts), pa.int64()),
+            "n_distinct": pa.array(
+                np.diff(np.r_[starts, len(uniq)]), pa.int64()
+            ),
+            "sum_sq": pa.array(
+                np.add.reduceat(counts * counts, starts), pa.int64()
+            ),
+        }
+    )
+
+
+def char_diversity(docs):
+    """(doc_id, n_chars, n_distinct, sum_sq) per non-empty doc — pure
+    stateless map_batches, zero shuffle (one output row per doc computed
+    map-side); sorted by doc_id for a stable gate."""
+    return docs.map_batches(
+        char_diversity_batch, batch_format="pyarrow"
+    ).sort("doc_id")
