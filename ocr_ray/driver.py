@@ -520,6 +520,23 @@ def q_copurchase_communities(sf_dir: str):
     )
 
 
+def q_copurchase_bfs(sf_dir: str):
+    """BFS hop distances from the smallest part over the co-purchase
+    graph (ops.graph.bfs_distances) — 4th iterative graph family."""
+    import ray.data as rd
+
+    from ocr_ray.ops.graph import bfs_distances, copurchase_edges
+
+    _quiet()
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return _materialized(
+        bfs_distances(copurchase_edges(lineitem), max_rounds=8),
+        pa.schema([("node", pa.int64()), ("dist", pa.int64())]),
+    )
+
+
 def q_copurchase_kcore(sf_dir: str):
     import ray.data as rd
 
@@ -2515,6 +2532,7 @@ QUERIES = {
     "hll_user_estimate_incremental": q_hll_user_estimate_incremental,
     "decayed_user_value": q_decayed_user_value,
     "char_diversity": q_char_diversity,
+    "copurchase_bfs": q_copurchase_bfs,
 }
 
 
@@ -4444,4 +4462,7 @@ def oracle_sql() -> dict[str, str]:
         " CAST(SUM(k * k) AS BIGINT) AS sum_sq\n"
         "FROM cnt GROUP BY doc_id ORDER BY doc_id"
     )
+    from ocr_ray.ops.graph import copurchase_bfs_sql
+
+    oracles["copurchase_bfs"] = copurchase_bfs_sql(rounds=8)
     return oracles

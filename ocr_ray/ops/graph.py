@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 SCALE = 10**9
 DAMP_NUM, DAMP_DEN = 85, 100
@@ -696,4 +697,212 @@ def copurchase_communities_sql(iters: int = 4, max_basket: int = 256) -> str:
     return (
         "WITH " + ",\n".join(ctes) + "\n"
         f"SELECT node, CAST(label AS BIGINT) AS label FROM l{iters}"
+    )
+
+
+def bfs_distances(edges, source: int | None = None, max_rounds: int = 8,
+                  broadcast_limit: int = 2_000_000):
+    """Multi-round BFS hop distances from one source over a canonical
+    (u < v) distinct edge Dataset → (node, dist) for every node reached
+    within ``max_rounds`` hops (unreached nodes emit no row; the source
+    defaults to the globally smallest node id, so the result is fully
+    deterministic and a chained-CTE SQL oracle replays it exactly).
+
+    Scale shape (4th iterative graph family, same partitioning story as
+    pagerank/kcore/LPA): per round only FRONTIER-derived slim (node,
+    dist) rows move. Below ``broadcast_limit`` visited/frontier sets
+    broadcast once per round via ray.put and membership is a vectorized
+    searchsorted — the edge set never shuffles; above it each round is
+    one hash join of edges with the frontier plus one left-outer
+    anti-join against the visited table, everything materialized so
+    lineage stays flat. Early exit on an empty frontier equals the
+    fixed-round SQL replay (an empty frontier adds nothing)."""
+    import ray
+
+    from ocr_ray.ops.dedup import _renamed, _with_schema
+    from ocr_ray.ops.joins import large_join
+
+    dist_schema = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+    sym_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def sym(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return sym_schema.empty_table()
+        u = t.column("u").cast(pa.int64()).combine_chunks()
+        v = t.column("v").cast(pa.int64()).combine_chunks()
+        return pa.table(
+            {"src": pa.concat_arrays([u, v]), "dst": pa.concat_arrays([v, u])}
+        )
+
+    sym_edges = _with_schema(
+        edges.map_batches(sym, batch_format="pyarrow"), sym_schema
+    ).materialize()
+
+    if source is None:
+        source = sym_edges.min("src") if sym_edges.count() else None
+    if source is None:
+        import ray.data as rd
+
+        return rd.from_arrow(dist_schema.empty_table())
+    source = int(source)
+
+    n_nodes_bound = sym_edges.count()  # 2×edges ≥ node count
+    if n_nodes_bound <= broadcast_limit:
+        # ---- broadcast regime: visited/frontier live as sorted numpy,
+        # bounded by broadcast_limit (same bound as label_propagation's
+        # broadcast path); the edges are mapped, never shuffled
+        visited = np.array([source], np.int64)
+        dists = np.array([0], np.int64)
+        frontier = visited
+        for r in range(1, max_rounds + 1):
+            ref = ray.put((np.sort(frontier), np.sort(visited)))
+
+            def expand(t: pa.Table, _ref=ref) -> pa.Table:
+                if t.num_rows == 0 or t.num_columns == 0:
+                    return pa.schema([("node", pa.int64())]).empty_table()
+                fr, vis = ray.get(_ref)
+                src = t.column("src").to_numpy(zero_copy_only=False)
+                dst = t.column("dst").to_numpy(zero_copy_only=False)
+                i = np.searchsorted(fr, src)
+                in_fr = (i < len(fr)) & (fr[np.minimum(i, len(fr) - 1)] == src)
+                j = np.searchsorted(vis, dst)
+                seen = (j < len(vis)) & (
+                    vis[np.minimum(j, len(vis) - 1)] == dst
+                )
+                new = np.unique(dst[in_fr & ~seen])
+                return pa.table({"node": pa.array(new, pa.int64())})
+
+            parts = [
+                b.column("node").to_numpy(zero_copy_only=False)
+                for b in sym_edges.map_batches(
+                    expand, batch_format="pyarrow"
+                ).iter_batches(batch_format="pyarrow")
+                if b.num_rows
+            ]
+            frontier = (
+                np.unique(np.concatenate(parts))
+                if parts
+                else np.empty(0, np.int64)
+            )
+            if frontier.size == 0:
+                break
+            visited = np.concatenate([visited, frontier])
+            dists = np.concatenate(
+                [dists, np.full(frontier.size, r, np.int64)]
+            )
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(visited, pa.int64()),
+                    "dist": pa.array(dists, pa.int64()),
+                }
+            )
+        ).sort("node")
+
+    # ---- distributed regime: per-round frontier join + anti join of
+    # slim integer rows; dist/frontier materialized per round
+    import ray.data as rd
+
+    dist = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([source], pa.int64()),
+                "dist": pa.array([0], pa.int64()),
+            }
+        )
+    ).materialize()
+    frontier = dist
+    for r in range(1, max_rounds + 1):
+        joined = large_join(
+            sym_edges,
+            _renamed(frontier.select_columns(["node"]), {"node": "src"}),
+            on="src",
+        )
+
+        def cand(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                return pa.schema([("node", pa.int64())]).empty_table()
+            return (
+                pa.table({"node": t.column("dst").cast(pa.int64())})
+                .group_by(["node"])
+                .aggregate([])
+            )
+
+        cands = _with_schema(
+            joined.map_batches(cand, batch_format="pyarrow"),
+            pa.schema([("node", pa.int64())]),
+        )
+        from ray.data.aggregate import Count
+
+        cands = _with_schema(
+            cands.groupby("node")
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["node"]),
+            pa.schema([("node", pa.int64())]),
+        )
+        probe = large_join(
+            cands,
+            _renamed(dist, {"dist": "dist_known"}),
+            on="node",
+            join_type="left_outer",
+        )
+
+        def fresh(t: pa.Table, _r=r) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                return dist_schema.empty_table()
+            keep = t.filter(pc.is_null(t.column("dist_known")))
+            return pa.table(
+                {
+                    "node": keep.column("node").cast(pa.int64()),
+                    "dist": pa.array(
+                        np.full(keep.num_rows, _r, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        frontier = _with_schema(
+            probe.map_batches(fresh, batch_format="pyarrow"), dist_schema
+        ).materialize()
+        if frontier.count() == 0:
+            break
+        dist = dist.union(frontier).materialize()
+    return dist.sort("node")
+
+
+def copurchase_bfs_sql(rounds: int = 8, max_basket: int = 256) -> str:
+    """DuckDB replay of ``bfs_distances`` over the co-purchase edges:
+    seed = MIN(u); each chained CTE expands the previous round's
+    frontier and keeps MIN(dist) — bounded rounds, so cycles terminate
+    (a plain recursive CTE would loop forever re-deriving longer
+    distances)."""
+    ctes = [
+        "ok_orders AS MATERIALIZED (SELECT l_orderkey FROM lineitem"
+        " GROUP BY l_orderkey"
+        f" HAVING COUNT(DISTINCT l_partkey) <= {max_basket})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u,"
+        " b.l_partkey AS v FROM lineitem a JOIN lineitem b"
+        " ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+        " WHERE a.l_orderkey IN (SELECT l_orderkey FROM ok_orders))",
+        "edges AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0"
+        " UNION ALL SELECT v, u FROM e0)",
+        "d0 AS MATERIALIZED (SELECT node, dist FROM"
+        " (SELECT MIN(u) AS node, 0 AS dist FROM e0)"
+        " WHERE node IS NOT NULL)",
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        ctes.append(
+            f"d{t} AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (\n"
+            f" SELECT node, dist FROM d{p}\n"
+            " UNION ALL\n"
+            f" SELECT e.dst AS node, {t} AS dist FROM edges e\n"
+            f"  JOIN d{p} d ON d.node = e.src AND d.dist = {p}\n"
+            ") GROUP BY node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT node, CAST(dist AS BIGINT) AS dist"
+        f" FROM d{rounds} ORDER BY node"
     )
