@@ -520,6 +520,25 @@ def q_copurchase_communities(sf_dir: str):
     )
 
 
+def q_dedup_minhash_canonical(sf_dir: str):
+    """Quality-keeper selection per near-dup cluster (longest text,
+    ties to min doc_id) — ops.dedup.dedup_minhash_canonical."""
+    from ocr_ray.ops.dedup import dedup_minhash_canonical
+
+    _quiet()
+    return _materialized(
+        dedup_minhash_canonical(
+            _docs(sf_dir),
+            lengths=_docs(sf_dir, "doc_id", "n_chars"),
+            threshold=0.5,
+        ),
+        pa.schema(
+            [("component", pa.int64()), ("canonical_doc", pa.int64()),
+             ("canonical_chars", pa.int64()), ("cluster_size", pa.int64())]
+        ),
+    )
+
+
 def q_copurchase_bfs(sf_dir: str):
     """BFS hop distances from the smallest part over the co-purchase
     graph (ops.graph.bfs_distances) — 4th iterative graph family."""
@@ -2533,6 +2552,7 @@ QUERIES = {
     "decayed_user_value": q_decayed_user_value,
     "char_diversity": q_char_diversity,
     "copurchase_bfs": q_copurchase_bfs,
+    "dedup_minhash_canonical": q_dedup_minhash_canonical,
 }
 
 
@@ -3734,6 +3754,20 @@ def oracle_sql() -> dict[str, str]:
             "WITH RECURSIVE " + _SHINGLES_BODY + ",\n"
             + _JACCARD_PAIRS_BODY + ",\n" + _COMPONENTS_BODY + "\n"
             "SELECT node AS doc_id FROM comp WHERE node <> component"
+        ),
+        "dedup_minhash_canonical": (
+            "WITH RECURSIVE " + _SHINGLES_BODY + ",\n"
+            + _JACCARD_PAIRS_BODY + ",\n" + _COMPONENTS_BODY + "\n"
+            "SELECT component, doc_id AS canonical_doc,"
+            " n_chars AS canonical_chars, sz AS cluster_size FROM (\n"
+            " SELECT CAST(c.component AS BIGINT) AS component,"
+            " c.node AS doc_id, d.n_chars,\n"
+            "  CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT)"
+            " AS sz,\n"
+            "  ROW_NUMBER() OVER (PARTITION BY c.component"
+            " ORDER BY d.n_chars DESC, c.node ASC) AS rn\n"
+            " FROM comp c JOIN documents d ON d.doc_id = c.node\n"
+            ") WHERE rn = 1 ORDER BY component"
         ),
         "split_leakage": _split_leakage_oracle_sql(),
         "dedup_strategy_overlap": (

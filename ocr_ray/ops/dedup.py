@@ -606,6 +606,81 @@ def dedup_minhash_drop_list(docs, threshold: float = 0.5, **kwargs):
     return comp.map_batches(non_keepers, batch_format="pyarrow")
 
 
+def dedup_minhash_canonical(docs, lengths=None, threshold: float = 0.5,
+                            **kwargs):
+    """Canonical-document selection per near-dup cluster: within each
+    connected component of the verified MinHash pair graph, keep the
+    HIGHEST-QUALITY member (longest text by n_chars, ties to the
+    smallest doc_id) — the keeper policy real curation pipelines use
+    instead of min-id (the longest variant usually carries the least
+    truncation/boilerplate damage). Returns
+    (component, canonical_doc, canonical_chars, cluster_size).
+
+    Scale shape: the component table (one slim row per DUPLICATE doc,
+    not per doc) joins doc lengths via adaptive_key_join — broadcast of
+    the component doc_ids when small, hash join at scale; the argmax is
+    one vectorized lexsort per component-partitioned block."""
+    import numpy as np
+
+    from ocr_ray.ops.joins import adaptive_key_join
+    from ocr_ray.stages.grouped import grouped_map
+
+    if lengths is None:
+        # derive (doc_id, n_chars) from the text when the caller has no
+        # precomputed length column
+        def measure(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id").cast(pa.int64()),
+                    "n_chars": pc.utf8_length(t.column("text")).cast(
+                        pa.int64()
+                    ),
+                }
+            )
+
+        lengths = docs.map_batches(measure, batch_format="pyarrow")
+
+    comp = dedup_minhash_components(docs, threshold=threshold, **kwargs)
+    sized = adaptive_key_join(comp, lengths, on="doc_id")
+
+    out_schema = pa.schema(
+        [
+            ("component", pa.int64()),
+            ("canonical_doc", pa.int64()),
+            ("canonical_chars", pa.int64()),
+            ("cluster_size", pa.int64()),
+        ]
+    )
+
+    def argmax_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return out_schema.empty_table()
+        compv = block.column("component").to_numpy(zero_copy_only=False)
+        ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+        chars = block.column("n_chars").to_numpy(zero_copy_only=False)
+        sizes = np.diff(np.append(starts, n))
+        # within each segment: longest first, then smallest id
+        order = np.lexsort((ids, -chars, compv))
+        win = order[starts]
+        return pa.table(
+            {
+                "component": pa.array(compv[win], pa.int64()),
+                "canonical_doc": pa.array(ids[win], pa.int64()),
+                "canonical_chars": pa.array(
+                    chars[win].astype(np.int64), pa.int64()
+                ),
+                "cluster_size": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    return _with_schema(
+        grouped_map(sized, ["component"], argmax_block), out_schema
+    ).sort("component")
+
+
 # -------------------------------------------------------------- SimHash
 
 
