@@ -520,6 +520,23 @@ def q_copurchase_communities(sf_dir: str):
     )
 
 
+def q_doc_span_profile(sf_dir: str):
+    """Per-doc media-density profile over the interleaved table — the
+    signal the skew-aware splitter consults (ops.spanstats)."""
+    from ocr_ray.ops.spanstats import doc_span_profile
+
+    _quiet()
+    return doc_span_profile(io.read_interleaved(interleaved_path_for(sf_dir)))
+
+
+def q_span_kind_stats(sf_dir: str):
+    """Global per-kind span rollup over the interleaved table."""
+    from ocr_ray.ops.spanstats import span_kind_stats
+
+    _quiet()
+    return span_kind_stats(io.read_interleaved(interleaved_path_for(sf_dir)))
+
+
 def q_dedup_minhash_canonical(sf_dir: str):
     """Quality-keeper selection per near-dup cluster (longest text,
     ties to min doc_id) — ops.dedup.dedup_minhash_canonical."""
@@ -2553,6 +2570,8 @@ QUERIES = {
     "char_diversity": q_char_diversity,
     "copurchase_bfs": q_copurchase_bfs,
     "dedup_minhash_canonical": q_dedup_minhash_canonical,
+    "doc_span_profile": q_doc_span_profile,
+    "span_kind_stats": q_span_kind_stats,
 }
 
 
@@ -4499,4 +4518,12 @@ def oracle_sql() -> dict[str, str]:
     from ocr_ray.ops.graph import copurchase_bfs_sql
 
     oracles["copurchase_bfs"] = copurchase_bfs_sql(rounds=8)
+    from ocr_ray.ops.spanstats import (
+        doc_span_profile_sql,
+        span_kind_stats_sql,
+    )
+
+    _ipath = f"{_oracle_interleaved_path()}/*.parquet"
+    oracles["doc_span_profile"] = doc_span_profile_sql(_ipath)
+    oracles["span_kind_stats"] = span_kind_stats_sql(_ipath)
     return oracles
