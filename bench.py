@@ -58,6 +58,12 @@ BENCH_QUERIES = [
     "fuzzy_word_pairs",
     "ngram_containment_pairs",
     "kmv_user_estimate",
+    # continuation-session operator families
+    "decayed_user_value",
+    "char_diversity",
+    "copurchase_bfs",
+    "dedup_minhash_canonical",
+    "doc_span_profile",
 ]
 
 

@@ -520,6 +520,37 @@ def q_copurchase_communities(sf_dir: str):
     )
 
 
+def q_sliding_hourly_distinct(sf_dir: str):
+    """Exact distinct users per sliding 1h window (15-min slide) —
+    ops.windows.sliding_window_distinct."""
+    import ray.data as rd
+
+    from ocr_ray.ops.windows import sliding_window_distinct
+
+    _quiet()
+    return sliding_window_distinct(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+        ),
+        window_sec=3600,
+        slide_sec=900,
+    )
+
+
+def q_activity_reconciliation(sf_dir: str):
+    """Full-outer daily reconciliation of orders vs events —
+    ops.stats.activity_reconciliation."""
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import activity_reconciliation
+
+    _quiet()
+    return activity_reconciliation(
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate"]),
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"]),
+    )
+
+
 def q_doc_span_profile(sf_dir: str):
     """Per-doc media-density profile over the interleaved table — the
     signal the skew-aware splitter consults (ops.spanstats)."""
@@ -2572,6 +2603,8 @@ QUERIES = {
     "dedup_minhash_canonical": q_dedup_minhash_canonical,
     "doc_span_profile": q_doc_span_profile,
     "span_kind_stats": q_span_kind_stats,
+    "sliding_hourly_distinct": q_sliding_hourly_distinct,
+    "activity_reconciliation": q_activity_reconciliation,
 }
 
 
@@ -4526,4 +4559,24 @@ def oracle_sql() -> dict[str, str]:
     _ipath = f"{_oracle_interleaved_path()}/*.parquet"
     oracles["doc_span_profile"] = doc_span_profile_sql(_ipath)
     oracles["span_kind_stats"] = span_kind_stats_sql(_ipath)
+    oracles["sliding_hourly_distinct"] = (
+        "WITH expanded AS (\n"
+        " SELECT DISTINCT to_timestamp((((epoch_us(ts) // 1000000)"
+        " // 900) * 900) - o.k * 900)::TIMESTAMP AS window_start,"
+        " user_id\n"
+        " FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) o\n"
+        ")\n"
+        "SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_users\n"
+        "FROM expanded GROUP BY window_start ORDER BY window_start"
+    )
+    oracles["activity_reconciliation"] = (
+        "WITH o AS (SELECT date_trunc('day', o_orderdate) AS d,"
+        " COUNT(*) AS n_orders FROM orders GROUP BY 1),\n"
+        "e AS (SELECT date_trunc('day', ts) AS d,"
+        " COUNT(*) AS n_events FROM events GROUP BY 1)\n"
+        "SELECT COALESCE(o.d, e.d) AS day,\n"
+        " CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,\n"
+        " CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events\n"
+        "FROM o FULL OUTER JOIN e ON o.d = e.d ORDER BY day"
+    )
     return oracles

@@ -1182,3 +1182,81 @@ def decayed_user_value(events, anchor_us: int | None = None,
         })
 
     return out.map_batches(finish, batch_format="pyarrow").sort("user_id")
+
+
+def activity_reconciliation(orders, events):
+    """Full-outer reconciliation of the two daily rollups:
+    (day, n_orders, n_events) with zero-fill on whichever side has no
+    rows that day — the classic cross-feed consistency report. Scale
+    shape: both sides collapse to one slim (day, count) row per day
+    BEFORE the join, so the full-outer hash join moves only day-grain
+    rows regardless of input size."""
+    from ray.data.aggregate import Count
+
+    from ocr_ray.ops.dedup import _renamed, _with_schema
+    from ocr_ray.ops.joins import large_join
+
+    def day_of(col):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "day": pc.cast(
+                        pc.floor_temporal(t[col], unit="day"),
+                        pa.timestamp("us"),
+                    )
+                }
+            )
+
+        return fn
+
+    o_daily = (
+        orders.map_batches(day_of("o_orderdate"), batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+    e_daily = (
+        events.map_batches(day_of("ts"), batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="n_events"))
+    )
+    joined = large_join(
+        o_daily,
+        _renamed(e_daily, {"day": "e_day"}),
+        on="day",
+        right_on="e_day",
+        join_type="full_outer",
+    )
+
+    out_schema = pa.schema(
+        [
+            ("day", pa.timestamp("us")),
+            ("n_orders", pa.int64()),
+            ("n_events", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        cols = {c: t.column(c) for c in t.column_names}
+        # Ray's hash join coalesces the key into the left name when
+        # right_on is given; older versions may keep both — handle both
+        day = cols["day"].cast(pa.timestamp("us"))
+        if "e_day" in cols:
+            day = pc.coalesce(day, cols["e_day"].cast(pa.timestamp("us")))
+        zero = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "day": day,
+                "n_orders": pc.coalesce(
+                    cols["n_orders"].cast(pa.int64()), zero
+                ),
+                "n_events": pc.coalesce(
+                    cols["n_events"].cast(pa.int64()), zero
+                ),
+            }
+        )
+
+    return _with_schema(
+        joined.map_batches(finish, batch_format="pyarrow"), out_schema
+    ).sort("day")

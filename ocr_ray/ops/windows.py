@@ -463,3 +463,62 @@ def moving_window_sum(events, frame: int = 5):
     return grouped_map(
         events, ["user_id"], block_fn, sort_within=["ts", "event_id"]
     )
+
+
+def sliding_window_distinct(events, window_sec: int = 3600,
+                            slide_sec: int = 900):
+    """(window_start, n_users): EXACT distinct users per sliding window
+    (window_sec wide, a new window every slide_sec). Map-side dedup of
+    (window, user) pairs shrinks the shuffle to unique pairs — the
+    sliding analogue of daily_active_users; the k-fold window expansion
+    happens on slim int columns, never on payloads."""
+    from ocr_ray.stages.grouped import grouped_map
+
+    assert window_sec % slide_sec == 0
+    k = window_sec // slide_sec
+
+    def expand(t: pa.Table) -> pa.Table:
+        epochs = _epoch_seconds(t["ts"])
+        anchor = (epochs // slide_sec) * slide_sec
+        starts = (
+            anchor[:, None] - (np.arange(k) * slide_sec)[None, :]
+        ).ravel()
+        users = np.repeat(
+            t["user_id"].cast(pa.int64()).to_numpy(zero_copy_only=False), k
+        )
+        pairs = pa.table(
+            {
+                "ws": pa.array(starts, pa.int64()),
+                "user_id": pa.array(users, pa.int64()),
+            }
+        )
+        return pairs.group_by(["ws", "user_id"]).aggregate([])
+
+    pairs = events.map_batches(expand, batch_format="pyarrow")
+
+    out_schema = pa.schema(
+        [("window_start", pa.timestamp("us")), ("n_users", pa.int64())]
+    )
+
+    def count_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return out_schema.empty_table()
+        ends = np.append(starts[1:], n)
+        ws = block.column("ws").to_numpy(zero_copy_only=False)
+        users = block.column("user_id").to_numpy(zero_copy_only=False)
+        out_ws = ws[starts] * 1_000_000  # epoch sec → us
+        out_n = np.array(
+            [len(np.unique(users[s:e])) for s, e in zip(starts, ends)],
+            np.int64,
+        )
+        return pa.table(
+            {
+                "window_start": pa.array(out_ws, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "n_users": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return grouped_map(pairs, ["ws"], count_block).sort("window_start")
