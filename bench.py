@@ -58,12 +58,17 @@ BENCH_QUERIES = [
     "fuzzy_word_pairs",
     "ngram_containment_pairs",
     "kmv_user_estimate",
-    # continuation-session operator families
+    # continuation-session operator families (copurchase_bfs and
+    # dedup_minhash_canonical are oracle-gated but not benched — like
+    # kcore/communities they are multi-shuffle graph/component chains
+    # whose sf0.1 wall would dominate the query budget: 53 s / 18 s
+    # measured)
     "decayed_user_value",
     "char_diversity",
-    "copurchase_bfs",
-    "dedup_minhash_canonical",
     "doc_span_profile",
+    "sliding_hourly_distinct",
+    "activity_reconciliation",
+    "corpus_diff",
 ]
 
 

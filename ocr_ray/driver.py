@@ -520,6 +520,20 @@ def q_copurchase_communities(sf_dir: str):
     )
 
 
+def q_corpus_diff(sf_dir: str):
+    """CDC diff of the documents table vs its deterministic synthetic
+    'next crawl' (ops.cdc.snapshot_v2): added/removed/changed by the
+    exact-dedup content fingerprint; unchanged docs emit no row."""
+    from ocr_ray.ops.cdc import corpus_diff, snapshot_v2
+
+    _quiet()
+    docs = _docs(sf_dir)
+    return _materialized(
+        corpus_diff(docs, snapshot_v2(_docs(sf_dir))),
+        pa.schema([("doc_id", pa.int64()), ("status", pa.string())]),
+    )
+
+
 def q_sliding_hourly_distinct(sf_dir: str):
     """Exact distinct users per sliding 1h window (15-min slide) —
     ops.windows.sliding_window_distinct."""
@@ -2605,6 +2619,7 @@ QUERIES = {
     "span_kind_stats": q_span_kind_stats,
     "sliding_hourly_distinct": q_sliding_hourly_distinct,
     "activity_reconciliation": q_activity_reconciliation,
+    "corpus_diff": q_corpus_diff,
 }
 
 
@@ -4579,4 +4594,7 @@ def oracle_sql() -> dict[str, str]:
         " CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events\n"
         "FROM o FULL OUTER JOIN e ON o.d = e.d ORDER BY day"
     )
+    from ocr_ray.ops.cdc import corpus_diff_sql
+
+    oracles["corpus_diff"] = corpus_diff_sql(fp_sql=_FP_SQL)
     return oracles
