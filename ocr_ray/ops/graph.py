@@ -738,16 +738,22 @@ def bfs_distances(edges, source: int | None = None, max_rounds: int = 8,
         edges.map_batches(sym, batch_format="pyarrow"), sym_schema
     ).materialize()
 
-    if source is None:
-        source = sym_edges.min("src") if sym_edges.count() else None
-    if source is None:
+    # regime gate on the EXACT node count (one aggregate of slim rows):
+    # bounding by 2×edges would push dense graphs (many edges, few
+    # nodes) into the join regime — at sf0.1 the co-purchase graph has
+    # 1.2M edges but only 20k nodes, and the per-round broadcast path
+    # is ~5× cheaper than two hash joins per round
+    nodes_ds = _edge_degrees(edges).select_columns(["node"]).materialize()
+    n_nodes = nodes_ds.count()
+    if n_nodes == 0:
         import ray.data as rd
 
         return rd.from_arrow(dist_schema.empty_table())
+    if source is None:
+        source = nodes_ds.min("node")
     source = int(source)
 
-    n_nodes_bound = sym_edges.count()  # 2×edges ≥ node count
-    if n_nodes_bound <= broadcast_limit:
+    if n_nodes <= broadcast_limit:
         # ---- broadcast regime: visited/frontier live as sorted numpy,
         # bounded by broadcast_limit (same bound as label_propagation's
         # broadcast path); the edges are mapped, never shuffled
