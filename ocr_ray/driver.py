@@ -520,6 +520,22 @@ def q_copurchase_communities(sf_dir: str):
     )
 
 
+def q_customer_rfm(sf_dir: str):
+    """Three-dimension RFM quartile segmentation over orders —
+    ops.stats.customer_rfm (ntile_ranks × recency/frequency/monetary)."""
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import customer_rfm
+
+    _quiet()
+    return customer_rfm(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        )
+    )
+
+
 def q_corpus_diff(sf_dir: str):
     """CDC diff of the documents table vs its deterministic synthetic
     'next crawl' (ops.cdc.snapshot_v2): added/removed/changed by the
@@ -2620,6 +2636,7 @@ QUERIES = {
     "sliding_hourly_distinct": q_sliding_hourly_distinct,
     "activity_reconciliation": q_activity_reconciliation,
     "corpus_diff": q_corpus_diff,
+    "customer_rfm": q_customer_rfm,
 }
 
 
@@ -4597,4 +4614,28 @@ def oracle_sql() -> dict[str, str]:
     from ocr_ray.ops.cdc import corpus_diff_sql
 
     oracles["corpus_diff"] = corpus_diff_sql(fp_sql=_FP_SQL)
+    oracles["customer_rfm"] = (
+        "WITH mx AS (SELECT MAX(o_orderdate) AS a FROM orders),\n"
+        "t AS (\n"
+        " SELECT o_custkey AS c_custkey,\n"
+        "  (epoch_us((SELECT a FROM mx)) - epoch_us(MAX(o_orderdate)))"
+        " // 86400000000 AS r_days,\n"
+        "  CAST(COUNT(*) AS BIGINT) AS n_orders,\n"
+        "  CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))"
+        " AS BIGINT) AS total_cents\n"
+        " FROM orders GROUP BY o_custkey\n"
+        ")\n"
+        "SELECT c_custkey, r_days, n_orders, total_cents,\n"
+        " CAST(NTILE(4) OVER (ORDER BY r_days, c_custkey) AS BIGINT)"
+        " AS r_tile,\n"
+        " CAST(NTILE(4) OVER (ORDER BY n_orders, c_custkey) AS BIGINT)"
+        " AS f_tile,\n"
+        " CAST(NTILE(4) OVER (ORDER BY total_cents, c_custkey) AS BIGINT)"
+        " AS m_tile,\n"
+        " CAST(NTILE(4) OVER (ORDER BY r_days, c_custkey) * 100\n"
+        "  + NTILE(4) OVER (ORDER BY n_orders, c_custkey) * 10\n"
+        "  + NTILE(4) OVER (ORDER BY total_cents, c_custkey) AS BIGINT)"
+        " AS rfm_code\n"
+        "FROM t ORDER BY c_custkey"
+    )
     return oracles

@@ -503,22 +503,25 @@ def props_k_stats(events):
 _NTILE_BUCKET_CENTS = 1 << 22  # ~42k currency units per range bucket
 
 
-def customer_value_ntile(orders, tiles: int = 4,
-                         bucket_width: int = _NTILE_BUCKET_CENTS):
-    """(c_custkey, total_cents, tile): customers bucketed into
-    ``tiles`` NTILE groups by ascending lifetime order value — the
-    window-function NTILE family, computed WITHOUT a global sort.
+def ntile_ranks(rows, key_col: str, value_col: str, tiles: int = 4,
+                bucket_width: int = _NTILE_BUCKET_CENTS):
+    """Generic distributed NTILE: ``rows`` is one slim (key, value) row
+    per entity (both int64); returns (key, value, tile) with the tile
+    assigned by global ascending rank ordered (value, key) — SQL's
+    ``NTILE(n) OVER (ORDER BY value, key)``, including the exact
+    uneven-split rule (first ``n mod tiles`` tiles get one extra row) —
+    computed WITHOUT a global sort.
 
     Global rank via value-range partitioning (how distributed sorts
-    work, minus the final exchange): totals reduce to one slim row per
-    customer; rows range-bucket by ``total_cents // bucket_width``; a
-    tiny per-bucket count aggregate cumsums driver-side into base
-    offsets (bounded by the value range / width); each bucket block
-    then sorts locally — global rank = bucket offset + in-block
-    position, tie-break c_custkey ASC like the oracle's ORDER BY. The
-    tile uses SQL NTILE's exact uneven-split rule: the first
-    ``n mod tiles`` tiles get one extra row."""
-    from ray.data.aggregate import Count, Sum
+    work, minus the final exchange): rows range-bucket by
+    ``value // bucket_width`` (values must be non-negative — integer
+    division truncates toward zero); a tiny per-bucket count aggregate
+    cumsums driver-side into base offsets (bounded by value range /
+    width); each bucket block sorts locally — global rank = bucket
+    offset + in-block position. Pick ``bucket_width`` so the value
+    range yields enough buckets to spread the cluster (e.g. ~64 for
+    day counts, the cents default for currency totals)."""
+    from ray.data.aggregate import Count
 
     from ocr_ray.ops.dedup import _with_schema
     from ocr_ray.stages.grouped import grouped_map
@@ -526,10 +529,101 @@ def customer_value_ntile(orders, tiles: int = 4,
     tot_schema = pa.schema(
         [
             ("bucket", pa.int64()),
-            ("c_custkey", pa.int64()),
-            ("total_cents", pa.int64()),
+            (key_col, pa.int64()),
+            (value_col, pa.int64()),
         ]
     )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return tot_schema.empty_table()
+        v = t.column(value_col).cast(pa.int64())
+        return pa.table(
+            {
+                "bucket": pc.divide(v, pa.scalar(bucket_width, pa.int64())),
+                key_col: t.column(key_col).cast(pa.int64()),
+                value_col: v,
+            }
+        )
+
+    bucketed = _with_schema(
+        rows.map_batches(add_bucket, batch_format="pyarrow"), tot_schema
+    ).materialize()
+
+    counts = (
+        bucketed.groupby("bucket").aggregate(Count(alias_name="n"))
+    ).take_all()  # bounded: one row per value-range bucket
+    counts.sort(key=lambda r: r["bucket"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in counts:
+        offsets[r["bucket"]] = acc
+        acc += r["n"]
+    n_total = acc
+    out_schema = pa.schema(
+        [
+            (key_col, pa.int64()),
+            (value_col, pa.int64()),
+            ("tile", pa.int64()),
+        ]
+    )
+    if n_total == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(out_schema.empty_table())
+    import ray
+
+    off_ref = ray.put(offsets)
+    big = n_total % tiles  # first `big` tiles get ceil(n/tiles) rows
+    size_hi = -(-n_total // tiles)
+    size_lo = n_total // tiles
+    cut = big * size_hi  # ranks 1..cut live in the oversized tiles
+
+    def rank_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return out_schema.empty_table()
+        base = ray.get(off_ref)
+        bk = block.column("bucket").to_numpy(zero_copy_only=False)
+        sizes = np.diff(np.append(starts, n))
+        # block arrives (bucket, value, key)-sorted
+        pos = np.arange(n) - np.repeat(starts, sizes)
+        rn = (
+            pos
+            + np.repeat(
+                np.array([base[int(b)] for b in bk[starts]], np.int64), sizes
+            )
+            + 1
+        )
+        tile = np.where(
+            rn <= cut,
+            (rn - 1) // size_hi + 1,
+            big + (rn - cut - 1) // max(size_lo, 1) + 1,
+        ).astype(np.int64)
+        return pa.table(
+            {
+                key_col: block.column(key_col).cast(pa.int64()),
+                value_col: block.column(value_col).cast(pa.int64()),
+                "tile": pa.array(tile, pa.int64()),
+            }
+        )
+
+    return grouped_map(
+        bucketed,
+        ["bucket"],
+        rank_block,
+        sort_within=[value_col, key_col],
+    )
+
+
+def customer_value_ntile(orders, tiles: int = 4,
+                         bucket_width: int = _NTILE_BUCKET_CENTS):
+    """(c_custkey, total_cents, tile): customers bucketed into
+    ``tiles`` NTILE groups by ascending lifetime order value — the
+    window-function NTILE family; totals reduce to one slim row per
+    customer, then ``ntile_ranks`` assigns the tile without a global
+    sort (see its docstring for the range-partitioned rank design)."""
+    from ray.data.aggregate import Sum
 
     def cents_partials(t: pa.Table) -> pa.Table:
         from ocr_ray.driver import _cents
@@ -551,95 +645,9 @@ def customer_value_ntile(orders, tiles: int = 4,
         .groupby("c_custkey")
         .aggregate(Sum("cents", alias_name="total_cents"))
     )
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or t.num_columns == 0:
-            return tot_schema.empty_table()
-        tc = t.column("total_cents").cast(pa.int64())
-        return pa.table(
-            {
-                "bucket": pc.divide(tc, pa.scalar(bucket_width, pa.int64())),
-                "c_custkey": t.column("c_custkey").cast(pa.int64()),
-                "total_cents": tc,
-            }
-        )
-
-    bucketed = _with_schema(
-        totals.map_batches(add_bucket, batch_format="pyarrow"), tot_schema
-    ).materialize()
-
-    counts = (
-        bucketed.groupby("bucket").aggregate(Count(alias_name="n"))
-    ).take_all()  # bounded: one row per value-range bucket
-    counts.sort(key=lambda r: r["bucket"])
-    offsets: dict[int, int] = {}
-    acc = 0
-    for r in counts:
-        offsets[r["bucket"]] = acc
-        acc += r["n"]
-    n_total = acc
-    if n_total == 0:
-        import ray.data as rd
-
-        return rd.from_arrow(
-            pa.schema(
-                [
-                    ("c_custkey", pa.int64()),
-                    ("total_cents", pa.int64()),
-                    ("tile", pa.int64()),
-                ]
-            ).empty_table()
-        )
-    import ray
-
-    off_ref = ray.put(offsets)
-    big = n_total % tiles  # first `big` tiles get ceil(n/tiles) rows
-    size_hi = -(-n_total // tiles)
-    size_lo = n_total // tiles
-    cut = big * size_hi  # ranks 1..cut live in the oversized tiles
-
-    out_schema = pa.schema(
-        [
-            ("c_custkey", pa.int64()),
-            ("total_cents", pa.int64()),
-            ("tile", pa.int64()),
-        ]
-    )
-
-    def rank_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
-        n = block.num_rows
-        if n == 0 or len(starts) == 0:
-            return out_schema.empty_table()
-        base = ray.get(off_ref)
-        bk = block.column("bucket").to_numpy(zero_copy_only=False)
-        sizes = np.diff(np.append(starts, n))
-        # block arrives (bucket, total_cents, c_custkey)-sorted
-        pos = np.arange(n) - np.repeat(starts, sizes)
-        rn = (
-            pos
-            + np.repeat(
-                np.array([base[int(b)] for b in bk[starts]], np.int64), sizes
-            )
-            + 1
-        )
-        tile = np.where(
-            rn <= cut,
-            (rn - 1) // size_hi + 1,
-            big + (rn - cut - 1) // max(size_lo, 1) + 1,
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "c_custkey": block.column("c_custkey").cast(pa.int64()),
-                "total_cents": block.column("total_cents").cast(pa.int64()),
-                "tile": pa.array(tile, pa.int64()),
-            }
-        )
-
-    return grouped_map(
-        bucketed,
-        ["bucket"],
-        rank_block,
-        sort_within=["total_cents", "c_custkey"],
+    return ntile_ranks(
+        totals, "c_custkey", "total_cents", tiles=tiles,
+        bucket_width=bucket_width,
     )
 
 
@@ -1260,3 +1268,162 @@ def activity_reconciliation(orders, events):
     return _with_schema(
         joined.map_batches(finish, batch_format="pyarrow"), out_schema
     ).sort("day")
+
+
+def customer_rfm(orders, tiles: int = 4):
+    """RFM segmentation — (c_custkey, r_days, n_orders, total_cents,
+    r_tile, f_tile, m_tile, rfm_code): the classic three-dimension
+    quartile feature. Recency anchors at the GLOBAL max order date
+    (r_days = whole days since the customer's last order, integer
+    epoch-us arithmetic); every tile is the exact SQL
+    ``NTILE(tiles) OVER (ORDER BY value, c_custkey)`` via
+    ``ntile_ranks`` (value-range-partitioned global rank, no global
+    sort), so r_tile=1 is most recent, f_tile/m_tile=``tiles`` are the
+    most frequent / highest spend. ``rfm_code`` packs the three digits
+    (r*100 + f*10 + m).
+
+    Scale shape: orders collapse map-side to one slim row per customer;
+    three ntile passes each shuffle only (bucket, key, value) rows; the
+    three tile tables join back at customer grain (the 3-join DAG shape
+    the aggregator-reservation fix in joins.py exists for)."""
+    from ray.data.aggregate import Max, Sum
+
+    from ocr_ray.ops.dedup import _renamed, _with_schema
+    from ocr_ray.ops.joins import large_join
+
+    day_us = 86_400_000_000
+    anchor = orders.max("o_orderdate")
+    if anchor is None:
+        import ray.data as rd
+
+        return rd.from_arrow(_RFM_SCHEMA.empty_table())
+    anchor_us = int(pa.scalar(anchor, pa.timestamp("us")).value)
+
+    def partials(t: pa.Table) -> pa.Table:
+        from ocr_ray.driver import _cents
+
+        tbl = pa.table(
+            {
+                "c_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "last_us": t["o_orderdate"].cast(pa.int64()),
+                "cents": _cents(t["o_totalprice"]),
+            }
+        )
+        return (
+            tbl.group_by("c_custkey")
+            .aggregate(
+                [("last_us", "max"), ("cents", "sum"), ("cents", "count")]
+            )
+            .rename_columns(
+                ["c_custkey", "last_us", "total_cents", "n_orders"]
+            )
+        )
+
+    agg = (
+        orders.map_batches(partials, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(
+            Max("last_us", alias_name="last_us"),
+            Sum("total_cents", alias_name="total_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+
+    base_schema = pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("r_days", pa.int64()),
+            ("n_orders", pa.int64()),
+            ("total_cents", pa.int64()),
+        ]
+    )
+
+    def to_base(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return base_schema.empty_table()
+        last = t.column("last_us").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey").cast(pa.int64()),
+                "r_days": pa.array((anchor_us - last) // day_us, pa.int64()),
+                "n_orders": t.column("n_orders").cast(pa.int64()),
+                "total_cents": t.column("total_cents").cast(pa.int64()),
+            }
+        )
+
+    base = _with_schema(
+        agg.map_batches(to_base, batch_format="pyarrow"), base_schema
+    ).materialize()
+
+    def tile_of(value_col: str, out_name: str, width: int):
+        ranked = ntile_ranks(
+            base.select_columns(["c_custkey", value_col]),
+            "c_custkey",
+            value_col,
+            tiles=tiles,
+            bucket_width=width,
+        )
+        return _renamed(
+            ranked.select_columns(["c_custkey", "tile"]), {"tile": out_name}
+        )
+
+    r = tile_of("r_days", "r_tile", 64)
+    f = tile_of("n_orders", "f_tile", 8)
+    m = tile_of("total_cents", "m_tile", _NTILE_BUCKET_CENTS)
+
+    joined = large_join(
+        large_join(
+            large_join(base, _renamed(r, {"c_custkey": "rk"}),
+                       on="c_custkey", right_on="rk"),
+            _renamed(f, {"c_custkey": "fk"}),
+            on="c_custkey", right_on="fk",
+        ),
+        _renamed(m, {"c_custkey": "mk"}),
+        on="c_custkey", right_on="mk",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _RFM_SCHEMA.empty_table()
+        rt = t.column("r_tile").cast(pa.int64())
+        ft = t.column("f_tile").cast(pa.int64())
+        mt = t.column("m_tile").cast(pa.int64())
+        code = pc.add(
+            pc.add(
+                pc.multiply(rt, pa.scalar(100, pa.int64())),
+                pc.multiply(ft, pa.scalar(10, pa.int64())),
+            ),
+            mt,
+        )
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey").cast(pa.int64()),
+                "r_days": t.column("r_days").cast(pa.int64()),
+                "n_orders": t.column("n_orders").cast(pa.int64()),
+                "total_cents": t.column("total_cents").cast(pa.int64()),
+                "r_tile": rt,
+                "f_tile": ft,
+                "m_tile": mt,
+                "rfm_code": code,
+            }
+        )
+
+    return _with_schema(
+        joined.map_batches(finish, batch_format="pyarrow"), _RFM_SCHEMA
+    ).sort("c_custkey")
+
+
+_RFM_SCHEMA = pa.schema(
+    [
+        ("c_custkey", pa.int64()),
+        ("r_days", pa.int64()),
+        ("n_orders", pa.int64()),
+        ("total_cents", pa.int64()),
+        ("r_tile", pa.int64()),
+        ("f_tile", pa.int64()),
+        ("m_tile", pa.int64()),
+        ("rfm_code", pa.int64()),
+    ]
+)
