@@ -520,6 +520,15 @@ def q_copurchase_communities(sf_dir: str):
     )
 
 
+def q_kmeans_inertia(sf_dir: str):
+    """Per-cluster exact integer inertia of the k-means fit — the
+    elbow-method quality rollup (ops.similarity.kmeans_inertia)."""
+    from ocr_ray.ops.similarity import kmeans_inertia
+
+    _quiet()
+    return kmeans_inertia(_embeddings(sf_dir), k=8, iters=5)
+
+
 def q_customer_rfm(sf_dir: str):
     """Three-dimension RFM quartile segmentation over orders —
     ops.stats.customer_rfm (ntile_ranks × recency/frequency/monetary)."""
@@ -2637,6 +2646,7 @@ QUERIES = {
     "activity_reconciliation": q_activity_reconciliation,
     "corpus_diff": q_corpus_diff,
     "customer_rfm": q_customer_rfm,
+    "kmeans_inertia": q_kmeans_inertia,
 }
 
 
@@ -4638,4 +4648,7 @@ def oracle_sql() -> dict[str, str]:
         " AS rfm_code\n"
         "FROM t ORDER BY c_custkey"
     )
+    from ocr_ray.ops.similarity import kmeans_inertia_sql
+
+    oracles["kmeans_inertia"] = kmeans_inertia_sql(k=8, iters=5)
     return oracles

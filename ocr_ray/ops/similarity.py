@@ -538,15 +538,14 @@ def _assign_clusters(qds, centroids: np.ndarray):
     return qds.map_batches(final_assign, batch_format="pyarrow")
 
 
-def kmeans_integer_sql(k: int = 8, iters: int = 5,
-                       source: str = "embeddings") -> str:
-    """DuckDB replay: quantize with the same FLOOR(x·SCALE)+OFFSET, seed
-    from the k smallest vec_ids, then ``iters`` chained
-    assign/update CTE pairs (MATERIALIZED — each references its
-    predecessor repeatedly) ending with one more assignment. Distances
-    compare via the same ‖c‖² − 2q·c expansion the engine uses (the
-    ‖q‖² term is constant per vec_id and cannot change the argmin), and
-    ties break to the smallest cluster id."""
+def _kmeans_ctes(k: int, iters: int, source: str) -> list:
+    """The shared CTE chain of the k-means SQL replays: quantize with
+    the same FLOOR(x·SCALE)+OFFSET, seed from the k smallest vec_ids,
+    then ``iters`` chained assign/update CTE pairs (MATERIALIZED — each
+    references its predecessor repeatedly). Distances compare via the
+    same ‖c‖² − 2q·c expansion the engine uses (the ‖q‖² term is
+    constant per vec_id and cannot change the argmin); ties break to
+    the smallest cluster id."""
     ctes = [
         "qv AS MATERIALIZED (SELECT vec_id,"
         " generate_subscripts(embedding, 1) AS i,"
@@ -580,6 +579,14 @@ def kmeans_integer_sql(k: int = 8, iters: int = 5,
             "  GROUP BY a.cluster, q.i) upd"
             " ON upd.cluster = prev.cluster AND upd.i = prev.i)"
         )
+    return ctes
+
+
+def kmeans_integer_sql(k: int = 8, iters: int = 5,
+                       source: str = "embeddings") -> str:
+    """DuckDB replay of :func:`kmeans_integer` (see ``_kmeans_ctes``),
+    ending with one more assignment against the final centroids."""
+    ctes = _kmeans_ctes(k, iters, source)
     return (
         "WITH " + ",\n".join(ctes) + "\n"
         "SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM ("
@@ -591,6 +598,103 @@ def kmeans_integer_sql(k: int = 8, iters: int = 5,
         "  GROUP BY q.vec_id, c.cluster)"
         ") WHERE rn = 1"
     )
+
+
+def kmeans_inertia_sql(k: int = 8, iters: int = 5,
+                       source: str = "embeddings") -> str:
+    """DuckDB replay of :func:`kmeans_inertia`: the shared CTE chain,
+    the final assignment KEEPING its partial distance d = Σ(c²−2qc),
+    then inertia = Σ(d + ‖q‖²) per cluster — the dropped ‖q‖² argmin
+    constant is added back so the sum is the true squared distance."""
+    ctes = _kmeans_ctes(k, iters, source)
+    ctes.append(
+        "qq AS MATERIALIZED (SELECT vec_id, SUM(v * v) AS qq"
+        " FROM qv GROUP BY vec_id)"
+    )
+    ctes.append(
+        "fa AS MATERIALIZED (SELECT vec_id, cluster, d FROM ("
+        " SELECT vec_id, cluster, d, ROW_NUMBER() OVER ("
+        "  PARTITION BY vec_id ORDER BY d, cluster) AS rn FROM ("
+        "  SELECT q.vec_id, c.cluster,"
+        "   SUM(c.v * c.v - 2 * q.v * c.v) AS d"
+        f"  FROM qv q JOIN c{iters} c USING (i)"
+        "  GROUP BY q.vec_id, c.cluster)"
+        ") WHERE rn = 1)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT CAST(cluster AS BIGINT) AS cluster,"
+        " CAST(COUNT(*) AS BIGINT) AS n_vectors,"
+        " CAST(SUM(fa.d + qq.qq) AS BIGINT) AS inertia\n"
+        "FROM fa JOIN qq USING (vec_id)"
+        " GROUP BY cluster ORDER BY cluster"
+    )
+
+
+def kmeans_inertia(embeddings, k: int = 8, iters: int = 5):
+    """(cluster, n_vectors, inertia): per-cluster size and the EXACT
+    int64 Σ‖q − c‖² of the final Lloyd assignment — the clustering-
+    quality rollup (elbow-method input). Same scale shape as
+    kmeans_integer: vectors never shuffle; each batch emits one
+    (cluster, n, inertia) partial row set and a tiny keyed sum
+    finishes. Bit-identical to the chained-CTE SQL replay
+    (``kmeans_inertia_sql``)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.dedup import _with_schema
+
+    out_schema = pa.schema(
+        [
+            ("cluster", pa.int64()),
+            ("n_vectors", pa.int64()),
+            ("inertia", pa.int64()),
+        ]
+    )
+
+    qds = _with_schema(
+        embeddings.map_batches(_quantize_block, batch_format="pyarrow"),
+        pa.schema([("vec_id", pa.int64()), ("q", pa.list_(pa.int64()))]),
+    ).materialize()
+    centroids = _fit_centroids(qds, k=k, iters=iters)
+    dim = centroids.shape[1]
+    cref = ray.put(centroids)
+
+    def partials(t: pa.Table, _cref=cref) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        cents = ray.get(_cref)
+        qm = np.asarray(
+            t.column("q").combine_chunks().flatten().to_numpy(
+                zero_copy_only=False
+            ),
+            np.int64,
+        ).reshape(t.num_rows, dim)
+        assign = _km_assign(qm, cents)
+        diff = qm - cents[assign]
+        dist = np.einsum("nd,nd->n", diff, diff)
+        part = pa.table(
+            {
+                "cluster": pa.array(assign.astype(np.int64), pa.int64()),
+                "inertia": pa.array(dist, pa.int64()),
+            }
+        )
+        g = (
+            part.group_by("cluster")
+            .aggregate([("inertia", "sum"), ("inertia", "count")])
+            .rename_columns(["cluster", "inertia", "n_vectors"])
+        )
+        return g.select(["cluster", "n_vectors", "inertia"])
+
+    return _with_schema(
+        qds.map_batches(partials, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(
+            Sum("n_vectors", alias_name="n_vectors"),
+            Sum("inertia", alias_name="inertia"),
+        ),
+        out_schema,
+    ).sort("cluster")
 
 
 def _semdedup_block_factory(threshold: float, max_cluster: int,
