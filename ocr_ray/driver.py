@@ -520,6 +520,24 @@ def q_copurchase_communities(sf_dir: str):
     )
 
 
+def q_user_funnel_windowed(sf_dir: str):
+    """Time-boxed conversion funnel: click within 3 days of signup,
+    purchase within 7 days of that click (ops.stats.user_funnel with
+    per-step windows)."""
+    from ocr_ray.ops.stats import user_funnel
+
+    import ray.data as rd
+
+    _quiet()
+    return user_funnel(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_type"],
+        ),
+        windows=(3 * 86400, 7 * 86400),
+    )
+
+
 def q_kmeans_inertia(sf_dir: str):
     """Per-cluster exact integer inertia of the k-means fit — the
     elbow-method quality rollup (ops.similarity.kmeans_inertia)."""
@@ -2647,6 +2665,7 @@ QUERIES = {
     "corpus_diff": q_corpus_diff,
     "customer_rfm": q_customer_rfm,
     "kmeans_inertia": q_kmeans_inertia,
+    "user_funnel_windowed": q_user_funnel_windowed,
 }
 
 
@@ -4651,4 +4670,29 @@ def oracle_sql() -> dict[str, str]:
     from ocr_ray.ops.similarity import kmeans_inertia_sql
 
     oracles["kmeans_inertia"] = kmeans_inertia_sql(k=8, iters=5)
+    oracles["user_funnel_windowed"] = (
+        "WITH s AS (\n"
+        " SELECT user_id, MIN(ts) AS t1 FROM events"
+        " WHERE event_type = 'signup' GROUP BY user_id\n"
+        "), c AS (\n"
+        " SELECT e.user_id, MIN(e.ts) AS t2 FROM events e\n"
+        " JOIN s ON e.user_id = s.user_id AND e.ts > s.t1\n"
+        "  AND e.ts <= s.t1 + INTERVAL 3 DAY\n"
+        " WHERE e.event_type = 'click' GROUP BY e.user_id\n"
+        "), p AS (\n"
+        " SELECT e.user_id, MIN(e.ts) AS t3 FROM events e\n"
+        " JOIN c ON e.user_id = c.user_id AND e.ts > c.t2\n"
+        "  AND e.ts <= c.t2 + INTERVAL 7 DAY\n"
+        " WHERE e.event_type = 'purchase' GROUP BY e.user_id\n"
+        ")\n"
+        "SELECT u.user_id, s.t1 AS signup_ts, c.t2 AS click_ts,\n"
+        " p.t3 AS purchase_ts,\n"
+        " CAST(CASE WHEN p.t3 IS NOT NULL THEN 3\n"
+        "  WHEN c.t2 IS NOT NULL THEN 2\n"
+        "  WHEN s.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage\n"
+        "FROM (SELECT DISTINCT user_id FROM events) u\n"
+        "LEFT JOIN s USING (user_id)\n"
+        "LEFT JOIN c USING (user_id)\n"
+        "LEFT JOIN p USING (user_id)"
+    )
     return oracles

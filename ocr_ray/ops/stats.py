@@ -354,12 +354,16 @@ def mode_event_type_per_user(events):
     return grouped_map(counts, ["user_id"], block_fn)
 
 
-def user_funnel(events, stages=("signup", "click", "purchase")):
+def user_funnel(events, stages=("signup", "click", "purchase"),
+                windows=(None, None)):
     """Sequential funnel analysis: for every user, the earliest
     ``stages[0]`` event, the earliest ``stages[1]`` STRICTLY AFTER it,
     and the earliest ``stages[2]`` strictly after that; ``stage`` is
     how deep the user got (0-3). The standard conversion query, with
     strictly-ordered timestamps so both engines compare identically.
+    ``windows`` optionally bounds each step: ``windows[i]`` seconds is
+    the max gap from the previous step's timestamp for the next stage
+    to count (None = unbounded) — the time-boxed conversion variant.
 
     One hash shuffle of the (user, type, ts) slice; inside each block
     the three funnel levels resolve as three vectorized segment-min
@@ -395,19 +399,25 @@ def user_funnel(events, stages=("signup", "click", "purchase")):
         types = np.asarray(block.column("event_type").to_pylist(), dtype=object)
         gidx = np.repeat(np.arange(g_n), ends - starts)
 
-        def seg_min_after(type_name, after):
+        def seg_min_after(type_name, after, window_sec=None):
             """min ts of ``type_name`` rows with ts strictly after the
-            group's ``after`` value (sentinel = no qualifying row)."""
+            group's ``after`` value — and, when ``window_sec`` is set,
+            at most that many seconds after it (sentinel = none)."""
             mask = types == type_name
             if after is not None:
                 mask &= micros > after[gidx]
+                if window_sec is not None:
+                    # sentinel 'after' values overflow harmlessly: their
+                    # groups already failed the strict > sentinel test
+                    bound = after[gidx] + np.int64(window_sec) * 1_000_000
+                    mask &= micros <= bound
             out = np.full(g_n, _SENT, dtype=np.int64)
             np.minimum.at(out, gidx[mask], micros[mask])
             return out
 
         t1 = seg_min_after(s0, None)
-        t2 = seg_min_after(s1, t1)
-        t3 = seg_min_after(s2, t2)
+        t2 = seg_min_after(s1, t1, windows[0])
+        t3 = seg_min_after(s2, t2, windows[1])
         stage = (
             (t1 != _SENT).astype(np.int64)
             + (t2 != _SENT).astype(np.int64)

@@ -66,3 +66,36 @@ def test_activity_reconciliation(ray_session):
         for r in out.itertuples()
     ]
     assert rows == [(0, 2, 0), (1, 1, 1), (2, 0, 2)]
+
+
+def test_user_funnel_windowed_boundaries(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import user_funnel
+
+    day = 86_400_000_000
+    rows = [
+        # user 1: click exactly AT the 3-day bound (inclusive) → counts;
+        # purchase 1 us past the 7-day bound → excluded → stage 2
+        (1, 0, "signup"), (1, 3 * day, "click"),
+        (1, 3 * day + 7 * day + 1, "purchase"),
+        # user 2: click 1 us past the bound → stage 1 (even though a
+        # later in-window purchase exists, the chain is broken)
+        (2, 0, "signup"), (2, 3 * day + 1, "click"), (2, 4 * day, "purchase"),
+        # user 3: full in-window chain, also an earlier out-of-window
+        # click BEFORE signup that must not count
+        (3, 5 * day, "click"), (3, 6 * day, "signup"),
+        (3, 7 * day, "click"), (3, 8 * day, "purchase"),
+    ]
+    events = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    out = user_funnel(
+        rd.from_arrow(events), windows=(3 * 86400, 7 * 86400)
+    ).to_pandas()
+    stages = dict(zip(out["user_id"].astype(int), out["stage"].astype(int)))
+    assert stages == {1: 2, 2: 1, 3: 3}
