@@ -520,6 +520,21 @@ def q_copurchase_communities(sf_dir: str):
     )
 
 
+def q_winsorized_value_stats(sf_dir: str):
+    """Per-type winsorized mean (tails clamped at the p05/p95 integer-
+    rank bounds) — ops.stats.winsorized_value_stats."""
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import winsorized_value_stats
+
+    _quiet()
+    return winsorized_value_stats(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        )
+    )
+
+
 def q_user_funnel_windowed(sf_dir: str):
     """Time-boxed conversion funnel: click within 3 days of signup,
     purchase within 7 days of that click (ops.stats.user_funnel with
@@ -2666,6 +2681,7 @@ QUERIES = {
     "customer_rfm": q_customer_rfm,
     "kmeans_inertia": q_kmeans_inertia,
     "user_funnel_windowed": q_user_funnel_windowed,
+    "winsorized_value_stats": q_winsorized_value_stats,
 }
 
 
@@ -4694,5 +4710,30 @@ def oracle_sql() -> dict[str, str]:
         "LEFT JOIN s USING (user_id)\n"
         "LEFT JOIN c USING (user_id)\n"
         "LEFT JOIN p USING (user_id)"
+    )
+    oracles["winsorized_value_stats"] = (
+        "WITH c AS (SELECT event_type,"
+        " CAST(ROUND(value * 100.0) AS BIGINT) AS cents FROM events),\n"
+        "counts AS (SELECT event_type, cents, COUNT(*) AS cnt"
+        " FROM c GROUP BY 1, 2),\n"
+        "cum AS (\n"
+        " SELECT event_type, cents,\n"
+        "  SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum,\n"
+        "  SUM(cnt) OVER (PARTITION BY event_type) AS total\n"
+        " FROM counts),\n"
+        "b AS (SELECT event_type,\n"
+        "  MIN(CASE WHEN cum >= ceil(0.05 * total) THEN cents END) AS lo,\n"
+        "  MIN(CASE WHEN cum >= ceil(0.95 * total) THEN cents END) AS hi\n"
+        " FROM cum GROUP BY event_type)\n"
+        "SELECT c.event_type,\n"
+        " CAST(b.lo AS BIGINT) AS lo_cents,\n"
+        " CAST(b.hi AS BIGINT) AS hi_cents,\n"
+        " CAST(COUNT(*) AS BIGINT) AS n_events,\n"
+        " CAST(SUM(LEAST(GREATEST(c.cents, b.lo), b.hi)) AS BIGINT)"
+        " AS winsorized_sum_cents,\n"
+        " CAST(SUM(LEAST(GREATEST(c.cents, b.lo), b.hi)) AS DOUBLE)"
+        " / CAST(COUNT(*) AS DOUBLE) AS winsorized_mean\n"
+        "FROM c JOIN b USING (event_type)\n"
+        "GROUP BY c.event_type, b.lo, b.hi ORDER BY c.event_type"
     )
     return oracles

@@ -1437,3 +1437,184 @@ _RFM_SCHEMA = pa.schema(
         ("rfm_code", pa.int64()),
     ]
 )
+
+
+def winsorized_value_stats(events, lo_q: float = 0.05, hi_q: float = 0.95):
+    """(event_type, lo_cents, hi_cents, n_events, winsorized_sum_cents,
+    winsorized_mean): per-type robust mean with both tails clamped at
+    integer-rank quantile bounds — the winsorized-mean family (outlier-
+    robust KPIs). The bound rule is the one value_percentiles_by_type
+    pins (smallest cents bucket whose cumulative count reaches
+    ceil(q·n)), so the DuckDB oracle replays it exactly; sums stay
+    int64 and only the final mean division is floating point (shared
+    IEEE expression).
+
+    Two passes: the (type, cents) histogram reduces to ONE bounds row
+    per type (driver collect bounded by type cardinality), bounds
+    broadcast once via ray.put; then one map-side clamp + partial-sum
+    pass and a tiny keyed sum. At 100 TB nothing but histogram partials
+    and per-(type, block) sum rows ever shuffles."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.dedup import _with_schema
+    from ocr_ray.stages.grouped import grouped_map
+
+    def bucket_partials(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(t["value"], 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        tbl = pa.table({"event_type": t["event_type"], "cents": cents})
+        return (
+            tbl.group_by(["event_type", "cents"])
+            .aggregate([("cents", "count")])
+            .rename_columns(["event_type", "cents", "partial"])
+        )
+
+    counted = (
+        events.map_batches(bucket_partials, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("partial", alias_name="cnt"))
+    )
+
+    bounds_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("lo_cents", pa.int64()),
+            ("hi_cents", pa.int64()),
+        ]
+    )
+
+    def bounds_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or block.num_columns == 0:
+            return bounds_schema.empty_table()
+        ends = np.append(starts[1:], n)
+        types = block.column("event_type").to_pylist()
+        cents = block.column("cents").to_numpy(zero_copy_only=False)
+        cnts = block.column("cnt").to_numpy(zero_copy_only=False)
+        out_t, out_lo, out_hi = [], [], []
+        for s, e in zip(starts, ends):
+            order = np.argsort(cents[s:e]) + s
+            cum = np.cumsum(cnts[order])
+            total = int(cum[-1])
+            cs = cents[order]
+            lo_i = int(np.searchsorted(cum, math.ceil(lo_q * total), "left"))
+            hi_i = int(np.searchsorted(cum, math.ceil(hi_q * total), "left"))
+            out_t.append(types[s])
+            out_lo.append(int(cs[lo_i]))
+            out_hi.append(int(cs[hi_i]))
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "lo_cents": pa.array(out_lo, pa.int64()),
+                "hi_cents": pa.array(out_hi, pa.int64()),
+            }
+        )
+
+    bounds_rows = grouped_map(
+        counted, ["event_type"], bounds_block
+    ).take_all()  # bounded: one row per event type
+    bounds = {
+        r["event_type"]: (r["lo_cents"], r["hi_cents"]) for r in bounds_rows
+    }
+    bref = ray.put(bounds)
+
+    part_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n_events", pa.int64()),
+            ("winsorized_sum_cents", pa.int64()),
+        ]
+    )
+
+    def clamp_partials(t: pa.Table, _bref=bref) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        b = ray.get(_bref)
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(t["value"], 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        types = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        lo = np.array([b[ty][0] for ty in types], np.int64)
+        hi = np.array([b[ty][1] for ty in types], np.int64)
+        clamped = np.minimum(np.maximum(cents, lo), hi)
+        part = pa.table(
+            {
+                "event_type": t["event_type"],
+                "w": pa.array(clamped, pa.int64()),
+            }
+        )
+        return (
+            part.group_by("event_type")
+            .aggregate([("w", "count"), ("w", "sum")])
+            .rename_columns(
+                ["event_type", "n_events", "winsorized_sum_cents"]
+            )
+        )
+
+    agg = (
+        _with_schema(
+            events.map_batches(clamp_partials, batch_format="pyarrow"),
+            part_schema,
+        )
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("winsorized_sum_cents", alias_name="winsorized_sum_cents"),
+        )
+    )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("lo_cents", pa.int64()),
+            ("hi_cents", pa.int64()),
+            ("n_events", pa.int64()),
+            ("winsorized_sum_cents", pa.int64()),
+            ("winsorized_mean", pa.float64()),
+        ]
+    )
+
+    def finish(t: pa.Table, _bref=bref) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        b = ray.get(_bref)
+        types = t.column("event_type").to_pylist()
+        n = t.column("n_events").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        s = t.column("winsorized_sum_cents").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "lo_cents": pa.array(
+                    [b[ty][0] for ty in types], pa.int64()
+                ),
+                "hi_cents": pa.array(
+                    [b[ty][1] for ty in types], pa.int64()
+                ),
+                "n_events": pa.array(n, pa.int64()),
+                "winsorized_sum_cents": pa.array(s, pa.int64()),
+                "winsorized_mean": pa.array(
+                    s.astype(np.float64) / n.astype(np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return _with_schema(
+        agg.map_batches(finish, batch_format="pyarrow"), out_schema
+    ).sort("event_type")
