@@ -2347,6 +2347,177 @@ def q_customers_without_orders(sf_dir: str):
     )
 
 
+_Q4_WINDOW = ("1996-01-01", "1997-01-01")
+_Q4_LAG_DAYS = 60
+
+
+def q_order_priority_late_counts(sf_dir: str):
+    """TPC-H Q4 shape — per-priority count of orders in a date window
+    that have at least one late lineitem (shipped more than
+    ``_Q4_LAG_DAYS`` days after the order date). The EXISTS is rewritten
+    as a per-order MAX(l_shipdate) — one keyed aggregate of slim
+    (orderkey, max_ship) rows — joined to the date-filtered orders, so
+    lineitems never ship their full rows and the comparison is a
+    vectorized map-side filter. Counts are integers; hash-safe."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    from ocr_ray.ops.joins import large_join
+
+    _quiet()
+    lo_us, hi_us = (
+        int(np.datetime64(d, "us").astype(np.int64)) for d in _Q4_WINDOW
+    )
+    lag_us = _Q4_LAG_DAYS * 86_400_000_000
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def ship_partials(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "ship_us": t["l_shipdate"].cast(pa.int64()),
+                }
+            )
+            .group_by("l_orderkey")
+            .aggregate([("ship_us", "max")])
+            .rename_columns(["l_orderkey", "ship_us"])
+        )
+
+    max_ship = (
+        lineitem.map_batches(ship_partials, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Max("ship_us", alias_name="max_ship_us"))
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def window(t: pa.Table) -> pa.Table:
+        od_us = t["o_orderdate"].cast(pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(od_us, pa.scalar(lo_us)),
+            pc.less(od_us, pa.scalar(hi_us)),
+        )
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderpriority": t["o_orderpriority"],
+                "od_us": od_us,
+            }
+        ).filter(keep)
+
+    joined = large_join(
+        orders.map_batches(window, batch_format="pyarrow"),
+        max_ship,
+        on="o_orderkey",
+        right_on="l_orderkey",
+    )
+
+    def late_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [("o_orderpriority", pa.string()), ("n", pa.int64())]
+            ).empty_table()
+        late = pc.greater(
+            t["max_ship_us"], pc.add(t["od_us"], pa.scalar(lag_us))
+        )
+        counted = (
+            t.filter(late)
+            .select(["o_orderpriority"])
+            .group_by("o_orderpriority")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "o_orderpriority": counted["o_orderpriority"],
+                "n": counted["count_all"].cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(late_partials, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="n_late"))
+    )
+    return _materialized(
+        agg,
+        pa.schema([("o_orderpriority", pa.string()), ("n_late", pa.int64())]),
+    )
+
+
+def q_customer_order_distribution(sf_dir: str):
+    """TPC-H Q13 shape — the distribution of customers by how many
+    orders they placed, INCLUDING zero-order customers (the property a
+    plain groupby on orders loses; restored via a LEFT OUTER join from
+    the customer spine). Two keyed aggregates of slim integer rows plus
+    one hash join; output is bounded by the max order count per
+    customer."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.joins import large_join
+
+    _quiet()
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        counted = t.group_by("o_custkey").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "o_custkey": counted["o_custkey"],
+                "n": counted["count_all"].cast(pa.int64()),
+            }
+        )
+
+    per_cust = (
+        orders.map_batches(count_partials, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="n_orders"))
+    )
+    customers = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    joined = large_join(
+        customers, per_cust, on="c_custkey", right_on="o_custkey",
+        join_type="left_outer",
+    )
+
+    def dist_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [("n_orders", pa.int64()), ("n", pa.int64())]
+            ).empty_table()
+        filled = pc.fill_null(t["n_orders"].cast(pa.int64()), 0)
+        counted = (
+            pa.table({"n_orders": filled})
+            .group_by("n_orders")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "n_orders": counted["n_orders"],
+                "n": counted["count_all"].cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(dist_partials, batch_format="pyarrow")
+        .groupby("n_orders")
+        .aggregate(Sum("n", alias_name="n_customers"))
+    )
+    return _materialized(
+        agg, pa.schema([("n_orders", pa.int64()), ("n_customers", pa.int64())])
+    )
+
+
 def q_length_outliers(sf_dir: str):
     from ocr_ray.ops.curate import length_outliers
 
@@ -2649,6 +2820,8 @@ QUERIES = {
     "top_docs_per_lang": q_top_docs_per_lang,
     "distinct_users_by_type": q_distinct_users_by_type,
     "customers_without_orders": q_customers_without_orders,
+    "order_priority_late_counts": q_order_priority_late_counts,
+    "customer_order_distribution": q_customer_order_distribution,
     "top_unshipped_orders": q_top_unshipped_orders,
     "events_pivot_daily": q_events_pivot_daily,
     "bigram_familiarity": q_bigram_familiarity,
@@ -4267,6 +4440,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_mktsegment FROM customer\n"
             "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders"
             f" WHERE o_totalprice >= {_HIGH_VALUE_ORDER})"
+        ),
+        "order_priority_late_counts": (
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late\n"
+            "FROM orders o\n"
+            f"WHERE o.o_orderdate >= TIMESTAMP '{_Q4_WINDOW[0]}'\n"
+            f" AND o.o_orderdate < TIMESTAMP '{_Q4_WINDOW[1]}'\n"
+            " AND EXISTS (SELECT 1 FROM lineitem l\n"
+            "  WHERE l.l_orderkey = o.o_orderkey\n"
+            f"  AND l.l_shipdate > o.o_orderdate + INTERVAL {_Q4_LAG_DAYS} DAY)\n"
+            "GROUP BY o_orderpriority"
+        ),
+        "customer_order_distribution": (
+            "WITH per_cust AS (\n"
+            " SELECT c.c_custkey,"
+            " CAST(COUNT(o.o_custkey) AS BIGINT) AS n_orders\n"
+            " FROM customer c LEFT JOIN orders o"
+            " ON o.o_custkey = c.c_custkey\n"
+            " GROUP BY c.c_custkey\n"
+            ")\n"
+            "SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers\n"
+            "FROM per_cust GROUP BY n_orders"
         ),
         "dedup_exact_incremental": (
             "WITH new_shard AS (\n"
