@@ -2518,6 +2518,32 @@ def q_customer_order_distribution(sf_dir: str):
     )
 
 
+def q_association_rules(sf_dir: str):
+    """Market-basket pair rules over order baskets — see
+    ops/graph.py:association_rules for the scale shape."""
+    import ray.data as rd
+
+    from ocr_ray.ops.graph import association_rules
+
+    _quiet()
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return _materialized(
+        association_rules(lineitem),
+        pa.schema(
+            [
+                ("antecedent", pa.int64()),
+                ("consequent", pa.int64()),
+                ("supp_pair", pa.int64()),
+                ("supp_antecedent", pa.int64()),
+                ("confidence", pa.float64()),
+                ("lift", pa.float64()),
+            ]
+        ),
+    )
+
+
 def q_length_outliers(sf_dir: str):
     from ocr_ray.ops.curate import length_outliers
 
@@ -2822,6 +2848,7 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "order_priority_late_counts": q_order_priority_late_counts,
     "customer_order_distribution": q_customer_order_distribution,
+    "association_rules": q_association_rules,
     "top_unshipped_orders": q_top_unshipped_orders,
     "events_pivot_daily": q_events_pivot_daily,
     "bigram_familiarity": q_bigram_familiarity,
@@ -3479,6 +3506,12 @@ def _cms_heavy_hitters_sql(k: int = 25) -> str:
         " CAST(MIN(regs.cnt) AS BIGINT) AS cms_estimate\n"
         "FROM cand_probes JOIN regs USING (r, col) GROUP BY word, c"
     )
+
+
+def _association_rules_sql() -> str:
+    from ocr_ray.ops.graph import association_rules_sql
+
+    return association_rules_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4441,6 +4474,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders"
             f" WHERE o_totalprice >= {_HIGH_VALUE_ORDER})"
         ),
+        "association_rules": _association_rules_sql(),
         "order_priority_late_counts": (
             "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late\n"
             "FROM orders o\n"

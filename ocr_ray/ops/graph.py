@@ -912,3 +912,198 @@ def copurchase_bfs_sql(rounds: int = 8, max_basket: int = 256) -> str:
         "SELECT node, CAST(dist AS BIGINT) AS dist"
         f" FROM d{rounds} ORDER BY node"
     )
+
+
+def association_rules(lineitem, *, min_support: int = 3,
+                      max_basket: int = 256):
+    """Directed market-basket rules A→B over order baskets (the pair
+    case of Agrawal & Srikant 1994): support(A,B) = number of baskets
+    containing both parts, confidence(A→B) = supp(AB)/supp(A), lift =
+    N·supp(AB)/(supp(A)·supp(B)) over the N in-cap baskets.
+
+    Scale shape: pair supports reuse the shared intra-basket triu
+    machinery (one (l_orderkey)-partitioned grouped_map emitting slim
+    (u, v) rows, baskets over ``max_basket`` dropped whole — the same
+    skew guard as ``copurchase_edges``, mirrored in the SQL oracle's
+    HAVING); item supports are a second pass over the SAME capped
+    baskets (a sentinel part ``-1`` row per in-cap basket carries N
+    through the one keyed count, so no extra aggregate). The rule set
+    is bounded by the ``min_support`` filter BEFORE any join, so
+    attaching item supports is two adaptive key joins with a small left
+    side. Confidence/lift are the only floats, computed by one IEEE
+    expression shared verbatim with the oracle."""
+    from ray.data.aggregate import Count
+
+    from ocr_ray.ops.dedup import (
+        _dedup_sorted_by_group,
+        _intra_group_pair_indices,
+        _renamed,
+        _with_schema,
+    )
+    from ocr_ray.ops.joins import adaptive_key_join
+    from ocr_ray.stages.grouped import grouped_map
+
+    slim = lineitem.select_columns(["l_orderkey", "l_partkey"])
+    pair_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+    item_schema = pa.schema([("part", pa.int64())])
+
+    def _dedup_block(block: pa.Table, starts: np.ndarray):
+        n = block.num_rows
+        parts = block.column("l_partkey").to_numpy(zero_copy_only=False)
+        gidx = np.repeat(
+            np.arange(len(starts)), np.diff(np.append(starts, n))
+        )
+        p_d, g_d, _ = _dedup_sorted_by_group(parts, gidx, parts)
+        return p_d, g_d
+
+    def pairs_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        if block.num_rows == 0 or len(starts) == 0:
+            return pair_schema.empty_table()
+        p_d, g_d = _dedup_block(block, starts)
+        ii, jj, _ = _intra_group_pair_indices(g_d, max_basket, drop_over=True)
+        return pa.table(
+            {
+                "u": pa.array(p_d[ii].astype(np.int64), pa.int64()),
+                "v": pa.array(p_d[jj].astype(np.int64), pa.int64()),
+            }
+        )
+
+    def items_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        if block.num_rows == 0 or len(starts) == 0:
+            return item_schema.empty_table()
+        p_d, g_d = _dedup_block(block, starts)
+        sizes = np.bincount(g_d)
+        keep = sizes[g_d] <= max_basket
+        n_ok = int(np.count_nonzero((sizes > 0) & (sizes <= max_basket)))
+        parts = np.concatenate(
+            [p_d[keep].astype(np.int64), np.full(n_ok, -1, np.int64)]
+        )
+        return pa.table({"part": pa.array(parts, pa.int64())})
+
+    pair_supp = _with_schema(
+        grouped_map(slim, ["l_orderkey"], pairs_block)
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="supp_pair")),
+        pa.schema(
+            [("u", pa.int64()), ("v", pa.int64()), ("supp_pair", pa.int64())]
+        ),
+    )
+
+    def minsup_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["supp_pair"], min_support))
+
+    frequent = pair_supp.map_batches(minsup_filter, batch_format="pyarrow")
+
+    item_supp = _with_schema(
+        grouped_map(slim, ["l_orderkey"], items_block)
+        .groupby("part")
+        .aggregate(Count(alias_name="supp")),
+        pa.schema([("part", pa.int64()), ("supp", pa.int64())]),
+    ).materialize()
+
+    def sentinel_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["part"], -1))
+
+    n_rows = item_supp.map_batches(
+        sentinel_only, batch_format="pyarrow"
+    ).take_all()
+    n_baskets = float(n_rows[0]["supp"]) if n_rows else 0.0
+
+    with_a = adaptive_key_join(
+        frequent,
+        _renamed(item_supp, {"supp": "supp_u"}),
+        on="u",
+        right_on="part",
+    )
+    with_both = adaptive_key_join(
+        with_a,
+        _renamed(item_supp, {"supp": "supp_v"}),
+        on="v",
+        right_on="part",
+    )
+
+    out_schema = pa.schema(
+        [
+            ("antecedent", pa.int64()),
+            ("consequent", pa.int64()),
+            ("supp_pair", pa.int64()),
+            ("supp_antecedent", pa.int64()),
+            ("confidence", pa.float64()),
+            ("lift", pa.float64()),
+        ]
+    )
+
+    def rules_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        u = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        ab = t.column("supp_pair").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        su = t.column("supp_u").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        sv = t.column("supp_v").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        # one shared IEEE tree with the oracle:
+        #   confidence = CAST(ab AS DOUBLE) / CAST(s_ante AS DOUBLE)
+        #   lift = (CAST(ab AS DOUBLE) * N) / (CAST(s_a AS DOUBLE) * CAST(s_c AS DOUBLE))
+        lift = (ab * n_baskets) / (su * sv)
+        return pa.table(
+            {
+                "antecedent": pa.array(np.concatenate([u, v]), pa.int64()),
+                "consequent": pa.array(np.concatenate([v, u]), pa.int64()),
+                "supp_pair": pa.array(
+                    np.concatenate([ab, ab]).astype(np.int64), pa.int64()
+                ),
+                "supp_antecedent": pa.array(
+                    np.concatenate([su, sv]).astype(np.int64), pa.int64()
+                ),
+                "confidence": pa.array(
+                    np.concatenate([ab / su, ab / sv]), pa.float64()
+                ),
+                "lift": pa.array(np.concatenate([lift, lift]), pa.float64()),
+            }
+        )
+
+    return _with_schema(
+        with_both.map_batches(rules_block, batch_format="pyarrow"), out_schema
+    )
+
+
+def association_rules_sql(min_support: int = 3, max_basket: int = 256) -> str:
+    """DuckDB replay: same basket cap, same sentinel-free N (COUNT over
+    in-cap baskets), same shared IEEE confidence/lift expressions."""
+    return (
+        "WITH ok_orders AS (\n"
+        " SELECT l_orderkey FROM lineitem GROUP BY l_orderkey\n"
+        f" HAVING COUNT(DISTINCT l_partkey) <= {max_basket}\n"
+        "), n AS (\n"
+        " SELECT CAST(COUNT(*) AS DOUBLE) AS n_baskets FROM ok_orders\n"
+        "), b AS (\n"
+        " SELECT DISTINCT l_orderkey, l_partkey FROM lineitem\n"
+        " WHERE l_orderkey IN (SELECT l_orderkey FROM ok_orders)\n"
+        "), item AS (\n"
+        " SELECT l_partkey AS part, COUNT(*) AS supp FROM b GROUP BY 1\n"
+        "), pair AS (\n"
+        " SELECT x.l_partkey AS u, y.l_partkey AS v, COUNT(*) AS supp_pair\n"
+        " FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey"
+        " AND x.l_partkey < y.l_partkey\n"
+        f" GROUP BY 1, 2 HAVING COUNT(*) >= {min_support}\n"
+        "), directed AS (\n"
+        " SELECT u AS antecedent, v AS consequent, supp_pair FROM pair\n"
+        " UNION ALL SELECT v, u, supp_pair FROM pair\n"
+        ")\n"
+        "SELECT d.antecedent, d.consequent,\n"
+        " CAST(d.supp_pair AS BIGINT) AS supp_pair,\n"
+        " CAST(ia.supp AS BIGINT) AS supp_antecedent,\n"
+        " CAST(d.supp_pair AS DOUBLE) / CAST(ia.supp AS DOUBLE)"
+        " AS confidence,\n"
+        " (CAST(d.supp_pair AS DOUBLE) * (SELECT n_baskets FROM n))"
+        " / (CAST(ia.supp AS DOUBLE) * CAST(ic.supp AS DOUBLE)) AS lift\n"
+        "FROM directed d\n"
+        "JOIN item ia ON ia.part = d.antecedent\n"
+        "JOIN item ic ON ic.part = d.consequent"
+    )
