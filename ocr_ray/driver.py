@@ -2518,6 +2518,24 @@ def q_customer_order_distribution(sf_dir: str):
     )
 
 
+def q_zipf_slope_by_lang(sf_dir: str):
+    """Per-language Zipf OLS fit over the exact word-frequency table —
+    see ops/textstats.py:zipf_slope_by_lang for the determinism design."""
+    from ocr_ray.ops.textstats import zipf_slope_by_lang
+
+    return _materialized(
+        zipf_slope_by_lang(_docs(sf_dir, "lang", "text")),
+        pa.schema(
+            [
+                ("lang", pa.string()),
+                ("n_words", pa.int64()),
+                ("zipf_slope", pa.float64()),
+                ("zipf_intercept", pa.float64()),
+            ]
+        ),
+    )
+
+
 def q_association_rules(sf_dir: str):
     """Market-basket pair rules over order baskets — see
     ops/graph.py:association_rules for the scale shape."""
@@ -2849,6 +2867,7 @@ QUERIES = {
     "order_priority_late_counts": q_order_priority_late_counts,
     "customer_order_distribution": q_customer_order_distribution,
     "association_rules": q_association_rules,
+    "zipf_slope_by_lang": q_zipf_slope_by_lang,
     "top_unshipped_orders": q_top_unshipped_orders,
     "events_pivot_daily": q_events_pivot_daily,
     "bigram_familiarity": q_bigram_familiarity,
@@ -3512,6 +3531,12 @@ def _association_rules_sql() -> str:
     from ocr_ray.ops.graph import association_rules_sql
 
     return association_rules_sql()
+
+
+def _zipf_slope_sql() -> str:
+    from ocr_ray.ops.textstats import zipf_slope_sql
+
+    return zipf_slope_sql(_WORDS_SQL)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4475,6 +4500,7 @@ def oracle_sql() -> dict[str, str]:
             f" WHERE o_totalprice >= {_HIGH_VALUE_ORDER})"
         ),
         "association_rules": _association_rules_sql(),
+        "zipf_slope_by_lang": _zipf_slope_sql(),
         "order_priority_late_counts": (
             "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late\n"
             "FROM orders o\n"

@@ -360,3 +360,167 @@ def char_diversity(docs):
     return docs.map_batches(
         char_diversity_batch, batch_format="pyarrow"
     ).sort("doc_id")
+
+
+_ZIPF_SCALE = 1_000_000
+
+
+def zipf_slope_by_lang(docs):
+    """Per-language Zipf fit: OLS slope/intercept of ln(freq) on
+    ln(rank) over the exact word-frequency table (rank 1 = most
+    frequent, count DESC / word ASC tie-break — the same deterministic
+    rank rule as ``top_terms_by_lang``).
+
+    Cross-engine determinism: ln() outputs differ from DuckDB's by
+    ~1 ulp, and float SUM order is engine-defined — both break a value
+    hash. So each ln is quantized to an int64 (``floor(ln(k) ·
+    _ZIPF_SCALE)``, verified bit-identical between numpy and DuckDB over
+    the full 1..2M integer domain), the four moments accumulate as
+    EXACT integers (Python ints engine-side, HUGEINT in SQL), and the
+    closed-form slope/intercept are one shared IEEE expression over the
+    moment casts. Scale shape: map-side (lang, word) count partials →
+    one keyed sum of slim rows → one (lang)-partitioned block computes
+    rank + moments vectorized (chunked int64 partial sums, converted
+    exactly before they can overflow). A language's vocabulary is slim
+    (word, n) rows — fine in one block up to ~1e8 distinct words; past
+    that the rank would move to the range-partitioned NTILE machinery
+    (ops/stats.py)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    def partials(t: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        langs = t.column("lang").to_pylist()
+        texts = t.column("text").to_pylist()
+        for lang, text in zip(langs, texts):
+            for w in _WORD_RE.findall((text or "").lower()):
+                counts[(lang, w)] += 1
+        if not counts:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "word": pa.array([], pa.string()),
+                    "partial": pa.array([], pa.int64()),
+                }
+            )
+        keys, vals = zip(*sorted(counts.items()))
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in keys], pa.string()),
+                "word": pa.array([k[1] for k in keys], pa.string()),
+                "partial": pa.array(vals, pa.int64()),
+            }
+        )
+
+    counted = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby(["lang", "word"])
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+
+    out_schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("n_words", pa.int64()),
+            ("zipf_slope", pa.float64()),
+            ("zipf_intercept", pa.float64()),
+        ]
+    )
+
+    def _exact_sum(a: np.ndarray) -> int:
+        # int64 partial sums stay exact in 16k chunks (max |x·y| ≈ 2.9e14
+        # per element → 4.7e18 per chunk < 2^63); chunk totals then
+        # accumulate as Python ints (arbitrary precision)
+        total = 0
+        for i in range(0, len(a), 16384):
+            total += int(a[i : i + 16384].sum())
+        return total
+
+    def slope_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n_rows = block.num_rows
+        if n_rows == 0 or len(starts) == 0:
+            return out_schema.empty_table()
+        langs, slopes, intercepts, vocab = [], [], [], []
+        bounds = np.append(starts, n_rows)
+        for gi in range(len(starts)):
+            sub = block.slice(bounds[gi], bounds[gi + 1] - bounds[gi])
+            lang = sub.column("lang")[0].as_py()
+            n = sub.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+            words = sub.column("word").to_numpy(zero_copy_only=False)
+            order = np.lexsort((words, -n))
+            n_sorted = n[order]
+            v = len(n_sorted)
+            rank = np.arange(1, v + 1, dtype=np.float64)
+            x = np.floor(np.log(rank) * _ZIPF_SCALE).astype(np.int64)
+            y = np.floor(np.log(n_sorted.astype(np.float64)) * _ZIPF_SCALE).astype(np.int64)
+            sx, sy = _exact_sum(x), _exact_sum(y)
+            sxy, sxx = _exact_sum(x * y), _exact_sum(x * x)
+            # shared IEEE tree with the oracle (see zipf_slope_sql)
+            num = float(v) * float(sxy) - float(sx) * float(sy)
+            den = float(v) * float(sxx) - float(sx) * float(sx)
+            slope = num / den if den != 0.0 else 0.0
+            intercept = (
+                (float(sy) - slope * float(sx)) / float(v)
+                if v
+                else 0.0
+            )
+            langs.append(lang)
+            slopes.append(slope)
+            intercepts.append(intercept)
+            vocab.append(v)
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "n_words": pa.array(vocab, pa.int64()),
+                "zipf_slope": pa.array(slopes, pa.float64()),
+                "zipf_intercept": pa.array(intercepts, pa.float64()),
+            }
+        )
+
+    return grouped_map(counted, ["lang"], slope_block)
+
+
+def zipf_slope_sql(words_sql: str) -> str:
+    """DuckDB replay: same rank rule, same ln quantization, HUGEINT
+    moments, same closed-form expressions. ``words_sql`` is the
+    engine-shared word extraction expression over ``documents.text``."""
+    s = _ZIPF_SCALE
+    return (
+        "WITH words AS (\n"
+        f" SELECT lang, unnest({words_sql}) AS word FROM documents\n"
+        "), counted AS (\n"
+        " SELECT lang, word, COUNT(*) AS n FROM words GROUP BY lang, word\n"
+        "), ranked AS (\n"
+        " SELECT lang, n,\n"
+        "  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word ASC)"
+        " AS rank\n"
+        " FROM counted\n"
+        "), q AS (\n"
+        f" SELECT lang,\n"
+        f"  CAST(floor(ln(CAST(rank AS DOUBLE)) * {s}) AS BIGINT) AS x,\n"
+        f"  CAST(floor(ln(CAST(n AS DOUBLE)) * {s}) AS BIGINT) AS y\n"
+        " FROM ranked\n"
+        "), m AS (\n"
+        " SELECT lang, COUNT(*) AS v,\n"
+        "  SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,\n"
+        "  SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,\n"
+        "  SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx\n"
+        " FROM q GROUP BY lang\n"
+        "), fit AS (\n"
+        " SELECT lang, v,\n"
+        "  CASE WHEN (CAST(v AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0.0 THEN 0.0\n"
+        "  ELSE (CAST(v AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))\n"
+        "  / (CAST(v AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS slope,\n"
+        "  CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd\n"
+        " FROM m\n"
+        ")\n"
+        "SELECT lang, CAST(v AS BIGINT) AS n_words, slope AS zipf_slope,\n"
+        " (syd - slope * sxd) / CAST(v AS DOUBLE) AS zipf_intercept\n"
+        "FROM fit"
+    )

@@ -223,3 +223,39 @@ def test_repetition_stats_pathological_single_token_doc():
     assert r["top_word_frac"] == 1.0
     assert r["top_bigram_count"] == 99 and r["top_bigram_frac"] == 1.0
     assert r["dup_word_frac"] == 1.0 - 1 / 100
+
+
+def test_zipf_slope_matches_plain_fit(ray_session):
+    """Engine slope == plain-Python quantized OLS on a hand-built corpus;
+    a single-word language takes the guarded 0.0 branch."""
+    import math
+
+    import ray.data as rd
+
+    from ocr_ray.ops.textstats import _ZIPF_SCALE, zipf_slope_by_lang
+
+    # lang 'a': zipfian-ish counts via repeated words; lang 'b': one word
+    docs_a = ["alpha " * 8 + "beta " * 4 + "gamma " * 2 + "delta"] * 3
+    rows = [{"doc_id": i, "lang": "a", "text": t} for i, t in enumerate(docs_a)]
+    rows.append({"doc_id": 99, "lang": "b", "text": "solo solo solo"})
+    out = {
+        r["lang"]: r
+        for r in zipf_slope_by_lang(rd.from_items(rows)).take_all()
+    }
+
+    counts = {"alpha": 24, "beta": 12, "gamma": 6, "delta": 3}
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    x = [math.floor(math.log(i + 1) * _ZIPF_SCALE) for i in range(len(ranked))]
+    y = [math.floor(math.log(n) * _ZIPF_SCALE) for _, n in ranked]
+    v = len(x)
+    sx, sy = sum(x), sum(y)
+    sxy = sum(a * b for a, b in zip(x, y))
+    sxx = sum(a * a for a in x)
+    slope = (float(v) * float(sxy) - float(sx) * float(sy)) / (
+        float(v) * float(sxx) - float(sx) * float(sx)
+    )
+    assert out["a"]["n_words"] == 4
+    assert out["a"]["zipf_slope"] == slope
+    assert slope < -0.9  # zipf-shaped: roughly -1
+    assert out["b"]["n_words"] == 1
+    assert out["b"]["zipf_slope"] == 0.0
