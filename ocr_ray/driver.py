@@ -2518,6 +2518,21 @@ def q_customer_order_distribution(sf_dir: str):
     )
 
 
+def q_peak_concurrent_sessions(sf_dir: str):
+    """Sweep-line peak concurrency over user sessions — see
+    ops/windows.py:peak_concurrent_sessions for the distributed
+    prefix-sum shape."""
+    import ray.data as rd
+
+    from ocr_ray.ops.windows import peak_concurrent_sessions
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return peak_concurrent_sessions(events)
+
+
 def q_zipf_slope_by_lang(sf_dir: str):
     """Per-language Zipf OLS fit over the exact word-frequency table —
     see ops/textstats.py:zipf_slope_by_lang for the determinism design."""
@@ -2868,6 +2883,7 @@ QUERIES = {
     "customer_order_distribution": q_customer_order_distribution,
     "association_rules": q_association_rules,
     "zipf_slope_by_lang": q_zipf_slope_by_lang,
+    "peak_concurrent_sessions": q_peak_concurrent_sessions,
     "top_unshipped_orders": q_top_unshipped_orders,
     "events_pivot_daily": q_events_pivot_daily,
     "bigram_familiarity": q_bigram_familiarity,
@@ -3537,6 +3553,12 @@ def _zipf_slope_sql() -> str:
     from ocr_ray.ops.textstats import zipf_slope_sql
 
     return zipf_slope_sql(_WORDS_SQL)
+
+
+def _peak_sessions_sql() -> str:
+    from ocr_ray.ops.windows import peak_concurrent_sessions_sql
+
+    return peak_concurrent_sessions_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4501,6 +4523,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "association_rules": _association_rules_sql(),
         "zipf_slope_by_lang": _zipf_slope_sql(),
+        "peak_concurrent_sessions": _peak_sessions_sql(),
         "order_priority_late_counts": (
             "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late\n"
             "FROM orders o\n"

@@ -522,3 +522,155 @@ def sliding_window_distinct(events, window_sec: int = 3600,
         )
 
     return grouped_map(pairs, ["ws"], count_block).sort("window_start")
+
+
+def peak_concurrent_sessions(events, gap_sec: int = 1800):
+    """Global peak number of concurrently-open user sessions and the
+    earliest second it is reached — the sweep-line max-prefix-sum over
+    session intervals. A session opens at its first event and stays open
+    until ``gap_sec`` after its last event (the same 30-min timeout that
+    DEFINES the session break), so single-event sessions still occupy
+    their timeout window and interval ends are strictly after starts.
+
+    Distributed shape (the ordered-prefix-sum pattern shared with
+    ``pack_sequences``): (1) per-user session intervals inside one
+    (user_id)-partitioned block — two slim (t, delta) rows per session
+    leave it; (2) deltas hash-partition by DAY (monotone in t, so day
+    blocks concatenate into the global sweep order) and each day block
+    reduces to one (day, total, max_prefix, t_at_max) row via a
+    vectorized cumsum sorted by (t, delta) — ends sweep before starts at
+    the same second, the half-open interval rule; (3) the driver folds
+    the ≤ n_days summary rows: running offset = sum of earlier days'
+    totals, peak = max(offset + max_prefix), earliest day and earliest
+    in-day position break ties. Only the day summaries materialize."""
+    from ocr_ray.stages.grouped import grouped_map
+
+    delta_schema = pa.schema([("day", pa.int64()), ("t", pa.int64()),
+                              ("delta", pa.int64())])
+
+    def intervals_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return delta_schema.empty_table()
+        epochs = _epoch_seconds(block["ts"])
+        ends = np.append(starts[1:], n)
+        ts_out, delta_out = [], []
+        for s, e in zip(starts, ends):
+            seg = epochs[s:e]
+            brk = np.flatnonzero(np.diff(seg) > gap_sec)
+            first = np.concatenate(([0], brk + 1))
+            last = np.concatenate((brk, [e - s - 1]))
+            ts_out.append(seg[first])            # session opens
+            ts_out.append(seg[last] + gap_sec)   # session closes (exclusive)
+            delta_out.append(np.ones(len(first), np.int64))
+            delta_out.append(np.full(len(last), -1, np.int64))
+        t = np.concatenate(ts_out)
+        d = np.concatenate(delta_out)
+        return pa.table(
+            {
+                "day": pa.array(t // 86400, pa.int64()),
+                "t": pa.array(t, pa.int64()),
+                "delta": pa.array(d, pa.int64()),
+            }
+        )
+
+    deltas = grouped_map(
+        events.select_columns(["user_id", "ts"]),
+        ["user_id"],
+        intervals_block,
+        sort_within=["ts"],
+    )
+
+    day_schema = pa.schema(
+        [
+            ("day", pa.int64()),
+            ("total", pa.int64()),
+            ("max_prefix", pa.int64()),
+            ("t_at_max", pa.int64()),
+        ]
+    )
+
+    def day_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return day_schema.empty_table()
+        days = block.column("day").to_numpy(zero_copy_only=False)
+        t = block.column("t").to_numpy(zero_copy_only=False)
+        d = block.column("delta").to_numpy(zero_copy_only=False)
+        ends = np.append(starts[1:], n)
+        rows = {"day": [], "total": [], "max_prefix": [], "t_at_max": []}
+        for s, e in zip(starts, ends):
+            cum = np.cumsum(d[s:e])
+            mx = int(cum.max())
+            idx = int(np.argmax(cum))  # first position achieving mx
+            rows["day"].append(int(days[s]))
+            rows["total"].append(int(cum[-1]))
+            rows["max_prefix"].append(mx)
+            rows["t_at_max"].append(int(t[s + idx]))
+        return pa.table(
+            {k: pa.array(v, pa.int64()) for k, v in rows.items()}
+        )
+
+    summaries = grouped_map(
+        deltas, ["day"], day_block, sort_within=["t", "delta"]
+    ).take_all()
+
+    out_schema = pa.schema(
+        [("peak_concurrency", pa.int64()), ("peak_at", pa.timestamp("us"))]
+    )
+    if not summaries:
+        return pa.table(
+            {"peak_concurrency": pa.array([0], pa.int64()),
+             "peak_at": pa.array([None], pa.timestamp("us"))}
+        )
+    summaries.sort(key=lambda r: r["day"])
+    offset = 0
+    peak = None
+    peak_t = None
+    for r in summaries:
+        cand = offset + r["max_prefix"]
+        if peak is None or cand > peak:
+            peak = cand
+            peak_t = r["t_at_max"]
+        offset += r["total"]
+    return pa.table(
+        {
+            "peak_concurrency": pa.array([peak], pa.int64()),
+            "peak_at": _ts_array(np.array([peak_t], np.int64)),
+        }
+    )
+
+
+def peak_concurrent_sessions_sql(gap_sec: int = 1800) -> str:
+    """DuckDB replay: identical sessionization (LAG gap rule), identical
+    half-open intervals, one ROWS-frame running sum ordered by
+    (t, delta) — ends before starts at the same second."""
+    return (
+        "WITH ordered AS (\n"
+        " SELECT user_id, epoch_us(ts) // 1000000 AS t,\n"
+        "  CASE WHEN (epoch_us(ts) // 1000000) -"
+        " (epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))"
+        f" // 1000000) > {gap_sec} THEN 1 ELSE 0 END AS new_session\n"
+        " FROM events\n"
+        "), sess AS (\n"
+        " SELECT user_id, t,\n"
+        "  SUM(new_session) OVER (PARTITION BY user_id"
+        " ORDER BY t, new_session DESC"
+        " ROWS UNBOUNDED PRECEDING) AS sid\n"
+        " FROM ordered\n"
+        "), intervals AS (\n"
+        f" SELECT MIN(t) AS start_s, MAX(t) + {gap_sec} AS end_s\n"
+        " FROM sess GROUP BY user_id, sid\n"
+        "), deltas AS (\n"
+        " SELECT start_s AS t, 1 AS delta FROM intervals\n"
+        " UNION ALL SELECT end_s, -1 FROM intervals\n"
+        "), run AS (\n"
+        " SELECT t, SUM(delta) OVER (ORDER BY t, delta"
+        " ROWS UNBOUNDED PRECEDING) AS running\n"
+        " FROM deltas\n"
+        ")\n"
+        "SELECT CAST((SELECT MAX(running) FROM run) AS BIGINT)"
+        " AS peak_concurrency,\n"
+        " to_timestamp(MIN(t))::TIMESTAMP AS peak_at\n"
+        "FROM run WHERE running = (SELECT MAX(running) FROM run)"
+    )

@@ -429,3 +429,71 @@ def test_moving_window_sum(ray_session):
             s, n = sum(window), len(window)
             assert got[eid_] == (s, n, float(s) / float(n)), (user, i)
     assert len(got) == len(rows)
+
+
+def test_peak_concurrent_sessions(ray_session):
+    """Engine peak == plain-Python sweep on a corpus with the nasty
+    corners: single-event sessions, an exact close-at-open tie (the
+    half-open rule keeps them non-overlapping), and a within-user
+    session boundary."""
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.windows import peak_concurrent_sessions
+
+    GAP = 1800
+    base = dt.datetime(2026, 1, 1)
+
+    def at(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    rows = [
+        # user 1: one session [0, 100+GAP)
+        (1, 0), (1, 100),
+        # user 2: single event exactly when user 1's session closes —
+        # the -1 sweeps first, so they never overlap
+        (2, 100 + GAP),
+        # user 3: two sessions (break > GAP) — [50, 50+GAP), [5000, 5000+GAP)
+        (3, 50), (3, 5000),
+        # user 4: overlaps everything early
+        (4, 10), (4, 60),
+    ]
+    events = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [at(r[1]) for r in rows], pa.timestamp("us")
+                ),
+            }
+        )
+    )
+    out = peak_concurrent_sessions(events, gap_sec=GAP).to_pylist()[0]
+
+    # plain-Python oracle
+    sessions = {}
+    for u, s in rows:
+        sessions.setdefault(u, []).append(s)
+    intervals = []
+    for u, ts in sessions.items():
+        ts.sort()
+        start = prev = ts[0]
+        for t in ts[1:]:
+            if t - prev > GAP:
+                intervals.append((start, prev + GAP))
+                start = t
+            prev = t
+        intervals.append((start, prev + GAP))
+    deltas = sorted(
+        [(s, 1) for s, _ in intervals] + [(e, -1) for _, e in intervals]
+    )
+    run, peak, peak_t = 0, -1, None
+    for t, d in deltas:
+        run += d
+        if run > peak:
+            peak, peak_t = run, t
+    assert out["peak_concurrency"] == peak == 3
+    assert out["peak_at"] == at(peak_t)
