@@ -2518,6 +2518,20 @@ def q_customer_order_distribution(sf_dir: str):
     )
 
 
+def q_user_event_entropy(sf_dir: str):
+    """Per-user quantized Shannon entropy of event types — see
+    ops/stats.py:user_event_entropy."""
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import user_event_entropy
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return user_event_entropy(events)
+
+
 def q_peak_concurrent_sessions(sf_dir: str):
     """Sweep-line peak concurrency over user sessions — see
     ops/windows.py:peak_concurrent_sessions for the distributed
@@ -2884,6 +2898,7 @@ QUERIES = {
     "association_rules": q_association_rules,
     "zipf_slope_by_lang": q_zipf_slope_by_lang,
     "peak_concurrent_sessions": q_peak_concurrent_sessions,
+    "user_event_entropy": q_user_event_entropy,
     "top_unshipped_orders": q_top_unshipped_orders,
     "events_pivot_daily": q_events_pivot_daily,
     "bigram_familiarity": q_bigram_familiarity,
@@ -3559,6 +3574,12 @@ def _peak_sessions_sql() -> str:
     from ocr_ray.ops.windows import peak_concurrent_sessions_sql
 
     return peak_concurrent_sessions_sql()
+
+
+def _user_entropy_sql() -> str:
+    from ocr_ray.ops.stats import user_event_entropy_sql
+
+    return user_event_entropy_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4524,6 +4545,7 @@ def oracle_sql() -> dict[str, str]:
         "association_rules": _association_rules_sql(),
         "zipf_slope_by_lang": _zipf_slope_sql(),
         "peak_concurrent_sessions": _peak_sessions_sql(),
+        "user_event_entropy": _user_entropy_sql(),
         "order_priority_late_counts": (
             "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late\n"
             "FROM orders o\n"

@@ -1618,3 +1618,106 @@ def winsorized_value_stats(events, lo_q: float = 0.05, hi_q: float = 0.95):
     return _with_schema(
         agg.map_batches(finish, batch_format="pyarrow"), out_schema
     ).sort("event_type")
+
+
+_ENT_SCALE = 1_000_000
+
+
+def user_event_entropy(events):
+    """Per-user Shannon entropy (nats) of the event-type distribution —
+    the behavioral-diversity profile (a user doing only one thing scores
+    0; uniform across k types scores ≈ ln k).
+
+    Determinism: H = ln N − (1/N)·Σ nᵢ·ln nᵢ mixes float logs and an
+    engine-ordered float sum — both break the cross-engine hash. So each
+    ln is quantized to an integer (``floor(ln(k)·1e6)``, the same
+    bit-verified trick as ``zipf_slope_by_lang``), Σ nᵢ·qᵢ accumulates
+    exactly, and the final entropy is ONE shared IEEE expression over
+    the casts (a deterministic "quantized entropy", within 2e-6 nats of
+    exact). Scale shape: map-side (user, type) count partials → one
+    keyed sum of slim rows → one (user)-partitioned block finishes every
+    user with three np.add.reduceat segment sums — no per-user Python."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    def partials(t: pa.Table) -> pa.Table:
+        counted = (
+            t.select(["user_id", "event_type"])
+            .group_by(["user_id", "event_type"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "user_id": counted["user_id"].cast(pa.int64()),
+                "event_type": counted["event_type"],
+                "n": counted["count_all"].cast(pa.int64()),
+            }
+        )
+
+    counted = (
+        events.map_batches(partials, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_events", pa.int64()),
+            ("n_types", pa.int64()),
+            ("entropy", pa.float64()),
+        ]
+    )
+
+    def entropy_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        rows = block.num_rows
+        if rows == 0 or len(starts) == 0:
+            return out_schema.empty_table()
+        users = block.column("user_id").to_numpy(zero_copy_only=False)
+        n = block.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.floor(np.log(n.astype(np.float64)) * _ENT_SCALE).astype(
+            np.int64
+        )
+        total = np.add.reduceat(n, starts)
+        s = np.add.reduceat(n * q, starts)
+        n_types = np.diff(np.append(starts, rows))
+        qn = np.floor(np.log(total.astype(np.float64)) * _ENT_SCALE)
+        # shared IEEE tree with the oracle:
+        #   (CAST(qn AS DOUBLE) - CAST(s AS DOUBLE)/CAST(total AS DOUBLE)) / 1e6
+        entropy = (qn - s.astype(np.float64) / total.astype(np.float64)) / float(
+            _ENT_SCALE
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(users[starts].astype(np.int64), pa.int64()),
+                "n_events": pa.array(total, pa.int64()),
+                "n_types": pa.array(n_types.astype(np.int64), pa.int64()),
+                "entropy": pa.array(entropy, pa.float64()),
+            }
+        )
+
+    return grouped_map(counted, ["user_id"], entropy_block)
+
+
+def user_event_entropy_sql() -> str:
+    """DuckDB replay: same quantization, HUGEINT exact inner sum, same
+    closed-form expression."""
+    s = _ENT_SCALE
+    return (
+        "WITH c AS (\n"
+        " SELECT user_id, event_type, COUNT(*) AS n\n"
+        " FROM events GROUP BY user_id, event_type\n"
+        "), agg AS (\n"
+        " SELECT user_id, SUM(n) AS total, COUNT(*) AS n_types,\n"
+        f"  SUM(CAST(n AS HUGEINT) * CAST(floor(ln(CAST(n AS DOUBLE)) * {s})"
+        " AS HUGEINT)) AS sq\n"
+        " FROM c GROUP BY user_id\n"
+        ")\n"
+        "SELECT user_id, CAST(total AS BIGINT) AS n_events,\n"
+        " CAST(n_types AS BIGINT) AS n_types,\n"
+        f" (CAST(floor(ln(CAST(total AS DOUBLE)) * {s}) AS DOUBLE)\n"
+        "  - CAST(sq AS DOUBLE) / CAST(total AS DOUBLE))"
+        f" / {float(s)} AS entropy\n"
+        "FROM agg"
+    )

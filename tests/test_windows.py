@@ -497,3 +497,31 @@ def test_peak_concurrent_sessions(ray_session):
             peak, peak_t = run, t
     assert out["peak_concurrency"] == peak == 3
     assert out["peak_at"] == at(peak_t)
+
+
+def test_user_event_entropy_closed_form(ray_session):
+    """Single-type user scores exactly 0; uniform k-type user scores
+    ≈ ln k within the 2e-6 quantization bound."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import user_event_entropy
+
+    rows = (
+        [(1, "click")] * 8
+        + [(2, "click"), (2, "view"), (2, "purchase"), (2, "signup")] * 2
+    )
+    events = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+    out = {r["user_id"]: r for r in user_event_entropy(events).take_all()}
+    assert out[1]["n_types"] == 1 and out[1]["entropy"] == 0.0
+    assert out[2]["n_events"] == 8 and out[2]["n_types"] == 4
+    assert abs(out[2]["entropy"] - math.log(4)) < 2e-6
