@@ -2518,6 +2518,20 @@ def q_customer_order_distribution(sf_dir: str):
     )
 
 
+def q_embedding_dispersion(sf_dir: str):
+    """Per-label within-group scatter from integer moments — see
+    ops/search.py:embedding_dispersion_by_label."""
+    import ray.data as rd
+
+    from ocr_ray.ops.search import embedding_dispersion_by_label
+
+    _quiet()
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return embedding_dispersion_by_label(emb)
+
+
 def q_user_event_entropy(sf_dir: str):
     """Per-user quantized Shannon entropy of event types — see
     ops/stats.py:user_event_entropy."""
@@ -2899,6 +2913,7 @@ QUERIES = {
     "zipf_slope_by_lang": q_zipf_slope_by_lang,
     "peak_concurrent_sessions": q_peak_concurrent_sessions,
     "user_event_entropy": q_user_event_entropy,
+    "embedding_dispersion": q_embedding_dispersion,
     "top_unshipped_orders": q_top_unshipped_orders,
     "events_pivot_daily": q_events_pivot_daily,
     "bigram_familiarity": q_bigram_familiarity,
@@ -3580,6 +3595,12 @@ def _user_entropy_sql() -> str:
     from ocr_ray.ops.stats import user_event_entropy_sql
 
     return user_event_entropy_sql()
+
+
+def _embedding_dispersion_sql() -> str:
+    from ocr_ray.ops.search import embedding_dispersion_sql
+
+    return embedding_dispersion_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4546,6 +4567,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_slope_by_lang": _zipf_slope_sql(),
         "peak_concurrent_sessions": _peak_sessions_sql(),
         "user_event_entropy": _user_entropy_sql(),
+        "embedding_dispersion": _embedding_dispersion_sql(),
         "order_priority_late_counts": (
             "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late\n"
             "FROM orders o\n"

@@ -166,3 +166,147 @@ def label_centroids(embeddings):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def embedding_dispersion_by_label(embeddings):
+    """Per-label within-group scatter: the mean squared pairwise
+    Euclidean distance over all ordered pairs, via the moment identity
+    Σ_{i≠j}‖xᵢ−xⱼ‖² = 2·(N·Σ‖xᵢ‖² − ‖Σxᵢ‖²) — so vectors NEVER pair up
+    and never shuffle; each batch emits per-(label, dim) component sums
+    plus one sentinel dim=0 row carrying the squared-norm sum, one keyed
+    sum reduces them, and one tiny per-label block finishes.
+
+    Determinism: components are quantized ``floor(x·1000)`` (the k-means
+    convention) so every moment is an exact integer — Python ints in the
+    finishing block, HUGEINT in the oracle — and the final dispersion is
+    one shared IEEE expression over the casts. Labels with one vector
+    take the guarded 0.0 branch."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    Q = 1000
+
+    def partials(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("label", pa.int64()),
+                ("dim", pa.int64()),
+                ("isum", pa.int64()),
+                ("n", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = np.floor(
+            emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            * Q
+        ).astype(np.int64)
+        dim = len(flat) // batch.num_rows
+        m = flat.reshape(batch.num_rows, dim)
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        out = {"label": [], "dim": [], "isum": [], "n": []}
+        for lab in np.unique(labels):
+            rows = m[labels == lab]
+            sums = rows.sum(axis=0, dtype=np.int64)
+            sq = int((rows * rows).sum(dtype=np.int64))
+            out["label"].extend([int(lab)] * (dim + 1))
+            out["dim"].extend(range(0, dim + 1))  # 0 = squared-norm sentinel
+            out["isum"].extend([sq] + [int(s) for s in sums])
+            out["n"].extend([len(rows)] * (dim + 1))
+        return pa.table(
+            {
+                "label": pa.array(out["label"], pa.int64()),
+                "dim": pa.array(out["dim"], pa.int64()),
+                "isum": pa.array(out["isum"], pa.int64()),
+                "n": pa.array(out["n"], pa.int64()),
+            }
+        )
+
+    agg = (
+        embeddings.map_batches(partials, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("isum", alias_name="isum"), Sum("n", alias_name="n"))
+    )
+
+    out_schema = pa.schema(
+        [
+            ("label", pa.int64()),
+            ("n_vecs", pa.int64()),
+            ("mean_sq_dist", pa.float64()),
+        ]
+    )
+
+    def finish_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        rows = block.num_rows
+        if rows == 0 or len(starts) == 0:
+            return out_schema.empty_table()
+        labels = block.column("label").to_numpy(zero_copy_only=False)
+        dims = block.column("dim").to_numpy(zero_copy_only=False)
+        isum = block.column("isum").to_numpy(zero_copy_only=False)
+        ncol = block.column("n").to_numpy(zero_copy_only=False)
+        ends = np.append(starts[1:], rows)
+        out = {"label": [], "n_vecs": [], "mean_sq_dist": []}
+        for s, e in zip(starts, ends):
+            d, v = dims[s:e], isum[s:e]
+            n = int(ncol[s])
+            s2 = int(v[d == 0][0])
+            ss1 = sum(int(x) * int(x) for x in v[d > 0])  # exact Python ints
+            if n < 2:
+                msd = 0.0
+            else:
+                # shared IEEE tree with the oracle
+                msd = (
+                    2.0
+                    * (float(n) * float(s2) - float(ss1))
+                    / (float(n) * (float(n) - 1.0))
+                    / float(Q * Q)
+                )
+            out["label"].append(int(labels[s]))
+            out["n_vecs"].append(n)
+            out["mean_sq_dist"].append(msd)
+        return pa.table(
+            {
+                "label": pa.array(out["label"], pa.int64()),
+                "n_vecs": pa.array(out["n_vecs"], pa.int64()),
+                "mean_sq_dist": pa.array(out["mean_sq_dist"], pa.float64()),
+            }
+        )
+
+    return grouped_map(agg, ["label"], finish_block)
+
+
+def embedding_dispersion_sql() -> str:
+    """DuckDB replay: parallel unnest with subscripts, same floor(x·1000)
+    quantization, HUGEINT moments, same guarded closed form."""
+    return (
+        "WITH q AS (\n"
+        " SELECT label,\n"
+        "  unnest(range(1, len(embedding) + 1)) AS i,\n"
+        "  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)"
+        " AS qv\n"
+        " FROM embeddings\n"
+        "), nv AS (\n"
+        " SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label\n"
+        "), s2 AS (\n"
+        " SELECT label, SUM(CAST(qv AS HUGEINT) * qv) AS s2"
+        " FROM q GROUP BY label\n"
+        "), dimsum AS (\n"
+        " SELECT label, i, SUM(CAST(qv AS HUGEINT)) AS s1"
+        " FROM q GROUP BY label, i\n"
+        "), ss1 AS (\n"
+        " SELECT label, SUM(s1 * s1) AS ss1 FROM dimsum GROUP BY label\n"
+        ")\n"
+        "SELECT CAST(nv.label AS BIGINT) AS label,\n"
+        " CAST(nv.n AS BIGINT) AS n_vecs,\n"
+        " CASE WHEN nv.n < 2 THEN 0.0 ELSE\n"
+        "  2.0 * (CAST(nv.n AS DOUBLE) * CAST(s2.s2 AS DOUBLE)"
+        " - CAST(ss1.ss1 AS DOUBLE))\n"
+        "  / (CAST(nv.n AS DOUBLE) * (CAST(nv.n AS DOUBLE) - 1.0))"
+        " / 1000000.0 END AS mean_sq_dist\n"
+        "FROM nv JOIN s2 ON s2.label = nv.label"
+        " JOIN ss1 ON ss1.label = nv.label"
+    )
