@@ -2518,6 +2518,53 @@ def q_customer_order_distribution(sf_dir: str):
     )
 
 
+def q_media_dhash_pairs(sf_dir: str):
+    """Near-duplicate images over a deterministic full-entropy texture
+    corpus sized to the scale factor (distinct textures land ~32 bits
+    apart, so planted duplicates are the only signal): every 10th image
+    is an exact copy of its i−9 predecessor, every 10th+5 a
+    brightness-shifted twin of i−5 (dHash is provably invariant to a
+    uniform shift — the classic re-encode variant). Genuinely
+    non-SQL-expressible (pixel access) — rows-only in the driver,
+    pinned by tests/test_multimodal_dhash.py."""
+    import ray.data as rd
+
+    from ocr_ray.ops.multimodal import (
+        decode_raw_image,
+        encode_raw_image,
+        media_dhash_pairs,
+        synthesize_texture_images,
+    )
+
+    _quiet()
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    tbl = synthesize_texture_images(n, seed=11)
+    payloads = tbl.column("payload").to_pylist()
+    for i in range(len(payloads)):
+        if i % 10 == 9:
+            payloads[i] = payloads[i - 9]          # exact copy
+        elif i % 10 == 5 and i >= 5:
+            img = decode_raw_image(payloads[i - 5])
+            img = (img.astype(np.int16) + 6).astype(np.uint8)  # never clips
+            payloads[i] = encode_raw_image(img)
+    media = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": tbl.column("media_id"),
+                "media_type": tbl.column("media_type"),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+    )
+    return _materialized(
+        media_dhash_pairs(media),
+        pa.schema(
+            [("media_a", pa.int64()), ("media_b", pa.int64()),
+             ("hamming", pa.int64())]
+        ),
+    )
+
+
 def q_embedding_dispersion(sf_dir: str):
     """Per-label within-group scatter from integer moments — see
     ops/search.py:embedding_dispersion_by_label."""
@@ -2914,6 +2961,7 @@ QUERIES = {
     "peak_concurrent_sessions": q_peak_concurrent_sessions,
     "user_event_entropy": q_user_event_entropy,
     "embedding_dispersion": q_embedding_dispersion,
+    "media_dhash_pairs": q_media_dhash_pairs,
     "top_unshipped_orders": q_top_unshipped_orders,
     "events_pivot_daily": q_events_pivot_daily,
     "bigram_familiarity": q_bigram_familiarity,

@@ -399,3 +399,132 @@ def sample_frames(decoded, interval_ms: int = 1000, concurrency=(1, 4)):
         batch_size=64,
         concurrency=concurrency,
     )
+
+
+# ------------------------------------------- perceptual image near-dup
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash): luma → 8×9 block means → each bit
+    says "right cell brighter than left". Block means are EXACT — 2-D
+    integer prefix sums give cell sums, and the brightness comparison
+    cross-multiplies sums by cell areas instead of dividing — so the
+    hash is bit-stable across platforms (no float rounding anywhere).
+    Requires at least 9×8 pixels (a real pipeline resizes first; the
+    resize stage upstream guarantees this for any non-degenerate
+    page)."""
+    import ocr_ray.kernels.pixels as px
+
+    gray = px.to_gray(img).astype(np.int64)
+    h, w = gray.shape
+    if h < 8 or w < 9:
+        raise ValueError(f"dhash needs ≥9×8 pixels, got {w}×{h}")
+    P = np.zeros((h + 1, w + 1), dtype=np.int64)
+    P[1:, 1:] = gray.cumsum(axis=0).cumsum(axis=1)
+    rb = (np.arange(9, dtype=np.int64) * h) // 8      # 9 row boundaries
+    cb = (np.arange(10, dtype=np.int64) * w) // 9     # 10 col boundaries
+    s = (
+        P[rb[1:, None], cb[None, 1:]]
+        - P[rb[:-1, None], cb[None, 1:]]
+        - P[rb[1:, None], cb[None, :-1]]
+        + P[rb[:-1, None], cb[None, :-1]]
+    )  # (8, 9) exact cell sums
+    cnt = (rb[1:, None] - rb[:-1, None]) * (cb[None, 1:] - cb[None, :-1])
+    bits = s[:, 1:] * cnt[:, :-1] > s[:, :-1] * cnt[:, 1:]
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return int(np.bitwise_or.reduce(weights[bits.reshape(64)]) if bits.any()
+               else 0)
+
+
+def media_dhash_pairs(media, max_hamming: int = 3, max_bucket: int = 8192):
+    """Near-duplicate images: perceptual dHash per RAWI payload, then
+    the SHARED 64-bit Hamming machinery from text SimHash dedup
+    (ops/dedup.py) — 4×16-bit pigeonhole chunk tables, one shuffle of
+    slim (table, chunk, id, hash) rows, vectorized popcount all-pairs
+    per bucket with the logged rep-pair overflow guard. Non-raw payloads
+    (compressed formats needing PIL/cv2) are skipped here; the real
+    decode seam is ``DecodeMedia(real_codecs=True)``.
+
+    Output (media_a, media_b, hamming) for hamming ≤ ``max_hamming``.
+    Not SQL-expressible (pixel access) — pinned by pytest instead
+    (exact copy → 0, noise-perturbed → ≤ max_hamming, distinct pages →
+    no pair)."""
+    from ray.data.aggregate import Min
+
+    from ocr_ray.ops.dedup import _simhash_block_pairs_factory
+    from ocr_ray.stages.grouped import grouped_map
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        ids_out, hashes = [], []
+        ids = batch.column("media_id").to_pylist()
+        for mid, payload in zip(ids, batch.column("payload").to_pylist()):
+            if not is_raw_image(payload):
+                continue
+            hashes.append(dhash64(decode_raw_image(payload)))
+            ids_out.append(mid)
+        n = len(ids_out)
+        return pa.table(
+            {
+                "table_id": pa.array(
+                    [t for t in range(4) for _ in range(n)], pa.int32()
+                ),
+                "chunk": pa.array(
+                    [(x >> (16 * t)) & 0xFFFF for t in range(4) for x in hashes],
+                    pa.int32(),
+                ),
+                "doc_id": pa.array(ids_out * 4, pa.int64()),
+                "simhash": pa.array(
+                    np.tile(np.array(hashes, dtype=np.uint64), 4), pa.uint64()
+                ),
+            }
+        )
+
+    sims = media.map_batches(hash_batch, batch_format="pyarrow")
+    pairs = grouped_map(
+        sims,
+        ["table_id", "chunk"],
+        _simhash_block_pairs_factory(max_hamming, max_bucket),
+    )
+    out = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [("media_a", pa.int64()), ("media_b", pa.int64()),
+                 ("hamming", pa.int64())]
+            ).empty_table()
+        return t.rename_columns(["media_a", "media_b", "hamming"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def synthesize_texture_images(n: int, seed: int = 11,
+                              max_dim: int = 128) -> pa.Table:
+    """Deterministic full-entropy texture pages (SHAKE-256 expanded, no
+    RNG-stream version risk) — unlike the striped text pages, distinct
+    textures land ~32 bits apart under dHash, so near-dup queries over
+    them have NO accidental collisions and planted duplicates are the
+    only signal."""
+    ids, kinds, payloads = [], [], []
+    for i in range(n):
+        h = hashlib.sha256(f"tex|{seed}|{i}".encode()).digest()
+        w = 64 + h[0] % max(1, max_dim - 63)
+        ht = 64 + h[1] % max(1, max_dim - 63)
+        body = hashlib.shake_256(f"texbody|{seed}|{i}".encode()).digest(
+            w * ht * 3
+        )
+        # values bounded to 0..249 so a small uniform brightness shift
+        # (the planted near-dup transform) can never clip at 255 — the
+        # cross-multiplied block comparison is then EXACTLY invariant
+        img = (np.frombuffer(body, dtype=np.uint8) % 250).reshape(ht, w, 3)
+        ids.append(i)
+        kinds.append("image")
+        payloads.append(encode_raw_image(img))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
