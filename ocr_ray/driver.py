@@ -2518,6 +2518,203 @@ def q_customer_order_distribution(sf_dir: str):
     )
 
 
+def q_revenue_concentration(sf_dir: str):
+    """Revenue concentration curve: customers bucketed into 20 ventiles
+    by lifetime value (the proven range-partitioned NTILE — no global
+    sort), each ventile reduced to (n_customers, tile_cents,
+    revenue_share). The share division is the only float, computed from
+    exact integer cents on both engines."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ocr_ray.ops.stats import customer_value_ntile
+
+    _quiet()
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    tiled = customer_value_ntile(orders, tiles=20)
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [("tile", pa.int64()), ("cents", pa.int64()),
+                 ("n", pa.int64())]
+            ).empty_table()
+        g = (
+            t.select(["tile", "total_cents"])
+            .group_by("tile")
+            .aggregate([("total_cents", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "tile": g["tile"].cast(pa.int64()),
+                "cents": g["total_cents_sum"].cast(pa.int64()),
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        tiled.map_batches(partials, batch_format="pyarrow")
+        .groupby("tile")
+        .aggregate(Sum("cents", alias_name="tile_cents"),
+                   Sum("n", alias_name="n_customers"))
+    )
+    rows = sorted(agg.take_all(), key=lambda r: r["tile"])
+    total = sum(int(r["tile_cents"]) for r in rows)
+    return pa.table(
+        {
+            "tile": pa.array([int(r["tile"]) for r in rows], pa.int64()),
+            "n_customers": pa.array(
+                [int(r["n_customers"]) for r in rows], pa.int64()
+            ),
+            "tile_cents": pa.array(
+                [int(r["tile_cents"]) for r in rows], pa.int64()
+            ),
+            # shared IEEE: CAST(tile_cents AS DOUBLE) / CAST(total AS DOUBLE)
+            "revenue_share": pa.array(
+                [float(int(r["tile_cents"])) / float(total) for r in rows],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def q_monthly_revenue_growth(sf_dir: str):
+    """Month-over-month revenue: distributed integer-cents rollup per
+    calendar month (map-side partials → one keyed sum, ≤ the month
+    domain in rows), then the LAG family (delta + pct growth) computed
+    over the MATERIALIZED tiny aggregate — the
+    window-over-super-aggregate pattern (rollup_lang_source's rule:
+    derived rows come from the already-reduced table, never a second
+    corpus scan). Growth is the one float, shared IEEE with the
+    oracle; the first month's delta/growth are NULL like SQL LAG."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    _quiet()
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        months = (
+            us.astype("datetime64[us]").astype("datetime64[M]").astype(np.int64)
+        )
+        cents = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        return (
+            pa.table(
+                {
+                    "month_idx": pa.array(months, pa.int64()),
+                    "cents": pa.array(cents, pa.int64()),
+                }
+            )
+            .group_by("month_idx")
+            .aggregate([("cents", "sum")])
+            .rename_columns(["month_idx", "cents"])
+        )
+
+    agg = (
+        orders.map_batches(partials, batch_format="pyarrow")
+        .groupby("month_idx")
+        .aggregate(Sum("cents", alias_name="revenue_cents"))
+    )
+    rows = sorted(agg.take_all(), key=lambda r: r["month_idx"])
+    months = np.array([r["month_idx"] for r in rows], np.int64)
+    rev = [int(r["revenue_cents"]) for r in rows]
+    deltas: list[int | None] = [None]
+    growth: list[float | None] = [None]
+    for prev, cur in zip(rev, rev[1:]):
+        deltas.append(cur - prev)
+        # shared IEEE tree: CAST(cur - prev AS DOUBLE) / CAST(prev AS DOUBLE)
+        growth.append(float(cur - prev) / float(prev))
+    return pa.table(
+        {
+            "month": pc.cast(
+                pa.array(months.astype("datetime64[M]").astype("datetime64[us]")
+                         .astype(np.int64), pa.int64()),
+                pa.timestamp("us"),
+            ),
+            "revenue_cents": pa.array(rev, pa.int64()),
+            "delta_cents": pa.array(deltas, pa.int64()),
+            "growth": pa.array(growth, pa.float64()),
+        }
+    )
+
+
+def q_cohort_matrix(sf_dir: str):
+    """Full cohort-retention matrix: users grouped by their first-event
+    day, counted distinct per (cohort_day, day_offset). The cohort AND
+    the per-user distinct offsets both resolve inside one
+    (user_id)-partitioned block (min day is in-block — no join back),
+    which emits slim (cohort_day, offset) rows per user; one keyed count
+    finishes. Generalizes daily_retention (the offset=1 column of this
+    matrix)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    pair_schema = pa.schema(
+        [("cohort_day", pa.int64()), ("day_offset", pa.int64())]
+    )
+
+    def user_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return pair_schema.empty_table()
+        days = (
+            block.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 1_000_000
+            // 86_400
+        )
+        ends = np.append(starts[1:], n)
+        cohorts, offsets = [], []
+        for s, e in zip(starts, ends):
+            d = days[s:e]
+            c = int(d.min())
+            offs = np.unique(d - c)
+            cohorts.append(np.full(len(offs), c, np.int64))
+            offsets.append(offs)
+        return pa.table(
+            {
+                "cohort_day": pa.array(np.concatenate(cohorts), pa.int64()),
+                "day_offset": pa.array(
+                    np.concatenate(offsets).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    pairs = grouped_map(events, ["user_id"], user_block)
+    agg = pairs.groupby(["cohort_day", "day_offset"]).aggregate(
+        Count(alias_name="n_users")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [("cohort_day", pa.timestamp("us")),
+                 ("day_offset", pa.int64()), ("n_users", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "cohort_day": pc.cast(
+                    pc.multiply(t["cohort_day"], 86_400_000_000),
+                    pa.timestamp("us"),
+                ),
+                "day_offset": t["day_offset"],
+                "n_users": t["n_users"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_media_dhash_pairs(sf_dir: str):
     """Near-duplicate images over a deterministic full-entropy texture
     corpus sized to the scale factor (distinct textures land ~32 bits
@@ -2962,6 +3159,9 @@ QUERIES = {
     "user_event_entropy": q_user_event_entropy,
     "embedding_dispersion": q_embedding_dispersion,
     "media_dhash_pairs": q_media_dhash_pairs,
+    "monthly_revenue_growth": q_monthly_revenue_growth,
+    "cohort_matrix": q_cohort_matrix,
+    "revenue_concentration": q_revenue_concentration,
     "top_unshipped_orders": q_top_unshipped_orders,
     "events_pivot_daily": q_events_pivot_daily,
     "bigram_familiarity": q_bigram_familiarity,
@@ -4616,6 +4816,59 @@ def oracle_sql() -> dict[str, str]:
         "peak_concurrent_sessions": _peak_sessions_sql(),
         "user_event_entropy": _user_entropy_sql(),
         "embedding_dispersion": _embedding_dispersion_sql(),
+        "revenue_concentration": (
+            "WITH t AS (\n"
+            " SELECT o_custkey AS c_custkey,\n"
+            "  SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))"
+            " AS total_cents\n"
+            " FROM orders GROUP BY 1\n"
+            "), tiled AS (\n"
+            " SELECT total_cents,\n"
+            "  NTILE(20) OVER (ORDER BY total_cents, c_custkey) AS tile\n"
+            " FROM t\n"
+            "), per AS (\n"
+            " SELECT tile, COUNT(*) AS n_customers,"
+            " SUM(total_cents) AS tile_cents\n"
+            " FROM tiled GROUP BY tile\n"
+            ")\n"
+            "SELECT CAST(tile AS BIGINT) AS tile,\n"
+            " CAST(n_customers AS BIGINT) AS n_customers,\n"
+            " CAST(tile_cents AS BIGINT) AS tile_cents,\n"
+            " CAST(tile_cents AS DOUBLE) /"
+            " CAST((SELECT SUM(tile_cents) FROM per) AS DOUBLE)"
+            " AS revenue_share\n"
+            "FROM per"
+        ),
+        "monthly_revenue_growth": (
+            "WITH monthly AS (\n"
+            " SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,\n"
+            "  CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))"
+            " AS BIGINT) AS revenue_cents\n"
+            " FROM orders GROUP BY 1\n"
+            ")\n"
+            "SELECT month, revenue_cents,\n"
+            " CAST(revenue_cents - LAG(revenue_cents) OVER w AS BIGINT)"
+            " AS delta_cents,\n"
+            " CAST(revenue_cents - LAG(revenue_cents) OVER w AS DOUBLE)\n"
+            "  / CAST(LAG(revenue_cents) OVER w AS DOUBLE) AS growth\n"
+            "FROM monthly WINDOW w AS (ORDER BY month)"
+        ),
+        "cohort_matrix": (
+            "WITH days AS (\n"
+            " SELECT user_id, epoch_us(ts) // 1000000 // 86400 AS day\n"
+            " FROM events\n"
+            "), cohort AS (\n"
+            " SELECT user_id, MIN(day) AS c FROM days GROUP BY user_id\n"
+            "), pairs AS (\n"
+            " SELECT DISTINCT d.user_id, c.c AS cohort_day,"
+            " d.day - c.c AS day_offset\n"
+            " FROM days d JOIN cohort c ON c.user_id = d.user_id\n"
+            ")\n"
+            "SELECT to_timestamp(cohort_day * 86400)::TIMESTAMP AS cohort_day,\n"
+            " CAST(day_offset AS BIGINT) AS day_offset,\n"
+            " CAST(COUNT(*) AS BIGINT) AS n_users\n"
+            "FROM pairs GROUP BY cohort_day, day_offset"
+        ),
         "order_priority_late_counts": (
             "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late\n"
             "FROM orders o\n"
