@@ -2715,6 +2715,453 @@ def q_cohort_matrix(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_dup_rate_by_source(sf_dir: str):
+    """Duplicate rate per source: exact-dedup × rollup composition.
+    Fingerprint rows carry their source through the fingerprint-keyed
+    shuffle; the keeper (min doc_id per fingerprint) resolves in-block
+    via ``np.minimum.reduceat``, and only per-source (n_docs, n_dups)
+    partials leave each block — one tiny keyed sum finishes. The rate
+    division is the only float (exact integers on both engines)."""
+    import hashlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.analysis import normalize_for_fingerprint
+    from ocr_ray.stages.grouped import grouped_map
+
+    docs = _docs(sf_dir, "doc_id", "text", "source")
+
+    def hash_batch(t: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(
+                normalize_for_fingerprint(x).encode("utf-8")
+            ).hexdigest()
+            for x in t.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "fingerprint": pa.array(fps, pa.string()),
+                "doc_id": t.column("doc_id"),
+                "source": t.column("source"),
+            }
+        )
+
+    partial_schema = pa.schema(
+        [("source", pa.string()), ("n_docs", pa.int64()),
+         ("n_dups", pa.int64())]
+    )
+
+    def fp_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return partial_schema.empty_table()
+        ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+        ends = np.append(starts[1:], n)
+        keeper = np.repeat(np.minimum.reduceat(ids, starts), ends - starts)
+        g = (
+            pa.table(
+                {
+                    "source": block.column("source"),
+                    "dup": pa.array((ids != keeper).astype(np.int64)),
+                    "one": pa.array(np.ones(n, np.int64)),
+                }
+            )
+            .group_by("source")
+            .aggregate([("one", "sum"), ("dup", "sum")])
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                "n_docs": g["one_sum"].cast(pa.int64()),
+                "n_dups": g["dup_sum"].cast(pa.int64()),
+            }
+        )
+
+    hashed = docs.map_batches(hash_batch, batch_format="pyarrow")
+    agg = grouped_map(hashed, ["fingerprint"], fp_block).groupby(
+        "source"
+    ).aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_dups", alias_name="n_dups"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [("source", pa.string()), ("n_docs", pa.int64()),
+                 ("n_dups", pa.int64()), ("dup_rate", pa.float64())]
+            ).empty_table()
+        docs_n = t["n_docs"].cast(pa.int64())
+        dups_n = t["n_dups"].cast(pa.int64())
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_docs": docs_n,
+                "n_dups": dups_n,
+                # shared IEEE: CAST(n_dups AS DOUBLE)/CAST(n_docs AS DOUBLE)
+                "dup_rate": pc.divide(
+                    dups_n.cast(pa.float64()), docs_n.cast(pa.float64())
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_daily_bounce_rate(sf_dir: str):
+    """Per-day bounce rate: fraction of that day's active users with
+    exactly one event. The (user, day) resolution happens inside one
+    (user_id)-partitioned block — a user never straddles blocks, so each
+    (user, day) pair materializes exactly once across the cluster — and
+    each block emits per-day (n_users, n_bounces) partials; one keyed
+    sum over the tiny day domain finishes."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    partial_schema = pa.schema(
+        [("day", pa.int64()), ("n_users", pa.int64()),
+         ("n_bounces", pa.int64())]
+    )
+
+    def user_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        if block.num_rows == 0:
+            return partial_schema.empty_table()
+        days = (
+            block.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        per = (
+            pa.table(
+                {"user_id": block.column("user_id"),
+                 "day": pa.array(days, pa.int64())}
+            )
+            .group_by(["user_id", "day"])
+            .aggregate([([], "count_all")])
+        )
+        g = (
+            pa.table(
+                {
+                    "day": per["day"],
+                    "one": pa.array(np.ones(per.num_rows, np.int64)),
+                    "bounce": pc.cast(
+                        pc.equal(per["count_all"], 1), pa.int64()
+                    ),
+                }
+            )
+            .group_by("day")
+            .aggregate([("one", "sum"), ("bounce", "sum")])
+        )
+        return pa.table(
+            {
+                "day": g["day"],
+                "n_users": g["one_sum"].cast(pa.int64()),
+                "n_bounces": g["bounce_sum"].cast(pa.int64()),
+            }
+        )
+
+    agg = grouped_map(events, ["user_id"], user_block).groupby(
+        "day"
+    ).aggregate(
+        Sum("n_users", alias_name="n_users"),
+        Sum("n_bounces", alias_name="n_bounces"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [("day", pa.timestamp("us")), ("n_users", pa.int64()),
+                 ("n_bounces", pa.int64()), ("bounce_rate", pa.float64())]
+            ).empty_table()
+        users_n = t["n_users"].cast(pa.int64())
+        bounces_n = t["n_bounces"].cast(pa.int64())
+        return pa.table(
+            {
+                "day": pc.cast(
+                    pc.multiply(t["day"], 86_400_000_000), pa.timestamp("us")
+                ),
+                "n_users": users_n,
+                "n_bounces": bounces_n,
+                # shared IEEE: CAST(b AS DOUBLE)/CAST(u AS DOUBLE)
+                "bounce_rate": pc.divide(
+                    bounces_n.cast(pa.float64()), users_n.cast(pa.float64())
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_Q18_MIN_QTY = 250
+
+
+def q_large_volume_customers(sf_dir: str):
+    """TPC-H Q18-shaped large-volume customers: orders whose total
+    lineitem quantity exceeds the threshold, joined back to order and
+    customer detail.
+
+    Scale shape: lineitem — the 100 TB table — collapses to slim
+    (orderkey, qty) partials map-side, finishes per orderkey inside one
+    keyed block (segment sums, no native groupby over millions of
+    singleton groups), and the HAVING filter applies IN that block, so
+    only the rare qualifying orders (small by the threshold's own
+    semantics) ever leave. Those broadcast into the orders scan, and
+    the still-small result broadcasts into the customer scan — zero
+    all-to-all exchanges end to end."""
+    import ray.data as rd
+
+    from ocr_ray.ops.joins import broadcast_join
+    from ocr_ray.stages.grouped import grouped_map
+
+    _quiet()
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def qty_partials(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"].cast(pa.int64()),
+                    "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+                }
+            )
+            .group_by("l_orderkey")
+            .aggregate([("qty", "sum")])
+        )
+        return pa.table(
+            {"l_orderkey": g["l_orderkey"], "qty": g["qty_sum"].cast(pa.int64())}
+        )
+
+    big_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("sum_qty", pa.int64())]
+    )
+
+    def having_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return big_schema.empty_table()
+        keys = block.column("l_orderkey").to_numpy(zero_copy_only=False)
+        qty = block.column("qty").to_numpy(zero_copy_only=False)
+        sums = np.add.reduceat(qty, starts)
+        keep = sums > _Q18_MIN_QTY
+        return pa.table(
+            {
+                "o_orderkey": pa.array(keys[starts][keep], pa.int64()),
+                "sum_qty": pa.array(sums[keep], pa.int64()),
+            }
+        )
+
+    partials = li.map_batches(qty_partials, batch_format="pyarrow")
+    big = pa.Table.from_pylist(
+        grouped_map(partials, ["l_orderkey"], having_block).take_all(),
+        schema=big_schema,
+    )  # bounded: qualifying orders are rare by the HAVING threshold
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    with_orders = broadcast_join(orders, big, keys="o_orderkey")
+    mid_schema = pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("o_orderkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("total_cents", pa.int64()),
+            ("sum_qty", pa.int64()),
+        ]
+    )
+
+    def mid_project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return mid_schema.empty_table()
+        return pa.table(
+            {
+                "c_custkey": t["o_custkey"].cast(pa.int64()),
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "o_orderdate": t["o_orderdate"],
+                "total_cents": _cents(t["o_totalprice"]),
+                "sum_qty": t["sum_qty"].cast(pa.int64()),
+            }
+        )
+
+    mid = pa.Table.from_pylist(
+        with_orders.map_batches(mid_project, batch_format="pyarrow").take_all(),
+        schema=mid_schema,
+    )  # one row per qualifying order — same bound as `big`
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    out = broadcast_join(cust, mid, keys="c_custkey")
+    return pa.Table.from_pylist(
+        out.take_all(),
+        schema=pa.schema(
+            [
+                ("c_custkey", pa.int64()),
+                ("c_name", pa.string()),
+                ("o_orderkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("total_cents", pa.int64()),
+                ("sum_qty", pa.int64()),
+            ]
+        ),
+    )
+
+
+def q_pareto_frontier_orders(sf_dir: str):
+    """Distributed skyline: the Pareto frontier of orders maximizing
+    price and minimizing order date ("the cheapest-to-wait-for high
+    value orders" shape). A point survives iff no other order is at
+    least as early AND at least as valuable with one strict.
+
+    Classic two-level skyline: each batch reduces to its per-day max
+    price + count at that max (a local frontier superset); one keyed
+    pass per day finishes the per-day maxima; the final prefix-max walk
+    runs over the tiny day domain driver-side (bounded by the calendar,
+    not the data). Prices are exact integer cents."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    _quiet()
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    part_schema = pa.schema(
+        [("d", pa.int64()), ("c", pa.int64()), ("n", pa.int64())]
+    )
+
+    def day_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        g = (
+            pa.table(
+                {
+                    "d": t["o_orderdate"].cast(pa.int64()),
+                    "c": _cents(t["o_totalprice"]),
+                }
+            )
+            .group_by(["d", "c"])
+            .aggregate([([], "count_all")])
+            .sort_by([("d", "ascending"), ("c", "descending")])
+        )
+        d = g["d"].to_numpy(zero_copy_only=False)
+        first = np.unique(d, return_index=True)[1]  # top price per day
+        return pa.table(
+            {
+                "d": g["d"].take(first),
+                "c": g["c"].take(first),
+                "n": g["count_all"].take(first).cast(pa.int64()),
+            }
+        )
+
+    def day_final(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return part_schema.empty_table()
+        ends = np.append(starts[1:], n)
+        c = block.column("c").to_numpy(zero_copy_only=False)
+        cnt = block.column("n").to_numpy(zero_copy_only=False)
+        cmax = np.repeat(np.maximum.reduceat(c, starts), ends - starts)
+        at_max = c == cmax
+        seg = np.repeat(np.arange(len(starts)), ends - starts)
+        n_at_max = np.bincount(
+            seg[at_max], weights=cnt[at_max], minlength=len(starts)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "d": block.column("d").take(pa.array(starts)),
+                "c": pa.array(cmax[starts], pa.int64()),
+                "n": pa.array(n_at_max, pa.int64()),
+            }
+        )
+
+    per_day = grouped_map(
+        orders.map_batches(day_partials, batch_format="pyarrow"),
+        ["d"],
+        day_final,
+    )
+    rows = sorted(per_day.take_all(), key=lambda r: r["d"])  # ≤ day domain
+    out_d, out_c, out_n = [], [], []
+    best = None
+    for r in rows:
+        if best is None or int(r["c"]) > best:
+            best = int(r["c"])
+            out_d.append(int(r["d"]))
+            out_c.append(best)
+            out_n.append(int(r["n"]))
+    return pa.table(
+        {
+            "o_orderdate": pc.cast(
+                pa.array(out_d, pa.int64()), pa.timestamp("us")
+            ),
+            "price_cents": pa.array(out_c, pa.int64()),
+            "n_orders": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+def q_revenue_gini(sf_dir: str):
+    """Exact Gini coefficient of customer lifetime value — see
+    ops/stats.py:gini_coefficient for the range-partitioned rank
+    design (no global sort; one int64 partial row per block)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.stats import gini_coefficient
+
+    _quiet()
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def cents_partials(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "c_custkey": t["o_custkey"].cast(pa.int64()),
+                    "cents": _cents(t["o_totalprice"]),
+                }
+            )
+            .group_by("c_custkey")
+            .aggregate([("cents", "sum")])
+        )
+        return pa.table(
+            {"c_custkey": g["c_custkey"], "cents": g["cents_sum"].cast(pa.int64())}
+        )
+
+    totals = (
+        orders.map_batches(cents_partials, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("cents", alias_name="total_cents"))
+    )
+    r = gini_coefficient(totals, "c_custkey", "total_cents")
+    return pa.table(
+        {
+            "n_customers": pa.array([r["n"]], pa.int64()),
+            "total_cents": pa.array([r["sum_value"]], pa.int64()),
+            "gini": pa.array([r["gini"]], pa.float64()),
+        }
+    )
+
+
+def q_unigram_logprob(sf_dir: str):
+    """Per-doc unigram LM score vs the corpus distribution — see
+    ops/tfidf.py:unigram_logprob for the quantized-log design."""
+    from ocr_ray.ops.tfidf import unigram_logprob
+
+    return unigram_logprob(_docs(sf_dir))
+
+
 def q_media_dhash_pairs(sf_dir: str):
     """Near-duplicate images over a deterministic full-entropy texture
     corpus sized to the scale factor (distinct textures land ~32 bits
@@ -3162,6 +3609,12 @@ QUERIES = {
     "monthly_revenue_growth": q_monthly_revenue_growth,
     "cohort_matrix": q_cohort_matrix,
     "revenue_concentration": q_revenue_concentration,
+    "dup_rate_by_source": q_dup_rate_by_source,
+    "daily_bounce_rate": q_daily_bounce_rate,
+    "large_volume_customers": q_large_volume_customers,
+    "pareto_frontier_orders": q_pareto_frontier_orders,
+    "revenue_gini": q_revenue_gini,
+    "unigram_logprob": q_unigram_logprob,
     "top_unshipped_orders": q_top_unshipped_orders,
     "events_pivot_daily": q_events_pivot_daily,
     "bigram_familiarity": q_bigram_familiarity,
@@ -4868,6 +5321,100 @@ def oracle_sql() -> dict[str, str]:
             " CAST(day_offset AS BIGINT) AS day_offset,\n"
             " CAST(COUNT(*) AS BIGINT) AS n_users\n"
             "FROM pairs GROUP BY cohort_day, day_offset"
+        ),
+        "dup_rate_by_source": (
+            "WITH hashed AS (\n"
+            f" SELECT doc_id, source, {_FP_SQL} AS fp FROM documents\n"
+            "), keep AS (\n"
+            " SELECT fp, MIN(doc_id) AS keeper FROM hashed GROUP BY fp\n"
+            ")\n"
+            "SELECT source,\n"
+            " CAST(COUNT(*) AS BIGINT) AS n_docs,\n"
+            " CAST(SUM(CASE WHEN h.doc_id <> k.keeper THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_dups,\n"
+            " CAST(SUM(CASE WHEN h.doc_id <> k.keeper THEN 1 ELSE 0 END)"
+            " AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate\n"
+            "FROM hashed h JOIN keep k USING (fp) GROUP BY source"
+        ),
+        "daily_bounce_rate": (
+            "WITH per AS (\n"
+            " SELECT user_id, epoch_us(ts) // 1000000 // 86400 AS day,\n"
+            "  COUNT(*) AS n FROM events GROUP BY 1, 2\n"
+            ")\n"
+            "SELECT to_timestamp(day * 86400)::TIMESTAMP AS day,\n"
+            " CAST(COUNT(*) AS BIGINT) AS n_users,\n"
+            " CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_bounces,\n"
+            " CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)"
+            " / CAST(COUNT(*) AS DOUBLE) AS bounce_rate\n"
+            "FROM per GROUP BY day"
+        ),
+        "large_volume_customers": (
+            "WITH big AS (\n"
+            " SELECT l_orderkey,"
+            " SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty\n"
+            " FROM lineitem GROUP BY 1\n"
+            f" HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > {_Q18_MIN_QTY}\n"
+            ")\n"
+            "SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,\n"
+            " CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT) AS total_cents,\n"
+            " CAST(b.sum_qty AS BIGINT) AS sum_qty\n"
+            "FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey\n"
+            "JOIN customer c ON c.c_custkey = o.o_custkey"
+        ),
+        "pareto_frontier_orders": (
+            "WITH pts AS (\n"
+            " SELECT o_orderdate AS d,"
+            " CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS c FROM orders\n"
+            "), per_d AS (\n"
+            " SELECT d, MAX(c) AS cmax FROM pts GROUP BY d\n"
+            "), cnt AS (\n"
+            " SELECT p.d, p.c, CAST(COUNT(*) AS BIGINT) AS n\n"
+            " FROM pts p JOIN per_d ON p.d = per_d.d AND p.c = per_d.cmax\n"
+            " GROUP BY 1, 2\n"
+            "), walk AS (\n"
+            " SELECT d, c, n, MAX(c) OVER (ORDER BY d\n"
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm\n"
+            " FROM cnt\n"
+            ")\n"
+            "SELECT d AS o_orderdate, c AS price_cents, n AS n_orders\n"
+            "FROM walk WHERE pm IS NULL OR c > pm"
+        ),
+        "revenue_gini": (
+            "WITH t AS (\n"
+            " SELECT o_custkey AS k,\n"
+            "  SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS v\n"
+            " FROM orders GROUP BY 1\n"
+            "), r AS (\n"
+            " SELECT v, ROW_NUMBER() OVER (ORDER BY v, k) AS rn FROM t\n"
+            ")\n"
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,\n"
+            " CAST(SUM(v) AS BIGINT) AS total_cents,\n"
+            " CAST(2 * SUM(CAST(rn AS HUGEINT) * CAST(v AS HUGEINT))"
+            " - (COUNT(*) + 1) * SUM(CAST(v AS HUGEINT)) AS DOUBLE)\n"
+            "  / CAST(COUNT(*) * SUM(CAST(v AS HUGEINT)) AS DOUBLE) AS gini\n"
+            "FROM r"
+        ),
+        "unigram_logprob": (
+            "WITH words AS (\n"
+            f" SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents\n"
+            "), tf AS (\n"
+            " SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf\n"
+            " FROM words GROUP BY 1, 2\n"
+            "), cnt AS (\n"
+            " SELECT word, SUM(tf) AS n FROM tf GROUP BY word\n"
+            "), tot AS (\n"
+            " SELECT SUM(n) AS t FROM cnt\n"
+            ")\n"
+            "SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,\n"
+            " CAST(SUM(CAST(tf AS HUGEINT) * CAST(floor(\n"
+            "   ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000\n"
+            " ) AS HUGEINT)) AS BIGINT) AS qlogprob,\n"
+            " CAST(SUM(CAST(tf AS HUGEINT) * CAST(floor(\n"
+            "   ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000\n"
+            " ) AS HUGEINT)) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)\n"
+            "  / 1000000.0 AS avg_logprob\n"
+            "FROM tf JOIN cnt USING (word) CROSS JOIN tot GROUP BY doc_id"
         ),
         "order_priority_late_counts": (
             "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late\n"

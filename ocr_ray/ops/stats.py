@@ -513,28 +513,17 @@ def props_k_stats(events):
 _NTILE_BUCKET_CENTS = 1 << 22  # ~42k currency units per range bucket
 
 
-def ntile_ranks(rows, key_col: str, value_col: str, tiles: int = 4,
-                bucket_width: int = _NTILE_BUCKET_CENTS):
-    """Generic distributed NTILE: ``rows`` is one slim (key, value) row
-    per entity (both int64); returns (key, value, tile) with the tile
-    assigned by global ascending rank ordered (value, key) — SQL's
-    ``NTILE(n) OVER (ORDER BY value, key)``, including the exact
-    uneven-split rule (first ``n mod tiles`` tiles get one extra row) —
-    computed WITHOUT a global sort.
-
-    Global rank via value-range partitioning (how distributed sorts
-    work, minus the final exchange): rows range-bucket by
-    ``value // bucket_width`` (values must be non-negative — integer
-    division truncates toward zero); a tiny per-bucket count aggregate
-    cumsums driver-side into base offsets (bounded by value range /
-    width); each bucket block sorts locally — global rank = bucket
-    offset + in-block position. Pick ``bucket_width`` so the value
-    range yields enough buckets to spread the cluster (e.g. ~64 for
-    day counts, the cents default for currency totals)."""
+def _range_bucket_offsets(rows, key_col: str, value_col: str,
+                          bucket_width: int):
+    """Shared scaffold for global-rank operators (NTILE, Gini): bucket
+    slim (key, value) rows by ``value // bucket_width``, materialize,
+    and cumsum the tiny per-bucket counts driver-side into base rank
+    offsets. Returns ``(bucketed_ds, offsets, n_total)`` — the global
+    rank of a row is its bucket offset + its position within the
+    (value, key)-sorted bucket block."""
     from ray.data.aggregate import Count
 
     from ocr_ray.ops.dedup import _with_schema
-    from ocr_ray.stages.grouped import grouped_map
 
     tot_schema = pa.schema(
         [
@@ -569,7 +558,32 @@ def ntile_ranks(rows, key_col: str, value_col: str, tiles: int = 4,
     for r in counts:
         offsets[r["bucket"]] = acc
         acc += r["n"]
-    n_total = acc
+    return bucketed, offsets, acc
+
+
+def ntile_ranks(rows, key_col: str, value_col: str, tiles: int = 4,
+                bucket_width: int = _NTILE_BUCKET_CENTS):
+    """Generic distributed NTILE: ``rows`` is one slim (key, value) row
+    per entity (both int64); returns (key, value, tile) with the tile
+    assigned by global ascending rank ordered (value, key) — SQL's
+    ``NTILE(n) OVER (ORDER BY value, key)``, including the exact
+    uneven-split rule (first ``n mod tiles`` tiles get one extra row) —
+    computed WITHOUT a global sort.
+
+    Global rank via value-range partitioning (how distributed sorts
+    work, minus the final exchange): rows range-bucket by
+    ``value // bucket_width`` (values must be non-negative — integer
+    division truncates toward zero); a tiny per-bucket count aggregate
+    cumsums driver-side into base offsets (bounded by value range /
+    width); each bucket block sorts locally — global rank = bucket
+    offset + in-block position. Pick ``bucket_width`` so the value
+    range yields enough buckets to spread the cluster (e.g. ~64 for
+    day counts, the cents default for currency totals)."""
+    from ocr_ray.stages.grouped import grouped_map
+
+    bucketed, offsets, n_total = _range_bucket_offsets(
+        rows, key_col, value_col, bucket_width
+    )
     out_schema = pa.schema(
         [
             (key_col, pa.int64()),
@@ -659,6 +673,82 @@ def customer_value_ntile(orders, tiles: int = 4,
         totals, "c_custkey", "total_cents", tiles=tiles,
         bucket_width=bucket_width,
     )
+
+
+def gini_coefficient(rows, key_col: str, value_col: str,
+                     bucket_width: int = _NTILE_BUCKET_CENTS) -> dict:
+    """Exact Gini coefficient over slim (key, value) rows — the
+    inequality summary of the concentration family (``ntile_ranks``
+    gives the curve; this is its scalar). Uses the rank identity
+    G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) with i the global ascending
+    rank ordered (value, key) — SQL's ``ROW_NUMBER() OVER (ORDER BY
+    value, key)``.
+
+    Scale shape: the same range-bucket scaffold as ``ntile_ranks``
+    (no global sort); each bucket block computes its exact int64
+    partial (Σ rank·value, Σ value, n) and ONE ROW leaves each block;
+    the driver combines the ≤num_buckets partials with arbitrary-
+    precision Python ints, so the only float is the final shared-IEEE
+    expression. Per-block Σ rank·value must fit int64 — at cents scale
+    that bounds a block to ~10⁹ rows × ~10⁹ ranks product; past that,
+    split the partial into two 63-bit limbs (the HUGEINT trick the
+    MinHash oracle already uses).
+
+    Returns ``{"n": int, "sum_value": int, "gini": float}``; gini is
+    0.0 for an empty or zero-sum input by convention.
+    """
+    from ocr_ray.stages.grouped import grouped_map
+
+    bucketed, offsets, n_total = _range_bucket_offsets(
+        rows, key_col, value_col, bucket_width
+    )
+    if n_total == 0:
+        return {"n": 0, "sum_value": 0, "gini": 0.0}
+
+    import ray
+
+    off_ref = ray.put(offsets)
+    part_schema = pa.schema(
+        [("sum_rv", pa.int64()), ("sum_v", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partial_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return part_schema.empty_table()
+        base = ray.get(off_ref)
+        bk = block.column("bucket").to_numpy(zero_copy_only=False)
+        v = block.column(value_col).to_numpy(zero_copy_only=False)
+        sizes = np.diff(np.append(starts, n))
+        # block arrives (bucket, value, key)-sorted
+        pos = np.arange(n) - np.repeat(starts, sizes)
+        rn = (
+            pos
+            + np.repeat(
+                np.array([base[int(b)] for b in bk[starts]], np.int64), sizes
+            )
+            + 1
+        )
+        return pa.table(
+            {
+                "sum_rv": pa.array([int(np.dot(rn, v))], pa.int64()),
+                "sum_v": pa.array([int(v.sum())], pa.int64()),
+                "n": pa.array([n], pa.int64()),
+            }
+        )
+
+    parts = grouped_map(
+        bucketed, ["bucket"], partial_block,
+        sort_within=[value_col, key_col],
+    ).take_all()  # bounded: one row per shuffle partition
+    sum_rv = sum(int(r["sum_rv"]) for r in parts)
+    sum_v = sum(int(r["sum_v"]) for r in parts)
+    n = sum(int(r["n"]) for r in parts)
+    if sum_v == 0:
+        return {"n": n, "sum_value": 0, "gini": 0.0}
+    # shared IEEE: CAST(2·Σrv − (n+1)·Σv AS DOUBLE) / CAST(n·Σv AS DOUBLE)
+    gini = float(2 * sum_rv - (n + 1) * sum_v) / float(n * sum_v)
+    return {"n": n, "sum_value": sum_v, "gini": gini}
 
 
 def length_token_correlation(docs):

@@ -133,3 +133,121 @@ def stratified_sample_per_group(docs, group_col: str = "lang", k: int = 10):
     return grouped_map(
         docs.select_columns([group_col, "doc_id"]), [group_col], sample_block
     )
+
+
+def unigram_logprob(docs, scale: int = 1_000_000):
+    """Per-document unigram language-model score against the corpus's
+    own unigram distribution — the perplexity-style quality signal a
+    training-mix pipeline uses to rank documents (low average log-prob
+    ≈ unusual vocabulary).
+
+    score(d) = Σ_{w∈d} tf(w,d) · qlog(n_w / N) where n_w is the corpus
+    count of w, N the corpus token count, and qlog quantizes each log to
+    an integer (``floor(ln(p)·scale)``, the bit-verified trick shared
+    with ``zipf_slope_by_lang`` / ``user_event_entropy``) so the big sum
+    is EXACT int64 and order-free; the per-doc average is the one shared
+    IEEE float.
+
+    Scale shape (two shuffles of slim derived rows, like tf-idf): the
+    (doc, word, tf) rows materialize once (a single tokenization pass —
+    the corpus count N and the word-partitioned pass both read the same
+    object-store copy rather than re-tokenizing the 100 TB input);
+    word counts n_w resolve inside the word-partitioned block (run
+    segment-sums, no df table); per-doc partials pre-combine in-block
+    before the final (doc)-keyed sum.
+
+    Output: (doc_id, n_tokens, qlogprob, avg_logprob). Docs with zero
+    tokens emit no row (SQL's GROUP BY over an empty unnest agrees).
+    """
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    rows = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(_word_tf_rows, batch_format="pyarrow")
+        .materialize()
+    )
+    agg_row = rows.aggregate(Sum("tf", alias_name="t"))
+    total = (agg_row or {}).get("t") or 0
+    if total == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.schema(
+                [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                 ("qlogprob", pa.int64()), ("avg_logprob", pa.float64())]
+            ).empty_table()
+        )
+
+    part_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("qsum", pa.int64())]
+    )
+
+    def contrib_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return part_schema.empty_table()
+        ends = np.append(starts[1:], n)
+        tf = block.column("tf").to_numpy(zero_copy_only=False)
+        # corpus count of each word = segment sum over its run
+        n_w = np.repeat(np.add.reduceat(tf, starts), ends - starts)
+        # qlog of the double quotient — identical bits to the SQL
+        # floor(ln(CAST(n AS DOUBLE)/CAST(N AS DOUBLE)) * scale)
+        q = np.floor(
+            np.log(n_w.astype(np.float64) / float(total)) * scale
+        ).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "doc_id": block.column("doc_id").cast(pa.int64()),
+                    "n_tokens": pa.array(tf, pa.int64()),
+                    "qsum": pa.array(tf * q, pa.int64()),
+                }
+            )
+            .group_by("doc_id")
+            .aggregate([("n_tokens", "sum"), ("qsum", "sum")])
+        )
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "n_tokens": g["n_tokens_sum"].cast(pa.int64()),
+                "qsum": g["qsum_sum"].cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        grouped_map(rows, ["word"], contrib_block)
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("qsum", alias_name="qlogprob"),
+        )
+    )
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("qlogprob", pa.int64()), ("avg_logprob", pa.float64())]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        nt = t["n_tokens"].cast(pa.int64())
+        qs = t["qlogprob"].cast(pa.int64())
+        avg = (
+            qs.to_numpy(zero_copy_only=False).astype(np.float64)
+            / nt.to_numpy(zero_copy_only=False).astype(np.float64)
+            / float(scale)
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_tokens": nt,
+                "qlogprob": qs,
+                "avg_logprob": pa.array(avg, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
