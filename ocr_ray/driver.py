@@ -3162,6 +3162,78 @@ def q_unigram_logprob(sf_dir: str):
     return unigram_logprob(_docs(sf_dir))
 
 
+def q_embedding_gram(sf_dir: str):
+    """Distributed PCA sufficient statistics (quantized Gram moments) —
+    see ops/search.py:embedding_gram_moments."""
+    from ocr_ray.ops.search import embedding_gram_moments
+
+    return embedding_gram_moments(_embeddings(sf_dir))
+
+
+def q_attribution_linear(sf_dir: str):
+    """Linear multi-touch attribution with quantized credit — see
+    ops/asof.py:attribution_linear_1h."""
+    import ray.data as rd
+
+    from ocr_ray.ops.asof import attribution_linear_1h
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return attribution_linear_1h(events)
+
+
+def q_documents_checksum(sf_dir: str):
+    """Order-insensitive corpus checksum: the XOR fold of each row's
+    md5-derived 32-bit halves plus the row count — the cheap
+    anti-entropy integrity check replication/backfill pipelines run
+    before and after a copy. XOR commutes, so per-batch partials (one
+    slim row per batch, nothing else leaves the scan) combine in any
+    order; the driver folds the ≤num_blocks partials."""
+    import hashlib
+
+    _quiet()
+    docs = _docs(sf_dir, "doc_id", "text")
+    part_schema = pa.schema(
+        [("n", pa.int64()), ("hi", pa.int64()), ("lo", pa.int64())]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        hi = 0
+        lo = 0
+        for doc_id, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            d = hashlib.md5(f"{doc_id}|{text}".encode("utf-8")).hexdigest()
+            hi ^= int(d[:8], 16)
+            lo ^= int(d[8:16], 16)
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "hi": pa.array([hi], pa.int64()),
+                "lo": pa.array([lo], pa.int64()),
+            }
+        )
+
+    rows = docs.map_batches(partials, batch_format="pyarrow").take_all()
+    n = sum(int(r["n"]) for r in rows)
+    xh = 0
+    xl = 0
+    for r in rows:
+        xh ^= int(r["hi"])
+        xl ^= int(r["lo"])
+    return pa.table(
+        {
+            "n_rows": pa.array([n], pa.int64()),
+            "xor_hi": pa.array([xh if n else None], pa.int64()),
+            "xor_lo": pa.array([xl if n else None], pa.int64()),
+        }
+    )
+
+
 def q_media_dhash_pairs(sf_dir: str):
     """Near-duplicate images over a deterministic full-entropy texture
     corpus sized to the scale factor (distinct textures land ~32 bits
@@ -3615,6 +3687,9 @@ QUERIES = {
     "pareto_frontier_orders": q_pareto_frontier_orders,
     "revenue_gini": q_revenue_gini,
     "unigram_logprob": q_unigram_logprob,
+    "embedding_gram": q_embedding_gram,
+    "attribution_linear": q_attribution_linear,
+    "documents_checksum": q_documents_checksum,
     "top_unshipped_orders": q_top_unshipped_orders,
     "events_pivot_daily": q_events_pivot_daily,
     "bigram_familiarity": q_bigram_familiarity,
@@ -4302,6 +4377,12 @@ def _embedding_dispersion_sql() -> str:
     from ocr_ray.ops.search import embedding_dispersion_sql
 
     return embedding_dispersion_sql()
+
+
+def _embedding_gram_sql() -> str:
+    from ocr_ray.ops.search import embedding_gram_moments_sql
+
+    return embedding_gram_moments_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5415,6 +5496,34 @@ def oracle_sql() -> dict[str, str]:
             " ) AS HUGEINT)) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)\n"
             "  / 1000000.0 AS avg_logprob\n"
             "FROM tf JOIN cnt USING (word) CROSS JOIN tot GROUP BY doc_id"
+        ),
+        "embedding_gram": _embedding_gram_sql(),
+        "attribution_linear": (
+            "WITH p AS (\n"
+            " SELECT user_id, ts, event_id FROM events"
+            " WHERE event_type = 'purchase'\n"
+            "), e AS (\n"
+            " SELECT user_id, ts, event_type FROM events"
+            " WHERE event_type <> 'purchase'\n"
+            "), pairs AS (\n"
+            " SELECT p.event_id, e.event_type\n"
+            " FROM p JOIN e ON p.user_id = e.user_id\n"
+            "  AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts < p.ts\n"
+            "), n AS (\n"
+            " SELECT event_id, COUNT(*) AS n FROM pairs GROUP BY 1\n"
+            ")\n"
+            "SELECT pr.event_type,\n"
+            " CAST(COUNT(*) AS BIGINT) AS n_touches,\n"
+            " CAST(SUM(1000000 // n.n) AS BIGINT) AS credit\n"
+            "FROM pairs pr JOIN n USING (event_id) GROUP BY 1"
+        ),
+        "documents_checksum": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,\n"
+            " CAST(bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR)"
+            " || '|' || text), 1, 8))::BIGINT) AS BIGINT) AS xor_hi,\n"
+            " CAST(bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR)"
+            " || '|' || text), 9, 8))::BIGINT) AS BIGINT) AS xor_lo\n"
+            "FROM documents"
         ),
         "order_priority_late_counts": (
             "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late\n"

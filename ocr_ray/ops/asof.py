@@ -307,3 +307,102 @@ def purchases_with_next_click(events):
         left_cols=["event_id"],
         payload_cols=["click_event_id", "click_value"],
     )
+
+
+def attribution_linear_1h(events, window_us: int = 3_600_000_000,
+                          scale: int = 1_000_000):
+    """Linear multi-touch attribution: every non-purchase event in the
+    hour strictly before a purchase shares that purchase's credit
+    equally; credit quantizes to ``scale // n`` integer units so the
+    big cross-cluster sum is exact (the established quantized-fraction
+    pattern — floats only ever appear in final expressions).
+
+    Scale shape: same as ``range_count_attach`` — one hash exchange on
+    user_id; inside each sorted user run the touch windows resolve with
+    two vectorized ``searchsorted`` calls and per-type prefix sums
+    (types are a tiny fixed domain), so a user with N events costs
+    O(N·K), never O(N²) pairwise expansion. Each block emits one
+    partial row per event type; a ≤K-row keyed sum finishes.
+
+    Output: (event_type, n_touches, credit) — n_touches the number of
+    (touch, purchase) pairs, credit the summed quantized units."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "ts": t.column("ts"),
+                "event_type": t.column("event_type"),
+            }
+        )
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("n_touches", pa.int64()),
+         ("credit", pa.int64())]
+    )
+
+    def credit_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return part_schema.empty_table()
+        types = block.column("event_type")
+        if isinstance(types, pa.ChunkedArray):
+            types = types.combine_chunks()
+        enc = pc.dictionary_encode(types)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        names = enc.dictionary.to_pylist()
+        k = len(names)
+        is_p = np.array([t == "purchase" for t in names], bool)[codes]
+        ts = block.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        touches = np.zeros(k, np.int64)
+        credit = np.zeros(k, np.int64)
+        ends = np.append(starts[1:], n)
+        for s, e in zip(starts, ends):
+            run_p = is_p[s:e]
+            if not run_p.any() or run_p.all():
+                continue
+            # sort_within=ts ⇒ the run is time-ordered already
+            ets = ts[s:e][~run_p]
+            ecodes = codes[s:e][~run_p]
+            pts = ts[s:e][run_p]
+            lo = np.searchsorted(ets, pts - window_us, side="left")
+            hi = np.searchsorted(ets, pts, side="left")
+            cnt = hi - lo
+            valid = cnt > 0
+            if not valid.any():
+                continue
+            per = (scale // cnt[valid]).astype(np.int64)
+            # per-type prefix counts over the touch subsequence
+            for t_code in np.unique(ecodes):
+                pref = np.concatenate(
+                    [[0], np.cumsum(ecodes == t_code)]
+                )
+                c_t = pref[hi[valid]] - pref[lo[valid]]
+                touches[t_code] += int(c_t.sum())
+                credit[t_code] += int((c_t * per).sum())
+        keep = touches > 0
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [names[i] for i in np.flatnonzero(keep)], pa.string()
+                ),
+                "n_touches": pa.array(touches[keep], pa.int64()),
+                "credit": pa.array(credit[keep], pa.int64()),
+            }
+        )
+
+    tagged = events.map_batches(tag, batch_format="pyarrow")
+    return (
+        grouped_map(tagged, ["user_id"], credit_block, sort_within=("ts",))
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_touches", alias_name="n_touches"),
+            Sum("credit", alias_name="credit"),
+        )
+    )

@@ -310,3 +310,90 @@ def embedding_dispersion_sql() -> str:
         "FROM nv JOIN s2 ON s2.label = nv.label"
         " JOIN ss1 ON ss1.label = nv.label"
     )
+
+
+def embedding_gram_moments(embeddings, quant: int = 1000):
+    """Exact quantized Gram/covariance moments of the embedding matrix —
+    the mergeable sufficient statistics for distributed PCA / whitening
+    (the d×d second-moment matrix, the d dim-sums and the row count;
+    covariance = G/n − μμᵀ follows driver-side from these alone).
+
+    Components quantize ``floor(x·quant)`` (the k-means convention) so
+    every moment is an EXACT int64 — each batch contributes one d×d
+    integer matmul (``Qᵀ·Q``, BLAS-shaped, no per-row Python) and emits
+    the upper triangle as slim (i, j, s) rows; one keyed sum over the
+    fixed d(d+1)/2 + d + 1 row domain reduces all batches. Nothing
+    scales with corpus size except the map pass.
+
+    Output rows (i, j, s), 1-based dims: i≤j ⇒ Σ qᵢ·qⱼ; (i, 0) ⇒ Σ qᵢ;
+    (0, 0) ⇒ n."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.similarity import _batch_matrix
+
+    out_schema = pa.schema(
+        [("i", pa.int64()), ("j", pa.int64()), ("s", pa.int64())]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        m = _batch_matrix(batch)
+        q = np.floor(m.astype(np.float64) * quant).astype(np.int64)
+        d = q.shape[1]
+        gram = q.T @ q  # exact int64 matmul
+        iu, ju = np.triu_indices(d)
+        dims = q.sum(axis=0, dtype=np.int64)
+        return pa.table(
+            {
+                "i": pa.array(
+                    np.concatenate([iu + 1, np.arange(1, d + 1), [0]]),
+                    pa.int64(),
+                ),
+                "j": pa.array(
+                    np.concatenate(
+                        [ju + 1, np.zeros(d, np.int64), [0]]
+                    ),
+                    pa.int64(),
+                ),
+                "s": pa.array(
+                    np.concatenate(
+                        [gram[iu, ju], dims, [batch.num_rows]]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        embeddings.map_batches(partials, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("s", alias_name="s"))
+    )
+
+
+def embedding_gram_moments_sql(quant: int = 1000) -> str:
+    """DuckDB replay: parallel unnest + self-join on vec_id for the
+    upper triangle, HUGEINT inner sums, same quantization."""
+    return (
+        "WITH q AS (\n"
+        " SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,\n"
+        f"  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {quant})"
+        " AS BIGINT) AS qv\n"
+        " FROM embeddings\n"
+        "), gram AS (\n"
+        " SELECT a.i AS i, b.i AS j,\n"
+        "  CAST(SUM(CAST(a.qv AS HUGEINT) * b.qv) AS BIGINT) AS s\n"
+        " FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i\n"
+        " GROUP BY 1, 2\n"
+        "), dims AS (\n"
+        " SELECT i, CAST(0 AS BIGINT) AS j,\n"
+        "  CAST(SUM(CAST(qv AS HUGEINT)) AS BIGINT) AS s FROM q GROUP BY i\n"
+        "), cnt AS (\n"
+        " SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS j,\n"
+        "  CAST(COUNT(*) AS BIGINT) AS s FROM embeddings\n"
+        ")\n"
+        "SELECT i, j, s FROM gram\n"
+        "UNION ALL SELECT i, j, s FROM dims\n"
+        "UNION ALL SELECT i, j, s FROM cnt"
+    )
