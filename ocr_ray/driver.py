@@ -3234,6 +3234,293 @@ def q_documents_checksum(sf_dir: str):
     )
 
 
+_Q7_NATIONS = ("NATION_3", "NATION_7")
+_Q7_WINDOW = ("1996-01-01", "1998-01-01")
+
+
+def q_nation_pair_revenue(sf_dir: str):
+    """TPC-H Q7-shaped volume shipping: lineitem revenue flowing between
+    two named nations (both directions), broken out by supplier nation,
+    customer nation and ship year.
+
+    Scale shape: the nation filter collapses supplier to a tiny
+    broadcast table map-side at the lineitem scan (the 100 TB table is
+    filtered by date AND semi-joined before anything shuffles); the
+    customer side goes through ``adaptive_key_join`` (hash join at
+    scale — the 2-nation customer slice can still be huge); the one
+    big-big orderkey join runs on slim pre-projected rows, the pair
+    predicate applies map-side right after it, and per-batch partials
+    collapse before the ≤(2×2×years) keyed aggregate."""
+    import datetime as _dt
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.joins import adaptive_key_join, broadcast_join, large_join
+
+    _quiet()
+    d_from = _dt.datetime.fromisoformat(_Q7_WINDOW[0])
+    d_to = _dt.datetime.fromisoformat(_Q7_WINDOW[1])
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    keys = {
+        v: int(k)
+        for k, v in zip(
+            nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()
+        )
+        if v in _Q7_NATIONS
+    }
+    names = {v: k for k, v in keys.items()}
+    key_set = pa.array(sorted(keys.values()), pa.int64())
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_in(pc.cast(t["c_nationkey"], pa.int64()), value_set=key_set)
+        ),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    oc = adaptive_key_join(
+        cust, orders, on="c_custkey", right_on="o_custkey"
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    supp_tbl = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    supp_tbl = supp_tbl.filter(
+        pc.is_in(pc.cast(supp_tbl["s_nationkey"], pa.int64()), value_set=key_set)
+    )
+    supp_tbl = pa.table(
+        {
+            "l_suppkey": supp_tbl["s_suppkey"].cast(pa.int64()),
+            "s_nationkey": supp_tbl["s_nationkey"].cast(pa.int64()),
+        }
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_suppkey", "l_shipdate",
+            "l_extendedprice", "l_discount",
+        ],
+    ).map_batches(
+        lambda t: (
+            lambda f: pa.table(
+                {
+                    "l_orderkey": f["l_orderkey"],
+                    "l_suppkey": f["l_suppkey"].cast(pa.int64()),
+                    "l_year": pc.year(f["l_shipdate"]).cast(pa.int64()),
+                    "cents": _cents(
+                        pc.multiply(
+                            f["l_extendedprice"],
+                            pc.subtract(pa.scalar(1.0), f["l_discount"]),
+                        )
+                    ),
+                }
+            )
+        )(
+            t.filter(
+                pc.and_(
+                    pc.greater_equal(t["l_shipdate"], pa.scalar(d_from)),
+                    pc.less(t["l_shipdate"], pa.scalar(d_to)),
+                )
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    ls = broadcast_join(li, supp_tbl, keys="l_suppkey")
+
+    j = large_join(ls, oc, on="l_orderkey", right_on="o_orderkey")
+    part_schema = pa.schema(
+        [("s_nat", pa.int64()), ("c_nat", pa.int64()),
+         ("l_year", pa.int64()), ("cents", pa.int64())]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        s_nat = pc.cast(t["s_nationkey"], pa.int64())
+        c_nat = pc.cast(t["c_nationkey"], pa.int64())
+        t = pa.table(
+            {"s_nat": s_nat, "c_nat": c_nat,
+             "l_year": t["l_year"], "cents": t["cents"]}
+        ).filter(pc.not_equal(s_nat, c_nat))
+        g = (
+            t.group_by(["s_nat", "c_nat", "l_year"])
+            .aggregate([("cents", "sum")])
+        )
+        return pa.table(
+            {
+                "s_nat": g["s_nat"],
+                "c_nat": g["c_nat"],
+                "l_year": g["l_year"],
+                "cents": g["cents_sum"].cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        j.map_batches(partials, batch_format="pyarrow")
+        .groupby(["s_nat", "c_nat", "l_year"])
+        .aggregate(Sum("cents", alias_name="revenue_cents"))
+    )
+    rows = agg.take_all()  # ≤ 2 directions × year domain
+    return pa.table(
+        {
+            "supp_nation": pa.array(
+                [names[int(r["s_nat"])] for r in rows], pa.string()
+            ),
+            "cust_nation": pa.array(
+                [names[int(r["c_nat"])] for r in rows], pa.string()
+            ),
+            "l_year": pa.array([int(r["l_year"]) for r in rows], pa.int64()),
+            "revenue_cents": pa.array(
+                [int(r["revenue_cents"]) for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+def q_vocab_growth_curve(sf_dir: str):
+    """Heaps'-law vocabulary growth: new distinct words per doc_id
+    bucket and the cumulative vocabulary size. The first occurrence of
+    each word resolves inside the word-partitioned block (min doc_id
+    over the run — no distinct-over-everything pass); bucket counts are
+    a tiny keyed sum and the cumulative curve is a driver-side prefix
+    over the bucket domain."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.tfidf import _word_tf_rows
+    from ocr_ray.stages.grouped import grouped_map
+
+    bucket_width = 50
+    rows = _docs(sf_dir).map_batches(_word_tf_rows, batch_format="pyarrow")
+
+    part_schema = pa.schema(
+        [("bucket", pa.int64()), ("new_words", pa.int64())]
+    )
+
+    def first_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return part_schema.empty_table()
+        ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+        first = np.minimum.reduceat(ids, starts)
+        g = (
+            pa.table({"bucket": pa.array(first // bucket_width, pa.int64())})
+            .group_by("bucket")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "bucket": g["bucket"],
+                "new_words": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        grouped_map(rows, ["word"], first_block)
+        .groupby("bucket")
+        .aggregate(Sum("new_words", alias_name="new_words"))
+    )
+    out = sorted(agg.take_all(), key=lambda r: r["bucket"])  # ≤ id range/width
+    cum = np.cumsum([int(r["new_words"]) for r in out])
+    return pa.table(
+        {
+            "bucket": pa.array([int(r["bucket"]) for r in out], pa.int64()),
+            "new_words": pa.array(
+                [int(r["new_words"]) for r in out], pa.int64()
+            ),
+            "cum_words": pa.array(cum, pa.int64()),
+        }
+    )
+
+
+_KANON_K = 5
+
+
+def q_k_anonymity_customer(sf_dir: str):
+    """k-anonymity audit over the (nationkey, mktsegment) quasi-
+    identifier pair: equivalence-class count, classes below k, rows
+    exposed by them, and the smallest class. Partial counts collapse
+    map-side; the class domain (nations × segments) is tiny, so the
+    final reduction is a bounded driver fold."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    _quiet()
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_mktsegment"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = (
+            t.group_by(["c_nationkey", "c_mktsegment"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "nat": g["c_nationkey"].cast(pa.int64()),
+                "seg": g["c_mktsegment"],
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    rows = (
+        cust.map_batches(partials, batch_format="pyarrow")
+        .groupby(["nat", "seg"])
+        .aggregate(Sum("n", alias_name="n"))
+    ).take_all()  # bounded: one row per quasi-identifier class
+    sizes = [int(r["n"]) for r in rows]
+    return pa.table(
+        {
+            "n_classes": pa.array([len(sizes)], pa.int64()),
+            "violating_classes": pa.array(
+                [sum(1 for s in sizes if s < _KANON_K)], pa.int64()
+            ),
+            "exposed_rows": pa.array(
+                [sum(s for s in sizes if s < _KANON_K)], pa.int64()
+            ),
+            "min_class_size": pa.array(
+                [min(sizes) if sizes else None], pa.int64()
+            ),
+        }
+    )
+
+
+def q_dup_cluster_size_hist(sf_dir: str):
+    """Histogram of exact-duplicate cluster sizes — the dedup diagnostic
+    rollup (how much of the corpus is singletons vs heavy clusters).
+    Composition over dedup_exact's (fingerprint, n_copies) output; the
+    histogram is one more tiny keyed count."""
+    from ray.data.aggregate import Count
+
+    from ocr_ray.ops.dedup import dedup_exact
+
+    agg = (
+        dedup_exact(_docs(sf_dir))
+        .groupby("n_copies")
+        .aggregate(Count(alias_name="n_clusters"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [("cluster_size", pa.int64()), ("n_clusters", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "cluster_size": t["n_copies"].cast(pa.int64()),
+                "n_clusters": t["n_clusters"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_media_dhash_pairs(sf_dir: str):
     """Near-duplicate images over a deterministic full-entropy texture
     corpus sized to the scale factor (distinct textures land ~32 bits
@@ -3690,6 +3977,10 @@ QUERIES = {
     "embedding_gram": q_embedding_gram,
     "attribution_linear": q_attribution_linear,
     "documents_checksum": q_documents_checksum,
+    "nation_pair_revenue": q_nation_pair_revenue,
+    "vocab_growth_curve": q_vocab_growth_curve,
+    "k_anonymity_customer": q_k_anonymity_customer,
+    "dup_cluster_size_hist": q_dup_cluster_size_hist,
     "top_unshipped_orders": q_top_unshipped_orders,
     "events_pivot_daily": q_events_pivot_daily,
     "bigram_familiarity": q_bigram_familiarity,
@@ -5524,6 +5815,63 @@ def oracle_sql() -> dict[str, str]:
             " CAST(bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR)"
             " || '|' || text), 9, 8))::BIGINT) AS BIGINT) AS xor_lo\n"
             "FROM documents"
+        ),
+        "nation_pair_revenue": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,\n"
+            " CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,\n"
+            " CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)"
+            " * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents\n"
+            "FROM supplier s\n"
+            "JOIN lineitem l ON s.s_suppkey = l.l_suppkey\n"
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey\n"
+            "JOIN customer c ON c.c_custkey = o.o_custkey\n"
+            "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey\n"
+            "JOIN nation n2 ON c.c_nationkey = n2.n_nationkey\n"
+            "WHERE ((n1.n_name = '" + _Q7_NATIONS[0] + "'"
+            " AND n2.n_name = '" + _Q7_NATIONS[1] + "')\n"
+            "    OR (n1.n_name = '" + _Q7_NATIONS[1] + "'"
+            " AND n2.n_name = '" + _Q7_NATIONS[0] + "'))\n"
+            f" AND l.l_shipdate >= TIMESTAMP '{_Q7_WINDOW[0]}'\n"
+            f" AND l.l_shipdate < TIMESTAMP '{_Q7_WINDOW[1]}'\n"
+            "GROUP BY 1, 2, 3"
+        ),
+        "vocab_growth_curve": (
+            "WITH words AS (\n"
+            f" SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents\n"
+            "), f AS (\n"
+            " SELECT word, MIN(doc_id) AS fd FROM words GROUP BY word\n"
+            "), b AS (\n"
+            " SELECT fd // 50 AS bucket, COUNT(*) AS new_words FROM f"
+            " GROUP BY 1\n"
+            ")\n"
+            "SELECT CAST(bucket AS BIGINT) AS bucket,\n"
+            " CAST(new_words AS BIGINT) AS new_words,\n"
+            " CAST(SUM(new_words) OVER (ORDER BY bucket) AS BIGINT)"
+            " AS cum_words\n"
+            "FROM b"
+        ),
+        "k_anonymity_customer": (
+            "WITH g AS (\n"
+            " SELECT c_nationkey, c_mktsegment, COUNT(*) AS n\n"
+            " FROM customer GROUP BY 1, 2\n"
+            ")\n"
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,\n"
+            f" CAST(SUM(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS violating_classes,\n"
+            f" CAST(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END)"
+            " AS BIGINT) AS exposed_rows,\n"
+            " CAST(MIN(n) AS BIGINT) AS min_class_size\n"
+            "FROM g"
+        ),
+        "dup_cluster_size_hist": (
+            "WITH hashed AS (\n"
+            f" SELECT {_FP_SQL} AS fp FROM documents\n"
+            "), g AS (\n"
+            " SELECT fp, COUNT(*) AS sz FROM hashed GROUP BY fp\n"
+            ")\n"
+            "SELECT CAST(sz AS BIGINT) AS cluster_size,\n"
+            " CAST(COUNT(*) AS BIGINT) AS n_clusters\n"
+            "FROM g GROUP BY sz"
         ),
         "order_priority_late_counts": (
             "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late\n"
