@@ -3521,6 +3521,148 @@ def q_dup_cluster_size_hist(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_purchase_latency_percentiles(sf_dir: str):
+    """Exact p50/p90/p99 of the time from a user's first event to their
+    first purchase (seconds). Both firsts resolve inside one
+    user-partitioned block (min / conditional min over the run — no
+    self-join); latencies quantize to whole seconds so the global
+    percentile reduces over the time-range-bounded (sec, count) domain,
+    finished in a single keyed block with the ceil-rank convention
+    shared with value_percentiles_by_type."""
+    import math
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    lat_schema = pa.schema([("sec", pa.int64()), ("cnt", pa.int64())])
+
+    def latency_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return lat_schema.empty_table()
+        ts = block.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        is_p = pc.equal(block.column("event_type"), "purchase").to_numpy(
+            zero_copy_only=False
+        )
+        ends = np.append(starts[1:], n)
+        first_ev = np.minimum.reduceat(ts, starts)
+        # conditional min: +inf where not purchase, reduceat, guard
+        masked = np.where(is_p, ts, np.iinfo(np.int64).max)
+        first_p = np.minimum.reduceat(masked, starts)
+        has_p = first_p != np.iinfo(np.int64).max
+        secs = (first_p[has_p] - first_ev[has_p]) // 1_000_000
+        if len(secs) == 0:
+            return lat_schema.empty_table()
+        g = (
+            pa.table({"sec": pa.array(secs, pa.int64())})
+            .group_by("sec")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"sec": g["sec"], "cnt": g["count_all"].cast(pa.int64())}
+        )
+
+    counted = (
+        grouped_map(events, ["user_id"], latency_block)
+        .groupby("sec")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def add_g(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [("g", pa.int64()), ("sec", pa.int64()), ("cnt", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(t.num_rows, np.int64)),
+                "sec": t["sec"].cast(pa.int64()),
+                "cnt": t["cnt"].cast(pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("n_users", pa.int64()), ("p50_sec", pa.int64()),
+         ("p90_sec", pa.int64()), ("p99_sec", pa.int64())]
+    )
+
+    def finish_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        if block.num_rows == 0 or len(starts) == 0:
+            return out_schema.empty_table()
+        sec = block.column("sec").to_numpy(zero_copy_only=False)
+        cnt = block.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.argsort(sec)
+        cum = np.cumsum(cnt[order])
+        total = int(cum[-1])
+        out = {"n_users": total}
+        for name, q in (("p50_sec", 0.5), ("p90_sec", 0.9), ("p99_sec", 0.99)):
+            rank = math.ceil(q * total)
+            idx = int(np.searchsorted(cum, rank, side="left"))
+            out[name] = int(sec[order][idx])
+        return pa.table(
+            {k: pa.array([v], pa.int64()) for k, v in out.items()}
+        )
+
+    return grouped_map(
+        counted.map_batches(add_g, batch_format="pyarrow"),
+        ["g"],
+        finish_block,
+    )
+
+
+def q_events_weekday_hour(sf_dir: str):
+    """Weekday × hour activity matrix (the seasonality heatmap): counts
+    collapse map-side onto the fixed 168-cell domain, one tiny keyed
+    sum finishes. dow follows DuckDB's dayofweek (0 = Sunday)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    _quiet()
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    part_schema = pa.schema(
+        [("dow", pa.int64()), ("hour", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = us // 86_400_000_000
+        dow = (days + 4) % 7  # 1970-01-01 is a Thursday; 0 = Sunday
+        hour = (us // 3_600_000_000) % 24
+        g = (
+            pa.table(
+                {
+                    "dow": pa.array(dow, pa.int64()),
+                    "hour": pa.array(hour, pa.int64()),
+                }
+            )
+            .group_by(["dow", "hour"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "dow": g["dow"],
+                "hour": g["hour"],
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(partials, batch_format="pyarrow")
+        .groupby(["dow", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def q_media_dhash_pairs(sf_dir: str):
     """Near-duplicate images over a deterministic full-entropy texture
     corpus sized to the scale factor (distinct textures land ~32 bits
@@ -3981,6 +4123,8 @@ QUERIES = {
     "vocab_growth_curve": q_vocab_growth_curve,
     "k_anonymity_customer": q_k_anonymity_customer,
     "dup_cluster_size_hist": q_dup_cluster_size_hist,
+    "purchase_latency_percentiles": q_purchase_latency_percentiles,
+    "events_weekday_hour": q_events_weekday_hour,
     "top_unshipped_orders": q_top_unshipped_orders,
     "events_pivot_daily": q_events_pivot_daily,
     "bigram_familiarity": q_bigram_familiarity,
@@ -5872,6 +6016,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(sz AS BIGINT) AS cluster_size,\n"
             " CAST(COUNT(*) AS BIGINT) AS n_clusters\n"
             "FROM g GROUP BY sz"
+        ),
+        "purchase_latency_percentiles": (
+            "WITH f AS (\n"
+            " SELECT user_id, MIN(ts) AS first_ev,\n"
+            "  MIN(CASE WHEN event_type = 'purchase' THEN ts END)"
+            " AS first_p\n"
+            " FROM events GROUP BY user_id\n"
+            "), lat AS (\n"
+            " SELECT (epoch_us(first_p) - epoch_us(first_ev)) // 1000000"
+            " AS sec\n"
+            " FROM f WHERE first_p IS NOT NULL\n"
+            "), c AS (\n"
+            " SELECT sec, COUNT(*) AS cnt FROM lat GROUP BY sec\n"
+            "), cum AS (\n"
+            " SELECT sec, SUM(cnt) OVER (ORDER BY sec) AS cum,\n"
+            "  (SELECT SUM(cnt) FROM c) AS total\n"
+            " FROM c\n"
+            ")\n"
+            "SELECT CAST(MAX(total) AS BIGINT) AS n_users,\n"
+            " CAST(MIN(CASE WHEN cum >= ceil(0.5 * total) THEN sec END)"
+            " AS BIGINT) AS p50_sec,\n"
+            " CAST(MIN(CASE WHEN cum >= ceil(0.9 * total) THEN sec END)"
+            " AS BIGINT) AS p90_sec,\n"
+            " CAST(MIN(CASE WHEN cum >= ceil(0.99 * total) THEN sec END)"
+            " AS BIGINT) AS p99_sec\n"
+            "FROM cum"
+        ),
+        "events_weekday_hour": (
+            "SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,\n"
+            " CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,\n"
+            " CAST(COUNT(*) AS BIGINT) AS n\n"
+            "FROM events GROUP BY 1, 2"
         ),
         "order_priority_late_counts": (
             "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late\n"
