@@ -3663,6 +3663,15 @@ def q_events_weekday_hour(sf_dir: str):
     )
 
 
+def q_sorted_neighborhood_pairs(sf_dir: str):
+    """Sorted-neighborhood ER blocking pairs — see
+    ops/dedup.py:sorted_neighborhood_pairs for the range-bucketed
+    global-order design."""
+    from ocr_ray.ops.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(_docs(sf_dir), window=3)
+
+
 def q_media_dhash_pairs(sf_dir: str):
     """Near-duplicate images over a deterministic full-entropy texture
     corpus sized to the scale factor (distinct textures land ~32 bits
@@ -4125,6 +4134,7 @@ QUERIES = {
     "dup_cluster_size_hist": q_dup_cluster_size_hist,
     "purchase_latency_percentiles": q_purchase_latency_percentiles,
     "events_weekday_hour": q_events_weekday_hour,
+    "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
     "top_unshipped_orders": q_top_unshipped_orders,
     "events_pivot_daily": q_events_pivot_daily,
     "bigram_familiarity": q_bigram_familiarity,
@@ -6048,6 +6058,18 @@ def oracle_sql() -> dict[str, str]:
             " CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,\n"
             " CAST(COUNT(*) AS BIGINT) AS n\n"
             "FROM events GROUP BY 1, 2"
+        ),
+        "sorted_neighborhood_pairs": (
+            "WITH k AS (\n"
+            " SELECT doc_id, substr(trim(regexp_replace(lower(text),"
+            " '\\s+', ' ', 'g')), 1, 24) AS key\n"
+            " FROM documents\n"
+            "), o AS (\n"
+            " SELECT doc_id, ROW_NUMBER() OVER (ORDER BY key, doc_id)"
+            " AS rn FROM k\n"
+            ")\n"
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+            "FROM o a JOIN o b ON b.rn - a.rn BETWEEN 1 AND 3"
         ),
         "order_priority_late_counts": (
             "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late\n"

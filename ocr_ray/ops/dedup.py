@@ -31,6 +31,7 @@ from collections import Counter
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ocr_ray.ops.analysis import normalize_for_fingerprint
 
@@ -1552,3 +1553,183 @@ def ngram_jaccard_prefix_pairs(docs, shingle_n: int = 3,
     return _with_schema(
         ab.map_batches(verify, batch_format="pyarrow"), _JACCARD_OUT_SCHEMA
     )
+
+
+# ------------------------------------- sorted-neighborhood blocking (ER)
+
+_SNM_PAIR_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64())]
+)
+
+
+def sorted_neighborhood_pairs(docs, window: int = 3, key_chars: int = 24,
+                              bucket_shift: int = 43):
+    """Sorted-neighborhood method (the classic entity-resolution
+    blocking strategy): sort the corpus by a normalization key — the
+    first ``key_chars`` chars of the whitespace-collapsed lowercased
+    text — and emit every pair of docs within ``window`` positions of
+    each other in that global order (SQL: self-join on
+    ``ROW_NUMBER() OVER (ORDER BY key, doc_id)`` with rank distance
+    in [1, window]).
+
+    Scale shape — a global ORDER BY without a global sort: the key's
+    first 8 bytes, read big-endian, are order-isomorphic to the key
+    prefix (UTF-8 preserves codepoint order bytewise), so range buckets
+    ``v >> bucket_shift`` partition the corpus in key order; each
+    bucket block sorts locally (a bucket never straddles blocks) and
+    pairs its in-window rows vectorized. Only boundary rows cross
+    buckets: each bucket ships its size plus first/last ``window`` rows
+    (2·window per present bucket — bounded by the bucket domain, not
+    the corpus) and the driver stitches cross-bucket windows with a
+    carry walk over ascending buckets.
+
+    Returns (doc_a, doc_b) with doc_a the earlier row in sort order.
+    """
+    from ocr_ray.stages.grouped import grouped_map
+
+    key_schema = pa.schema(
+        [("bucket", pa.int64()), ("key", pa.string()),
+         ("doc_id", pa.int64())]
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return key_schema.empty_table()
+        from ocr_ray.ops.analysis import normalize_for_fingerprint
+
+        keys, buckets = [], []
+        for text in t.column("text").to_pylist():
+            k = normalize_for_fingerprint(text)[:key_chars]
+            keys.append(k)
+            b = int.from_bytes(k.encode("utf-8")[:8].ljust(8, b"\0"), "big")
+            buckets.append((b >> 1) >> bucket_shift)
+        return pa.table(
+            {
+                "bucket": pa.array(buckets, pa.int64()),
+                "key": pa.array(keys, pa.string()),
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("kind", pa.int64()),      # 0 = pair, 1 = boundary row
+            ("doc_a", pa.int64()),     # pair: docs; boundary: doc_id
+            ("doc_b", pa.int64()),
+            ("bucket", pa.int64()),    # boundary bookkeeping
+            ("pos", pa.int64()),       # position within the bucket run
+            ("size", pa.int64()),      # bucket run length
+        ]
+    )
+
+    def pair_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return out_schema.empty_table()
+        ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+        bks = block.column("bucket").to_numpy(zero_copy_only=False)
+        ends = np.append(starts[1:], n)
+        cols = {f.name: [] for f in out_schema}
+        for s, e in zip(starts, ends):
+            run = ids[s:e]
+            m = e - s
+            # in-window pairs inside the bucket, vectorized per offset
+            for d in range(1, min(window, m - 1) + 1):
+                cols["doc_a"].extend(run[:-d].tolist())
+                cols["doc_b"].extend(run[d:].tolist())
+            n_pairs = len(cols["doc_a"]) - len(cols["kind"])
+            cols["kind"].extend([0] * n_pairs)
+            cols["bucket"].extend([0] * n_pairs)
+            cols["pos"].extend([0] * n_pairs)
+            cols["size"].extend([0] * n_pairs)
+            # boundary rows: first/last `window` rows of the bucket run
+            head = list(range(0, min(window, m)))
+            tail = [i for i in range(max(0, m - window), m) if i not in head]
+            for i in head + tail:
+                cols["kind"].append(1)
+                cols["doc_a"].append(int(run[i]))
+                cols["doc_b"].append(0)
+                cols["bucket"].append(int(bks[s]))
+                cols["pos"].append(i)
+                cols["size"].append(m)
+        return pa.Table.from_pydict(cols, schema=out_schema)
+
+    keyed_ds = docs.select_columns(["doc_id", "text"]).map_batches(
+        keyed, batch_format="pyarrow"
+    )
+    mixed = grouped_map(
+        keyed_ds, ["bucket"], pair_block, sort_within=["key", "doc_id"]
+    ).materialize()
+
+    pairs = _with_schema(
+        mixed.map_batches(
+            lambda t: (
+                t.filter(pc.equal(t["kind"], 0)).select(["doc_a", "doc_b"])
+                if t.num_rows and t.num_columns
+                else _SNM_PAIR_SCHEMA.empty_table()
+            ),
+            batch_format="pyarrow",
+        ),
+        _SNM_PAIR_SCHEMA,
+    )
+
+    # bounded driver fold: 2·window rows per PRESENT bucket
+    boundary = sorted(
+        (
+            r
+            for r in mixed.map_batches(
+                lambda t: (
+                    t.filter(pc.equal(t["kind"], 1))
+                    if t.num_rows and t.num_columns
+                    else out_schema.empty_table()
+                ),
+                batch_format="pyarrow",
+            ).take_all()
+        ),
+        key=lambda r: (r["bucket"], r["pos"]),
+    )
+    cross_a, cross_b = [], []
+    carry: list[int] = []  # doc_ids of the last ≤window global rows
+    cur_bucket = None
+    cur_rows: dict[int, int] = {}
+    cur_size = 0
+
+    def flush(rows: dict[int, int], size: int) -> None:
+        nonlocal carry
+        if not rows:
+            return
+        head = [rows[p] for p in sorted(rows) if p < window]
+        for j, doc in enumerate(head):
+            for i, c in enumerate(carry):
+                if (len(carry) - i) + j <= window:
+                    cross_a.append(c)
+                    cross_b.append(doc)
+        if size <= window:
+            merged = carry + [rows[p] for p in sorted(rows)]
+            carry = merged[-window:]
+        else:
+            carry = [rows[p] for p in sorted(rows) if p >= size - window][
+                -window:
+            ]
+
+    for r in boundary:
+        if r["bucket"] != cur_bucket:
+            flush(cur_rows, cur_size)
+            cur_bucket, cur_rows = r["bucket"], {}
+        cur_rows[int(r["pos"])] = int(r["doc_a"])
+        cur_size = int(r["size"])
+    flush(cur_rows, cur_size)
+
+    if cross_a:
+        import ray.data as rd
+
+        cross = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array(cross_a, pa.int64()),
+                    "doc_b": pa.array(cross_b, pa.int64()),
+                }
+            )
+        )
+        pairs = pairs.union(cross)
+    return pairs
