@@ -69,6 +69,12 @@ BENCH_QUERIES = [
     "sliding_hourly_distinct",
     "activity_reconciliation",
     "corpus_diff",
+    # this-session operator families (all 3-8.5 s at sf0.1 / 32 CPUs)
+    "unigram_logprob",
+    "sorted_neighborhood_pairs",
+    "embedding_gram",
+    "attribution_linear",
+    "revenue_gini",
 ]
 
 

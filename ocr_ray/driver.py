@@ -3672,6 +3672,206 @@ def q_sorted_neighborhood_pairs(sf_dir: str):
     return sorted_neighborhood_pairs(_docs(sf_dir), window=3)
 
 
+def q_bigram_logprob(sf_dir: str):
+    """Conditional bigram LM score per doc — see
+    ops/lm.py:bigram_logprob for the context-partitioned design."""
+    from ocr_ray.ops.lm import bigram_logprob
+
+    return bigram_logprob(_docs(sf_dir))
+
+
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of two document rankings (by n_chars and
+    by whitespace token count): rrf = Σ 10⁹ // (60 + rank), integer
+    division so the fused score is exact. Both rankings come from the
+    range-bucket global-rank scaffold (ops/stats.py:global_ranks — no
+    global sort); the two slim rank tables hash-join on doc_id."""
+    import ray.data as rd
+
+    from ocr_ray.ops.analysis import token_counts
+    from ocr_ray.ops.joins import large_join
+    from ocr_ray.ops.stats import global_ranks
+
+    _quiet()
+    docs = _docs(sf_dir, "doc_id", "text", "n_chars")
+
+    chars = docs.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_chars": t["n_chars"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    toks = token_counts(docs.select_columns(["doc_id", "text"])).map_batches(
+        lambda t: t.select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+    r1 = global_ranks(chars, "doc_id", "n_chars", bucket_width=64).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "rank_chars": t["rank"].cast(pa.int64()),
+            }
+        )
+        if t.num_rows and t.num_columns
+        else pa.schema(
+            [("doc_id", pa.int64()), ("rank_chars", pa.int64())]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )
+    r2 = global_ranks(toks, "doc_id", "n_tokens", bucket_width=16).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "rank_tokens": t["rank"].cast(pa.int64()),
+            }
+        )
+        if t.num_rows and t.num_columns
+        else pa.schema(
+            [("doc_id", pa.int64()), ("rank_tokens", pa.int64())]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )
+    j = large_join(r1, r2, on="doc_id")
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("rank_chars", pa.int64()),
+         ("rank_tokens", pa.int64()), ("rrf_micro", pa.int64())]
+    )
+
+    def fuse(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        rc = t["rank_chars"].to_numpy(zero_copy_only=False)
+        rt = t["rank_tokens"].to_numpy(zero_copy_only=False)
+        rrf = 1_000_000_000 // (60 + rc) + 1_000_000_000 // (60 + rt)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "rank_chars": t["rank_chars"].cast(pa.int64()),
+                "rank_tokens": t["rank_tokens"].cast(pa.int64()),
+                "rrf_micro": pa.array(rrf, pa.int64()),
+            }
+        )
+
+    return j.map_batches(fuse, batch_format="pyarrow")
+
+
+def q_language_confusion(sf_dir: str):
+    """Confusion matrix of the stopword language-ID heuristic against
+    the labeled lang column — the classifier-evaluation rollup. Both
+    the prediction and the label live in the same row, so the matrix
+    collapses map-side onto the tiny (lang × pred) domain."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.analysis import STOP_EN, STOP_ID, _WORD_RE
+
+    docs = _docs(sf_dir, "lang", "text")
+    part_schema = pa.schema(
+        [("lang", pa.string()), ("lang_pred", pa.string()),
+         ("n", pa.int64())]
+    )
+    stop_id, stop_en = set(STOP_ID), set(STOP_EN)
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        preds = []
+        for text in t.column("text").to_pylist():
+            words = _WORD_RE.findall((text or "").lower())
+            sid = sum(1 for w in words if w in stop_id)
+            sen = sum(1 for w in words if w in stop_en)
+            preds.append("id" if sid >= sen else "en")
+        g = (
+            pa.table(
+                {"lang": t["lang"], "lang_pred": pa.array(preds, pa.string())}
+            )
+            .group_by(["lang", "lang_pred"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "lang_pred": g["lang_pred"],
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def q_brand_supplier_counts(sf_dir: str):
+    """TPC-H Q16-shaped supplier coverage: distinct suppliers shipping
+    each part brand. The part→brand mapping joins via
+    ``adaptive_key_join`` (broadcast below threshold, hash join at
+    scale); (brand, suppkey) pairs dedup map-side before one keyed
+    exchange, and each brand's distinct count is a run count inside its
+    block — the distinct_users_by_type shape on a joined input."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.joins import adaptive_key_join
+    from ocr_ray.stages.grouped import grouped_map
+
+    _quiet()
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+    j = adaptive_key_join(part, li, on="p_partkey", right_on="l_partkey")
+
+    pair_schema = pa.schema(
+        [("p_brand", pa.string()), ("supp", pa.int64())]
+    )
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pair_schema.empty_table()
+        return (
+            pa.table(
+                {
+                    "p_brand": t["p_brand"],
+                    "supp": t["l_suppkey"].cast(pa.int64()),
+                }
+            )
+            .group_by(["p_brand", "supp"])
+            .aggregate([])
+        )
+
+    pairs = j.map_batches(pair_partials, batch_format="pyarrow")
+    out_schema = pa.schema(
+        [("p_brand", pa.string()), ("n_suppliers", pa.int64())]
+    )
+
+    def count_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return out_schema.empty_table()
+        supp = block.column("supp").to_numpy(zero_copy_only=False)
+        ends = np.append(starts[1:], n)
+        brands = block.column("p_brand").to_pylist()
+        out_b, out_n = [], []
+        for s, e in zip(starts, ends):
+            out_b.append(brands[s])
+            out_n.append(len(np.unique(supp[s:e])))
+        return pa.table(
+            {
+                "p_brand": pa.array(out_b, pa.string()),
+                "n_suppliers": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return grouped_map(pairs, ["p_brand"], count_block)
+
+
 def q_media_dhash_pairs(sf_dir: str):
     """Near-duplicate images over a deterministic full-entropy texture
     corpus sized to the scale factor (distinct textures land ~32 bits
@@ -4135,6 +4335,10 @@ QUERIES = {
     "purchase_latency_percentiles": q_purchase_latency_percentiles,
     "events_weekday_hour": q_events_weekday_hour,
     "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
+    "bigram_logprob": q_bigram_logprob,
+    "rrf_fusion": q_rrf_fusion,
+    "language_confusion": q_language_confusion,
+    "brand_supplier_counts": q_brand_supplier_counts,
     "top_unshipped_orders": q_top_unshipped_orders,
     "events_pivot_daily": q_events_pivot_daily,
     "bigram_familiarity": q_bigram_familiarity,
@@ -6070,6 +6274,72 @@ def oracle_sql() -> dict[str, str]:
             ")\n"
             "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
             "FROM o a JOIN o b ON b.rn - a.rn BETWEEN 1 AND 3"
+        ),
+        "bigram_logprob": (
+            "WITH arr AS (\n"
+            f" SELECT doc_id, {_WORDS_SQL} AS ws FROM documents\n"
+            "), w AS (\n"
+            " SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos,\n"
+            "  unnest(ws) AS word FROM arr\n"
+            "), big AS (\n"
+            " SELECT a.doc_id, a.word AS w1, b.word AS w2\n"
+            " FROM w a JOIN w b ON a.doc_id = b.doc_id"
+            " AND b.pos = a.pos + 1\n"
+            "), cpair AS (\n"
+            " SELECT w1, w2, COUNT(*) AS cp FROM big GROUP BY 1, 2\n"
+            "), cctx AS (\n"
+            " SELECT w1, COUNT(*) AS cc FROM big GROUP BY 1\n"
+            "), scored AS (\n"
+            " SELECT big.doc_id,\n"
+            "  CAST(floor(ln(CAST(cp AS DOUBLE) / CAST(cc AS DOUBLE))"
+            " * 1000000) AS BIGINT) AS q\n"
+            " FROM big JOIN cpair USING (w1, w2) JOIN cctx USING (w1)\n"
+            ")\n"
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,\n"
+            " CAST(SUM(CAST(q AS HUGEINT)) AS BIGINT) AS qlogprob,\n"
+            " CAST(SUM(CAST(q AS HUGEINT)) AS DOUBLE)"
+            " / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS avg_logprob\n"
+            "FROM scored GROUP BY doc_id"
+        ),
+        "rrf_fusion": (
+            "WITH m AS (\n"
+            " SELECT doc_id, n_chars,\n"
+            "  len(regexp_extract_all(text, '\\S+')) AS n_tokens\n"
+            " FROM documents\n"
+            "), r AS (\n"
+            " SELECT doc_id,\n"
+            "  ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rank_chars,\n"
+            "  ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS rank_tokens\n"
+            " FROM m\n"
+            ")\n"
+            "SELECT doc_id,\n"
+            " CAST(rank_chars AS BIGINT) AS rank_chars,\n"
+            " CAST(rank_tokens AS BIGINT) AS rank_tokens,\n"
+            " CAST(1000000000 // (60 + rank_chars)\n"
+            "    + 1000000000 // (60 + rank_tokens) AS BIGINT) AS rrf_micro\n"
+            "FROM r"
+        ),
+        "language_confusion": (
+            "WITH counted AS (\n"
+            " SELECT lang,\n"
+            f"  CAST(len(list_filter({_WORDS_SQL}, x ->"
+            f" list_contains({_stop_list_sql(STOP_ID)}, x))) AS BIGINT)"
+            " AS stop_id,\n"
+            f"  CAST(len(list_filter({_WORDS_SQL}, x ->"
+            f" list_contains({_stop_list_sql(STOP_EN)}, x))) AS BIGINT)"
+            " AS stop_en\n"
+            " FROM documents)\n"
+            "SELECT lang,\n"
+            " CASE WHEN stop_id >= stop_en THEN 'id' ELSE 'en' END"
+            " AS lang_pred,\n"
+            " CAST(COUNT(*) AS BIGINT) AS n\n"
+            "FROM counted GROUP BY 1, 2"
+        ),
+        "brand_supplier_counts": (
+            "SELECT p_brand,"
+            " CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers\n"
+            "FROM lineitem JOIN part ON p_partkey = l_partkey\n"
+            "GROUP BY 1"
         ),
         "order_priority_late_counts": (
             "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late\n"

@@ -414,3 +414,142 @@ def collocation_sql(min_count: int = 3, lift: int = 1) -> str:
         f" AND c_ab >= {min_count}"
         f" AND c_ab * n.total >= {lift} * ua.c * ub.c"
     )
+
+
+def bigram_logprob(docs, scale: int = 1_000_000):
+    """Per-document conditional bigram LM score against the corpus's own
+    bigram table: Σ over adjacent word pairs of qlog(c(w₁w₂)/c(w₁·)),
+    with c(w₁·) the context count (bigrams starting with w₁) — the
+    fluency companion to ``unigram_logprob`` (same quantized-log
+    determinism: each log floors to an integer ×scale, the corpus-wide
+    sum is exact int64, the per-doc average is the one shared IEEE
+    float).
+
+    Scale shape: slim (doc_id, w₁, w₂, m) rows (within-doc multiplicity
+    compressed) hash-partition by CONTEXT w₁ — both the context count
+    (run segment-sum) and the pair count (sub-run segment-sum over the
+    w₂-sorted run) resolve inside one block with reduceat, no
+    count-table join; per-doc partials pre-combine in-block before the
+    final (doc)-keyed sum. Two shuffles of derived rows total.
+
+    Output: (doc_id, n_bigrams, qlogprob, avg_logprob); docs with fewer
+    than two words emit no row."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    row_schema = pa.schema(
+        [("doc_id", pa.int64()), ("w1", pa.string()),
+         ("w2", pa.string()), ("m", pa.int64())]
+    )
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        ids, w1s, w2s, ms = [], [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            ws = _WORD_RE.findall((text or "").lower())
+            counts: Counter = Counter(zip(ws, ws[1:]))
+            for (a, b), m in sorted(counts.items()):
+                ids.append(doc_id)
+                w1s.append(a)
+                w2s.append(b)
+                ms.append(m)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "w1": pa.array(w1s, pa.string()),
+                "w2": pa.array(w2s, pa.string()),
+                "m": pa.array(ms, pa.int64()),
+            }
+        )
+
+    part_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+         ("qsum", pa.int64())]
+    )
+
+    def score_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return part_schema.empty_table()
+        m = block.column("m").to_numpy(zero_copy_only=False)
+        ends = np.append(starts[1:], n)
+        # context counts: Σm over each w1 run
+        cc = np.repeat(np.add.reduceat(m, starts), ends - starts)
+        # pair counts: Σm over each (w1, w2) sub-run of the sorted block
+        w2 = block.column("w2")
+        if isinstance(w2, pa.ChunkedArray):
+            w2 = w2.combine_chunks()
+        codes = pc.dictionary_encode(w2).indices.to_numpy(
+            zero_copy_only=False
+        )
+        sub = np.zeros(n, bool)
+        sub[starts] = True
+        np.logical_or(sub[1:], codes[1:] != codes[:-1], out=sub[1:])
+        sub_starts = np.flatnonzero(sub)
+        sub_ends = np.append(sub_starts[1:], n)
+        cp = np.repeat(
+            np.add.reduceat(m, sub_starts), sub_ends - sub_starts
+        )
+        q = np.floor(
+            np.log(cp.astype(np.float64) / cc.astype(np.float64)) * scale
+        ).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "doc_id": block.column("doc_id").cast(pa.int64()),
+                    "n_bigrams": pa.array(m, pa.int64()),
+                    "qsum": pa.array(m * q, pa.int64()),
+                }
+            )
+            .group_by("doc_id")
+            .aggregate([("n_bigrams", "sum"), ("qsum", "sum")])
+        )
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "n_bigrams": g["n_bigrams_sum"].cast(pa.int64()),
+                "qsum": g["qsum_sum"].cast(pa.int64()),
+            }
+        )
+
+    rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        pair_rows, batch_format="pyarrow"
+    )
+    agg = (
+        grouped_map(rows, ["w1"], score_block, sort_within=["w2"])
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_bigrams", alias_name="n_bigrams"),
+            Sum("qsum", alias_name="qlogprob"),
+        )
+    )
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+         ("qlogprob", pa.int64()), ("avg_logprob", pa.float64())]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        nb = t["n_bigrams"].cast(pa.int64())
+        qs = t["qlogprob"].cast(pa.int64())
+        avg = (
+            qs.to_numpy(zero_copy_only=False).astype(np.float64)
+            / nb.to_numpy(zero_copy_only=False).astype(np.float64)
+            / float(scale)
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_bigrams": nb,
+                "qlogprob": qs,
+                "avg_logprob": pa.array(avg, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

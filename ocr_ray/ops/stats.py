@@ -675,6 +675,57 @@ def customer_value_ntile(orders, tiles: int = 4,
     )
 
 
+def global_ranks(rows, key_col: str, value_col: str,
+                 bucket_width: int = _NTILE_BUCKET_CENTS):
+    """Distributed ROW_NUMBER: (key, value, rank) with rank the global
+    ascending position ordered (value, key) — the third consumer of the
+    range-bucket scaffold (NTILE and Gini are the others). No global
+    sort: rank = bucket base offset + in-block position."""
+    import ray
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    bucketed, offsets, n_total = _range_bucket_offsets(
+        rows, key_col, value_col, bucket_width
+    )
+    out_schema = pa.schema(
+        [(key_col, pa.int64()), (value_col, pa.int64()),
+         ("rank", pa.int64())]
+    )
+    if n_total == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(out_schema.empty_table())
+    off_ref = ray.put(offsets)
+
+    def rank_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return out_schema.empty_table()
+        base = ray.get(off_ref)
+        bk = block.column("bucket").to_numpy(zero_copy_only=False)
+        sizes = np.diff(np.append(starts, n))
+        pos = np.arange(n) - np.repeat(starts, sizes)
+        rn = (
+            pos
+            + np.repeat(
+                np.array([base[int(b)] for b in bk[starts]], np.int64), sizes
+            )
+            + 1
+        )
+        return pa.table(
+            {
+                key_col: block.column(key_col).cast(pa.int64()),
+                value_col: block.column(value_col).cast(pa.int64()),
+                "rank": pa.array(rn, pa.int64()),
+            }
+        )
+
+    return grouped_map(
+        bucketed, ["bucket"], rank_block, sort_within=[value_col, key_col]
+    )
+
+
 def gini_coefficient(rows, key_col: str, value_col: str,
                      bucket_width: int = _NTILE_BUCKET_CENTS) -> dict:
     """Exact Gini coefficient over slim (key, value) rows — the
