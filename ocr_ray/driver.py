@@ -3872,6 +3872,170 @@ def q_brand_supplier_counts(sf_dir: str):
     return grouped_map(pairs, ["p_brand"], count_block)
 
 
+_LTV_SPLIT = "1998-07-01"
+
+
+def q_ltv_decile_transition(sf_dir: str):
+    """Customer-value decile TRANSITION matrix between two periods (the
+    churn/growth mobility rollup): lifetime-value deciles before and
+    after the split date, counted per (decile_before, decile_after)
+    cell for customers active in both. Two independent runs of the
+    range-partitioned NTILE (no global sort), then a slim decile-row
+    hash join and a ≤100-cell keyed count."""
+    import datetime as _dt
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ocr_ray.ops.joins import large_join
+    from ocr_ray.ops.stats import ntile_ranks
+
+    _quiet()
+    split = _dt.datetime.fromisoformat(_LTV_SPLIT)
+
+    def totals(before: bool):
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        )
+
+        def partials(t: pa.Table) -> pa.Table:
+            mask = (
+                pc.less(t["o_orderdate"], pa.scalar(split))
+                if before
+                else pc.greater_equal(t["o_orderdate"], pa.scalar(split))
+            )
+            f = t.filter(mask)
+            g = (
+                pa.table(
+                    {
+                        "c_custkey": f["o_custkey"].cast(pa.int64()),
+                        "cents": _cents(f["o_totalprice"]),
+                    }
+                )
+                .group_by("c_custkey")
+                .aggregate([("cents", "sum")])
+            )
+            return pa.table(
+                {
+                    "c_custkey": g["c_custkey"],
+                    "cents": g["cents_sum"].cast(pa.int64()),
+                }
+            )
+
+        return (
+            orders.map_batches(partials, batch_format="pyarrow")
+            .groupby("c_custkey")
+            .aggregate(Sum("cents", alias_name="total_cents"))
+        )
+
+    def tiles(ds, name):
+        ranked = ntile_ranks(ds, "c_custkey", "total_cents", tiles=10)
+        return ranked.map_batches(
+            lambda t: pa.table(
+                {
+                    "c_custkey": t["c_custkey"].cast(pa.int64()),
+                    name: t["tile"].cast(pa.int64()),
+                }
+            )
+            if t.num_rows and t.num_columns
+            else pa.schema(
+                [("c_custkey", pa.int64()), (name, pa.int64())]
+            ).empty_table(),
+            batch_format="pyarrow",
+        )
+
+    j = large_join(
+        tiles(totals(True), "decile_before"),
+        tiles(totals(False), "decile_after"),
+        on="c_custkey",
+    )
+    agg = j.groupby(["decile_before", "decile_after"]).aggregate(
+        Count(alias_name="n_customers")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [("decile_before", pa.int64()), ("decile_after", pa.int64()),
+                 ("n_customers", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "decile_before": t["decile_before"].cast(pa.int64()),
+                "decile_after": t["decile_after"].cast(pa.int64()),
+                "n_customers": t["n_customers"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_anomaly_days(sf_dir: str):
+    """Days whose event count exceeds twice their trailing-7-day mean —
+    the seasonality-anomaly flag. Day counts collapse map-side onto the
+    calendar-bounded domain; the trailing walk runs over that domain
+    driver-side (same bound as the Pareto walk). The ratio is the one
+    shared-IEEE float; the flag itself compares exact integers
+    (7·count > 2·trailing_sum)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    _quiet()
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [("day", pa.int64()), ("n", pa.int64())]
+            ).empty_table()
+        days = (
+            t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        g = (
+            pa.table({"day": pa.array(days, pa.int64())})
+            .group_by("day")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"day": g["day"], "n": g["count_all"].cast(pa.int64())}
+        )
+
+    agg = (
+        events.map_batches(partials, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    rows = sorted(agg.take_all(), key=lambda r: r["day"])  # calendar-bounded
+    out = {"day": [], "n_events": [], "trailing_sum": [], "ratio": []}
+    for i, r in enumerate(rows):
+        lo_day = int(r["day"]) - 7
+        trail = sum(
+            int(p["n"])
+            for p in rows[max(0, i - 7): i]
+            if lo_day <= int(p["day"]) < int(r["day"])
+        )
+        n = int(r["n"])
+        if trail > 0 and 7 * n > 2 * trail:
+            out["day"].append(int(r["day"]))
+            out["n_events"].append(n)
+            out["trailing_sum"].append(trail)
+            # shared IEEE: CAST(7n AS DOUBLE) / CAST(trail AS DOUBLE)
+            out["ratio"].append(float(7 * n) / float(trail))
+    return pa.table(
+        {
+            "day": pc.cast(
+                pc.multiply(pa.array(out["day"], pa.int64()), 86_400_000_000),
+                pa.timestamp("us"),
+            ),
+            "n_events": pa.array(out["n_events"], pa.int64()),
+            "trailing_sum": pa.array(out["trailing_sum"], pa.int64()),
+            "ratio": pa.array(out["ratio"], pa.float64()),
+        }
+    )
+
+
 def q_media_dhash_pairs(sf_dir: str):
     """Near-duplicate images over a deterministic full-entropy texture
     corpus sized to the scale factor (distinct textures land ~32 bits
@@ -4339,6 +4503,8 @@ QUERIES = {
     "rrf_fusion": q_rrf_fusion,
     "language_confusion": q_language_confusion,
     "brand_supplier_counts": q_brand_supplier_counts,
+    "ltv_decile_transition": q_ltv_decile_transition,
+    "events_anomaly_days": q_events_anomaly_days,
     "top_unshipped_orders": q_top_unshipped_orders,
     "events_pivot_daily": q_events_pivot_daily,
     "bigram_familiarity": q_bigram_familiarity,
@@ -6340,6 +6506,44 @@ def oracle_sql() -> dict[str, str]:
             " CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers\n"
             "FROM lineitem JOIN part ON p_partkey = l_partkey\n"
             "GROUP BY 1"
+        ),
+        "ltv_decile_transition": (
+            "WITH b AS (\n"
+            " SELECT o_custkey AS k,"
+            " SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS v\n"
+            f" FROM orders WHERE o_orderdate < TIMESTAMP '{_LTV_SPLIT}'"
+            " GROUP BY 1\n"
+            "), a AS (\n"
+            " SELECT o_custkey AS k,"
+            " SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS v\n"
+            f" FROM orders WHERE o_orderdate >= TIMESTAMP '{_LTV_SPLIT}'"
+            " GROUP BY 1\n"
+            "), tb AS (\n"
+            " SELECT k, NTILE(10) OVER (ORDER BY v, k) AS decile_before"
+            " FROM b\n"
+            "), ta AS (\n"
+            " SELECT k, NTILE(10) OVER (ORDER BY v, k) AS decile_after"
+            " FROM a\n"
+            ")\n"
+            "SELECT CAST(decile_before AS BIGINT) AS decile_before,\n"
+            " CAST(decile_after AS BIGINT) AS decile_after,\n"
+            " CAST(COUNT(*) AS BIGINT) AS n_customers\n"
+            "FROM tb JOIN ta USING (k) GROUP BY 1, 2"
+        ),
+        "events_anomaly_days": (
+            "WITH d AS (\n"
+            " SELECT epoch_us(ts) // 1000000 // 86400 AS day,"
+            " COUNT(*) AS n FROM events GROUP BY 1\n"
+            "), w AS (\n"
+            " SELECT day, n, COALESCE(SUM(n) OVER (ORDER BY day\n"
+            "  RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS trail\n"
+            " FROM d\n"
+            ")\n"
+            "SELECT to_timestamp(day * 86400)::TIMESTAMP AS day,\n"
+            " CAST(n AS BIGINT) AS n_events,\n"
+            " CAST(trail AS BIGINT) AS trailing_sum,\n"
+            " CAST(7 * n AS DOUBLE) / CAST(trail AS DOUBLE) AS ratio\n"
+            "FROM w WHERE trail > 0 AND 7 * n > 2 * trail"
         ),
         "order_priority_late_counts": (
             "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late\n"
