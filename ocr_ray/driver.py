@@ -4036,6 +4036,57 @@ def q_events_anomaly_days(sf_dir: str):
     )
 
 
+def q_neardup_degree_hist(sf_dir: str):
+    """Degree distribution of the MinHash near-dup graph — the dedup
+    diagnostic that distinguishes scattered pairs from a few giant
+    hubs. Composition over dedup_minhash: each pair emits both
+    endpoints, one keyed count per doc, one tiny keyed count per
+    degree."""
+    from ray.data.aggregate import Count
+
+    from ocr_ray.ops.dedup import dedup_minhash
+
+    pairs = dedup_minhash(_docs(sf_dir), threshold=0.5)
+
+    end_schema = pa.schema([("doc_id", pa.int64())])
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return end_schema.empty_table()
+        return pa.table(
+            {
+                "doc_id": pa.concat_arrays(
+                    [
+                        t["doc_a"].cast(pa.int64()).combine_chunks(),
+                        t["doc_b"].cast(pa.int64()).combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    deg = (
+        pairs.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="degree"))
+        .groupby("degree")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [("degree", pa.int64()), ("n_docs", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "degree": t["degree"].cast(pa.int64()),
+                "n_docs": t["n_docs"].cast(pa.int64()),
+            }
+        )
+
+    return deg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_media_dhash_pairs(sf_dir: str):
     """Near-duplicate images over a deterministic full-entropy texture
     corpus sized to the scale factor (distinct textures land ~32 bits
@@ -4505,6 +4556,7 @@ QUERIES = {
     "brand_supplier_counts": q_brand_supplier_counts,
     "ltv_decile_transition": q_ltv_decile_transition,
     "events_anomaly_days": q_events_anomaly_days,
+    "neardup_degree_hist": q_neardup_degree_hist,
     "top_unshipped_orders": q_top_unshipped_orders,
     "events_pivot_daily": q_events_pivot_daily,
     "bigram_familiarity": q_bigram_familiarity,
@@ -6544,6 +6596,18 @@ def oracle_sql() -> dict[str, str]:
             " CAST(trail AS BIGINT) AS trailing_sum,\n"
             " CAST(7 * n AS DOUBLE) / CAST(trail AS DOUBLE) AS ratio\n"
             "FROM w WHERE trail > 0 AND 7 * n > 2 * trail"
+        ),
+        "neardup_degree_hist": (
+            "WITH deg AS (\n"
+            " SELECT doc_id, COUNT(*) AS degree FROM (\n"
+            "  SELECT doc_a AS doc_id FROM (" + _minhash_est_sql() + ") p1\n"
+            "  UNION ALL\n"
+            "  SELECT doc_b AS doc_id FROM (" + _minhash_est_sql() + ") p2\n"
+            " ) e GROUP BY 1\n"
+            ")\n"
+            "SELECT CAST(degree AS BIGINT) AS degree,\n"
+            " CAST(COUNT(*) AS BIGINT) AS n_docs\n"
+            "FROM deg GROUP BY 1"
         ),
         "order_priority_late_counts": (
             "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late\n"
