@@ -4087,6 +4087,74 @@ def q_neardup_degree_hist(sf_dir: str):
     return deg.map_batches(finish, batch_format="pyarrow")
 
 
+_EMB_EXPECTED_DIM = 64
+
+
+def q_validate_embeddings(sf_dir: str):
+    """Data-quality gate for the embedding table (the vector-side
+    companion to validate_documents): vector count, wrong-dimension
+    rows, rows containing NaN, and zero-norm rows. One stateless
+    map-side partial per batch; the reduce is a driver fold over one
+    slim row per batch."""
+    import ray.data as rd
+
+    _quiet()
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    part_schema = pa.schema(
+        [("n", pa.int64()), ("bad_dim", pa.int64()),
+         ("has_nan", pa.int64()), ("zero_norm", pa.int64())]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offsets)
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        nan_flat = np.isnan(flat)
+        abs_max = np.zeros(len(lens))
+        any_nan = np.zeros(len(lens), bool)
+        seg = np.repeat(np.arange(len(lens)), lens)
+        if len(flat):
+            np.maximum.at(abs_max, seg, np.abs(np.nan_to_num(flat)))
+            np.logical_or.at(any_nan, seg, nan_flat)
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "bad_dim": pa.array(
+                    [int((lens != _EMB_EXPECTED_DIM).sum())], pa.int64()
+                ),
+                "has_nan": pa.array([int(any_nan.sum())], pa.int64()),
+                "zero_norm": pa.array(
+                    [int(((abs_max == 0) & ~any_nan).sum())], pa.int64()
+                ),
+            }
+        )
+
+    rows = emb.map_batches(partials, batch_format="pyarrow").take_all()
+    return pa.table(
+        {
+            "n_vecs": pa.array([sum(int(r["n"]) for r in rows)], pa.int64()),
+            "n_bad_dim": pa.array(
+                [sum(int(r["bad_dim"]) for r in rows)], pa.int64()
+            ),
+            "n_nan": pa.array(
+                [sum(int(r["has_nan"]) for r in rows)], pa.int64()
+            ),
+            "n_zero_norm": pa.array(
+                [sum(int(r["zero_norm"]) for r in rows)], pa.int64()
+            ),
+        }
+    )
+
+
 def q_media_dhash_pairs(sf_dir: str):
     """Near-duplicate images over a deterministic full-entropy texture
     corpus sized to the scale factor (distinct textures land ~32 bits
@@ -4557,6 +4625,7 @@ QUERIES = {
     "ltv_decile_transition": q_ltv_decile_transition,
     "events_anomaly_days": q_events_anomaly_days,
     "neardup_degree_hist": q_neardup_degree_hist,
+    "validate_embeddings": q_validate_embeddings,
     "top_unshipped_orders": q_top_unshipped_orders,
     "events_pivot_daily": q_events_pivot_daily,
     "bigram_familiarity": q_bigram_familiarity,
@@ -6608,6 +6677,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(degree AS BIGINT) AS degree,\n"
             " CAST(COUNT(*) AS BIGINT) AS n_docs\n"
             "FROM deg GROUP BY 1"
+        ),
+        "validate_embeddings": (
+            "WITH f AS (\n"
+            " SELECT len(embedding) AS l,\n"
+            "  list_max(list_transform(embedding, x ->"
+            " CASE WHEN isnan(x) THEN 1 ELSE 0 END)) AS has_nan,\n"
+            "  list_max(list_transform(embedding, x ->"
+            " abs(CAST(x AS DOUBLE)))) AS amax\n"
+            " FROM embeddings\n"
+            ")\n"
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,\n"
+            f" CAST(SUM(CASE WHEN l <> {_EMB_EXPECTED_DIM} THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_bad_dim,\n"
+            " CAST(SUM(CASE WHEN has_nan = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_nan,\n"
+            " CAST(SUM(CASE WHEN COALESCE(amax, 0) = 0 AND has_nan = 0"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm\n"
+            "FROM f"
         ),
         "order_priority_late_counts": (
             "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late\n"

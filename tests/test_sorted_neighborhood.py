@@ -56,3 +56,31 @@ def test_sorted_neighborhood(ray_session):
     assert len(out) == len(want)  # no duplicate pair rows
     # the tiny single-doc buckets must pair through the carry walk
     assert any(a in (8, 9, 10) or b in (8, 9, 10) for a, b in got)
+
+
+def test_sorted_neighborhood_identical_corpus(ray_session):
+    """Adversarial skew: every doc shares one normalization key, so the
+    whole corpus lands in ONE bucket run. Pair volume must stay n*window
+    (never quadratic) and the wall must stay bounded."""
+    import time
+
+    import ray.data as rd
+
+    from ocr_ray.ops.dedup import sorted_neighborhood_pairs
+
+    n, w = 20_000, 3
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(["same text for every doc"] * n),
+            }
+        )
+    )
+    t0 = time.perf_counter()
+    out = sorted_neighborhood_pairs(docs, window=w)
+    n_pairs = out.count()
+    wall = time.perf_counter() - t0
+    # rank-window pairs over one giant tie run: n*w - w*(w+1)/2
+    assert n_pairs == n * w - w * (w + 1) // 2
+    assert wall < 120  # bounded: linear pair volume, no quadratic blowup
