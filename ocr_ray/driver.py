@@ -4155,6 +4155,112 @@ def q_validate_embeddings(sf_dir: str):
     )
 
 
+def q_centroid_drift(sf_dir: str):
+    """Per-label embedding drift between two deterministic corpus halves
+    (vec_id parity stands in for the time axis): the cosine between the
+    halves' label centroids — the distribution-shift monitor a serving
+    pipeline runs between snapshots. Components quantize floor(x·1000)
+    so all moments are exact int64 partials (one slim row per
+    (label, half, dim) leaves each batch); the per-label cosine is one
+    shared-IEEE expression over Python-int exact sums, computed in a
+    label-keyed block."""
+    import math
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    _quiet()
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    part_schema = pa.schema(
+        [("label", pa.int64()), ("half", pa.int64()), ("dim", pa.int64()),
+         ("isum", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.floor(
+            col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            * 1000
+        ).astype(np.int64)
+        d = len(flat) // batch.num_rows
+        m = flat.reshape(batch.num_rows, d)
+        labels = batch.column("label").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        halves = (
+            batch.column("vec_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            % 2
+        )
+        out = {"label": [], "half": [], "dim": [], "isum": [], "n": []}
+        for lab in np.unique(labels):
+            for h in (0, 1):
+                rows = m[(labels == lab) & (halves == h)]
+                if len(rows) == 0:
+                    continue
+                sums = rows.sum(axis=0, dtype=np.int64)
+                out["label"].extend([int(lab)] * d)
+                out["half"].extend([h] * d)
+                out["dim"].extend(range(1, d + 1))
+                out["isum"].extend(int(s) for s in sums)
+                out["n"].extend([len(rows)] * d)
+        return pa.Table.from_pydict(out, schema=part_schema)
+
+    agg = (
+        emb.map_batches(partials, batch_format="pyarrow")
+        .groupby(["label", "half", "dim"])
+        .aggregate(Sum("isum", alias_name="isum"), Sum("n", alias_name="n"))
+    )
+
+    out_schema = pa.schema(
+        [("label", pa.int64()), ("n_a", pa.int64()), ("n_b", pa.int64()),
+         ("centroid_cosine", pa.float64())]
+    )
+
+    def cos_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        rows = block.num_rows
+        if rows == 0 or len(starts) == 0:
+            return out_schema.empty_table()
+        labels = block.column("label").to_numpy(zero_copy_only=False)
+        halves = block.column("half").to_numpy(zero_copy_only=False)
+        dims = block.column("dim").to_numpy(zero_copy_only=False)
+        isum = block.column("isum").to_numpy(zero_copy_only=False)
+        ncol = block.column("n").to_numpy(zero_copy_only=False)
+        ends = np.append(starts[1:], rows)
+        out = {"label": [], "n_a": [], "n_b": [], "centroid_cosine": []}
+        for s, e in zip(starts, ends):
+            h, d, v, n = halves[s:e], dims[s:e], isum[s:e], ncol[s:e]
+            a = {int(dd): int(vv) for dd, vv in zip(d[h == 0], v[h == 0])}
+            b = {int(dd): int(vv) for dd, vv in zip(d[h == 1], v[h == 1])}
+            if not a or not b:
+                continue
+            sab = sum(a[k] * b[k] for k in a)          # exact Python ints
+            saa = sum(x * x for x in a.values())
+            sbb = sum(x * x for x in b.values())
+            if saa == 0 or sbb == 0:
+                continue
+            out["label"].append(int(labels[s]))
+            out["n_a"].append(int(n[h == 0][0]))
+            out["n_b"].append(int(n[h == 1][0]))
+            # shared IEEE: CAST(sab)/sqrt(CAST(saa))/sqrt(CAST(sbb))
+            out["centroid_cosine"].append(
+                float(sab) / math.sqrt(float(saa)) / math.sqrt(float(sbb))
+            )
+        return pa.Table.from_pydict(out, schema=out_schema)
+
+    return grouped_map(agg, ["label"], cos_block)
+
+
 def q_media_dhash_pairs(sf_dir: str):
     """Near-duplicate images over a deterministic full-entropy texture
     corpus sized to the scale factor (distinct textures land ~32 bits
@@ -4626,6 +4732,7 @@ QUERIES = {
     "events_anomaly_days": q_events_anomaly_days,
     "neardup_degree_hist": q_neardup_degree_hist,
     "validate_embeddings": q_validate_embeddings,
+    "centroid_drift": q_centroid_drift,
     "top_unshipped_orders": q_top_unshipped_orders,
     "events_pivot_daily": q_events_pivot_daily,
     "bigram_familiarity": q_bigram_familiarity,
@@ -6695,6 +6802,37 @@ def oracle_sql() -> dict[str, str]:
             " CAST(SUM(CASE WHEN COALESCE(amax, 0) = 0 AND has_nan = 0"
             " THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm\n"
             "FROM f"
+        ),
+        "centroid_drift": (
+            "WITH q AS (\n"
+            " SELECT label, vec_id % 2 AS half,\n"
+            "  unnest(range(1, len(embedding) + 1)) AS dim,\n"
+            "  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000)"
+            " AS BIGINT) AS qv\n"
+            " FROM embeddings\n"
+            "), s AS (\n"
+            " SELECT label, half, dim, SUM(CAST(qv AS HUGEINT)) AS isum\n"
+            " FROM q GROUP BY 1, 2, 3\n"
+            "), nv AS (\n"
+            " SELECT label, vec_id % 2 AS half, COUNT(*) AS n\n"
+            " FROM embeddings GROUP BY 1, 2\n"
+            "), j AS (\n"
+            " SELECT a.label,\n"
+            "  SUM(a.isum * b.isum) AS sab,\n"
+            "  SUM(a.isum * a.isum) AS saa,\n"
+            "  SUM(b.isum * b.isum) AS sbb\n"
+            " FROM s a JOIN s b ON a.label = b.label AND a.dim = b.dim\n"
+            "  AND a.half = 0 AND b.half = 1\n"
+            " GROUP BY a.label\n"
+            ")\n"
+            "SELECT CAST(j.label AS BIGINT) AS label,\n"
+            " CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,\n"
+            " CAST(sab AS DOUBLE) / sqrt(CAST(saa AS DOUBLE))"
+            " / sqrt(CAST(sbb AS DOUBLE)) AS centroid_cosine\n"
+            "FROM j\n"
+            "JOIN nv na ON na.label = j.label AND na.half = 0\n"
+            "JOIN nv nb ON nb.label = j.label AND nb.half = 1\n"
+            "WHERE saa <> 0 AND sbb <> 0"
         ),
         "order_priority_late_counts": (
             "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late\n"
