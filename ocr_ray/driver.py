@@ -4261,6 +4261,44 @@ def q_centroid_drift(sf_dir: str):
     return grouped_map(agg, ["label"], cos_block)
 
 
+def q_word_length_hist(sf_dir: str):
+    """Word-length histogram over the corpus (the tokenizer-profile
+    rollup): per-batch numpy length counts collapse onto the tiny
+    length domain, one keyed sum finishes."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.analysis import _WORD_RE
+
+    docs = _docs(sf_dir)
+    part_schema = pa.schema(
+        [("word_len", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        lens = [
+            len(w)
+            for text in t.column("text").to_pylist()
+            for w in _WORD_RE.findall((text or "").lower())
+        ]
+        if not lens:
+            return part_schema.empty_table()
+        vals, counts = np.unique(np.array(lens, np.int64), return_counts=True)
+        return pa.table(
+            {
+                "word_len": pa.array(vals, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby("word_len")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def q_media_dhash_pairs(sf_dir: str):
     """Near-duplicate images over a deterministic full-entropy texture
     corpus sized to the scale factor (distinct textures land ~32 bits
@@ -4733,6 +4771,7 @@ QUERIES = {
     "neardup_degree_hist": q_neardup_degree_hist,
     "validate_embeddings": q_validate_embeddings,
     "centroid_drift": q_centroid_drift,
+    "word_length_hist": q_word_length_hist,
     "top_unshipped_orders": q_top_unshipped_orders,
     "events_pivot_daily": q_events_pivot_daily,
     "bigram_familiarity": q_bigram_familiarity,
@@ -6833,6 +6872,12 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nv na ON na.label = j.label AND na.half = 0\n"
             "JOIN nv nb ON nb.label = j.label AND nb.half = 1\n"
             "WHERE saa <> 0 AND sbb <> 0"
+        ),
+        "word_length_hist": (
+            "SELECT CAST(len(w) AS BIGINT) AS word_len,\n"
+            " CAST(COUNT(*) AS BIGINT) AS n\n"
+            f"FROM (SELECT unnest({_WORDS_SQL}) AS w FROM documents)\n"
+            "GROUP BY 1"
         ),
         "order_priority_late_counts": (
             "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late\n"
