@@ -4299,6 +4299,67 @@ def q_word_length_hist(sf_dir: str):
     )
 
 
+def q_quality_by_source_lang(sf_dir: str):
+    """Mean quality score per (source, lang) — the rollup a curation
+    pipeline uses to pick training-mix weights. The per-doc float score
+    quantizes to micro-units (ROUND on the identical IEEE double both
+    engines computed) so the cross-cluster sum is exact; the score table
+    enriches with (source, lang) through one slim hash join."""
+    from ray.data.aggregate import Count, Sum
+
+    from ocr_ray.ops import analysis
+    from ocr_ray.ops.joins import large_join
+
+    scores = analysis.quality_scores(_docs(sf_dir)).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "q_micro": pc.cast(
+                    pc.round(
+                        pc.multiply(t["overall"], 1_000_000.0),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    meta = _docs(sf_dir, "doc_id", "source", "lang")
+    j = large_join(scores, meta, on="doc_id")
+    agg = j.groupby(["source", "lang"]).aggregate(
+        Count(alias_name="n_docs"), Sum("q_micro", alias_name="q_sum")
+    )
+
+    out_schema = pa.schema(
+        [("source", pa.string()), ("lang", pa.string()),
+         ("n_docs", pa.int64()), ("q_sum", pa.int64()),
+         ("mean_quality", pa.float64())]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        n = t["n_docs"].cast(pa.int64())
+        qs = t["q_sum"].cast(pa.int64())
+        mean = (
+            qs.to_numpy(zero_copy_only=False).astype(np.float64)
+            / n.to_numpy(zero_copy_only=False).astype(np.float64)
+            / 1_000_000.0
+        )
+        return pa.table(
+            {
+                "source": t["source"],
+                "lang": t["lang"],
+                "n_docs": n,
+                "q_sum": qs,
+                "mean_quality": pa.array(mean, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_media_dhash_pairs(sf_dir: str):
     """Near-duplicate images over a deterministic full-entropy texture
     corpus sized to the scale factor (distinct textures land ~32 bits
@@ -4772,6 +4833,7 @@ QUERIES = {
     "validate_embeddings": q_validate_embeddings,
     "centroid_drift": q_centroid_drift,
     "word_length_hist": q_word_length_hist,
+    "quality_by_source_lang": q_quality_by_source_lang,
     "top_unshipped_orders": q_top_unshipped_orders,
     "events_pivot_daily": q_events_pivot_daily,
     "bigram_familiarity": q_bigram_familiarity,
@@ -7367,5 +7429,16 @@ def oracle_sql() -> dict[str, str]:
         " / CAST(COUNT(*) AS DOUBLE) AS winsorized_mean\n"
         "FROM c JOIN b USING (event_type)\n"
         "GROUP BY c.event_type, b.lo, b.hi ORDER BY c.event_type"
+    )
+    oracles["quality_by_source_lang"] = (
+        "WITH qs AS (\n" + oracles["quality_scores"] + "\n)\n"
+        "SELECT d.source, d.lang,\n"
+        " CAST(COUNT(*) AS BIGINT) AS n_docs,\n"
+        " CAST(SUM(CAST(ROUND(q.overall * 1000000) AS BIGINT)) AS BIGINT)"
+        " AS q_sum,\n"
+        " CAST(SUM(CAST(ROUND(q.overall * 1000000) AS BIGINT)) AS DOUBLE)"
+        " / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean_quality\n"
+        "FROM qs q JOIN documents d USING (doc_id)\n"
+        "GROUP BY 1, 2"
     )
     return oracles
