@@ -4360,6 +4360,90 @@ def q_quality_by_source_lang(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_referential_integrity(sf_dir: str):
+    """Cross-table referential-integrity audit (the ingest gate a
+    warehouse runs before publishing a snapshot): lineitem rows whose
+    orderkey has no order, and orders whose custkey has no customer.
+    Each check is one hash left-outer join of slim key projections —
+    the fact side pre-collapses to distinct keys map-side, so the
+    exchange carries keys, not rows — and orphan row counts come from
+    re-aggregated per-key multiplicities."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.joins import large_join
+
+    _quiet()
+
+    def orphan_rows(fact, fact_key, dim, dim_key):
+        def key_partials(t: pa.Table) -> pa.Table:
+            g = (
+                pa.table({"k": t[fact_key].cast(pa.int64())})
+                .group_by("k")
+                .aggregate([([], "count_all")])
+            )
+            return pa.table(
+                {"k": g["k"], "m": g["count_all"].cast(pa.int64())}
+            )
+
+        keys = (
+            fact.map_batches(key_partials, batch_format="pyarrow")
+            .groupby("k")
+            .aggregate(Sum("m", alias_name="m"))
+        )
+
+        def dim_keys(t: pa.Table) -> pa.Table:
+            g = pa.table({"k": t[dim_key].cast(pa.int64())}).group_by(
+                "k"
+            ).aggregate([])
+            return g.append_column(
+                "present", pa.array(np.ones(g.num_rows, np.int64))
+            )
+
+        dk = dim.map_batches(dim_keys, batch_format="pyarrow")
+        j = large_join(keys, dk, on="k", join_type="left_outer")
+
+        def count_orphans(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                return pa.schema([("rows", pa.int64())]).empty_table()
+            orphan = t.filter(pc.is_null(t["present"]))
+            return pa.table(
+                {
+                    "rows": pa.array(
+                        [int(pc.sum(orphan["m"]).as_py() or 0)], pa.int64()
+                    )
+                }
+            )
+
+        parts = j.map_batches(
+            count_orphans, batch_format="pyarrow"
+        ).take_all()  # one slim row per block
+        return sum(int(r["rows"]) for r in parts)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    orders_k = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    )
+    orders_c = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    return pa.table(
+        {
+            "n_orphan_lineitems": pa.array(
+                [orphan_rows(li, "l_orderkey", orders_k, "o_orderkey")],
+                pa.int64(),
+            ),
+            "n_orphan_orders": pa.array(
+                [orphan_rows(orders_c, "o_custkey", cust, "c_custkey")],
+                pa.int64(),
+            ),
+        }
+    )
+
+
 def q_media_dhash_pairs(sf_dir: str):
     """Near-duplicate images over a deterministic full-entropy texture
     corpus sized to the scale factor (distinct textures land ~32 bits
@@ -4834,6 +4918,7 @@ QUERIES = {
     "centroid_drift": q_centroid_drift,
     "word_length_hist": q_word_length_hist,
     "quality_by_source_lang": q_quality_by_source_lang,
+    "referential_integrity": q_referential_integrity,
     "top_unshipped_orders": q_top_unshipped_orders,
     "events_pivot_daily": q_events_pivot_daily,
     "bigram_familiarity": q_bigram_familiarity,
@@ -6940,6 +7025,15 @@ def oracle_sql() -> dict[str, str]:
             " CAST(COUNT(*) AS BIGINT) AS n\n"
             f"FROM (SELECT unnest({_WORDS_SQL}) AS w FROM documents)\n"
             "GROUP BY 1"
+        ),
+        "referential_integrity": (
+            "SELECT\n"
+            " CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS\n"
+            "  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))"
+            " AS BIGINT) AS n_orphan_lineitems,\n"
+            " CAST((SELECT COUNT(*) FROM orders o WHERE NOT EXISTS\n"
+            "  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))"
+            " AS BIGINT) AS n_orphan_orders"
         ),
         "order_priority_late_counts": (
             "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late\n"
