@@ -4775,6 +4775,242 @@ def q_decayed_user_value(sf_dir: str):
     )
 
 
+# --- TPC-H-shaped filter/join revenue aggregates (Q6/Q14/Q19 analogues;
+# the testdata lineitem lacks shipmode/commitdate, so the bracket and
+# promo predicates use the columns that exist) ---------------------------
+
+_Q6_WINDOW = ("1996-01-01", "1997-01-01")
+_Q14_WINDOW = ("1996-09-01", "1996-10-01")
+_Q19_BRACKETS = (
+    # (brand, max_size, qty_lo, qty_hi) — inclusive qty range
+    ("Brand#12", 5, 1.0, 11.0),
+    ("Brand#21", 10, 10.0, 20.0),
+    ("Brand#15", 15, 20.0, 30.0),
+)
+
+
+def _li_window(sf_dir: str, window, columns):
+    """lineitem pruned at the scan to ``columns`` and date-filtered
+    map-side to ``window`` — the 100 TB table never leaves the read
+    stage unfiltered."""
+    import datetime as _dt
+
+    import ray.data as rd
+
+    _quiet()
+    d_from = _dt.datetime.fromisoformat(window[0])
+    d_to = _dt.datetime.fromisoformat(window[1])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(d_from)),
+                pc.less(t["l_shipdate"], pa.scalar(d_to)),
+            )
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=list(columns) + ["l_shipdate"]
+    ).map_batches(keep, batch_format="pyarrow")
+
+
+def _scalar_sum_row(ds, part_schema: pa.Schema) -> pa.Table:
+    """Collapse per-batch partial-sum rows (one slim row per block) into
+    the single result row. ``take_all`` is bounded by the block count of
+    an already-reduced stream, not by the input size."""
+    rows = ds.take_all()
+    out = {}
+    for f in part_schema:
+        out[f.name] = pa.array(
+            [sum(int(r[f.name]) for r in rows)], pa.int64()
+        )
+    return pa.table(out)
+
+
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6-shaped forecast-revenue change: one filtered pass over
+    lineitem (ship-year window, discount band, small quantities), no
+    join, no shuffle — per-batch partial sums collapse to one row.
+    Revenue is half-away-from-zero integer cents of price*discount,
+    summed AFTER per-row rounding to bit-match the SQL oracle."""
+    part_schema = pa.schema(
+        [("revenue_cents", pa.int64()), ("n_items", pa.int64())]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        f = t.filter(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                    pc.less_equal(t["l_discount"], pa.scalar(0.07)),
+                ),
+                pc.less(t["l_quantity"], pa.scalar(24.0)),
+            )
+        )
+        cents = _cents(pc.multiply(f["l_extendedprice"], f["l_discount"]))
+        return pa.table(
+            {
+                "revenue_cents": pa.array(
+                    [pc.sum(cents).as_py() or 0], pa.int64()
+                ),
+                "n_items": pa.array([f.num_rows], pa.int64()),
+            }
+        )
+
+    li = _li_window(
+        sf_dir, _Q6_WINDOW,
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+    return _scalar_sum_row(
+        li.map_batches(partials, batch_format="pyarrow"), part_schema
+    )
+
+
+def q_promo_revenue_share(sf_dir: str):
+    """TPC-H Q14-shaped promotion share: one ship-month of lineitem
+    joined to part on partkey (``adaptive_key_join`` — broadcast below
+    its threshold, hash-partitioned at scale; part is SF-proportional so
+    it cannot be assumed driver-small), then conditional partial sums.
+    Both numerator and denominator ship as integer cents so the result
+    hashes exactly; the share itself is the caller's one division."""
+    import ray.data as rd
+
+    from ocr_ray.ops.joins import adaptive_key_join
+
+    li = _li_window(
+        sf_dir, _Q14_WINDOW,
+        ["l_partkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "cents": _cents(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    j = adaptive_key_join(part, li, on="p_partkey", right_on="l_partkey")
+
+    part_schema = pa.schema(
+        [("promo_cents", pa.int64()), ("total_cents", pa.int64())]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        is_promo = pc.equal(t["p_type"], pa.scalar("PROMO"))
+        promo = pc.sum(
+            pc.if_else(is_promo, t["cents"], pa.scalar(0, pa.int64()))
+        ).as_py() or 0
+        total = pc.sum(t["cents"]).as_py() or 0
+        return pa.table(
+            {
+                "promo_cents": pa.array([promo], pa.int64()),
+                "total_cents": pa.array([total], pa.int64()),
+            }
+        )
+
+    return _scalar_sum_row(
+        j.map_batches(partials, batch_format="pyarrow"), part_schema
+    )
+
+
+def q_bracket_revenue(sf_dir: str):
+    """TPC-H Q19-shaped bracketed revenue: three (brand, size, quantity)
+    OR-brackets evaluated over lineitem⋈part. The part side is
+    pre-filtered map-side to the union of brackets (brand+size — a few
+    percent of the table) before the ``adaptive_key_join``; the
+    per-bracket quantity predicate then applies vectorized after the
+    join, so only bracket-eligible rows ever shuffle."""
+    import ray.data as rd
+
+    from ocr_ray.ops.joins import adaptive_key_join
+
+    brands = pa.array([b for b, _, _, _ in _Q19_BRACKETS], pa.string())
+    max_size = max(s for _, s, _, _ in _Q19_BRACKETS)
+
+    def part_keep(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.and_(
+                pc.is_in(t["p_brand"], value_set=brands),
+                pc.and_(
+                    pc.greater_equal(t["p_size"], pa.scalar(1)),
+                    pc.less_equal(t["p_size"], pa.scalar(max_size)),
+                ),
+            )
+        )
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).map_batches(part_keep, batch_format="pyarrow")
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "l_quantity": t["l_quantity"],
+                "cents": _cents(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = adaptive_key_join(part, li, on="p_partkey", right_on="l_partkey")
+
+    part_schema = pa.schema(
+        [("revenue_cents", pa.int64()), ("n_items", pa.int64())]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        size = pc.cast(t["p_size"], pa.int64())
+        qty = t["l_quantity"]
+        mask = pa.array([False] * t.num_rows, pa.bool_())
+        for brand, s_hi, q_lo, q_hi in _Q19_BRACKETS:
+            m = pc.and_(
+                pc.equal(t["p_brand"], pa.scalar(brand)),
+                pc.and_(
+                    pc.less_equal(size, pa.scalar(s_hi, pa.int64())),
+                    pc.and_(
+                        pc.greater_equal(qty, pa.scalar(q_lo)),
+                        pc.less_equal(qty, pa.scalar(q_hi)),
+                    ),
+                ),
+            )
+            mask = pc.or_(mask, m)
+        f = t.filter(mask)
+        return pa.table(
+            {
+                "revenue_cents": pa.array(
+                    [pc.sum(f["cents"]).as_py() or 0], pa.int64()
+                ),
+                "n_items": pa.array([f.num_rows], pa.int64()),
+            }
+        )
+
+    return _scalar_sum_row(
+        j.map_batches(partials, batch_format="pyarrow"), part_schema
+    )
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -4952,6 +5188,9 @@ QUERIES = {
     "kmeans_inertia": q_kmeans_inertia,
     "user_funnel_windowed": q_user_funnel_windowed,
     "winsorized_value_stats": q_winsorized_value_stats,
+    "forecast_revenue": q_forecast_revenue,
+    "promo_revenue_share": q_promo_revenue_share,
+    "bracket_revenue": q_bracket_revenue,
 }
 
 
@@ -7377,6 +7616,41 @@ def oracle_sql() -> dict[str, str]:
     # the prefix-filtered plan is result-identical by construction, so
     # it shares the all-pairs oracle verbatim
     oracles["ngram_jaccard_prefix"] = oracles["ngram_jaccard_pairs"]
+    # TPC-H-shaped revenue aggregates: integer-cent sums rounded per
+    # row (half away from zero) exactly as the Ray partials do
+    oracles["forecast_revenue"] = (
+        "SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100.0)"
+        " AS BIGINT)) AS BIGINT) AS revenue_cents,\n"
+        " CAST(COUNT(*) AS BIGINT) AS n_items\n"
+        "FROM lineitem\n"
+        f"WHERE l_shipdate >= TIMESTAMP '{_Q6_WINDOW[0]}'\n"
+        f" AND l_shipdate < TIMESTAMP '{_Q6_WINDOW[1]}'\n"
+        " AND l_discount >= CAST(0.05 AS DOUBLE)\n"
+        " AND l_discount <= CAST(0.07 AS DOUBLE)\n"
+        " AND l_quantity < 24"
+    )
+    oracles["promo_revenue_share"] = (
+        "SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN"
+        " CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0) AS BIGINT)"
+        " ELSE 0 END) AS BIGINT) AS promo_cents,\n"
+        " CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0)"
+        " AS BIGINT)) AS BIGINT) AS total_cents\n"
+        "FROM lineitem JOIN part ON l_partkey = p_partkey\n"
+        f"WHERE l_shipdate >= TIMESTAMP '{_Q14_WINDOW[0]}'\n"
+        f" AND l_shipdate < TIMESTAMP '{_Q14_WINDOW[1]}'"
+    )
+    _q19_pred = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {s}"
+        f" AND l_quantity BETWEEN {int(ql)} AND {int(qh)})"
+        for b, s, ql, qh in _Q19_BRACKETS
+    )
+    oracles["bracket_revenue"] = (
+        "SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)"
+        " * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents,\n"
+        " CAST(COUNT(*) AS BIGINT) AS n_items\n"
+        "FROM lineitem JOIN part ON l_partkey = p_partkey\n"
+        f"WHERE {_q19_pred}"
+    )
     # HLL register merge is exact (max of maxima), so the incremental
     # fold shares the one-shot sketch's oracle verbatim
     oracles["hll_user_estimate_incremental"] = oracles["hll_user_estimate"]
