@@ -5011,6 +5011,343 @@ def q_bracket_revenue(sf_dir: str):
     )
 
 
+_Q10_WINDOW = ("1996-04-01", "1996-07-01")
+_Q15_WINDOW = ("1996-01-01", "1996-04-01")
+_Q17_BRAND = "Brand#3"
+_Q17_MAX_SIZE = 10
+
+
+def q_returned_item_customers(sf_dir: str):
+    """TPC-H Q10-shaped returned-item ranking: revenue of RETURNED
+    lineitems on one quarter's orders, per customer, top 20.
+
+    Scale shape: lineitem filters to returnflag='R' map-side at the
+    scan and ships only (orderkey, cents); orders date-filter map-side;
+    the big-big orderkey join hash-partitions slim rows; per-batch
+    partials collapse before the per-customer aggregate (bounded by the
+    customer count, not the lineitem count); customer names attach via
+    ``adaptive_key_join`` onto the ALREADY-aggregated small stream and
+    the global sort runs on ≤ |customers| slim rows, then limit 20."""
+    import datetime as _dt
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.joins import adaptive_key_join, large_join
+
+    _quiet()
+    d_from = _dt.datetime.fromisoformat(_Q10_WINDOW[0])
+    d_to = _dt.datetime.fromisoformat(_Q10_WINDOW[1])
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(d_from)),
+                pc.less(t["o_orderdate"], pa.scalar(d_to)),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount",
+        ],
+    ).map_batches(
+        lambda t: (
+            lambda f: pa.table(
+                {
+                    "l_orderkey": f["l_orderkey"],
+                    "cents": _cents(
+                        pc.multiply(
+                            f["l_extendedprice"],
+                            pc.subtract(pa.scalar(1.0), f["l_discount"]),
+                        )
+                    ),
+                }
+            )
+        )(t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))),
+        batch_format="pyarrow",
+    )
+    j = large_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    part_schema = pa.schema(
+        [("o_custkey", pa.int64()), ("cents", pa.int64())]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        g = (
+            pa.table({"o_custkey": t["o_custkey"], "cents": t["cents"]})
+            .group_by("o_custkey")
+            .aggregate([("cents", "sum")])
+        )
+        return pa.table(
+            {"o_custkey": g["o_custkey"],
+             "cents": g["cents_sum"].cast(pa.int64())}
+        )
+
+    per_cust = (
+        j.map_batches(partials, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("cents", alias_name="revenue_cents"))
+    )
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    names = {
+        int(k): v
+        for k, v in zip(
+            nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()
+        )
+    }
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+    named = adaptive_key_join(
+        cust, per_cust, on="c_custkey", right_on="o_custkey"
+    )
+
+    def attach_nation(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [("c_custkey", pa.int64()), ("c_name", pa.string()),
+                 ("n_name", pa.string()), ("revenue_cents", pa.int64())]
+            ).empty_table()
+        nk = pc.cast(t["c_nationkey"], pa.int64()).to_pylist()
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "c_name": t["c_name"],
+                "n_name": pa.array([names[k] for k in nk], pa.string()),
+                "revenue_cents": pc.cast(t["revenue_cents"], pa.int64()),
+            }
+        )
+
+    return (
+        named.map_batches(attach_nation, batch_format="pyarrow")
+        .sort(["revenue_cents", "c_custkey"], descending=[True, False])
+        .limit(20)
+    )
+
+
+def q_top_supplier_revenue(sf_dir: str):
+    """TPC-H Q15-shaped top supplier: the supplier(s) with the maximum
+    lineitem revenue in one quarter. Per-batch partials collapse to a
+    per-supplier aggregate (bounded by the supplier count); that SMALL
+    stream materializes once, its global max is one aggregate, and the
+    winners filter + name join run over the materialized rows — the
+    lineitem table streams exactly once."""
+    from ray.data.aggregate import Sum
+
+    import ray.data as rd
+
+    from ocr_ray.ops.joins import adaptive_key_join
+
+    li = _li_window(
+        sf_dir, _Q15_WINDOW,
+        ["l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "cents": _cents(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    part_schema = pa.schema(
+        [("l_suppkey", pa.int64()), ("cents", pa.int64())]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        g = t.group_by("l_suppkey").aggregate([("cents", "sum")])
+        return pa.table(
+            {"l_suppkey": g["l_suppkey"],
+             "cents": g["cents_sum"].cast(pa.int64())}
+        )
+
+    per_supp = (
+        li.map_batches(partials, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("cents", alias_name="total_cents"))
+        .materialize()  # ≤ |suppliers| rows — consumed twice below
+    )
+    best = per_supp.max("total_cents")
+
+    winners = per_supp.filter(
+        expr=f"total_cents == {int(best)}"
+    )
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    named = adaptive_key_join(
+        supp, winners, on="s_suppkey", right_on="l_suppkey"
+    )
+    return named.map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                "s_name": t["s_name"],
+                "total_cents": pc.cast(t["total_cents"], pa.int64()),
+            }
+        )
+        if t.num_rows
+        else pa.schema(
+            [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+             ("total_cents", pa.int64())]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17-shaped small-quantity revenue: for one brand's smaller
+    parts, the revenue of lineitems whose quantity is below 20% of that
+    part's average quantity.
+
+    Scale shape: part pre-filters map-side to the brand+size slice (a
+    few percent of the table) before the ``adaptive_key_join``; the
+    joined slim (partkey, qty, price-cents) slice materializes ONCE (a
+    brand-slice of lineitem, the op's working set by definition) and
+    feeds both passes — the per-part average (aggregate bounded by the
+    filtered part count) and the threshold filter, with the small
+    threshold table attached back via ``adaptive_key_join``. Thresholds
+    are 0.2·(exact-integer qty sum / count), bit-reproducible in SQL."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ocr_ray.ops.joins import adaptive_key_join
+
+    _quiet()
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.equal(t["p_brand"], pa.scalar(_Q17_BRAND)),
+                pc.less_equal(t["p_size"], pa.scalar(_Q17_MAX_SIZE)),
+            )
+        ).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "l_quantity": t["l_quantity"],
+                "cents": _cents(t["l_extendedprice"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    sliced = adaptive_key_join(
+        part, li, on="p_partkey", right_on="l_partkey"
+    ).materialize()  # brand-slice of lineitem; consumed by both passes
+
+    qsum_schema = pa.schema(
+        [("p_partkey", pa.int64()), ("qty_sum", pa.float64()),
+         ("n", pa.int64())]
+    )
+
+    def qty_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return qsum_schema.empty_table()
+        g = (
+            pa.table(
+                {"p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+                 "q": t["l_quantity"]}
+            )
+            .group_by("p_partkey")
+            .aggregate([("q", "sum"), ("q", "count")])
+        )
+        return pa.table(
+            {"p_partkey": g["p_partkey"],
+             "qty_sum": g["q_sum"].cast(pa.float64()),
+             "n": g["q_count"].cast(pa.int64())}
+        )
+
+    thresholds = (
+        sliced.map_batches(qty_partials, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(
+            Sum("qty_sum", alias_name="qty_sum"),
+            Sum("n", alias_name="n"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+                    "thr": pc.multiply(
+                        pa.scalar(0.2),
+                        pc.divide(
+                            pc.cast(t["qty_sum"], pa.float64()),
+                            pc.cast(t["n"], pa.float64()),
+                        ),
+                    ),
+                }
+            )
+            if t.num_rows
+            else pa.schema(
+                [("p_partkey", pa.int64()), ("thr", pa.float64())]
+            ).empty_table(),
+            batch_format="pyarrow",
+        )
+    )
+
+    joined = adaptive_key_join(
+        thresholds,
+        sliced.map_batches(
+            lambda t: pa.table(
+                {
+                    "k": pc.cast(t["p_partkey"], pa.int64()),
+                    "l_quantity": t["l_quantity"],
+                    "cents": t["cents"],
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        on="p_partkey",
+        right_on="k",
+    )
+
+    part_schema = pa.schema(
+        [("total_cents", pa.int64()), ("n_items", pa.int64())]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        f = t.filter(pc.less(t["l_quantity"], t["thr"]))
+        return pa.table(
+            {
+                "total_cents": pa.array(
+                    [pc.sum(f["cents"]).as_py() or 0], pa.int64()
+                ),
+                "n_items": pa.array([f.num_rows], pa.int64()),
+            }
+        )
+
+    return _scalar_sum_row(
+        joined.map_batches(partials, batch_format="pyarrow"), part_schema
+    )
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -5191,6 +5528,9 @@ QUERIES = {
     "forecast_revenue": q_forecast_revenue,
     "promo_revenue_share": q_promo_revenue_share,
     "bracket_revenue": q_bracket_revenue,
+    "returned_item_customers": q_returned_item_customers,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "small_qty_revenue": q_small_qty_revenue,
 }
 
 
@@ -7643,6 +7983,48 @@ def oracle_sql() -> dict[str, str]:
         f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {s}"
         f" AND l_quantity BETWEEN {int(ql)} AND {int(qh)})"
         for b, s, ql, qh in _Q19_BRACKETS
+    )
+    oracles["returned_item_customers"] = (
+        "SELECT c_custkey, c_name, n_name,\n"
+        " CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0)"
+        " AS BIGINT)) AS BIGINT) AS revenue_cents\n"
+        "FROM customer JOIN orders ON c_custkey = o_custkey\n"
+        " JOIN lineitem ON l_orderkey = o_orderkey\n"
+        " JOIN nation ON c_nationkey = n_nationkey\n"
+        "WHERE l_returnflag = 'R'\n"
+        f" AND o_orderdate >= TIMESTAMP '{_Q10_WINDOW[0]}'\n"
+        f" AND o_orderdate < TIMESTAMP '{_Q10_WINDOW[1]}'\n"
+        "GROUP BY c_custkey, c_name, n_name\n"
+        "ORDER BY revenue_cents DESC, c_custkey LIMIT 20"
+    )
+    oracles["top_supplier_revenue"] = (
+        "WITH r AS (\n"
+        " SELECT l_suppkey,\n"
+        "  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0)"
+        " AS BIGINT)) AS BIGINT) AS total_cents\n"
+        " FROM lineitem\n"
+        f" WHERE l_shipdate >= TIMESTAMP '{_Q15_WINDOW[0]}'\n"
+        f"  AND l_shipdate < TIMESTAMP '{_Q15_WINDOW[1]}'\n"
+        " GROUP BY l_suppkey\n"
+        ")\n"
+        "SELECT s_suppkey, s_name, total_cents\n"
+        "FROM supplier JOIN r ON s_suppkey = l_suppkey\n"
+        "WHERE total_cents = (SELECT MAX(total_cents) FROM r)"
+    )
+    oracles["small_qty_revenue"] = (
+        "WITH sliced AS (\n"
+        " SELECT l_partkey, l_quantity,\n"
+        "  CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS cents\n"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey\n"
+        f" WHERE p_brand = '{_Q17_BRAND}' AND p_size <= {_Q17_MAX_SIZE}\n"
+        "), thr AS (\n"
+        " SELECT l_partkey AS k, 0.2 * (SUM(l_quantity) / COUNT(*)) AS thr\n"
+        " FROM sliced GROUP BY 1\n"
+        ")\n"
+        "SELECT CAST(SUM(cents) AS BIGINT) AS total_cents,\n"
+        " CAST(COUNT(*) AS BIGINT) AS n_items\n"
+        "FROM sliced JOIN thr ON l_partkey = k\n"
+        "WHERE l_quantity < thr"
     )
     oracles["bracket_revenue"] = (
         "SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)"
