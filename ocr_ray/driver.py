@@ -5348,6 +5348,308 @@ def q_small_qty_revenue(sf_dir: str):
     )
 
 
+_Q8_REGION = "AMERICA"
+_Q8_TYPE = "ECONOMY"
+_Q8_NATION = "NATION_5"
+_Q8_WINDOW = ("1996-01-01", "1998-01-01")
+_Q9_NAME_SUBSTR = "red"
+_Q9_COST_SCALE = 10.0  # cents of retailprice*qty*0.1 (no partsupp table)
+
+
+def q_market_share(sf_dir: str):
+    """TPC-H Q8-shaped market share: within one region's customer
+    market and one part type, the share of order-year revenue supplied
+    by one nation. Numerator and denominator ship as integer cents so
+    the result hashes exactly.
+
+    Scale shape: part pre-filters to the type slice map-side before an
+    ``adaptive_key_join`` onto slim lineitem rows; supplier attaches the
+    nationkey the same way; orders date-filter map-side and semi-join to
+    the region's customers BEFORE the one big-big orderkey join
+    (``large_join`` on slim pre-projected rows); per-batch conditional
+    partials collapse ahead of the ≤|years| keyed aggregate."""
+    import datetime as _dt
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.joins import adaptive_key_join, large_join
+
+    _quiet()
+    d_from = _dt.datetime.fromisoformat(_Q8_WINDOW[0])
+    d_to = _dt.datetime.fromisoformat(_Q8_WINDOW[1])
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = region.filter(pc.equal(region["r_name"], _Q8_REGION))[
+        "r_regionkey"
+    ]
+    nat_keys = (
+        nation.filter(pc.is_in(nation["n_regionkey"], value_set=rkey))[
+            "n_nationkey"
+        ]
+        .combine_chunks()
+        .cast(pa.int64())
+    )
+    target_key = int(
+        nation.filter(pc.equal(nation["n_name"], _Q8_NATION))[
+            "n_nationkey"
+        ][0].as_py()
+    )
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(t["p_type"], pa.scalar(_Q8_TYPE))
+        ).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_discount",
+        ],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_partkey": t["l_partkey"],
+                "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "cents": _cents(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    lp = adaptive_key_join(
+        part, li, on="p_partkey", right_on="l_partkey"
+    ).select_columns(["l_orderkey", "l_suppkey", "cents"])
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    ls = adaptive_key_join(
+        supp, lp, on="s_suppkey", right_on="l_suppkey"
+    ).select_columns(["l_orderkey", "s_nationkey", "cents"])
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_in(
+                pc.cast(t["c_nationkey"], pa.int64()), value_set=nat_keys
+            )
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda t: (
+            lambda f: pa.table(
+                {
+                    "o_orderkey": f["o_orderkey"],
+                    "o_custkey": f["o_custkey"],
+                    "o_year": pc.year(f["o_orderdate"]).cast(pa.int64()),
+                }
+            )
+        )(
+            t.filter(
+                pc.and_(
+                    pc.greater_equal(t["o_orderdate"], pa.scalar(d_from)),
+                    pc.less(t["o_orderdate"], pa.scalar(d_to)),
+                )
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    oc = adaptive_key_join(
+        cust, orders, on="c_custkey", right_on="o_custkey"
+    ).select_columns(["o_orderkey", "o_year"])
+
+    j = large_join(ls, oc, on="l_orderkey", right_on="o_orderkey")
+
+    part_schema = pa.schema(
+        [("o_year", pa.int64()), ("nation_cents", pa.int64()),
+         ("total_cents", pa.int64())]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        is_target = pc.equal(
+            pc.cast(t["s_nationkey"], pa.int64()),
+            pa.scalar(target_key, pa.int64()),
+        )
+        g = (
+            pa.table(
+                {
+                    "o_year": t["o_year"],
+                    "nat": pc.if_else(
+                        is_target, t["cents"], pa.scalar(0, pa.int64())
+                    ),
+                    "tot": t["cents"],
+                }
+            )
+            .group_by("o_year")
+            .aggregate([("nat", "sum"), ("tot", "sum")])
+        )
+        return pa.table(
+            {
+                "o_year": g["o_year"],
+                "nation_cents": g["nat_sum"].cast(pa.int64()),
+                "total_cents": g["tot_sum"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        j.map_batches(partials, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(
+            Sum("nation_cents", alias_name="nation_cents"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+    )
+
+
+def q_profit_by_nation_year(sf_dir: str):
+    """TPC-H Q9-shaped profit rollup (adapted: the testdata has no
+    partsupp, so unit cost is modeled as p_retailprice·qty·0.1, rounded
+    to cents per row exactly like the revenue term): per supplier
+    nation and order year, sum of revenue−cost over lineitems of parts
+    whose name contains one substring.
+
+    Scale shape: the name-slice of part attaches retailprice via
+    ``adaptive_key_join``; supplier attaches the nationkey the same
+    way; the only big-big join is orderkey (slim rows); profit is
+    computed per row BEFORE any shuffle and per-batch partials collapse
+    ahead of the ≤(nations×years) aggregate."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.joins import adaptive_key_join, large_join
+
+    _quiet()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    names = {
+        int(k): v
+        for k, v in zip(
+            nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()
+        )
+    }
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_retailprice"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.match_substring(t["p_name"], _Q9_NAME_SUBSTR)
+        ).select(["p_partkey", "p_retailprice"]),
+        batch_format="pyarrow",
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount",
+        ],
+    )
+    lp = adaptive_key_join(part, li, on="p_partkey", right_on="l_partkey")
+
+    def profit_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+                 ("profit_cents", pa.int64())]
+            ).empty_table()
+        rev = _cents(
+            pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            )
+        )
+        cost = _cents(
+            pc.multiply(t["p_retailprice"], t["l_quantity"]),
+            _Q9_COST_SCALE,
+        )
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "profit_cents": pc.subtract(rev, cost),
+            }
+        )
+
+    lp = lp.map_batches(profit_rows, batch_format="pyarrow")
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    ls = adaptive_key_join(
+        supp, lp, on="s_suppkey", right_on="l_suppkey"
+    ).select_columns(["l_orderkey", "s_nationkey", "profit_cents"])
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_year": pc.year(t["o_orderdate"]).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = large_join(ls, orders, on="l_orderkey", right_on="o_orderkey")
+
+    part_schema = pa.schema(
+        [("nat", pa.int64()), ("o_year", pa.int64()),
+         ("profit_cents", pa.int64())]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        g = (
+            pa.table(
+                {
+                    "nat": pc.cast(t["s_nationkey"], pa.int64()),
+                    "o_year": t["o_year"],
+                    "p": t["profit_cents"],
+                }
+            )
+            .group_by(["nat", "o_year"])
+            .aggregate([("p", "sum")])
+        )
+        return pa.table(
+            {"nat": g["nat"], "o_year": g["o_year"],
+             "profit_cents": g["p_sum"].cast(pa.int64())}
+        )
+
+    agg = (
+        j.map_batches(partials, batch_format="pyarrow")
+        .groupby(["nat", "o_year"])
+        .aggregate(Sum("profit_cents", alias_name="profit_cents"))
+    )
+    rows = agg.take_all()  # ≤ nations × years
+    return pa.table(
+        {
+            "n_name": pa.array(
+                [names[int(r["nat"])] for r in rows], pa.string()
+            ),
+            "o_year": pa.array([int(r["o_year"]) for r in rows], pa.int64()),
+            "profit_cents": pa.array(
+                [int(r["profit_cents"]) for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -5531,6 +5833,8 @@ QUERIES = {
     "returned_item_customers": q_returned_item_customers,
     "top_supplier_revenue": q_top_supplier_revenue,
     "small_qty_revenue": q_small_qty_revenue,
+    "market_share": q_market_share,
+    "profit_by_nation_year": q_profit_by_nation_year,
 }
 
 
@@ -7983,6 +8287,44 @@ def oracle_sql() -> dict[str, str]:
         f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {s}"
         f" AND l_quantity BETWEEN {int(ql)} AND {int(qh)})"
         for b, s, ql, qh in _Q19_BRACKETS
+    )
+    oracles["market_share"] = (
+        "SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,\n"
+        " CAST(SUM(CASE WHEN s_nation.n_name = "
+        f"'{_Q8_NATION}' THEN"
+        " CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0) AS BIGINT)"
+        " ELSE 0 END) AS BIGINT) AS nation_cents,\n"
+        " CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0)"
+        " AS BIGINT)) AS BIGINT) AS total_cents\n"
+        "FROM lineitem\n"
+        " JOIN part ON l_partkey = p_partkey\n"
+        " JOIN supplier ON l_suppkey = s_suppkey\n"
+        " JOIN nation s_nation ON s_nationkey = s_nation.n_nationkey\n"
+        " JOIN orders ON l_orderkey = o_orderkey\n"
+        " JOIN customer ON o_custkey = c_custkey\n"
+        " JOIN nation c_nation ON c_nationkey = c_nation.n_nationkey\n"
+        " JOIN region ON c_nation.n_regionkey = r_regionkey\n"
+        f"WHERE r_name = '{_Q8_REGION}' AND p_type = '{_Q8_TYPE}'\n"
+        f" AND o_orderdate >= TIMESTAMP '{_Q8_WINDOW[0]}'\n"
+        f" AND o_orderdate < TIMESTAMP '{_Q8_WINDOW[1]}'\n"
+        "GROUP BY 1"
+    )
+    oracles["profit_by_nation_year"] = (
+        "SELECT n_name,\n"
+        " CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,\n"
+        " CAST(SUM(\n"
+        "  CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0)"
+        " AS BIGINT)\n"
+        f"  - CAST(ROUND(p_retailprice * l_quantity * {_Q9_COST_SCALE})"
+        " AS BIGINT)\n"
+        " ) AS BIGINT) AS profit_cents\n"
+        "FROM lineitem\n"
+        " JOIN part ON l_partkey = p_partkey\n"
+        " JOIN supplier ON l_suppkey = s_suppkey\n"
+        " JOIN nation ON s_nationkey = n_nationkey\n"
+        " JOIN orders ON l_orderkey = o_orderkey\n"
+        f"WHERE p_name LIKE '%{_Q9_NAME_SUBSTR}%'\n"
+        "GROUP BY n_name, 2"
     )
     oracles["returned_item_customers"] = (
         "SELECT c_custkey, c_name, n_name,\n"
