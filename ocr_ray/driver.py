@@ -5650,6 +5650,205 @@ def q_profit_by_nation_year(sf_dir: str):
     )
 
 
+_Q11_FRACTION = 0.0005
+_Q22_CUTOFF = "1999-01-01"
+
+
+def q_part_revenue_share(sf_dir: str):
+    """TPC-H Q11-shaped important-inventory filter (adapted: no
+    partsupp table, so 'value' is lineitem revenue): parts whose total
+    revenue exceeds a fixed fraction of GLOBAL revenue.
+
+    Scale shape: per-batch partials collapse lineitem to per-part
+    integer-cent sums; the keyed aggregate is bounded by the part
+    count and materializes once; the global total is one aggregate
+    over that SMALL table (never over lineitem) broadcast back as a
+    Python scalar into a vectorized filter. The threshold multiply is
+    double·int64, bit-reproducible in SQL via CAST(... AS DOUBLE)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    _quiet()
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    part_schema = pa.schema(
+        [("p_partkey", pa.int64()), ("cents", pa.int64())]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        g = (
+            pa.table(
+                {
+                    "p_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                    "cents": _cents(
+                        pc.multiply(
+                            t["l_extendedprice"],
+                            pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                        )
+                    ),
+                }
+            )
+            .group_by("p_partkey")
+            .aggregate([("cents", "sum")])
+        )
+        return pa.table(
+            {"p_partkey": g["p_partkey"],
+             "cents": g["cents_sum"].cast(pa.int64())}
+        )
+
+    per_part = (
+        li.map_batches(partials, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(Sum("cents", alias_name="revenue_cents"))
+        .materialize()  # ≤ |parts| slim rows; consumed twice
+    )
+    total = int(per_part.sum("revenue_cents"))
+    thr = _Q11_FRACTION * float(total)
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [("p_partkey", pa.int64()), ("revenue_cents", pa.int64())]
+            ).empty_table()
+        f = t.filter(
+            pc.greater(
+                pc.cast(t["revenue_cents"], pa.float64()), pa.scalar(thr)
+            )
+        )
+        return pa.table(
+            {
+                "p_partkey": pc.cast(f["p_partkey"], pa.int64()),
+                "revenue_cents": pc.cast(f["revenue_cents"], pa.int64()),
+            }
+        )
+
+    return per_part.map_batches(keep, batch_format="pyarrow")
+
+
+def q_idle_customer_balance(sf_dir: str):
+    """TPC-H Q22-shaped idle-capital audit (adapted: no phone column, so
+    the acctbal test + order anti join carry the shape): customers whose
+    balance exceeds the mean POSITIVE balance and who placed no order
+    after a cutoff date (every testdata customer has SOME order, so the
+    unfiltered anti join would be vacuously empty), counted per nation
+    with their total balance.
+
+    Scale shape: the mean is one pass of integer-cent partial sums (a
+    scalar, not a shuffle); qualifying customers anti-join against the
+    distinct-key-reduced orders side via a hash-partitioned LEFT OUTER
+    join with null-marker survivors (both sides stream); the final
+    rollup is a ≤|nations| keyed aggregate. The mean is exact-integer
+    sum / count in doubles — bit-reproducible in SQL."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ocr_ray.ops.joins import large_join
+
+    _quiet()
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+                "bal_cents": _cents(t["c_acctbal"]),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # |customers| slim rows; feeds the mean and the join
+
+    mean_schema = pa.schema([("s", pa.int64()), ("n", pa.int64())])
+
+    def mean_partials(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t["bal_cents"], pa.scalar(0, pa.int64())))
+        return pa.table(
+            {
+                "s": pa.array(
+                    [pc.sum(pos["bal_cents"]).as_py() or 0], pa.int64()
+                ),
+                "n": pa.array([pos.num_rows], pa.int64()),
+            }
+        )
+
+    m = _scalar_sum_row(
+        cust.map_batches(mean_partials, batch_format="pyarrow"), mean_schema
+    )
+    avg_cents = float(m["s"][0].as_py()) / float(m["n"][0].as_py())
+
+    rich = cust.map_batches(
+        lambda t: t.filter(
+            pc.greater(
+                pc.cast(t["bal_cents"], pa.float64()), pa.scalar(avg_cents)
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    import datetime as _dt
+
+    cutoff = _dt.datetime.fromisoformat(_Q22_CUTOFF)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    okeys = (
+        orders.map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(cutoff))
+            )
+            .select(["o_custkey"])
+            .group_by("o_custkey")
+            .aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="_n"))
+    )
+    joined = large_join(
+        rich, okeys, on="c_custkey", right_on="o_custkey",
+        join_type="left_outer",
+    )
+
+    part_schema = pa.schema(
+        [("c_nationkey", pa.int64()), ("n_custs", pa.int64()),
+         ("bal_cents", pa.int64())]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        f = t.filter(pc.is_null(t["_n"]))
+        g = (
+            pa.table(
+                {"c_nationkey": f["c_nationkey"], "b": f["bal_cents"]}
+            )
+            .group_by("c_nationkey")
+            .aggregate([("b", "sum"), ("b", "count")])
+        )
+        return pa.table(
+            {
+                "c_nationkey": g["c_nationkey"],
+                "n_custs": g["b_count"].cast(pa.int64()),
+                "bal_cents": g["b_sum"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(partials, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(
+            Sum("n_custs", alias_name="n_custs"),
+            Sum("bal_cents", alias_name="bal_cents"),
+        )
+    )
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -5835,6 +6034,8 @@ QUERIES = {
     "small_qty_revenue": q_small_qty_revenue,
     "market_share": q_market_share,
     "profit_by_nation_year": q_profit_by_nation_year,
+    "part_revenue_share": q_part_revenue_share,
+    "idle_customer_balance": q_idle_customer_balance,
 }
 
 
@@ -8287,6 +8488,38 @@ def oracle_sql() -> dict[str, str]:
         f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {s}"
         f" AND l_quantity BETWEEN {int(ql)} AND {int(qh)})"
         for b, s, ql, qh in _Q19_BRACKETS
+    )
+    oracles["part_revenue_share"] = (
+        "WITH r AS (\n"
+        " SELECT l_partkey AS p_partkey,\n"
+        "  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0)"
+        " AS BIGINT)) AS BIGINT) AS revenue_cents\n"
+        " FROM lineitem GROUP BY 1\n"
+        ")\n"
+        "SELECT p_partkey, revenue_cents FROM r\n"
+        "WHERE CAST(revenue_cents AS DOUBLE) >\n"
+        f" CAST({_Q11_FRACTION} AS DOUBLE)"
+        " * CAST((SELECT SUM(revenue_cents) FROM r) AS DOUBLE)"
+    )
+    oracles["idle_customer_balance"] = (
+        "WITH c AS (\n"
+        " SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,\n"
+        "  CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS bal_cents\n"
+        " FROM customer\n"
+        "), avgc AS (\n"
+        " SELECT CAST(SUM(bal_cents) AS DOUBLE) / COUNT(*) AS a\n"
+        " FROM c WHERE bal_cents > 0\n"
+        "), rich AS (\n"
+        " SELECT * FROM c"
+        " WHERE CAST(bal_cents AS DOUBLE) > (SELECT a FROM avgc)\n"
+        ")\n"
+        "SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_custs,\n"
+        " CAST(SUM(bal_cents) AS BIGINT) AS bal_cents\n"
+        "FROM rich\n"
+        "WHERE NOT EXISTS (SELECT 1 FROM orders\n"
+        " WHERE o_custkey = rich.c_custkey\n"
+        f" AND o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}')\n"
+        "GROUP BY c_nationkey"
     )
     oracles["market_share"] = (
         "SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,\n"
