@@ -5849,6 +5849,188 @@ def q_idle_customer_balance(sf_dir: str):
     )
 
 
+_COVERAGE_KS = (100, 1000, 10000)
+
+
+def q_token_coverage_curve(sf_dir: str):
+    """Tokenizer-design coverage curve: the fraction of corpus token
+    OCCURRENCES covered by the top-k vocabulary, at k = 100 / 1k / 10k.
+    Emitted as exact integer (covered, total) pairs so the result
+    hashes bit-for-bit; the ratio is the caller's division.
+
+    Scale shape: per-batch word-count partials collapse before the
+    word-keyed aggregate (vocab-sized slim rows, spillable); the global
+    top-k is a distributed sort LIMIT max(k) — only max(k) rows reach
+    the driver for the prefix sum — and the total is one aggregate over
+    the same materialized vocab table, which never leaves the cluster."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.analysis import _WORD_RE
+
+    docs = _docs(sf_dir)
+    part_schema = pa.schema([("word", pa.string()), ("n", pa.int64())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        counts: dict[str, int] = {}
+        for text in t.column("text").to_pylist():
+            for w in _WORD_RE.findall((text or "").lower()):
+                counts[w] = counts.get(w, 0) + 1
+        if not counts:
+            return part_schema.empty_table()
+        return pa.table(
+            {
+                "word": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    per_word = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # vocab-sized slim rows; feeds total + top-k
+    )
+    total = int(per_word.sum("n") or 0)
+    max_k = max(_COVERAGE_KS)
+    top = (
+        per_word.sort(["n", "word"], descending=[True, False])
+        .limit(max_k)
+        .take_all()
+    )
+    cum = np.cumsum(np.array([int(r["n"]) for r in top], np.int64))
+    return pa.table(
+        {
+            "k": pa.array(list(_COVERAGE_KS), pa.int64()),
+            "covered_tokens": pa.array(
+                [
+                    int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+                    for k in _COVERAGE_KS
+                ],
+                pa.int64(),
+            ),
+            "total_tokens": pa.array(
+                [total] * len(_COVERAGE_KS), pa.int64()
+            ),
+        }
+    )
+
+
+def q_fertility_by_lang(sf_dir: str):
+    """Tokenizer fertility per language: total characters and total
+    BPE-ish tokens per lang, as exact integer sums (chars/token — the
+    fertility ratio — is the caller's division). One pass, per-batch
+    partials onto the tiny lang domain, one keyed sum."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.textstats import _BPE_RE
+
+    docs = _docs(sf_dir, "doc_id", "text", "lang", "n_chars")
+    part_schema = pa.schema(
+        [("lang", pa.string()), ("total_chars", pa.int64()),
+         ("total_tokens", pa.int64()), ("n_docs", pa.int64())]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        toks = pa.array(
+            [
+                len(_BPE_RE.findall(text or ""))
+                for text in t.column("text").to_pylist()
+            ],
+            pa.int64(),
+        )
+        g = (
+            pa.table(
+                {"lang": t["lang"],
+                 "c": pc.cast(t["n_chars"], pa.int64()), "tk": toks}
+            )
+            .group_by("lang")
+            .aggregate([("c", "sum"), ("tk", "sum"), ("c", "count")])
+        )
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "total_chars": g["c_sum"].cast(pa.int64()),
+                "total_tokens": g["tk_sum"].cast(pa.int64()),
+                "n_docs": g["c_count"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("total_chars", alias_name="total_chars"),
+            Sum("total_tokens", alias_name="total_tokens"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+    )
+
+
+_PREFIX_LEN = 64
+
+
+def q_prefix_dup_clusters(sf_dir: str):
+    """Boilerplate-prefix duplicate clusters: documents sharing an
+    identical first-64-character prefix (the cheap screen a crawl
+    pipeline runs before full fingerprint dedup), reported as a
+    cluster-size histogram. Two keyed reductions of slim rows — prefix
+    counts collapse map-side first, the >1 survivors feed a histogram
+    sum on the tiny size domain."""
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir)
+    part_schema = pa.schema([("prefix", pa.string()), ("n", pa.int64())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        g = (
+            pa.table(
+                {"prefix": pc.utf8_slice_codeunits(
+                    t["text"], 0, _PREFIX_LEN
+                )}
+            )
+            .group_by("prefix")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"prefix": g["prefix"], "n": g["count_all"].cast(pa.int64())}
+        )
+
+    hist_schema = pa.schema(
+        [("cluster_size", pa.int64()), ("n_clusters", pa.int64())]
+    )
+
+    def to_hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return hist_schema.empty_table()
+        f = t.filter(pc.greater(t["n"], pa.scalar(1, pa.int64())))
+        if f.num_rows == 0:
+            return hist_schema.empty_table()
+        g = (
+            pa.table({"cluster_size": pc.cast(f["n"], pa.int64())})
+            .group_by("cluster_size")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"cluster_size": g["cluster_size"],
+             "n_clusters": g["count_all"].cast(pa.int64())}
+        )
+
+    return (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby("prefix")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(to_hist, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .aggregate(Sum("n_clusters", alias_name="n_clusters"))
+    )
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -6036,6 +6218,9 @@ QUERIES = {
     "profit_by_nation_year": q_profit_by_nation_year,
     "part_revenue_share": q_part_revenue_share,
     "idle_customer_balance": q_idle_customer_balance,
+    "token_coverage_curve": q_token_coverage_curve,
+    "fertility_by_lang": q_fertility_by_lang,
+    "prefix_dup_clusters": q_prefix_dup_clusters,
 }
 
 
@@ -8488,6 +8673,46 @@ def oracle_sql() -> dict[str, str]:
         f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {s}"
         f" AND l_quantity BETWEEN {int(ql)} AND {int(qh)})"
         for b, s, ql, qh in _Q19_BRACKETS
+    )
+    _ks_values = ", ".join(f"({k})" for k in _COVERAGE_KS)
+    oracles["token_coverage_curve"] = (
+        "WITH w AS (\n"
+        f" SELECT unnest({_WORDS_SQL}) AS word FROM documents\n"
+        "), c AS (\n"
+        " SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY 1\n"
+        "), r AS (\n"
+        " SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rk,\n"
+        "  SUM(n) OVER (ORDER BY n DESC, word"
+        " ROWS UNBOUNDED PRECEDING) AS cum\n"
+        " FROM c\n"
+        ")\n"
+        "SELECT CAST(k AS BIGINT) AS k,\n"
+        " CAST(COALESCE((SELECT cum FROM r WHERE rk ="
+        " LEAST(k, (SELECT MAX(rk) FROM r))), 0) AS BIGINT)"
+        " AS covered_tokens,\n"
+        " CAST(COALESCE((SELECT SUM(n) FROM c), 0) AS BIGINT)"
+        " AS total_tokens\n"
+        f"FROM (VALUES {_ks_values}) v(k)"
+    )
+    oracles["fertility_by_lang"] = (
+        "SELECT lang,\n"
+        " CAST(SUM(n_chars) AS BIGINT) AS total_chars,\n"
+        " CAST(SUM(len(regexp_extract_all(text,"
+        " '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+'"
+        "))) AS BIGINT) AS total_tokens,\n"
+        " CAST(COUNT(*) AS BIGINT) AS n_docs\n"
+        "FROM documents GROUP BY lang"
+    )
+    oracles["prefix_dup_clusters"] = (
+        "WITH p AS (\n"
+        f" SELECT substr(text, 1, {_PREFIX_LEN}) AS prefix FROM documents\n"
+        "), g AS (\n"
+        " SELECT prefix, COUNT(*) AS sz FROM p GROUP BY 1"
+        " HAVING COUNT(*) > 1\n"
+        ")\n"
+        "SELECT CAST(sz AS BIGINT) AS cluster_size,\n"
+        " CAST(COUNT(*) AS BIGINT) AS n_clusters\n"
+        "FROM g GROUP BY 1"
     )
     oracles["part_revenue_share"] = (
         "WITH r AS (\n"
