@@ -6031,6 +6031,21 @@ def q_prefix_dup_clusters(sf_dir: str):
     )
 
 
+def q_minhash_calibration(sf_dir: str):
+    """Sketch-vs-truth calibration on the LSH candidate set: integer
+    (n_agree, n_inter, n_union) per candidate pair."""
+    from ocr_ray.ops.dedup import minhash_calibration
+
+    return _materialized(
+        minhash_calibration(_docs(sf_dir)),
+        pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+             ("n_agree", pa.int64()), ("n_inter", pa.int64()),
+             ("n_union", pa.int64())]
+        ),
+    )
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -6221,6 +6236,7 @@ QUERIES = {
     "token_coverage_curve": q_token_coverage_curve,
     "fertility_by_lang": q_fertility_by_lang,
     "prefix_dup_clusters": q_prefix_dup_clusters,
+    "minhash_calibration": q_minhash_calibration,
 }
 
 
@@ -6438,6 +6454,41 @@ def _minhash_est_sql(num_perm: int = 64, bands: int = 16,
         ")\n"
         "SELECT doc_a, doc_b, est_jaccard FROM est"
         f" WHERE est_jaccard >= {threshold}"
+    )
+
+
+def _minhash_calibration_sql(num_perm: int = 64, bands: int = 16) -> str:
+    """SQL replay of ops.dedup.minhash_calibration: reuses the exact
+    signature/banding chain of ``_minhash_est_sql`` up to the candidate
+    CTE, then counts agreeing perms and exact shingle-set
+    intersection/union per candidate pair — all integers."""
+    base = _minhash_est_sql(num_perm, bands)
+    chain = base[: base.index("), est AS (")] + ")"
+    return (
+        chain + ",\n"
+        "agree AS (\n"
+        " SELECT c.doc_a, c.doc_b,\n"
+        "  CAST(SUM(CASE WHEN sa.mv = sb.mv THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_agree\n"
+        " FROM cand c\n"
+        " JOIN sig sa ON sa.doc_id = c.doc_a\n"
+        " JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm\n"
+        " GROUP BY 1, 2\n"
+        "), ints AS (\n"
+        " SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter\n"
+        " FROM cand c\n"
+        " JOIN sh a ON a.doc_id = c.doc_a\n"
+        " JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle\n"
+        " GROUP BY 1, 2\n"
+        ")\n"
+        "SELECT g.doc_a, g.doc_b, g.n_agree,\n"
+        " CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,\n"
+        " CAST(sa.sz + sb.sz - COALESCE(i.n_inter, 0) AS BIGINT)"
+        " AS n_union\n"
+        "FROM agree g\n"
+        "LEFT JOIN ints i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b\n"
+        "JOIN sizes sa ON sa.doc_id = g.doc_a\n"
+        "JOIN sizes sb ON sb.doc_id = g.doc_b"
     )
 
 
@@ -7385,6 +7436,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH h AS (\n SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hi,\n        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT AS lo\n FROM (SELECT DISTINCT user_id FROM events)\n), parts AS (\n SELECT hi & 255 AS bucket, ((hi >> 8) * 4294967296) + lo AS w FROM h\n), rho AS (\n SELECT bucket, CASE WHEN w = 0 THEN 57 ELSE 57 - length(printf('%b', w)) END AS r FROM parts\n), regs AS (\n SELECT bucket, MAX(r) AS max_rho FROM rho GROUP BY bucket\n), s AS (\n SELECT SUM((1::HUGEINT << (57 - max_rho))) + (256 - COUNT(*)) * (1::HUGEINT << 57) AS s_int,\n  256 - COUNT(*) AS zeros, COUNT(*) AS n_regs FROM regs\n), e AS (\n SELECT 6.783892839851034e+21 / CAST(s_int AS DOUBLE) AS raw, zeros, n_regs FROM s\n)\nSELECT ROUND(CASE WHEN raw <= 640.0 AND zeros > 0 THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 2) AS hll_estimate,\n CAST(n_regs AS BIGINT) AS n_registers FROM e"
         ),
         "dedup_minhash": _minhash_est_sql(),
+        "minhash_calibration": _minhash_calibration_sql(),
         "pagerank_neardup": _pagerank_oracle_sql(),
         "copurchase_triangles": _triangles_oracle_sql(),
         "copurchase_clustering": _clustering_oracle_sql(),

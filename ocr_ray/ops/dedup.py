@@ -439,6 +439,72 @@ def minhash_verified_pairs(docs, threshold: float = 0.5, num_perm: int = 64,
     return ab.map_batches(verify, batch_format="pyarrow")
 
 
+def minhash_calibration(docs, num_perm: int = 64, bands: int = 16,
+                        shingle_n: int = 3):
+    """Estimator-calibration table for the MinHash pipeline: every LSH
+    candidate pair with its signature agreement count (estimate =
+    n_agree/num_perm) AND its exact shingle-set overlap (exact Jaccard
+    = n_inter/n_union) — all integers, so the result hashes exactly.
+    This is the table a pipeline owner reads to pick the dedup
+    threshold: it quantifies how far the sketch estimate drifts from
+    truth on the corpus's own candidate distribution.
+
+    Scale shape: identical to ``dedup_minhash`` (slim band rows, bucket
+    pairing, payloads joined back onto the CANDIDATE set only — one
+    broadcast pass small-regime, hash joins at scale); the exact-overlap
+    pass touches only candidate texts, never all pairs."""
+    from ocr_ray.ops.joins import attach_pair_payloads
+
+    sigs = minhash_signatures(docs, num_perm, shingle_n).materialize()
+    cand = minhash_candidates(sigs, num_perm, bands)
+    ab = attach_pair_payloads(
+        cand, sigs, key_a="doc_a", key_b="doc_b", side_key="doc_id",
+        payloads={"signature": ("sig_a", "sig_b")}, dedupe=True,
+    )
+    ab = attach_pair_payloads(
+        ab, docs.select_columns(["doc_id", "text"]),
+        key_a="doc_a", key_b="doc_b", side_key="doc_id",
+        payloads={"text": ("text_a", "text_b")},
+    )
+
+    out_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("n_agree", pa.int64()), ("n_inter", pa.int64()),
+         ("n_union", pa.int64())]
+    )
+
+    def calibrate(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        sa = np.stack(
+            [np.frombuffer(x, np.uint64) for x in t.column("sig_a").to_pylist()]
+        )
+        sb = np.stack(
+            [np.frombuffer(x, np.uint64) for x in t.column("sig_b").to_pylist()]
+        )
+        agree = (sa == sb).sum(axis=1).astype(np.int64)
+        inters, unions = [], []
+        for ta, tb in zip(
+            t.column("text_a").to_pylist(), t.column("text_b").to_pylist()
+        ):
+            s_a = word_shingles(ta, shingle_n)
+            s_b = word_shingles(tb, shingle_n)
+            inter = len(s_a & s_b)
+            inters.append(inter)
+            unions.append(len(s_a) + len(s_b) - inter)
+        return pa.table(
+            {
+                "doc_a": t.column("doc_a").cast(pa.int64()),
+                "doc_b": t.column("doc_b").cast(pa.int64()),
+                "n_agree": pa.array(agree, pa.int64()),
+                "n_inter": pa.array(inters, pa.int64()),
+                "n_union": pa.array(unions, pa.int64()),
+            }
+        )
+
+    return ab.map_batches(calibrate, batch_format="pyarrow")
+
+
 # ----------------------------------------------- connected components
 
 
