@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "embedding_gram",
     "attribution_linear",
     "revenue_gini",
+    "mix_rebalance_weights",
+    "late_event_counts",
 ]
 
 

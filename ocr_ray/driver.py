@@ -6046,6 +6046,129 @@ def q_minhash_calibration(sf_dir: str):
     )
 
 
+def q_mix_rebalance_weights(sf_dir: str):
+    """Training-mix rebalancing weights: per language, the sampling
+    weight that equalizes the mix (uniform target across observed
+    langs), as micro-unit integers — weight = total / (n_langs · n_lang),
+    exactly the upsample/downsample factor a data-mixing stage applies.
+    One pass of partials onto the tiny lang domain; the global total and
+    lang count derive from the SAME collapsed aggregate (driver-side on
+    ≤|langs| rows), never from a second corpus scan."""
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, "doc_id", "lang")
+    part_schema = pa.schema([("lang", pa.string()), ("n", pa.int64())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        g = t.group_by("lang").aggregate([([], "count_all")])
+        return pa.table(
+            {"lang": g["lang"], "n": g["count_all"].cast(pa.int64())}
+        )
+
+    rows = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .take_all()  # ≤ |langs|
+    )
+    total = sum(int(r["n_docs"]) for r in rows)
+    k = len(rows)
+    return pa.table(
+        {
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            "n_docs": pa.array(
+                [int(r["n_docs"]) for r in rows], pa.int64()
+            ),
+            "weight_micro": pa.array(
+                [
+                    int(
+                        np.floor(
+                            1_000_000.0
+                            * (float(total) / (float(k) * float(r["n_docs"])))
+                            + 0.5
+                        )
+                    )
+                    for r in rows
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def q_late_event_counts(sf_dir: str):
+    """Watermark diagnostics for a streaming ingest: per user, how many
+    events ARRIVED (event_id order) with a timestamp behind the running
+    maximum — the out-of-order fraction that sizes a watermark delay.
+    One hash shuffle co-locates each user's slim (event_id, ts) rows;
+    the arrival-order running max is one vectorized segment pass per
+    block (np.maximum.accumulate with per-group base reset), no
+    per-group Python dispatch."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    _quiet()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("n_events", pa.int64()),
+         ("n_late", pa.int64())]
+    )
+
+    def block_fn(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return out_schema.empty_table()
+        ts = block.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        users = block.column("user_id").to_numpy(zero_copy_only=False)
+        # a row is late iff its ts is strictly below the running max of
+        # STRICTLY EARLIER rows in its own segment (arrival = event_id
+        # order, enforced by sort_within)
+        ends = np.r_[starts[1:], n]
+        seg_id = np.zeros(n, np.int64)
+        seg_id[starts[1:]] = 1
+        seg_id = np.cumsum(seg_id)
+        span = int(ts.max()) - int(ts.min()) + 1
+        if len(starts) * span < (1 << 62):
+            # vectorized segment cummax: stagger segments by disjoint
+            # offsets so one global accumulate can never bleed across
+            off = seg_id * np.int64(span)
+            seg_run = np.maximum.accumulate(ts - ts.min() + off) - off
+            seg_run = (seg_run + ts.min()).astype(np.int64)
+        else:  # pragma: no cover — astronomically wide ts domain
+            seg_run = np.empty(n, np.int64)
+            for s, e in zip(starts, ends):
+                seg_run[s:e] = np.maximum.accumulate(ts[s:e])
+        prev = np.empty(n, np.int64)
+        prev[starts] = np.iinfo(np.int64).min
+        shifted = np.r_[np.iinfo(np.int64).min, seg_run[:-1]]
+        mask = np.ones(n, bool)
+        mask[starts] = False
+        prev[mask] = shifted[mask]
+        late = ts < prev
+        counts = np.diff(np.r_[starts, n]).astype(np.int64)
+        n_late = np.add.reduceat(late.astype(np.int64), starts)
+        return pa.table(
+            {
+                "user_id": pa.array(users[starts], pa.int64()),
+                "n_events": pa.array(counts, pa.int64()),
+                "n_late": pa.array(n_late.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return grouped_map(
+        ev, ["user_id"], block_fn, sort_within=["event_id"]
+    )
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -6237,6 +6360,8 @@ QUERIES = {
     "fertility_by_lang": q_fertility_by_lang,
     "prefix_dup_clusters": q_prefix_dup_clusters,
     "minhash_calibration": q_minhash_calibration,
+    "mix_rebalance_weights": q_mix_rebalance_weights,
+    "late_event_counts": q_late_event_counts,
 }
 
 
@@ -7437,6 +7562,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_minhash": _minhash_est_sql(),
         "minhash_calibration": _minhash_calibration_sql(),
+        "mix_rebalance_weights": (
+            "WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs"
+            " FROM documents GROUP BY lang),\n"
+            "t AS (SELECT SUM(n_docs) AS total, COUNT(*) AS k FROM n)\n"
+            "SELECT lang, n_docs,\n"
+            " CAST(FLOOR(1000000.0 * (CAST(total AS DOUBLE)"
+            " / (CAST(k AS DOUBLE) * CAST(n_docs AS DOUBLE))) + 0.5)"
+            " AS BIGINT) AS weight_micro\n"
+            "FROM n, t"
+        ),
+        "late_event_counts": (
+            "WITH w AS (\n"
+            " SELECT user_id, ts,\n"
+            "  MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id\n"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            " AS prev_max\n"
+            " FROM events)\n"
+            "SELECT CAST(user_id AS BIGINT) AS user_id,"
+            " CAST(COUNT(*) AS BIGINT) AS n_events,\n"
+            " CAST(SUM(CASE WHEN ts < prev_max THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_late\n"
+            "FROM w GROUP BY user_id"
+        ),
         "pagerank_neardup": _pagerank_oracle_sql(),
         "copurchase_triangles": _triangles_oracle_sql(),
         "copurchase_clustering": _clustering_oracle_sql(),
