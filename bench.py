@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "revenue_gini",
     "mix_rebalance_weights",
     "late_event_counts",
+    "waiting_orders_suppliers",
+    "disjunctive_revenue",
+    "unigram_js_divergence",
 ]
 
 

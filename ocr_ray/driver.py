@@ -6169,6 +6169,233 @@ def q_late_event_counts(sf_dir: str):
     )
 
 
+_Q21_LATE_US = 90 * 86400 * 1_000_000  # "late" = ships >90 days after order
+
+def q_waiting_orders_suppliers(sf_dir: str):
+    """TPC-H Q21-shaped sole-blame suppliers (adapted: the testdata has
+    no l_commitdate/l_receiptdate, so a line is *late* when it ships
+    more than 90 days after its order date): suppliers who were the
+    ONLY supplier with a late line in a multi-supplier order, counted
+    over such orders.
+
+    Scale shape: the one big-big join (lineitem ⋈ orders on orderkey)
+    carries slim (orderkey, suppkey, late) rows; the per-order
+    sole-late-supplier logic is one ``grouped_map`` segment pass —
+    distinct-supplier and late-supplier-group counts via vectorized
+    change-point math, no per-order Python; the rollup is a keyed
+    aggregate bounded by the qualifying-supplier count, and names
+    attach via ``adaptive_key_join`` (qualifiers are the small side)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.joins import adaptive_key_join, large_join
+    from ocr_ray.stages.grouped import grouped_map
+
+    _quiet()
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    j = large_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    slim_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+         ("late", pa.int8())]
+    )
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return slim_schema.empty_table()
+        ship = pc.cast(t["l_shipdate"], pa.int64())
+        odate = pc.cast(t["o_orderdate"], pa.int64())
+        late = pc.cast(
+            pc.greater(ship, pc.add(odate, pa.scalar(_Q21_LATE_US))),
+            pa.int8(),
+        )
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "late": late,
+            }
+        )
+
+    rows = j.map_batches(slim, batch_format="pyarrow")
+
+    sole_schema = pa.schema([("s_suppkey", pa.int64())])
+
+    def sole_blame(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return sole_schema.empty_table()
+        supp = (
+            block.column("l_suppkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        late = (
+            block.column("late").to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        seg_id = np.zeros(n, np.int64)
+        seg_id[starts[1:]] = 1
+        seg_id = np.cumsum(seg_id)
+        # supplier-group change points (block is sorted by orderkey,
+        # then l_suppkey via sort_within)
+        new_grp = np.zeros(n, bool)
+        new_grp[starts] = True
+        new_grp[1:] |= supp[1:] != supp[:-1]
+        grp_starts = np.flatnonzero(new_grp)
+        n_supp = np.add.reduceat(new_grp.astype(np.int64), starts)
+        grp_late = np.logical_or.reduceat(late, grp_starts)
+        grp_seg = seg_id[grp_starts]
+        n_late = np.bincount(
+            grp_seg[grp_late], minlength=len(starts)
+        )
+        ok = (n_supp >= 2) & (n_late == 1)
+        late_idx = np.flatnonzero(grp_late)
+        sel = late_idx[ok[grp_seg[late_idx]]]  # exactly 1 per ok order
+        return pa.table(
+            {"s_suppkey": pa.array(supp[grp_starts][sel], pa.int64())}
+        )
+
+    soles = grouped_map(
+        rows, ["l_orderkey"], sole_blame, sort_within=["l_suppkey"]
+    )
+
+    cnt_schema = pa.schema(
+        [("s_suppkey", pa.int64()), ("n", pa.int64())]
+    )
+
+    def cnt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return cnt_schema.empty_table()
+        g = t.group_by("s_suppkey").aggregate([([], "count_all")])
+        return pa.table(
+            {"s_suppkey": g["s_suppkey"],
+             "n": g["count_all"].cast(pa.int64())}
+        )
+
+    rollup = (
+        soles.map_batches(cnt, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("n", alias_name="n_orders"))
+    )
+    supp_ds = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    return adaptive_key_join(
+        rollup, supp_ds, on="s_suppkey"
+    ).select_columns(["s_suppkey", "s_name", "n_orders"])
+
+
+# Q19-shape disjunctive branches: (brand, max size, qty lo, qty hi)
+_Q19_BRANCHES = (
+    ("Brand#13", 15, 1.0, 15.0),
+    ("Brand#20", 25, 10.0, 25.0),
+    ("Brand#9", 35, 20.0, 35.0),
+)
+
+
+def q_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19-shaped disjunctive-predicate revenue: discounted
+    revenue of lineitems matching any of three OR'd (brand AND size
+    range AND quantity range) branches, per brand.
+
+    Scale shape: part pre-filters map-side to the three brands (keeping
+    p_brand/p_size for the coupled predicate) before the
+    ``adaptive_key_join`` — only the branded slice of lineitem survives
+    the join; the full disjunction evaluates vectorized per batch and
+    per-batch partials collapse ahead of a ≤3-row aggregate."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.joins import adaptive_key_join
+
+    _quiet()
+    brands = pa.array([b for b, _, _, _ in _Q19_BRANCHES], pa.string())
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"],
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t["p_brand"], value_set=brands)),
+        batch_format="pyarrow",
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+    )
+    joined = adaptive_key_join(part, li, on="p_partkey",
+                               right_on="l_partkey")
+
+    part_schema = pa.schema(
+        [("p_brand", pa.string()), ("revenue_cents", pa.int64()),
+         ("n_lines", pa.int64())]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        brand = t.column("p_brand").to_numpy(zero_copy_only=False)
+        size = (
+            t.column("p_size").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        qty = (
+            t.column("l_quantity").to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        keep = np.zeros(len(brand), bool)
+        for b, smax, qlo, qhi in _Q19_BRANCHES:
+            keep |= (
+                (brand == b)
+                & (size >= 1) & (size <= smax)
+                & (qty >= qlo) & (qty <= qhi)
+            )
+        f = t.filter(pa.array(keep))
+        if f.num_rows == 0:
+            return part_schema.empty_table()
+        g = pa.table(
+            {
+                "p_brand": f["p_brand"],
+                "rc": _cents(
+                    pc.multiply(
+                        f["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), f["l_discount"]),
+                    )
+                ),
+            }
+        ).group_by("p_brand").aggregate([("rc", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "p_brand": g["p_brand"],
+                "revenue_cents": g["rc_sum"].cast(pa.int64()),
+                "n_lines": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(partials, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_lines", alias_name="n_lines"),
+        )
+    )
+
+
+def q_unigram_js_divergence(sf_dir: str):
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions — see ops/analysis.py:unigram_js_divergence for the
+    integer-nano determinism design."""
+    from ocr_ray.ops.analysis import unigram_js_divergence
+
+    return unigram_js_divergence(_docs(sf_dir, "source", "text"))
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -6362,6 +6589,9 @@ QUERIES = {
     "minhash_calibration": q_minhash_calibration,
     "mix_rebalance_weights": q_mix_rebalance_weights,
     "late_event_counts": q_late_event_counts,
+    "waiting_orders_suppliers": q_waiting_orders_suppliers,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "unigram_js_divergence": q_unigram_js_divergence,
 }
 
 
@@ -7571,6 +7801,64 @@ def oracle_sql() -> dict[str, str]:
             " / (CAST(k AS DOUBLE) * CAST(n_docs AS DOUBLE))) + 0.5)"
             " AS BIGINT) AS weight_micro\n"
             "FROM n, t"
+        ),
+        "waiting_orders_suppliers": (
+            "WITH lo AS (\n"
+            " SELECT l_orderkey, l_suppkey,\n"
+            "  CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY"
+            " THEN 1 ELSE 0 END AS late\n"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey),\n"
+            "per_order AS (\n"
+            " SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS ns,\n"
+            "  COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END)"
+            " AS nlate,\n"
+            "  MIN(CASE WHEN late = 1 THEN l_suppkey END) AS sole\n"
+            " FROM lo GROUP BY 1)\n"
+            "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,\n"
+            " CAST(COUNT(*) AS BIGINT) AS n_orders\n"
+            "FROM per_order JOIN supplier ON sole = s_suppkey\n"
+            "WHERE ns >= 2 AND nlate = 1\n"
+            "GROUP BY 1, 2"
+        ),
+        "disjunctive_revenue": (
+            "SELECT p_brand,\n"
+            " CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount)"
+            " * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents,\n"
+            " CAST(COUNT(*) AS BIGINT) AS n_lines\n"
+            "FROM lineitem JOIN part ON l_partkey = p_partkey\n"
+            "WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15"
+            " AND l_quantity BETWEEN 1 AND 15)\n"
+            "   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 25"
+            " AND l_quantity BETWEEN 10 AND 25)\n"
+            "   OR (p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 35"
+            " AND l_quantity BETWEEN 20 AND 35)\n"
+            "GROUP BY 1"
+        ),
+        "unigram_js_divergence": (
+            "WITH w AS (SELECT source,"
+            f" unnest({_WORDS_SQL}) AS word FROM documents),\n"
+            "c AS (SELECT source, word, COUNT(*) AS n FROM w"
+            " GROUP BY 1, 2),\n"
+            "t AS (SELECT source, CAST(SUM(n) AS DOUBLE) AS tot FROM c"
+            " GROUP BY 1),\n"
+            "pw AS (\n"
+            " SELECT ta.source AS sa, tb.source AS sb,\n"
+            "  COALESCE(ca.n, 0) / ta.tot AS p,\n"
+            "  COALESCE(cb.n, 0) / tb.tot AS q\n"
+            " FROM t ta JOIN t tb ON ta.source < tb.source\n"
+            " CROSS JOIN (SELECT DISTINCT word FROM c) wd\n"
+            " LEFT JOIN c ca ON ca.source = ta.source"
+            " AND ca.word = wd.word\n"
+            " LEFT JOIN c cb ON cb.source = tb.source"
+            " AND cb.word = wd.word\n"
+            " WHERE COALESCE(ca.n, 0) + COALESCE(cb.n, 0) > 0)\n"
+            "SELECT sa AS source_a, sb AS source_b,\n"
+            " CAST(SUM(CAST(FLOOR(1000000000.0 * 0.5 * (\n"
+            "  CASE WHEN p > 0 THEN p * ln(2.0 * p / (p + q))"
+            " ELSE 0 END +\n"
+            "  CASE WHEN q > 0 THEN q * ln(2.0 * q / (p + q))"
+            " ELSE 0 END) + 0.5) AS BIGINT)) AS BIGINT) AS jsd_nano\n"
+            "FROM pw GROUP BY 1, 2"
         ),
         "late_event_counts": (
             "WITH w AS (\n"

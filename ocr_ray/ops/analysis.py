@@ -558,3 +558,136 @@ def validate_documents(docs):
             ]
         ),
     )
+
+
+def unigram_js_divergence(docs):
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions — the corpus-mix dashboard number quantifying how
+    lexically distinct two slices are (0 = identical mix, ln 2 ≈
+    0.693·1e9 nano = fully disjoint vocabularies). Output is integer
+    nano-units (floor(1e9·jsd + 0.5)) so the result hashes exactly.
+
+    Determinism: each word's contribution is rounded to an INTEGER
+    nano-unit BEFORE summation, so the order-sensitive float
+    accumulation never touches the result — both engines sum identical
+    integers. The per-word double math (one divide per side, one add,
+    one ln, one multiply per side) is replicated operation-for-
+    operation in the oracle; ln is the only non-correctly-rounded op,
+    and a disagreement needs a value within ~1 ulp of an exact half-
+    nano boundary.
+
+    Scale shape: per-batch Counters collapse token streams to slim
+    (source, word, n) partials (the shuffle carries each batch's
+    DISTINCT words once); one keyed aggregate builds the exact
+    (source, word) table — the op's working set, materialized once and
+    consumed by the totals pass and the pair pass. Contributions are
+    word-partitioned via ``grouped_map``: each block scatters its words
+    into a dense (words × sources) matrix and sweeps source PAIRS with
+    vectorized column math. Assumes the source domain is small
+    (O(100s) — the standard corpus-mix shape): per-source totals
+    broadcast as a plain dict and the final aggregate is ≤ S² rows."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    part_schema = pa.schema(
+        [("source", pa.string()), ("word", pa.string()), ("c", pa.int64())]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        counts: Counter[tuple[str, str]] = Counter()
+        for source, text in zip(
+            t.column("source").to_pylist(), t.column("text").to_pylist()
+        ):
+            for w in _WORD_RE.findall((text or "").lower()):
+                counts[(source, w)] += 1
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in counts], pa.string()),
+                "word": pa.array([k[1] for k in counts], pa.string()),
+                "c": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    per_word = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby(["source", "word"])
+        .aggregate(Sum("c", alias_name="n"))
+        .materialize()
+    )
+    totals = (
+        per_word.groupby("source")
+        .aggregate(Sum("n", alias_name="tot"))
+        .take_all()  # ≤ |sources|
+    )
+    sources = sorted(r["source"] for r in totals)
+    src_idx = {s: i for i, s in enumerate(sources)}
+    tot_vec = np.array(
+        [float(next(r["tot"] for r in totals if r["source"] == s))
+         for s in sources],
+        np.float64,
+    )
+    n_src = len(sources)
+
+    out_schema = pa.schema(
+        [("source_a", pa.string()), ("source_b", pa.string()),
+         ("jsd_nano", pa.int64())]
+    )
+
+    def pair_contrib(block: pa.Table, starts) -> pa.Table:
+        if block.num_rows == 0 or len(starts) == 0:
+            return out_schema.empty_table()
+        n = block.num_rows
+        seg_id = np.zeros(n, np.int64)
+        seg_id[starts[1:]] = 1
+        seg_id = np.cumsum(seg_id)
+        col = np.array(
+            [src_idx[s] for s in block.column("source").to_pylist()],
+            np.int64,
+        )
+        cnt = (
+            block.column("n")
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        mat = np.zeros((len(starts), n_src), np.float64)
+        mat[seg_id, col] = cnt
+        prob = mat / tot_vec
+        a_out, b_out, nano_out = [], [], []
+        for a in range(n_src):
+            p = prob[:, a]
+            for b in range(a + 1, n_src):
+                q = prob[:, b]
+                m2 = p + q
+                mask = m2 > 0.0
+                pm, qm, m2m = p[mask], q[mask], m2[mask]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    term_p = np.where(
+                        pm > 0.0, pm * np.log(2.0 * pm / m2m), 0.0
+                    )
+                    term_q = np.where(
+                        qm > 0.0, qm * np.log(2.0 * qm / m2m), 0.0
+                    )
+                nano = np.floor(
+                    1e9 * 0.5 * (term_p + term_q) + 0.5
+                ).astype(np.int64)
+                a_out.append(sources[a])
+                b_out.append(sources[b])
+                nano_out.append(int(nano.sum()))
+        return pa.table(
+            {
+                "source_a": pa.array(a_out, pa.string()),
+                "source_b": pa.array(b_out, pa.string()),
+                "jsd_nano": pa.array(nano_out, pa.int64()),
+            }
+        )
+
+    return (
+        grouped_map(per_word, ["word"], pair_contrib)
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("jsd_nano", alias_name="jsd_nano"))
+    )
