@@ -6396,6 +6396,66 @@ def q_unigram_js_divergence(sf_dir: str):
     return unigram_js_divergence(_docs(sf_dir, "source", "text"))
 
 
+def q_hot_segments(sf_dir: str):
+    """C4-style line-dedup inventory: every 12-word segment occurring
+    in ≥ 2 distinct documents, with doc frequency and occurrence count
+    (ops/segdedup.py — documents never shuffle, the segment rows do)."""
+    from ocr_ray.ops.segdedup import hot_segments
+
+    return hot_segments(_docs(sf_dir))
+
+
+def q_segment_dedup_stats(sf_dir: str):
+    """Per-document removal report under the hot-segment rule:
+    (doc_id, n_segments, n_hot_segments, n_kept_words)."""
+    from ocr_ray.ops.segdedup import segment_dedup_stats
+
+    return segment_dedup_stats(_docs(sf_dir))
+
+
+def q_sq8_code_stats(sf_dir: str):
+    """SQ8 scalar-quantizer audit per label: integer-exact code sums,
+    squared sums and saturation counts under the trained global
+    per-dimension min/max codebook (ops/quantize.py)."""
+    import ray.data as rd
+
+    from ocr_ray.ops.quantize import sq8_code_stats
+
+    _quiet()
+    return sq8_code_stats(
+        rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+        )
+    )
+
+
+def q_kendall_by_lang(sf_dir: str):
+    """Rank concordance (Kendall pair categories) between n_chars and
+    token count per language — exact integer counts via the
+    divide-and-conquer inversion counter (ops/rankcorr.py)."""
+    from ocr_ray.ops.rankcorr import kendall_by_lang
+
+    return kendall_by_lang(
+        _docs(sf_dir, "doc_id", "text", "lang", "n_chars")
+    )
+
+
+def q_user_event_runs(sf_dir: str):
+    """Gaps-and-islands run collapse per user (SCD2 validity-interval
+    shape) — one hash partition + vectorized RLE (ops/runs.py)."""
+    import ray.data as rd
+
+    from ocr_ray.ops.runs import user_event_runs
+
+    _quiet()
+    return user_event_runs(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+    )
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -6592,6 +6652,11 @@ QUERIES = {
     "waiting_orders_suppliers": q_waiting_orders_suppliers,
     "disjunctive_revenue": q_disjunctive_revenue,
     "unigram_js_divergence": q_unigram_js_divergence,
+    "hot_segments": q_hot_segments,
+    "segment_dedup_stats": q_segment_dedup_stats,
+    "sq8_code_stats": q_sq8_code_stats,
+    "kendall_by_lang": q_kendall_by_lang,
+    "user_event_runs": q_user_event_runs,
 }
 
 
@@ -9479,4 +9544,17 @@ def oracle_sql() -> dict[str, str]:
         "FROM qs q JOIN documents d USING (doc_id)\n"
         "GROUP BY 1, 2"
     )
+    from ocr_ray.ops.quantize import sq8_code_stats_sql
+    from ocr_ray.ops.rankcorr import kendall_by_lang_sql
+    from ocr_ray.ops.runs import user_event_runs_sql
+    from ocr_ray.ops.segdedup import (
+        hot_segments_sql,
+        segment_dedup_stats_sql,
+    )
+
+    oracles["hot_segments"] = hot_segments_sql()
+    oracles["segment_dedup_stats"] = segment_dedup_stats_sql()
+    oracles["sq8_code_stats"] = sq8_code_stats_sql()
+    oracles["kendall_by_lang"] = kendall_by_lang_sql()
+    oracles["user_event_runs"] = user_event_runs_sql()
     return oracles

@@ -1,0 +1,257 @@
+"""Segment-level exact dedup — the C4/RefinedWeb "line dedup" family.
+
+Web-pipeline curation removes the *unit of boilerplate* — a line, a
+paragraph, a nav bar — that repeats across many pages, rather than the
+whole document. The operator here is that rule over a pluggable
+segmenter: a document is split into consecutive segments, a segment
+that occurs in ``min_docs`` or more DISTINCT documents is "hot"
+(global boilerplate), and every occurrence of a hot segment is removed
+from every document. Two surfaces:
+
+- :func:`hot_segments` — the global boilerplate inventory
+  ``(segment, n_docs, n_occurrences)``.
+- :func:`segment_dedup_stats` — the per-document removal report
+  ``(doc_id, n_segments, n_hot_segments, n_kept_words)``.
+
+On a real crawl the segmenter is ``text.split("\\n")``; the synthetic
+corpus is single-line word soup, so the default segmenter is
+consecutive non-overlapping ``width``-word windows — the same rule at
+a granularity where the corpus actually has cross-document repeats
+(its duplicate/near-duplicate documents). The segmenter is shared with
+the SQL oracle (:func:`hot_segments_sql`) token-for-token.
+
+Scale design (the C4 line-dedup shuffle): documents never shuffle.
+One stateless vectorized map explodes each document into slim
+``(segment, doc_id, cnt, n_words)`` rows — collapsed per (doc,
+segment) inside the batch so repeated segments within a document ship
+once; a hash partition on ``segment`` co-locates equal segments, so
+document frequency is simply the group size and the hot flag is
+computed inside the partitioned block (no df table, no broadcast of an
+unbounded hot set, no big-big join); the stats surface then rolls the
+flagged rows back up with a keyed aggregate on ``doc_id``. Two
+shuffles of derived slim rows total, each bounded by the corpus token
+count — at 100 TB you would additionally key the first shuffle by a
+128-bit segment hash instead of the string to cut shuffle bytes
+(identical semantics modulo 2^-128 collisions; the string key is kept
+here so the result is bit-identical to the SQL oracle by construction).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+DEFAULT_WIDTH = 12
+DEFAULT_MIN_DOCS = 2
+
+
+def _segment_rows_factory(width: int):
+    """Vectorized segmenter: batch of (doc_id, text) → per-(doc,
+    segment) partial rows (segment, doc_id, cnt, n_words). No Python
+    loop over rows — split, window, and join are Arrow kernels; the
+    window offsets are pure numpy index arithmetic."""
+
+    def rows(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "segment": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+                "n_words": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        text = pc.fill_null(
+            pc.cast(batch.column("text"), pa.string()), ""
+        )
+        words = pc.split_pattern(text, " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_words = np.diff(offs)  # ≥ 1 per doc: ''.split(' ') == ['']
+        n_segs = (n_words + width - 1) // width
+        total = int(n_segs.sum())
+        doc_idx = np.repeat(np.arange(len(n_words), dtype=np.int64), n_segs)
+        cum = np.concatenate(([0], np.cumsum(n_segs)))
+        within = np.arange(total, dtype=np.int64) - cum[doc_idx]
+        seg_words = (
+            np.minimum((within + 1) * width, n_words[doc_idx])
+            - within * width
+        )
+        seg_ends = offs[doc_idx] + within * width + seg_words
+        seg_offsets = np.concatenate(([offs[0]], seg_ends))
+        seg_list = pa.ListArray.from_arrays(
+            pa.array(seg_offsets, pa.int32()), words.values
+        )
+        segments = pc.binary_join(seg_list, " ")
+        doc_ids = pc.take(batch.column("doc_id"), pa.array(doc_idx))
+        exploded = pa.table(
+            {
+                "segment": segments,
+                "doc_id": doc_ids,
+                "cnt": pa.array(np.ones(total, np.int64), pa.int64()),
+                "n_words": pa.array(seg_words, pa.int64()),
+            }
+        )
+        # collapse per (doc, segment): a segment repeated inside one
+        # document ships as a single row with its occurrence count
+        # (n_words is a function of the segment string — min == the value)
+        collapsed = exploded.group_by(["doc_id", "segment"]).aggregate(
+            [("cnt", "sum"), ("n_words", "min")]
+        )
+        # pyarrow names key columns first, aggregates as <col>_<fn>
+        return collapsed.rename_columns(
+            ["doc_id", "segment", "cnt", "n_words"]
+        ).select(["segment", "doc_id", "cnt", "n_words"])
+
+    return rows
+
+
+def _hot_block_factory(min_docs: int):
+    """Per segment group (rows already distinct per doc): df = group
+    size; emit the inventory row for hot groups only."""
+
+    def block(block_tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        empty = pa.table(
+            {
+                "segment": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_occurrences": pa.array([], pa.int64()),
+            }
+        )
+        n = block_tbl.num_rows
+        if n == 0 or len(starts) == 0:
+            return empty
+        sizes = np.diff(np.append(starts, n))
+        cnt = block_tbl.column("cnt").to_numpy(zero_copy_only=False)
+        occ = np.add.reduceat(cnt, starts)
+        hot = sizes >= min_docs
+        if not hot.any():
+            return empty
+        segs = pc.take(
+            block_tbl.column("segment"), pa.array(starts[hot])
+        )
+        return pa.table(
+            {
+                "segment": segs,
+                "n_docs": pa.array(sizes[hot], pa.int64()),
+                "n_occurrences": pa.array(occ[hot], pa.int64()),
+            }
+        )
+
+    return block
+
+
+def hot_segments(
+    docs, *, width: int = DEFAULT_WIDTH, min_docs: int = DEFAULT_MIN_DOCS
+):
+    """Global boilerplate inventory: every ``width``-word segment that
+    occurs in ≥ ``min_docs`` distinct documents, with its document
+    frequency and total occurrence count."""
+    from ocr_ray.stages.grouped import grouped_map
+
+    rows = docs.map_batches(
+        _segment_rows_factory(width), batch_format="pyarrow"
+    )
+    return grouped_map(rows, ["segment"], _hot_block_factory(min_docs))
+
+
+def _mark_block_factory(min_docs: int):
+    """Per segment group: flag rows of hot groups, emit per-doc
+    partials (doc_id, n_seg, n_hot, kept_words) — one vectorized
+    repeat per block."""
+
+    def block(block_tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        e = pa.array([], pa.int64())
+        if block_tbl.num_rows == 0 or len(starts) == 0:
+            return pa.table(
+                {"doc_id": e, "n_seg": e, "n_hot": e, "kept_words": e}
+            )
+        n = block_tbl.num_rows
+        sizes = np.diff(np.append(starts, n))
+        hot = np.repeat(sizes >= min_docs, sizes)
+        cnt = block_tbl.column("cnt").to_numpy(zero_copy_only=False)
+        wrd = block_tbl.column("n_words").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": block_tbl.column("doc_id"),
+                "n_seg": pa.array(cnt, pa.int64()),
+                "n_hot": pa.array(np.where(hot, cnt, 0), pa.int64()),
+                "kept_words": pa.array(
+                    np.where(hot, 0, cnt * wrd), pa.int64()
+                ),
+            }
+        )
+
+    return block
+
+
+def segment_dedup_stats(
+    docs, *, width: int = DEFAULT_WIDTH, min_docs: int = DEFAULT_MIN_DOCS
+):
+    """Per-document removal report under the hot-segment rule:
+    (doc_id, n_segments, n_hot_segments, n_kept_words). Every document
+    has ≥ 1 segment (the empty text segments to [""]), so no spine
+    join is needed."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    rows = docs.map_batches(
+        _segment_rows_factory(width), batch_format="pyarrow"
+    )
+    marked = grouped_map(rows, ["segment"], _mark_block_factory(min_docs))
+    agg = marked.groupby("doc_id").aggregate(
+        Sum("n_seg", alias_name="n_segments"),
+        Sum("n_hot", alias_name="n_hot_segments"),
+        Sum("kept_words", alias_name="n_kept_words"),
+    )
+    return agg
+
+
+_SEG_CTE = (
+    "WITH w AS (\n"
+    " SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws\n"
+    " FROM documents\n"
+    "), seg AS (\n"
+    " SELECT doc_id,\n"
+    "  array_to_string(ws[(k * {w} + 1):(k * {w} + {w})], ' ') AS segment,\n"
+    "  len(ws[(k * {w} + 1):(k * {w} + {w})]) AS n_words\n"
+    " FROM w, (SELECT unnest(range(0, 64)) AS k)\n"
+    " WHERE k * {w} < len(ws)\n"
+    "), df AS (\n"
+    " SELECT segment, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,\n"
+    "  CAST(COUNT(*) AS BIGINT) AS n_occurrences\n"
+    " FROM seg GROUP BY segment\n"
+    ")\n"
+)
+
+
+def hot_segments_sql(
+    width: int = DEFAULT_WIDTH, min_docs: int = DEFAULT_MIN_DOCS
+) -> str:
+    """DuckDB equivalent — identical segmenter (1-based inclusive list
+    slice == the numpy window), identical hot rule. The range(0, 64)
+    cap covers documents up to 64×width words (corpus max is 100)."""
+    return (
+        _SEG_CTE.format(w=width)
+        + f"SELECT segment, n_docs, n_occurrences FROM df"
+        f" WHERE n_docs >= {min_docs} ORDER BY segment"
+    )
+
+
+def segment_dedup_stats_sql(
+    width: int = DEFAULT_WIDTH, min_docs: int = DEFAULT_MIN_DOCS
+) -> str:
+    return (
+        _SEG_CTE.format(w=width)
+        + "SELECT seg.doc_id,\n"
+        " CAST(COUNT(*) AS BIGINT) AS n_segments,\n"
+        f" CAST(SUM(CASE WHEN df.n_docs >= {min_docs} THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_hot_segments,\n"
+        f" CAST(SUM(CASE WHEN df.n_docs >= {min_docs} THEN 0 ELSE"
+        " seg.n_words END) AS BIGINT) AS n_kept_words\n"
+        "FROM seg JOIN df USING (segment)\n"
+        "GROUP BY seg.doc_id ORDER BY seg.doc_id"
+    )
