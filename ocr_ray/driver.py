@@ -6413,6 +6413,16 @@ def q_segment_dedup_stats(sf_dir: str):
     return segment_dedup_stats(_docs(sf_dir))
 
 
+def q_segment_dedup_docs(sf_dir: str):
+    """C4 line-dedup TRANSFORM: every occurrence of a hot segment is
+    removed and the survivors are re-joined in position order —
+    (doc_id, clean_text, n_dropped_segments). Positioned rows flow
+    through the same two slim shuffles as the stats surface."""
+    from ocr_ray.ops.segdedup import segment_dedup_docs
+
+    return segment_dedup_docs(_docs(sf_dir))
+
+
 def q_sq8_code_stats(sf_dir: str):
     """SQ8 scalar-quantizer audit per label: integer-exact code sums,
     squared sums and saturation counts under the trained global
@@ -6654,6 +6664,7 @@ QUERIES = {
     "unigram_js_divergence": q_unigram_js_divergence,
     "hot_segments": q_hot_segments,
     "segment_dedup_stats": q_segment_dedup_stats,
+    "segment_dedup_docs": q_segment_dedup_docs,
     "sq8_code_stats": q_sq8_code_stats,
     "kendall_by_lang": q_kendall_by_lang,
     "user_event_runs": q_user_event_runs,
@@ -9549,11 +9560,13 @@ def oracle_sql() -> dict[str, str]:
     from ocr_ray.ops.runs import user_event_runs_sql
     from ocr_ray.ops.segdedup import (
         hot_segments_sql,
+        segment_dedup_docs_sql,
         segment_dedup_stats_sql,
     )
 
     oracles["hot_segments"] = hot_segments_sql()
     oracles["segment_dedup_stats"] = segment_dedup_stats_sql()
+    oracles["segment_dedup_docs"] = segment_dedup_docs_sql()
     oracles["sq8_code_stats"] = sq8_code_stats_sql()
     oracles["kendall_by_lang"] = kendall_by_lang_sql()
     oracles["user_event_runs"] = user_event_runs_sql()

@@ -210,6 +210,151 @@ def segment_dedup_stats(
     return agg
 
 
+def _positioned_rows_factory(width: int):
+    """Like :func:`_segment_rows_factory` but keeps every occurrence
+    with its position ``k`` (no per-doc collapse) — the rebuild surface
+    needs each slot back in order."""
+
+    def rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "segment": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "k": pa.array([], pa.int64()),
+                }
+            )
+        text = pc.fill_null(
+            pc.cast(batch.column("text"), pa.string()), ""
+        )
+        words = pc.split_pattern(text, " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_words = np.diff(offs)
+        n_segs = (n_words + width - 1) // width
+        total = int(n_segs.sum())
+        doc_idx = np.repeat(np.arange(len(n_words), dtype=np.int64), n_segs)
+        cum = np.concatenate(([0], np.cumsum(n_segs)))
+        within = np.arange(total, dtype=np.int64) - cum[doc_idx]
+        seg_words = (
+            np.minimum((within + 1) * width, n_words[doc_idx])
+            - within * width
+        )
+        seg_ends = offs[doc_idx] + within * width + seg_words
+        seg_list = pa.ListArray.from_arrays(
+            pa.array(np.concatenate(([offs[0]], seg_ends)), pa.int32()),
+            words.values,
+        )
+        return pa.table(
+            {
+                "segment": pc.binary_join(seg_list, " "),
+                "doc_id": pc.take(batch.column("doc_id"), pa.array(doc_idx)),
+                "k": pa.array(within, pa.int64()),
+            }
+        )
+
+    return rows
+
+
+def _flag_block_factory(min_docs: int):
+    """Per segment group over POSITIONED rows (a doc may occur twice in
+    a group): df = distinct-doc count, computed from doc_id change
+    points inside the (segment, doc_id)-sorted block."""
+
+    def block(block_tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        e64 = pa.array([], pa.int64())
+        if block_tbl.num_rows == 0 or len(starts) == 0:
+            return pa.table(
+                {
+                    "doc_id": e64,
+                    "k": e64,
+                    "segment": pa.array([], pa.string()),
+                    "hot": pa.array([], pa.bool_()),
+                }
+            )
+        n = block_tbl.num_rows
+        doc = block_tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        new_grp = np.zeros(n, dtype=bool)
+        new_grp[starts] = True
+        new_doc = new_grp.copy()
+        new_doc[1:] |= doc[1:] != doc[:-1]
+        grp_sizes = np.diff(np.append(starts, n))
+        n_docs = np.add.reduceat(new_doc.astype(np.int64), starts)
+        hot = np.repeat(n_docs >= min_docs, grp_sizes)
+        return pa.table(
+            {
+                "doc_id": block_tbl.column("doc_id"),
+                "k": block_tbl.column("k"),
+                "segment": block_tbl.column("segment"),
+                "hot": pa.array(hot),
+            }
+        )
+
+    return block
+
+
+def _rebuild_block(block_tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+    """Per doc (rows sorted by k): join kept segments back in order."""
+    if block_tbl.num_rows == 0 or len(starts) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "clean_text": pa.array([], pa.string()),
+                "n_dropped_segments": pa.array([], pa.int64()),
+            }
+        )
+    n = block_tbl.num_rows
+    hot = block_tbl.column("hot").to_numpy(zero_copy_only=False)
+    kept = ~hot
+    seg = block_tbl.column("segment")
+    if isinstance(seg, pa.ChunkedArray):
+        seg = seg.combine_chunks()
+    kept_segs = seg.filter(pa.array(kept))
+    bounds = np.append(starts, n)
+    kept_cum = np.concatenate(([0], np.cumsum(kept.astype(np.int64))))
+    offsets = kept_cum[bounds]  # kept-run end per doc, prefixed by 0
+    doc_lists = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), kept_segs
+    )
+    dropped = np.add.reduceat(hot.astype(np.int64), starts)
+    return pa.table(
+        {
+            "doc_id": pc.take(block_tbl.column("doc_id"), pa.array(starts)),
+            "clean_text": pc.binary_join(doc_lists, " "),
+            "n_dropped_segments": pa.array(dropped, pa.int64()),
+        }
+    )
+
+
+def segment_dedup_docs(
+    docs, *, width: int = DEFAULT_WIDTH, min_docs: int = DEFAULT_MIN_DOCS
+):
+    """The C4 line-dedup TRANSFORM: every occurrence of a hot segment
+    is removed and each document's surviving segments are joined back
+    in position order → (doc_id, clean_text, n_dropped_segments).
+
+    Same two-shuffle plan as the stats surface, but positioned rows
+    flow end-to-end: explode (segment, doc_id, k) → hash partition on
+    segment, flag hot inside the block (distinct-doc df via doc-change
+    points) → hash partition on doc_id, vectorized ordered rebuild
+    (one filter + one ListArray + one binary_join per block)."""
+    from ocr_ray.stages.grouped import grouped_map
+
+    rows = docs.map_batches(
+        _positioned_rows_factory(width), batch_format="pyarrow"
+    )
+    flagged = grouped_map(
+        rows,
+        ["segment"],
+        _flag_block_factory(min_docs),
+        sort_within=["doc_id"],
+    )
+    return grouped_map(
+        flagged, ["doc_id"], _rebuild_block, sort_within=["k"]
+    )
+
+
 _SEG_CTE = (
     "WITH w AS (\n"
     " SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws\n"
@@ -252,6 +397,39 @@ def segment_dedup_stats_sql(
         " AS BIGINT) AS n_hot_segments,\n"
         f" CAST(SUM(CASE WHEN df.n_docs >= {min_docs} THEN 0 ELSE"
         " seg.n_words END) AS BIGINT) AS n_kept_words\n"
+        "FROM seg JOIN df USING (segment)\n"
+        "GROUP BY seg.doc_id ORDER BY seg.doc_id"
+    )
+
+
+def segment_dedup_docs_sql(
+    width: int = DEFAULT_WIDTH, min_docs: int = DEFAULT_MIN_DOCS
+) -> str:
+    """DuckDB equivalent of the transform: kept segments re-joined in
+    position order; docs whose every segment is hot keep an empty
+    string. The seg CTE keeps ``k``, so occurrences (not distinct
+    segments) are what survive or drop."""
+    return (
+        "WITH w AS (\n"
+        " SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws\n"
+        " FROM documents\n"
+        "), seg AS (\n"
+        " SELECT doc_id, k,\n"
+        f"  array_to_string(ws[(k * {width} + 1):(k * {width} + {width})],"
+        " ' ') AS segment\n"
+        " FROM w, (SELECT unnest(range(0, 64)) AS k)\n"
+        f" WHERE k * {width} < len(ws)\n"
+        "), df AS (\n"
+        " SELECT segment, COUNT(DISTINCT doc_id) AS n_docs\n"
+        " FROM seg GROUP BY segment\n"
+        ")\n"
+        "SELECT seg.doc_id,\n"
+        " COALESCE(array_to_string(\n"
+        f"  list(seg.segment ORDER BY seg.k)"
+        f" FILTER (WHERE df.n_docs < {min_docs}), ' '), '')"
+        " AS clean_text,\n"
+        f" CAST(SUM(CASE WHEN df.n_docs >= {min_docs} THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_dropped_segments\n"
         "FROM seg JOIN df USING (segment)\n"
         "GROUP BY seg.doc_id ORDER BY seg.doc_id"
     )

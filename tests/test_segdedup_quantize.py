@@ -86,6 +86,52 @@ class TestSegmenter:
         assert stats.loc[3, "n_kept_words"] == 7
 
 
+class TestSegmentDedupDocs:
+    def test_transform_removes_every_occurrence_in_order(self, ray_session):
+        from ocr_ray.ops.segdedup import segment_dedup_docs
+
+        docs = _docs_ds(
+            [
+                (1, "the same line here plus unique one"),
+                (2, "extra prefix here too the same line here"),
+                (3, "entirely different content nothing shared at all"),
+                # doc 4 is ONLY the hot segment → empty clean_text
+                (4, "the same line here"),
+            ]
+        )
+        out = (
+            segment_dedup_docs(docs, width=4, min_docs=2)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert out.loc[1, "clean_text"] == "plus unique one"
+        assert out.loc[1, "n_dropped_segments"] == 1
+        # doc 2's hot window starts at position 4, kept prefix survives
+        assert out.loc[2, "clean_text"] == "extra prefix here too"
+        assert out.loc[3, "clean_text"] == (
+            "entirely different content nothing shared at all"
+        )
+        assert out.loc[3, "n_dropped_segments"] == 0
+        assert out.loc[4, "clean_text"] == ""
+        assert out.loc[4, "n_dropped_segments"] == 1
+
+    def test_within_doc_repeat_drops_both_occurrences(self, ray_session):
+        from ocr_ray.ops.segdedup import segment_dedup_docs
+
+        # "x y" appears twice in doc 1 and once in doc 2 → hot; BOTH
+        # positions in doc 1 must vanish, the middle survives in place.
+        docs = _docs_ds([(1, "x y mid dle x y"), (2, "x y tail word")])
+        out = (
+            segment_dedup_docs(docs, width=2, min_docs=2)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[1, "clean_text"] == "mid dle"
+        assert out.loc[1, "n_dropped_segments"] == 2
+        assert out.loc[2, "clean_text"] == "tail word"
+
+
 class TestSQ8:
     def test_encode_saturates_and_guards_constant_dim(self):
         from ocr_ray.ops.quantize import _encode
