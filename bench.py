@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "waiting_orders_suppliers",
     "disjunctive_revenue",
     "unigram_js_divergence",
+    "length_auc",
+    "keyness_terms",
+    "bpe_merge_pairs",
 ]
 
 

@@ -6466,6 +6466,41 @@ def q_user_event_runs(sf_dir: str):
     )
 
 
+def q_length_auc(sf_dir: str):
+    """Exact Mann-Whitney AUC of n_chars as a classifier for lang='en'
+    (midrank tie handling; one keyed histogram sum, bounded driver
+    fold) — ops/keyness.py:length_auc."""
+    from ocr_ray.ops.keyness import length_auc
+
+    return length_auc(_docs(sf_dir, "n_chars", "lang"))
+
+
+def q_keyness_terms(sf_dir: str):
+    """Top-15 chi-square over-represented words per source (Dunning
+    keyness with a basic-ops statistic so the oracle hash matches) —
+    ops/keyness.py:keyness_terms."""
+    from ocr_ray.ops.keyness import keyness_terms
+
+    return keyness_terms(_docs(sf_dir, "source", "text"))
+
+
+def q_contingency_chi2(sf_dir: str):
+    """Per-cell chi-square contributions of the lang x source
+    contingency table — ops/keyness.py:contingency_chi2."""
+    from ocr_ray.ops.keyness import contingency_chi2
+
+    return contingency_chi2(_docs(sf_dir, "lang", "source"))
+
+
+def q_bpe_merge_pairs(sf_dir: str):
+    """Top-50 adjacent in-word character pairs (the first BPE merge
+    selection; 676-bounded pair space, one bincount per block) —
+    ops/keyness.py:bpe_merge_pairs."""
+    from ocr_ray.ops.keyness import bpe_merge_pairs
+
+    return bpe_merge_pairs(_docs(sf_dir, "text"))
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -6668,6 +6703,10 @@ QUERIES = {
     "sq8_code_stats": q_sq8_code_stats,
     "kendall_by_lang": q_kendall_by_lang,
     "user_event_runs": q_user_event_runs,
+    "length_auc": q_length_auc,
+    "keyness_terms": q_keyness_terms,
+    "contingency_chi2": q_contingency_chi2,
+    "bpe_merge_pairs": q_bpe_merge_pairs,
 }
 
 
@@ -9570,4 +9609,15 @@ def oracle_sql() -> dict[str, str]:
     oracles["sq8_code_stats"] = sq8_code_stats_sql()
     oracles["kendall_by_lang"] = kendall_by_lang_sql()
     oracles["user_event_runs"] = user_event_runs_sql()
+    from ocr_ray.ops.keyness import (
+        CONTINGENCY_CHI2_SQL,
+        bpe_merge_pairs_sql,
+        keyness_terms_sql,
+        length_auc_sql,
+    )
+
+    oracles["length_auc"] = length_auc_sql()
+    oracles["keyness_terms"] = keyness_terms_sql()
+    oracles["contingency_chi2"] = CONTINGENCY_CHI2_SQL
+    oracles["bpe_merge_pairs"] = bpe_merge_pairs_sql()
     return oracles
