@@ -83,6 +83,9 @@ BENCH_QUERIES = [
     "length_auc",
     "keyness_terms",
     "bpe_merge_pairs",
+    "table_profile_orders",
+    "lineitem_corr_matrix",
+    "search_bm25",
 ]
 
 

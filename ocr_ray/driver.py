@@ -6501,6 +6501,68 @@ def q_bpe_merge_pairs(sf_dir: str):
     return bpe_merge_pairs(_docs(sf_dir, "text"))
 
 
+# column spec the orders profiler and its oracle share
+_ORDERS_PROFILE_SPEC = (
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "float"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+)
+
+# fixed-point scales making each lineitem metric column exactly integral
+_LINEITEM_CORR_COLS = (
+    ("l_quantity", 1.0),
+    ("l_extendedprice", 100.0),
+    ("l_discount", 100.0),
+    ("l_tax", 100.0),
+)
+
+
+def q_table_profile_orders(sf_dir: str):
+    """Generic per-column table profile (count / nulls / exact distinct /
+    fixed-point min-max-mean) over the orders table — the front-door
+    data-quality pass a 100 TB ingest runs before anything else
+    (ops/profile.py; the reference's analogue is its per-run dataset
+    stats, ocr_service.py run rollups)."""
+    import ray.data as rd
+
+    from ocr_ray.ops.profile import table_profile
+
+    _quiet()
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=[c for c, _ in _ORDERS_PROFILE_SPEC],
+    )
+    return table_profile(orders, _ORDERS_PROFILE_SPEC)
+
+
+def q_lineitem_corr_matrix(sf_dir: str):
+    """Pairwise Pearson correlation over lineitem's four metric columns
+    via exact-int64 moment partials (ops/profile.py:corr_matrix) — the
+    one-pass statistical-profiling companion to table_profile."""
+    import ray.data as rd
+
+    from ocr_ray.ops.profile import corr_matrix
+
+    _quiet()
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[c for c, _ in _LINEITEM_CORR_COLS],
+    )
+    return corr_matrix(lineitem, _LINEITEM_CORR_COLS)
+
+
+def q_search_bm25(sf_dir: str):
+    """Okapi BM25 top-20 over the shared SEARCH_TERMS in exact
+    fixed-point integer arithmetic (ops/search.py:bm25_topk) — ranked
+    retrieval upgrade of search_topk's summed-tf scoring."""
+    from ocr_ray.ops.search import bm25_topk
+
+    return bm25_topk(_docs(sf_dir), SEARCH_TERMS, k=20)
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -6707,6 +6769,9 @@ QUERIES = {
     "keyness_terms": q_keyness_terms,
     "contingency_chi2": q_contingency_chi2,
     "bpe_merge_pairs": q_bpe_merge_pairs,
+    "table_profile_orders": q_table_profile_orders,
+    "lineitem_corr_matrix": q_lineitem_corr_matrix,
+    "search_bm25": q_search_bm25,
 }
 
 
@@ -9620,4 +9685,40 @@ def oracle_sql() -> dict[str, str]:
     oracles["keyness_terms"] = keyness_terms_sql()
     oracles["contingency_chi2"] = CONTINGENCY_CHI2_SQL
     oracles["bpe_merge_pairs"] = bpe_merge_pairs_sql()
+    from ocr_ray.ops.profile import corr_matrix_sql, table_profile_sql
+
+    oracles["table_profile_orders"] = table_profile_sql(
+        "orders", _ORDERS_PROFILE_SPEC
+    )
+    oracles["lineitem_corr_matrix"] = corr_matrix_sql(
+        "lineitem", _LINEITEM_CORR_COLS
+    )
+    # BM25 in exact fixed-point: the only floats are one LN and one
+    # division chain, evaluated in the engine's identical IEEE term
+    # order (ops/search.py:bm25_topk docstring derives the rational
+    # reduction for k1=6/5, b=3/4)
+    _terms_in = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    oracles["search_bm25"] = (
+        "WITH toks AS (SELECT doc_id,"
+        f" unnest({_WORDS_SQL}) AS w FROM documents),\n"
+        "dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl"
+        " FROM toks GROUP BY doc_id),\n"
+        "stats AS (SELECT"
+        " (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n,"
+        " (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS l),\n"
+        "tf AS (SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf"
+        f" FROM toks WHERE w IN ({_terms_in}) GROUP BY doc_id, w),\n"
+        "df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df"
+        " FROM tf GROUP BY term),\n"
+        "scored AS (SELECT tf.doc_id,\n"
+        " CAST(FLOOR(1000000.0 * LN((2 * s.n + 2.0) / (2 * df.df + 1.0))"
+        " + 0.5) AS BIGINT) AS idf,\n"
+        " CAST(FLOOR(1000000.0 * dl.dl * s.n / s.l + 0.5) AS BIGINT) AS r,\n"
+        " tf.tf AS tf\n"
+        " FROM tf JOIN dl ON tf.doc_id = dl.doc_id"
+        " JOIN df ON tf.term = df.term CROSS JOIN stats s)\n"
+        "SELECT doc_id, CAST(SUM((idf * 22 * tf * 1000000)"
+        " // (10 * tf * 1000000 + 3000000 + 9 * r)) AS BIGINT) AS score\n"
+        "FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"
+    )
     return oracles

@@ -397,3 +397,162 @@ def embedding_gram_moments_sql(quant: int = 1000) -> str:
         "UNION ALL SELECT i, j, s FROM dims\n"
         "UNION ALL SELECT i, j, s FROM cnt"
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Okapi k1=1.2, b=0.75) in exact fixed-point
+
+
+def bm25_postings(docs, term_set: frozenset):
+    """One scan of the corpus → slim derived rows only: per matching
+    (doc, term) a ``(doc_id, term, tf, dl)`` posting, plus ONE stats row
+    per input batch (reserved ``term=''`` — the token regex requires ≥3
+    letters, so no real term collides) carrying the batch's doc count in
+    ``tf`` and token total in ``dl``. Collection size N and token total L
+    therefore ride the same pass that builds the postings — the corpus
+    is scanned exactly once."""
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("term", pa.string()),
+            ("tf", pa.int64()),
+            ("dl", pa.int64()),
+        ]
+    )
+
+    def posts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        ids, ts, tfs, dls = [], [], [], []
+        total_tokens = 0
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            words = _WORD_RE.findall((text or "").lower())
+            total_tokens += len(words)
+            hits = Counter(w for w in words if w in term_set)
+            for t_, n in hits.items():
+                ids.append(doc_id)
+                ts.append(t_)
+                tfs.append(n)
+                dls.append(len(words))
+        ids.append(-1)
+        ts.append("")
+        tfs.append(batch.num_rows)
+        dls.append(total_tokens)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "term": pa.array(ts, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+                "dl": pa.array(dls, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(posts, batch_format="pyarrow")
+
+
+def bm25_topk(docs, terms, k: int = 20):
+    """Top-k documents by Okapi BM25 (k1=1.2, b=0.75) over ``terms``,
+    in EXACT fixed-point integer arithmetic shared with the SQL oracle.
+
+    With k1=11/10 · 12/11 = 6/5 and b=3/4 the per-term score
+    ``idf · tf(k1+1) / (tf + k1(1-b+b·dl/avgdl))`` reduces to the
+    rational form ``idf · 22·tf·L / (10·tf·L + 3L + 9·dl·N)``; dividing
+    through by L/1e6 gives integer-only arithmetic over
+    ``idf_micro = ⌊1e6·ln((2N+2)/(2df+1)) + 0.5⌋`` and
+    ``r_micro = ⌊((1e6·dl)·N)/L + 0.5⌋`` — the only floats are one
+    ``ln`` and one division chain, both evaluated in the identical
+    IEEE-754 term order on both sides, so scores match bit-for-bit.
+
+    Scale shape: one corpus scan builds slim postings restricted to the
+    query terms (``bm25_postings``); the postings MATERIALIZE (bounded:
+    matching docs × |terms| slim rows + one stats row per block) so the
+    tiny df/stats aggregates don't re-scan the corpus; scoring is a
+    stateless vectorized pass; only per-doc integer scores shuffle into
+    the final ``groupby → sort+limit``."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.dedup import _with_schema
+
+    term_set = frozenset(t.lower() for t in terms)
+    posts = bm25_postings(docs, term_set).materialize()
+
+    def _split(want_stats: bool):
+        def f(t: pa.Table) -> pa.Table:
+            mask = pc.equal(t.column("term"), "")
+            return t.filter(mask if want_stats else pc.invert(mask))
+
+        return f
+
+    stats_tf = posts.map_batches(_split(True), batch_format="pyarrow")
+    # ≤ one row per input block: a driver fold is bounded by block count
+    n_docs, total_tokens = 0, 0
+    for row in stats_tf.take_all():
+        n_docs += row["tf"]
+        total_tokens += row["dl"]
+    if n_docs == 0 or total_tokens == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.int64())}
+        )
+
+    real = posts.map_batches(_split(False), batch_format="pyarrow")
+    df_rows = (
+        real.groupby("term").count().take_all()
+    )  # ≤ |terms| rows by construction
+    import math as _math
+
+    idf_micro = {
+        r["term"]: int(
+            _math.floor(
+                1_000_000.0
+                * _math.log((2 * n_docs + 2.0) / (2 * r["count()"] + 1.0))
+                + 0.5
+            )
+        )
+        for r in df_rows
+    }
+    max_idf = max(idf_micro.values(), default=0)
+
+    score_schema = pa.schema([("doc_id", pa.int64()), ("score", pa.int64())])
+    n_f, l_f = float(n_docs), float(total_tokens)
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return score_schema.empty_table()
+        tf = batch.column("tf").to_numpy(zero_copy_only=False)
+        dl = batch.column("dl").to_numpy(zero_copy_only=False)
+        idf = np.array(
+            [idf_micro[t_] for t_ in batch.column("term").to_pylist()],
+            dtype=np.int64,
+        )
+        # ((1e6·dl)·N)/L — the oracle's exact left-to-right term order
+        r_micro = np.floor(
+            ((1_000_000.0 * dl.astype(np.float64)) * n_f) / l_f + 0.5
+        ).astype(np.int64)
+        denom = 10 * tf * 1_000_000 + 3_000_000 + 9 * r_micro
+        if max_idf * 22 * int(tf.max()) * 1_000_000 < 2**63:
+            s = (idf * 22 * tf * 1_000_000) // denom
+        else:  # exact-int fallback past the int64 witness (huge corpora)
+            s = np.array(
+                [
+                    (int(i) * 22 * int(t_) * 1_000_000) // int(d)
+                    for i, t_, d in zip(idf, tf, denom)
+                ],
+                dtype=np.int64,
+            )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "score": pa.array(s, pa.int64()),
+            }
+        )
+
+    scored = _with_schema(
+        real.map_batches(score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("score", alias_name="score")),
+        score_schema,
+    )
+    return scored.sort(["score", "doc_id"], descending=[True, False]).limit(k)
