@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "table_profile_orders",
     "lineitem_corr_matrix",
     "search_bm25",
+    "gopher_quality_flags",
+    "dsir_weights",
 ]
 
 

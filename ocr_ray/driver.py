@@ -6520,6 +6520,25 @@ _LINEITEM_CORR_COLS = (
 )
 
 
+def q_gopher_quality_flags(sf_dir: str):
+    """Gopher rule-set quality audit (Rae et al. 2021) rolled up per
+    (lang, source) — integer cross-multiplied rules, no floats anywhere
+    (ops/filters.py:gopher_quality_flags)."""
+    from ocr_ray.ops.filters import gopher_quality_flags
+
+    return gopher_quality_flags(_docs(sf_dir, "lang", "source", "text"))
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance log-weights (Xie et al. 2023) of the lang='en'
+    slice vs the raw corpus over leading letter-pair feature buckets —
+    per-doc exact integer micro-weights
+    (ops/filters.py:dsir_weights)."""
+    from ocr_ray.ops.filters import dsir_weights
+
+    return dsir_weights(_docs(sf_dir, "doc_id", "lang", "text"))
+
+
 def q_table_profile_orders(sf_dir: str):
     """Generic per-column table profile (count / nulls / exact distinct /
     fixed-point min-max-mean) over the orders table — the front-door
@@ -6772,6 +6791,8 @@ QUERIES = {
     "table_profile_orders": q_table_profile_orders,
     "lineitem_corr_matrix": q_lineitem_corr_matrix,
     "search_bm25": q_search_bm25,
+    "gopher_quality_flags": q_gopher_quality_flags,
+    "dsir_weights": q_dsir_weights,
 }
 
 
@@ -9721,4 +9742,8 @@ def oracle_sql() -> dict[str, str]:
         " // (10 * tf * 1000000 + 3000000 + 9 * r)) AS BIGINT) AS score\n"
         "FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"
     )
+    from ocr_ray.ops.filters import dsir_weights_sql, gopher_quality_flags_sql
+
+    oracles["gopher_quality_flags"] = gopher_quality_flags_sql()
+    oracles["dsir_weights"] = dsir_weights_sql()
     return oracles
