@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "search_bm25",
     "gopher_quality_flags",
     "dsir_weights",
+    "jaro_winkler_pairs",
 ]
 
 

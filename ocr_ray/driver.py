@@ -6539,6 +6539,17 @@ def q_dsir_weights(sf_dir: str):
     return dsir_weights(_docs(sf_dir, "doc_id", "lang", "text"))
 
 
+def q_jaro_winkler_pairs(sf_dir: str):
+    """Blocked Jaro-Winkler fuzzy vocabulary join (first letter + ≤2
+    length delta, jw ≥ 0.5 — the floor that exercises real pairs on the
+    compact synthetic vocabulary) — the oracle uses DuckDB's NATIVE
+    jaro_winkler_similarity, an implementation-independent check
+    (ops/strsim.py:jaro_winkler_pairs)."""
+    from ocr_ray.ops.strsim import jaro_winkler_pairs
+
+    return jaro_winkler_pairs(_docs(sf_dir, "doc_id", "text"), threshold=0.5)
+
+
 def q_table_profile_orders(sf_dir: str):
     """Generic per-column table profile (count / nulls / exact distinct /
     fixed-point min-max-mean) over the orders table — the front-door
@@ -6793,6 +6804,7 @@ QUERIES = {
     "search_bm25": q_search_bm25,
     "gopher_quality_flags": q_gopher_quality_flags,
     "dsir_weights": q_dsir_weights,
+    "jaro_winkler_pairs": q_jaro_winkler_pairs,
 }
 
 
@@ -9746,4 +9758,9 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["gopher_quality_flags"] = gopher_quality_flags_sql()
     oracles["dsir_weights"] = dsir_weights_sql()
+    from ocr_ray.ops.strsim import jaro_winkler_pairs_sql
+
+    oracles["jaro_winkler_pairs"] = jaro_winkler_pairs_sql(
+        _WORDS_SQL, threshold=0.5
+    )
     return oracles

@@ -224,3 +224,80 @@ def test_word_variant_clusters_tiny_vocab(ray_session):
         for r in word_variant_clusters(_docs_ds(texts), min_df=1).take_all()
     }
     assert got == {"cold": "bold", "bold": "bold"}
+
+
+def test_jaro_winkler_matches_duckdb_native(ray_session):
+    """The engine's JW must be bit-identical to DuckDB's native
+    function — fuzzed over random letter strings."""
+    import random
+
+    import duckdb
+
+    from ocr_ray.ops.strsim import _jaro_winkler
+
+    rng = random.Random(11)
+    pairs = [
+        (
+            "".join(rng.choices("abcdef", k=rng.randint(1, 12))),
+            "".join(rng.choices("abcdef", k=rng.randint(1, 12))),
+        )
+        for _ in range(500)
+    ]
+    con = duckdb.connect()
+    vals = ", ".join(f"('{a}','{b}')" for a, b in pairs)
+    rows = con.sql(
+        f"SELECT a, b, jaro_winkler_similarity(a, b) "
+        f"FROM (VALUES {vals}) t(a, b)"
+    ).fetchall()
+    for a, b, d in rows:
+        assert _jaro_winkler(a, b) == d, (a, b)
+
+
+def test_jaro_winkler_pairs_blocked_join(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.strsim import jaro_winkler_pairs
+
+    # marthas/marhtas differ by a transposition (same first letter,
+    # same length); "zebra" matches nothing in its block
+    texts = [
+        "marthas marhtas zebra common words",
+        "marthas marhtas zebra more common words",
+    ]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    out = jaro_winkler_pairs(docs, threshold=0.9, min_df=2).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["word_a"], row["word_b"]) == ("marhtas", "marthas")
+    assert row["df_a"] == 2 and row["df_b"] == 2
+    assert 0.9 <= row["jw"] <= 1.0
+
+
+def test_jaro_winkler_pairs_unequal_lengths_meet_once(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.strsim import jaro_winkler_pairs
+
+    # table/tables: length delta 1 → host-visitor pairing in the
+    # shorter word's block; must appear exactly once
+    texts = ["table tables filler", "table tables filler"]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    out = jaro_winkler_pairs(docs, threshold=0.9, min_df=2).to_pandas()
+    hits = out[(out["word_a"] == "table") & (out["word_b"] == "tables")]
+    assert len(hits) == 1
