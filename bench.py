@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "gopher_quality_flags",
     "dsir_weights",
     "jaro_winkler_pairs",
+    "sampled_value_percentiles",
+    "zorder_events",
 ]
 
 

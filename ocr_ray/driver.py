@@ -6550,6 +6550,44 @@ def q_jaro_winkler_pairs(sf_dir: str):
     return jaro_winkler_pairs(_docs(sf_dir, "doc_id", "text"), threshold=0.5)
 
 
+def q_sampled_value_percentiles(sf_dir: str):
+    """Exact percentiles over a deterministic 1/64 multiplicative-hash
+    sample of events — the order-free, mergeable alternative to a
+    streaming quantile sketch (ops/sketch.py:sampled_value_percentiles)."""
+    import ray.data as rd
+
+    from ocr_ray.ops.sketch import sampled_value_percentiles
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+    return sampled_value_percentiles(events)
+
+
+def q_zorder_events(sf_dir: str):
+    """Z-order (Morton) clustering keys over (user_id, hour-of-epoch) —
+    the multi-dimensional-locality layout key (Delta/Iceberg Z-ORDER
+    shape), bit-reproduced by a 16-term shift-and-mask SQL expression
+    (ops/layout.py:zorder_keys)."""
+    import ray.data as rd
+
+    from ocr_ray.ops.layout import zorder_keys
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return zorder_keys(
+        events,
+        id_col="event_id",
+        x_col="user_id",
+        y_col="ts",
+        y_expr=lambda v: v // 3_600_000_000,
+    )
+
+
 def q_table_profile_orders(sf_dir: str):
     """Generic per-column table profile (count / nulls / exact distinct /
     fixed-point min-max-mean) over the orders table — the front-door
@@ -6805,6 +6843,8 @@ QUERIES = {
     "gopher_quality_flags": q_gopher_quality_flags,
     "dsir_weights": q_dsir_weights,
     "jaro_winkler_pairs": q_jaro_winkler_pairs,
+    "sampled_value_percentiles": q_sampled_value_percentiles,
+    "zorder_events": q_zorder_events,
 }
 
 
@@ -9762,5 +9802,15 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["jaro_winkler_pairs"] = jaro_winkler_pairs_sql(
         _WORDS_SQL, threshold=0.5
+    )
+    from ocr_ray.ops.layout import zorder_keys_sql
+    from ocr_ray.ops.sketch import sampled_value_percentiles_sql
+
+    oracles["sampled_value_percentiles"] = sampled_value_percentiles_sql()
+    oracles["zorder_events"] = zorder_keys_sql(
+        "events",
+        "event_id",
+        "user_id & 65535",
+        "(epoch_us(ts) // 3600000000) & 65535",
     )
     return oracles

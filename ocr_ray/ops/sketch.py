@@ -712,3 +712,72 @@ def hll_distinct_incremental(ds, key_column: str, chunk_column: str,
             "n_registers": pa.array([len(rows)], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash-sample percentiles — the sampling-based member of
+# the sketch family (HLL / KMV / CMS / Bloom live above)
+
+
+def sampled_value_percentiles(events, rate_denom: int = 64):
+    """Exact percentiles over a DETERMINISTIC 1/``rate_denom``
+    hash-sample of events — the mergeable, order-free alternative to a
+    streaming quantile sketch (t-digest / Misra-Gries summaries are
+    stream-order-dependent, so their results cannot be reproduced under
+    Ray's unordered block scheduling; a multiplicative-hash row sample
+    is identical no matter how blocks are scheduled, and the SQL oracle
+    replays the same hash bit-for-bit).
+
+    Scale shape: the sample predicate is a stateless vectorized filter
+    (nothing shuffles at full size); the percentile machinery downstream
+    is ops/stats.py:value_percentiles_by_type — per-block (type, cents)
+    bincounts, one keyed sum, one ordered prefix scan per group."""
+    import pyarrow.compute as pc
+
+    from ocr_ray.ops.stats import value_percentiles_by_type
+
+    knuth = np.uint64(2654435761)
+    m32 = np.uint64(0xFFFFFFFF)
+    cutoff = np.uint64((1 << 32) // rate_denom)
+
+    def sample(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select(["event_id", "event_type", "value"])
+        ids = (
+            t.column("event_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        mask = ((ids.astype(np.uint64) * knuth) & m32) < cutoff
+        return t.filter(pa.array(mask))
+
+    return value_percentiles_by_type(
+        events.map_batches(sample, batch_format="pyarrow")
+    )
+
+
+def sampled_value_percentiles_sql(rate_denom: int = 64) -> str:
+    """DuckDB oracle for :func:`sampled_value_percentiles` — the
+    value_percentiles_by_type oracle with the identical multiplicative
+    hash predicate applied first."""
+    cutoff = (1 << 32) // rate_denom
+    return (
+        "WITH c AS (SELECT event_type,"
+        " CAST(ROUND(value * 100.0) AS BIGINT) AS cents FROM events\n"
+        " WHERE (CAST(event_id AS HUGEINT) * 2654435761) % 4294967296"
+        f" < {cutoff}),\n"
+        "counts AS (SELECT event_type, cents, COUNT(*) AS cnt"
+        " FROM c GROUP BY 1, 2),\n"
+        "cum AS (\n"
+        " SELECT event_type, cents,\n"
+        "  SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum,\n"
+        "  SUM(cnt) OVER (PARTITION BY event_type) AS total\n"
+        " FROM counts)\n"
+        "SELECT event_type,\n"
+        " CAST(MIN(CASE WHEN cum >= ceil(0.5 * total) THEN cents END)"
+        " AS BIGINT) AS p50_cents,\n"
+        " CAST(MIN(CASE WHEN cum >= ceil(0.9 * total) THEN cents END)"
+        " AS BIGINT) AS p90_cents,\n"
+        " CAST(MIN(CASE WHEN cum >= ceil(0.99 * total) THEN cents END)"
+        " AS BIGINT) AS p99_cents,\n"
+        " CAST(MAX(total) AS BIGINT) AS n_events\n"
+        "FROM cum GROUP BY event_type"
+    )
