@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "jaro_winkler_pairs",
     "sampled_value_percentiles",
     "zorder_events",
+    "readability_scores",
 ]
 
 

@@ -6550,6 +6550,15 @@ def q_jaro_winkler_pairs(sf_dir: str):
     return jaro_winkler_pairs(_docs(sf_dir, "doc_id", "text"), threshold=0.5)
 
 
+def q_readability_scores(sf_dir: str):
+    """Per-language Flesch reading-ease moments — integer-exact word /
+    sentence / syllable-proxy sums, one shared float expression
+    (ops/textstats.py:readability_scores)."""
+    from ocr_ray.ops.textstats import readability_scores
+
+    return readability_scores(_docs(sf_dir, "lang", "text"))
+
+
 def q_sampled_value_percentiles(sf_dir: str):
     """Exact percentiles over a deterministic 1/64 multiplicative-hash
     sample of events — the order-free, mergeable alternative to a
@@ -6845,6 +6854,7 @@ QUERIES = {
     "jaro_winkler_pairs": q_jaro_winkler_pairs,
     "sampled_value_percentiles": q_sampled_value_percentiles,
     "zorder_events": q_zorder_events,
+    "readability_scores": q_readability_scores,
 }
 
 
@@ -9807,6 +9817,9 @@ def oracle_sql() -> dict[str, str]:
     from ocr_ray.ops.sketch import sampled_value_percentiles_sql
 
     oracles["sampled_value_percentiles"] = sampled_value_percentiles_sql()
+    from ocr_ray.ops.textstats import readability_scores_sql
+
+    oracles["readability_scores"] = readability_scores_sql()
     oracles["zorder_events"] = zorder_keys_sql(
         "events",
         "event_id",

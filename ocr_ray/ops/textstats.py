@@ -524,3 +524,141 @@ def zipf_slope_sql(words_sql: str) -> str:
         " (syd - slope * sxd) / CAST(v AS DOUBLE) AS zipf_intercept\n"
         "FROM fit"
     )
+
+
+# ---------------------------------------------------------------------------
+# readability — integer-exact Flesch-style moments per language
+
+
+_SENT_RE = re.compile(r"[.!?]+")
+_VOWEL_RE = re.compile(r"[aeiouy]+")
+
+_READ_SCHEMA = pa.schema(
+    [
+        ("lang", pa.string()),
+        ("n_docs", pa.int64()),
+        ("n_words", pa.int64()),
+        ("n_sents", pa.int64()),
+        ("n_syll", pa.int64()),
+        ("flesch_micro", pa.int64()),
+    ]
+)
+
+
+def readability_scores(docs):
+    """Per-language Flesch reading-ease moments: word / sentence /
+    syllable-proxy counts (vowel groups — the standard heuristic
+    syllable counter) as exact integer sums, plus the Flesch score of
+    the AGGREGATE (206.835 − 1.015·W/S − 84.6·Y/W) quantized to micro
+    units. Readability is a standard quality-filter signal for training
+    corpora (e.g. C4/CCNet-style heuristics keep mid-band documents).
+
+    All sums are order-free exact integers; the one float expression is
+    shared term-for-term with the SQL oracle. Sentences = maximal
+    [.!?]+ runs + 1 floor (a text with no terminator is one sentence);
+    words = [a-z]+ runs on the lowered text.
+
+    Scale shape: one stateless scan → ≤|langs| partial rows per block →
+    tiny keyed sum → vectorized finish."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.dedup import _with_schema
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _READ_SCHEMA.empty_table()
+        acc: dict[str, list[int]] = {}
+        for lang, text in zip(
+            t.column("lang").to_pylist(), t.column("text").to_pylist()
+        ):
+            low = (text or "").lower()
+            words = _WORD_RE2.findall(low)
+            sents = max(1, len(_SENT_RE.findall(low)))
+            syll = sum(
+                max(1, len(_VOWEL_RE.findall(w))) for w in words
+            )
+            row = acc.setdefault(lang, [0, 0, 0, 0])
+            row[0] += 1
+            row[1] += len(words)
+            row[2] += sents
+            row[3] += syll
+        return pa.Table.from_pylist(
+            [
+                {"lang": k, "n_docs": v[0], "n_words": v[1],
+                 "n_sents": v[2], "n_syll": v[3], "flesch_micro": 0}
+                for k, v in acc.items()
+            ],
+            schema=_READ_SCHEMA,
+        )
+
+    merged = _with_schema(
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_words", alias_name="n_words"),
+            Sum("n_sents", alias_name="n_sents"),
+            Sum("n_syll", alias_name="n_syll"),
+        ),
+        pa.schema([f for f in _READ_SCHEMA if f.name != "flesch_micro"]),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _READ_SCHEMA.empty_table()
+        w = t.column("n_words").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t.column("n_sents").to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t.column("n_syll").to_numpy(zero_copy_only=False).astype(np.float64)
+        # the oracle's exact term order; guard W=0 with the same CASE
+        flesch = np.where(
+            w > 0.0,
+            206.835 - 1.015 * (w / s) - 84.6 * (y / w),
+            0.0,
+        )
+        micro = np.floor(1_000_000.0 * flesch + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "n_docs": t.column("n_docs").cast(pa.int64()),
+                "n_words": t.column("n_words").cast(pa.int64()),
+                "n_sents": t.column("n_sents").cast(pa.int64()),
+                "n_syll": t.column("n_syll").cast(pa.int64()),
+                "flesch_micro": pa.array(micro, pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+_WORD_RE2 = re.compile(r"[a-z]+")
+
+
+def readability_scores_sql() -> str:
+    """DuckDB oracle for :func:`readability_scores`."""
+    return (
+        "WITH per_doc AS (\n"
+        " SELECT lang,\n"
+        "  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)"
+        " AS w,\n"
+        "  CAST(GREATEST(1, len(regexp_extract_all(lower(text),"
+        " '[.!?]+'))) AS BIGINT) AS s,\n"
+        "  CAST(COALESCE(list_sum(list_transform("
+        "regexp_extract_all(lower(text), '[a-z]+'),"
+        " t -> GREATEST(1, len(regexp_extract_all(t, '[aeiouy]+'))))), 0)"
+        " AS BIGINT) AS y\n"
+        " FROM documents\n"
+        "), m AS (\n"
+        " SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,"
+        " CAST(SUM(w) AS BIGINT) AS n_words,"
+        " CAST(SUM(s) AS BIGINT) AS n_sents,"
+        " CAST(SUM(y) AS BIGINT) AS n_syll\n"
+        " FROM per_doc GROUP BY lang\n"
+        ")\n"
+        "SELECT lang, n_docs, n_words, n_sents, n_syll,\n"
+        " CAST(FLOOR(1000000.0 * (CASE WHEN n_words > 0 THEN\n"
+        "  206.835 - 1.015 * (CAST(n_words AS DOUBLE)"
+        " / CAST(n_sents AS DOUBLE))\n"
+        "  - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))\n"
+        "  ELSE 0.0 END) + 0.5) AS BIGINT) AS flesch_micro\n"
+        "FROM m"
+    )

@@ -259,3 +259,41 @@ def test_zipf_slope_matches_plain_fit(ray_session):
     assert slope < -0.9  # zipf-shaped: roughly -1
     assert out["b"]["n_words"] == 1
     assert out["b"]["zipf_slope"] == 0.0
+
+
+def test_readability_scores_hand_check(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.textstats import readability_scores
+
+    # doc: 4 words, 2 sentences, syllables: the(1) cat(1) sat(1) happily(3→'a','i','y' groups)
+    t = pa.table(
+        {
+            "lang": pa.array(["en"], pa.string()),
+            "text": pa.array(["The cat sat. Happily!"], pa.string()),
+        }
+    )
+    out = readability_scores(rd.from_arrow(t)).to_pandas().iloc[0]
+    assert out["n_docs"] == 1 and out["n_words"] == 4
+    assert out["n_sents"] == 2 and out["n_syll"] == 6
+    w, s, y = 4.0, 2.0, 6.0
+    want = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+    assert out["flesch_micro"] == int(np.floor(1_000_000.0 * want + 0.5))
+
+
+def test_readability_no_terminator_is_one_sentence(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.textstats import readability_scores
+
+    t = pa.table(
+        {
+            "lang": pa.array(["en"], pa.string()),
+            "text": pa.array(["no punctuation at all here"], pa.string()),
+        }
+    )
+    out = readability_scores(rd.from_arrow(t)).to_pandas().iloc[0]
+    assert out["n_sents"] == 1
