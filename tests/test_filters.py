@@ -129,3 +129,28 @@ def test_dsir_no_features_no_row(ray_session):
     )
     out = dsir_weights(_ds(t)).to_pandas()
     assert list(out["doc_id"]) == [1]
+
+
+def test_dsir_multi_block_counts_merge(ray_session):
+    """Bucket statistics must merge across blocks before scoring."""
+    import ray.data as rd
+
+    from ocr_ray.ops.filters import dsir_weights
+
+    blocks = [
+        pa.table(
+            {
+                "doc_id": pa.array([i * 2, i * 2 + 1], pa.int64()),
+                "lang": pa.array(["en", "xx"], pa.string()),
+                "text": pa.array(["the thin thing", "zzap zzoom"], pa.string()),
+            }
+        )
+        for i in range(5)
+    ]
+    out = dsir_weights(rd.from_arrow(blocks)).to_pandas()
+    assert len(out) == 10
+    en = out[out["doc_id"] % 2 == 0]["weight_micro"].unique()
+    xx = out[out["doc_id"] % 2 == 1]["weight_micro"].unique()
+    # identical texts → identical weights regardless of block placement
+    assert len(en) == 1 and len(xx) == 1
+    assert en[0] > xx[0]

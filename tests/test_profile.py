@@ -206,3 +206,56 @@ def test_bm25_empty_and_no_match(ray_session):
     got = bm25_topk(_ds(t), ["zzzmissing"], k=5)
     got = got.to_pandas() if hasattr(got, "to_pandas") else got
     assert len(got) == 0
+
+
+def test_table_profile_multi_block_distinct_exact(ray_session):
+    """Distinct counting must dedupe ACROSS blocks (the grouped_map
+    hash-partition path), not just within one."""
+    import ray.data as rd
+
+    from ocr_ray.ops.profile import table_profile
+
+    # 8 blocks; value space deliberately overlapping across blocks
+    parts = [
+        pa.table(
+            {
+                "k": pa.array(
+                    [(i * 7 + j) % 13 for j in range(50)], pa.int64()
+                ),
+                "s": pa.array(
+                    [f"v{(i + j) % 5}" for j in range(50)], pa.string()
+                ),
+            }
+        )
+        for i in range(8)
+    ]
+    ds = rd.from_arrow(parts)
+    out = (
+        table_profile(ds, [("k", "int"), ("s", "str")])
+        .to_pydict()
+    )
+    rows = {c: i for i, c in enumerate(out["column"])}
+    assert out["n"][rows["k"]] == 400
+    assert out["n_distinct"][rows["k"]] == 13
+    assert out["n_distinct"][rows["s"]] == 5
+
+
+def test_corr_matrix_multi_block_merges_moments(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.ops.profile import corr_matrix
+
+    parts = [
+        pa.table(
+            {
+                "a": pa.array([float(i * 10 + j) for j in range(10)]),
+                "b": pa.array([float(2 * (i * 10 + j) + 1) for j in range(10)]),
+            }
+        )
+        for i in range(6)
+    ]
+    out = corr_matrix(
+        rd.from_arrow(parts), [("a", 1.0), ("b", 1.0)]
+    ).to_pandas().iloc[0]
+    assert int(out["n"]) == 60
+    assert abs(out["corr"] - 1.0) < 1e-12
