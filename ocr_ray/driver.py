@@ -6640,6 +6640,37 @@ def q_search_bm25(sf_dir: str):
     return bm25_topk(_docs(sf_dir), SEARCH_TERMS, k=20)
 
 
+def q_user_active_time(sf_dir: str):
+    """Per-user union length of [ts, ts+30min] event intervals — the
+    billable-active-seconds sweep (ops/intervals.py:user_active_time);
+    the reference's closest analogue is the auth middleware's sliding
+    request window (app/middleware/auth.py:53-107)."""
+    import ray.data as rd
+
+    from ocr_ray.ops.intervals import user_active_time
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return user_active_time(events, span_sec=1800)
+
+
+def q_cusum_drift(sf_dir: str):
+    """Per-user one-sided CUSUM over daily value sums, exact in scaled
+    int64 via the reflection identity (ops/intervals.py:cusum_drift) —
+    the sequential drift monitor over the event stream."""
+    import ray.data as rd
+
+    from ocr_ray.ops.intervals import cusum_drift
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return cusum_drift(events)
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -6855,6 +6886,8 @@ QUERIES = {
     "sampled_value_percentiles": q_sampled_value_percentiles,
     "zorder_events": q_zorder_events,
     "readability_scores": q_readability_scores,
+    "user_active_time": q_user_active_time,
+    "cusum_drift": q_cusum_drift,
 }
 
 
@@ -9826,4 +9859,8 @@ def oracle_sql() -> dict[str, str]:
         "user_id & 65535",
         "(epoch_us(ts) // 3600000000) & 65535",
     )
+    from ocr_ray.ops.intervals import cusum_drift_sql, user_active_time_sql
+
+    oracles["user_active_time"] = user_active_time_sql(span_sec=1800)
+    oracles["cusum_drift"] = cusum_drift_sql()
     return oracles
