@@ -6640,6 +6640,235 @@ def q_search_bm25(sf_dir: str):
     return bm25_topk(_docs(sf_dir), SEARCH_TERMS, k=20)
 
 
+def q_cheapest_supplier_per_part(sf_dir: str):
+    """TPC-H Q2-shaped min-cost supplier: per part, the supplier with
+    the minimum total lineitem spend (exact integer cents, ties to the
+    lowest suppkey), decorated with supplier + nation names.
+
+    Scale shape: per-batch (part, supp) partials collapse before the
+    one hash shuffle by partkey; the per-part argmin is a single
+    lexsort + head-of-run take per block (no per-group Python); the
+    supplier×nation dimension join is a driver-side Arrow join of two
+    dimension tables broadcast once (ops/joins.py:broadcast_join)."""
+    import ray.data as rd
+
+    from ocr_ray.ops.joins import broadcast_join
+    from ocr_ray.stages.grouped import grouped_map
+
+    _quiet()
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+    part_schema = pa.schema(
+        [
+            ("l_partkey", pa.int64()),
+            ("suppkey", pa.int64()),
+            ("cents", pa.int64()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        t2 = pa.table(
+            {
+                "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "cents": _cents(t["l_extendedprice"]),
+            }
+        )
+        g = t2.group_by(["l_partkey", "suppkey"]).aggregate(
+            [("cents", "sum")]
+        )
+        return pa.table(
+            {
+                "l_partkey": g["l_partkey"],
+                "suppkey": g["suppkey"],
+                "cents": pc.cast(g["cents_sum"], pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("p_partkey", pa.int64()),
+            ("best_suppkey", pa.int64()),
+            ("best_cost_cents", pa.int64()),
+        ]
+    )
+
+    def argmin_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return out_schema.empty_table()
+        part = block.column("l_partkey").to_numpy(zero_copy_only=False)
+        supp = block.column("suppkey").to_numpy(zero_copy_only=False)
+        cents = block.column("cents").to_numpy(zero_copy_only=False)
+        # combine duplicate (part, supp) partial rows — sorted adjacency
+        change = np.ones(n, dtype=bool)
+        change[1:] = (part[1:] != part[:-1]) | (supp[1:] != supp[:-1])
+        first = np.flatnonzero(change)
+        cents = np.add.reduceat(cents, first)
+        part, supp = part[first], supp[first]
+        order = np.lexsort((supp, cents, part))
+        p2, s2, c2 = part[order], supp[order], cents[order]
+        head = np.ones(len(p2), dtype=bool)
+        head[1:] = p2[1:] != p2[:-1]
+        idx = np.flatnonzero(head)
+        return pa.table(
+            {
+                "p_partkey": pa.array(p2[idx], pa.int64()),
+                "best_suppkey": pa.array(s2[idx], pa.int64()),
+                "best_cost_cents": pa.array(c2[idx], pa.int64()),
+            }
+        )
+
+    pre = li.map_batches(partials, batch_format="pyarrow")
+    best = grouped_map(pre, ["l_partkey"], argmin_block,
+                       sort_within=["suppkey"])
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    )
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    dim = sup.join(nat, keys="s_nationkey", right_keys="n_nationkey")
+    dim = pa.table(
+        {
+            "best_suppkey": pc.cast(dim["s_suppkey"], pa.int64()),
+            "s_name": dim["s_name"],
+            "n_name": dim["n_name"],
+        }
+    )
+    return broadcast_join(best, dim, ["best_suppkey"])
+
+
+def q_excess_supply_suppliers(sf_dir: str):
+    """TPC-H Q20-shaped excess-stock screen: suppliers holding an
+    outsized share of any part — (supplier, part) quantity strictly
+    more than 2× the part's fair per-supplier share (q·ns > 2·total,
+    exact integer centi-units) — counted per supplier with names
+    attached.
+
+    Same scale shape as Q2 above: batch partials → one partkey
+    shuffle → vectorized per-run total + flag → a supplier-count
+    aggregate bounded by the supplier table size."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ocr_ray.ops.joins import broadcast_join
+    from ocr_ray.stages.grouped import grouped_map
+
+    _quiet()
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+    )
+    part_schema = pa.schema(
+        [
+            ("l_partkey", pa.int64()),
+            ("suppkey", pa.int64()),
+            ("q", pa.int64()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        t2 = pa.table(
+            {
+                "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "q": _cents(t["l_quantity"]),
+            }
+        )
+        g = t2.group_by(["l_partkey", "suppkey"]).aggregate([("q", "sum")])
+        return pa.table(
+            {
+                "l_partkey": g["l_partkey"],
+                "suppkey": g["suppkey"],
+                "q": pc.cast(g["q_sum"], pa.int64()),
+            }
+        )
+
+    flag_schema = pa.schema([("s_suppkey", pa.int64())])
+
+    def flag_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return flag_schema.empty_table()
+        part = block.column("l_partkey").to_numpy(zero_copy_only=False)
+        supp = block.column("suppkey").to_numpy(zero_copy_only=False)
+        q = block.column("q").to_numpy(zero_copy_only=False)
+        change = np.ones(n, dtype=bool)
+        change[1:] = (part[1:] != part[:-1]) | (supp[1:] != supp[:-1])
+        first = np.flatnonzero(change)
+        q = np.add.reduceat(q, first)
+        part, supp = part[first], supp[first]
+        run_starts = np.searchsorted(first, starts)
+        run_starts = np.unique(run_starts)
+        counts = np.diff(np.append(run_starts, len(part)))
+        tot = np.repeat(np.add.reduceat(q, run_starts), counts)
+        ns = np.repeat(counts, counts)
+        mask = q * ns > 2 * tot
+        return pa.table({"s_suppkey": pa.array(supp[mask], pa.int64())})
+
+    pre = li.map_batches(partials, batch_format="pyarrow")
+    flagged = grouped_map(pre, ["l_partkey"], flag_block,
+                          sort_within=["suppkey"])
+    from ocr_ray.ops.dedup import _with_schema
+
+    counts = _with_schema(
+        flagged.groupby("s_suppkey").aggregate(
+            Count(alias_name="n_excess_parts")
+        ),
+        pa.schema(
+            [("s_suppkey", pa.int64()), ("n_excess_parts", pa.int64())]
+        ),
+    )
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    dim = pa.table(
+        {
+            "s_suppkey": pc.cast(sup["s_suppkey"], pa.int64()),
+            "s_name": sup["s_name"],
+        }
+    )
+    return broadcast_join(counts, dim, ["s_suppkey"])
+
+
+def q_events_daily_dense(sf_dir: str):
+    """Dense-calendar resample of the event log: zero-filled daily
+    counts, running totals, and LOCF daily cents per event type
+    (ops/resample.py:daily_dense_fill)."""
+    import ray.data as rd
+
+    from ocr_ray.ops.resample import daily_dense_fill
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    return daily_dense_fill(events)
+
+
+def q_benford_orders(sf_dir: str):
+    """Benford first-significant-digit audit over o_totalprice with
+    exact-integer chi-square contributions
+    (ops/profile.py:benford_digits)."""
+    import ray.data as rd
+
+    from ocr_ray.ops.profile import benford_digits
+
+    _quiet()
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+    return benford_digits(orders, "o_totalprice")
+
+
 def q_user_active_time(sf_dir: str):
     """Per-user union length of [ts, ts+30min] event intervals — the
     billable-active-seconds sweep (ops/intervals.py:user_active_time);
@@ -6888,6 +7117,10 @@ QUERIES = {
     "readability_scores": q_readability_scores,
     "user_active_time": q_user_active_time,
     "cusum_drift": q_cusum_drift,
+    "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+    "excess_supply_suppliers": q_excess_supply_suppliers,
+    "events_daily_dense": q_events_daily_dense,
+    "benford_orders": q_benford_orders,
 }
 
 
@@ -9863,4 +10096,43 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["user_active_time"] = user_active_time_sql(span_sec=1800)
     oracles["cusum_drift"] = cusum_drift_sql()
+    from ocr_ray.ops.profile import benford_sql
+    from ocr_ray.ops.resample import daily_dense_fill_sql
+
+    oracles["events_daily_dense"] = daily_dense_fill_sql()
+    oracles["benford_orders"] = benford_sql("orders", "o_totalprice")
+    oracles["cheapest_supplier_per_part"] = (
+        "WITH ps AS (\n"
+        " SELECT l_partkey AS p_partkey, l_suppkey AS suppkey,\n"
+        "  CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT))"
+        " AS BIGINT) AS cost_cents\n"
+        " FROM lineitem GROUP BY 1, 2\n"
+        "), best AS (\n"
+        " SELECT p_partkey, suppkey AS best_suppkey,\n"
+        "  cost_cents AS best_cost_cents,\n"
+        "  ROW_NUMBER() OVER (PARTITION BY p_partkey"
+        " ORDER BY cost_cents, suppkey) AS rn\n"
+        " FROM ps\n"
+        ")\n"
+        "SELECT b.p_partkey, b.best_suppkey, b.best_cost_cents,"
+        " s.s_name, n.n_name\n"
+        "FROM best b JOIN supplier s ON b.best_suppkey = s.s_suppkey\n"
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey\n"
+        "WHERE rn = 1"
+    )
+    oracles["excess_supply_suppliers"] = (
+        "WITH ps AS (\n"
+        " SELECT l_partkey, l_suppkey,\n"
+        "  SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) AS q\n"
+        " FROM lineitem GROUP BY 1, 2\n"
+        "), tot AS (\n"
+        " SELECT l_partkey, SUM(q) AS tq, COUNT(*) AS ns"
+        " FROM ps GROUP BY 1\n"
+        ")\n"
+        "SELECT s.s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_excess_parts,"
+        " s.s_name\n"
+        "FROM ps JOIN tot USING (l_partkey)\n"
+        "JOIN supplier s ON ps.l_suppkey = s.s_suppkey\n"
+        "WHERE ps.q * tot.ns > 2 * tq GROUP BY s.s_suppkey, s.s_name"
+    )
     return oracles
