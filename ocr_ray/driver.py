@@ -6854,6 +6854,47 @@ def q_events_daily_dense(sf_dir: str):
     return daily_dense_fill(events)
 
 
+def q_mg_user_violations(sf_dir: str):
+    """Misra-Gries heavy-hitter sketch over events.user_id, gated by
+    its own guarantee: the query re-counts exactly and emits a row per
+    violated invariant (overcount / undercount beyond the decrement
+    witness / missing mandatory hitter); the oracle is the typed empty
+    table (ops/sketch.py:mg_violations)."""
+    import ray.data as rd
+
+    from ocr_ray.ops.sketch import mg_violations
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+    return _materialized(
+        mg_violations(events, "user_id", k=64),
+        pa.schema(
+            [
+                ("item", pa.int64()),
+                ("true_cnt", pa.int64()),
+                ("est", pa.int64()),
+                ("reason", pa.string()),
+            ]
+        ),
+    )
+
+
+def q_quantile_normalize_chars(sf_dir: str):
+    """Cross-source quantile normalization of n_chars — per-source
+    percent rank mapped onto the global length distribution via a
+    broadcast step-function ASOF lookup
+    (ops/curate.py:quantile_normalize)."""
+    from ocr_ray.ops.curate import quantile_normalize
+
+    return quantile_normalize(
+        _docs(sf_dir, "doc_id", "source", "n_chars"),
+        col="n_chars",
+        group="source",
+    )
+
+
 def q_benford_orders(sf_dir: str):
     """Benford first-significant-digit audit over o_totalprice with
     exact-integer chi-square contributions
@@ -7121,6 +7162,8 @@ QUERIES = {
     "excess_supply_suppliers": q_excess_supply_suppliers,
     "events_daily_dense": q_events_daily_dense,
     "benford_orders": q_benford_orders,
+    "quantile_normalize_chars": q_quantile_normalize_chars,
+    "mg_user_violations": q_mg_user_violations,
 }
 
 
@@ -10101,6 +10144,14 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["events_daily_dense"] = daily_dense_fill_sql()
     oracles["benford_orders"] = benford_sql("orders", "o_totalprice")
+    from ocr_ray.ops.curate import quantile_normalize_sql
+
+    oracles["quantile_normalize_chars"] = quantile_normalize_sql(
+        col="n_chars", group="source"
+    )
+    from ocr_ray.ops.sketch import mg_violations_sql
+
+    oracles["mg_user_violations"] = mg_violations_sql()
     oracles["cheapest_supplier_per_part"] = (
         "WITH ps AS (\n"
         " SELECT l_partkey AS p_partkey, l_suppkey AS suppkey,\n"

@@ -37,6 +37,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ocr_ray.ops.analysis import normalize_for_fingerprint
 from ocr_ray.ops.textstats import STOP_EN, STOP_ID, _PUNCT_RE, _WORD_RE
@@ -307,4 +308,132 @@ def length_percent_rank_sql(col: str = "n_chars") -> str:
         f" CAST(RANK() OVER (ORDER BY {col}) AS BIGINT) AS rnk,\n"
         f" PERCENT_RANK() OVER (ORDER BY {col}) AS pct_rank\n"
         "FROM documents"
+    )
+
+
+# ------------------------------------- cross-source quantile normalization
+
+
+def quantile_normalize(docs, col: str = "n_chars", group: str = "source"):
+    """Map every document's ``col`` onto the GLOBAL distribution at the
+    document's within-``group`` quantile — the rank-based batch-effect
+    correction (classic quantile normalization) that puts sources with
+    systematically different length/quality distributions on one common
+    scale before mixing.
+
+    Same scale shape as ``length_percent_rank``: pass 1 reduces the
+    corpus to per-(group, value) exact histograms (bounded by groups ×
+    distinct values, independent of row count); the driver builds each
+    group's cumulative-rank lookup plus the global (pct_rank → value)
+    step function and broadcasts them once with ``ray.put``; pass 2
+    assigns ``pct_rank = (RANK-1)/(n-1)`` within the group and reads
+    the normalized value with one vectorized searchsorted — an ASOF
+    lookup into the global quantile function, no all-to-all exchange.
+    Both engines compute pct_rank as the same single IEEE division, so
+    the ASOF boundary (greatest global pct <= row pct) is bit-stable
+    against the DuckDB PERCENT_RANK + ASOF JOIN oracle.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    hist = (
+        docs.map_batches(
+            lambda t: pa.table(
+                {
+                    "g": t.column(group),
+                    "v": t.column(col),
+                    "c": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                }
+            )
+            .group_by(["g", "v"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["g", "v", "c"]),
+            batch_format="pyarrow",
+        )
+        .groupby(["g", "v"])
+        .aggregate(Sum("c", alias_name="cnt"))
+    )
+    rows = hist.sort(["g", "v"]).take_all()  # bounded: groups × distincts
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault(r["g"], []).append((int(r["v"]), int(r["cnt"])))
+    lookups = {}
+    g_vals_all, g_cnts_all = {}, {}
+    for g, pairs in by_group.items():
+        vals = np.array([p[0] for p in pairs], np.int64)
+        cnts = np.array([p[1] for p in pairs], np.int64)
+        cum_less = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        n = int(cnts.sum())
+        lookups[g] = (vals, cum_less, max(n - 1, 1))
+        g_vals_all[g], g_cnts_all[g] = vals, cnts
+    # global step function: distinct value → its global pct_rank
+    import collections
+
+    tot = collections.Counter()
+    for g in by_group:
+        for v, c in zip(g_vals_all[g], g_cnts_all[g]):
+            tot[int(v)] += int(c)
+    gvals = np.array(sorted(tot), np.int64)
+    gcnts = np.array([tot[int(v)] for v in gvals], np.int64)
+    g_cum_less = np.concatenate([[0], np.cumsum(gcnts)[:-1]])
+    n_all = int(gcnts.sum())
+    gpct = g_cum_less.astype(np.float64) / float(max(n_all - 1, 1))
+    ref = ray.put((lookups, gpct, gvals))
+
+    class _Normalizer:
+        def __init__(self, ref):
+            self.lookups, self.gpct, self.gvals = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            garr = t.column(group)
+            if isinstance(garr, pa.ChunkedArray):
+                garr = garr.combine_chunks()
+            enc = pc.dictionary_encode(garr)
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            v = t.column(col).to_numpy(zero_copy_only=False)
+            pct = np.empty(len(v), np.float64)
+            for ci, g in enumerate(enc.dictionary.to_pylist()):
+                mask = codes == ci
+                vals, cum_less, denom = self.lookups[g]
+                idx = np.searchsorted(vals, v[mask])
+                pct[mask] = cum_less[idx].astype(np.float64) / float(denom)
+            gidx = np.searchsorted(self.gpct, pct, side="right") - 1
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    group: t.column(group),
+                    col: t.column(col),
+                    "pct_rank": pa.array(pct, pa.float64()),
+                    "norm_" + col: pa.array(
+                        self.gvals[gidx], pa.int64()
+                    ),
+                }
+            )
+
+    return docs.map_batches(
+        _Normalizer,
+        fn_constructor_kwargs={"ref": ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def quantile_normalize_sql(col: str = "n_chars",
+                           group: str = "source") -> str:
+    return (
+        "WITH r AS (\n"
+        f" SELECT doc_id, {group}, {col},\n"
+        f"  PERCENT_RANK() OVER (PARTITION BY {group} ORDER BY {col})"
+        " AS pct_rank\n"
+        " FROM documents\n"
+        "), gd AS (\n"
+        " SELECT DISTINCT gval, gpct FROM (\n"
+        f"  SELECT {col} AS gval,\n"
+        f"   PERCENT_RANK() OVER (ORDER BY {col}) AS gpct\n"
+        "  FROM documents\n"
+        " )\n"
+        ")\n"
+        f"SELECT r.doc_id, r.{group}, r.{col}, r.pct_rank,\n"
+        f" gd.gval AS norm_{col}\n"
+        "FROM r ASOF JOIN gd ON r.pct_rank >= gd.gpct"
     )

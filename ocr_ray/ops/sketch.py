@@ -781,3 +781,161 @@ def sampled_value_percentiles_sql(rate_denom: int = 64) -> str:
         " CAST(MAX(total) AS BIGINT) AS n_events\n"
         "FROM cum GROUP BY event_type"
     )
+
+
+# ------------------------------------------------ Misra-Gries summaries
+
+
+def _mg_compress(items: np.ndarray, counts: np.ndarray,
+                 k: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Compress exact (item, count) pairs to <= k survivors by the
+    Misra-Gries decrement: subtract the (k+1)-th largest count from
+    every counter and drop the non-positive ones. Returns the survivors
+    and the decrement applied (the per-step undercount witness)."""
+    if len(items) <= k:
+        return items, counts, 0
+    # (k+1)-th largest via partition — O(m), no full sort
+    d = int(np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1])
+    keep = counts > d
+    return items[keep], counts[keep] - d, d
+
+
+def mg_summary(ds, col: str, k: int = 64):
+    """Distributed Misra-Gries heavy-hitter sketch over ``col``.
+
+    Per-block exact counts compress to <= k slim (item, est) rows plus
+    one decrement-witness row per block; a keyed aggregate merges the
+    streams (MG merge = counter addition), and one final compress
+    bounds the result to k. Returns ``(items, ests, d_total)`` with the
+    classic guarantee: for every item,
+    ``true - est <= d_total`` and ``est <= true`` — so any item with
+    ``true > d_total`` MUST survive. Driver materialization is bounded
+    by k + the per-block witness count, never the input.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    part_schema = pa.schema([("item", pa.int64()), ("est", pa.int64())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        x = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        items, counts = np.unique(x, return_counts=True)
+        items, counts, d = _mg_compress(
+            items, counts.astype(np.int64), k
+        )
+        out_items = np.concatenate([items, [-1]])  # -1 = witness row
+        out_counts = np.concatenate([counts, [d]])
+        return pa.table(
+            {
+                "item": pa.array(out_items, pa.int64()),
+                "est": pa.array(out_counts, pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("item")
+        .aggregate(Sum("est", alias_name="est"))
+        .take_all()
+    )  # bounded: <= k per input block + 1 witness row
+    items = np.array([r["item"] for r in merged], np.int64)
+    ests = np.array([r["est"] for r in merged], np.int64)
+    wit = items == -1
+    d_blocks = int(ests[wit].sum()) if wit.any() else 0
+    items, ests = items[~wit], ests[~wit]
+    items, ests, d_final = _mg_compress(items, ests, k)
+    order = np.argsort(items)
+    return items[order], ests[order], d_blocks + d_final
+
+
+def mg_violations(ds, col: str, k: int = 64):
+    """Empty-oracle invariant gate for ``mg_summary``: re-counts ``col``
+    EXACTLY (distributed groupby) and emits one row per violated
+    Misra-Gries guarantee — overcount (est > true), undercount beyond
+    the witness (true - est > d_total), or a mandatory heavy hitter
+    (true > d_total) missing from the sketch. A correct sketch yields
+    zero rows, which is what the SQL oracle states."""
+    import ray
+    from ray.data.aggregate import Count
+
+    items, ests, d_total = mg_summary(ds, col, k)
+    ref = ray.put((items, ests, d_total))
+
+    out_schema = pa.schema(
+        [
+            ("item", pa.int64()),
+            ("true_cnt", pa.int64()),
+            ("est", pa.int64()),
+            ("reason", pa.string()),
+        ]
+    )
+
+    exact = ds.groupby(col).aggregate(Count(alias_name="true_cnt"))
+
+    class _Checker:
+        def __init__(self, ref):
+            self.items, self.ests, self.d_total = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                return out_schema.empty_table()
+            its = t[col]
+            if isinstance(its, pa.ChunkedArray):
+                its = its.combine_chunks()
+            x = its.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            true = t["true_cnt"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.items, x)
+            idx_c = np.clip(idx, 0, max(len(self.items) - 1, 0))
+            found = (
+                (len(self.items) > 0)
+                & (idx < len(self.items))
+                & (self.items[idx_c] == x)
+            )
+            est = np.where(found, self.ests[idx_c], 0)
+            over = found & (est > true)
+            under = found & (true - est > self.d_total)
+            miss = ~found & (true > self.d_total)
+            mask = over | under | miss
+            if not mask.any():
+                return out_schema.empty_table()
+            reason = np.where(
+                over[mask], "overcount",
+                np.where(under[mask], "undercount beyond witness",
+                         "mandatory hitter missing"),
+            )
+            return pa.table(
+                {
+                    "item": pa.array(x[mask], pa.int64()),
+                    "true_cnt": pa.array(true[mask], pa.int64()),
+                    "est": pa.array(est[mask], pa.int64()),
+                    "reason": pa.array(reason.tolist(), pa.string()),
+                }
+            )
+
+    from ocr_ray.ops.dedup import _with_schema
+
+    return _with_schema(
+        exact.map_batches(
+            _Checker,
+            fn_constructor_kwargs={"ref": ref},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        ),
+        out_schema,
+    )
+
+
+def mg_violations_sql() -> str:
+    """A correct Misra-Gries run has no violations — the oracle is the
+    typed empty table."""
+    return (
+        "SELECT CAST(NULL AS BIGINT) AS item,"
+        " CAST(NULL AS BIGINT) AS true_cnt,"
+        " CAST(NULL AS BIGINT) AS est,"
+        " CAST(NULL AS VARCHAR) AS reason WHERE 1=0"
+    )
