@@ -6854,6 +6854,127 @@ def q_events_daily_dense(sf_dir: str):
     return daily_dense_fill(events)
 
 
+def q_attribution_time_decay(sf_dir: str):
+    """Geometric time-decay multi-touch attribution with exact
+    power-of-two bucket weights (ops/asof.py:attribution_time_decay) —
+    the decay-weighted upgrade of attribution_linear."""
+    import ray.data as rd
+
+    from ocr_ray.ops.asof import attribution_time_decay
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return attribution_time_decay(events)
+
+
+def q_weekly_event_growth(sf_dir: str):
+    """Week-over-week event-count growth per type in exact integer
+    millionths (truncating division, matching DuckDB's `//`): weekly
+    counts via one small keyed aggregate, the LAG join resolved inside
+    a per-type sorted run."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    part_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("week_idx", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        ts = t["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        week = (
+            pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+            // 1_000_000
+            // 86_400
+            // 7
+        )
+        t2 = pa.table(
+            {
+                "event_type": t["event_type"],
+                "week_idx": pa.array(week, pa.int64()),
+                "n": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            }
+        )
+        g = t2.group_by(["event_type", "week_idx"]).aggregate([("n", "sum")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "week_idx": g["week_idx"],
+                "n": pc.cast(g["n_sum"], pa.int64()),
+            }
+        )
+
+    weekly = (
+        events.map_batches(partials, batch_format="pyarrow")
+        .groupby(["event_type", "week_idx"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("week_idx", pa.int64()),
+            ("n_events", pa.int64()),
+            ("growth_millionths", pa.int64()),
+        ]
+    )
+
+    def growth_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        m = block.num_rows
+        if m == 0 or len(starts) == 0:
+            return out_schema.empty_table()
+        types = block.column("event_type").to_pylist()
+        weeks = block.column("week_idx").to_numpy(zero_copy_only=False)
+        n = block.column("n").to_numpy(zero_copy_only=False)
+        prev = np.empty(m, np.int64)
+        prev[1:] = n[:-1]
+        prev[starts] = -1  # no LAG at run heads
+        mask = prev > 0
+        diff = (n - prev) * 1_000_000
+        # truncating division toward zero (DuckDB `//` semantics),
+        # numpy's `//` floors — adjust negative non-exact quotients
+        q = diff // np.where(mask, prev, 1)
+        adjust = mask & (diff % np.where(mask, prev, 1) != 0) & (diff < 0)
+        q = np.where(adjust, q + 1, q)
+        idx = np.flatnonzero(mask)
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [types[i] for i in idx], pa.string()
+                ),
+                "week_idx": pa.array(weeks[idx], pa.int64()),
+                "n_events": pa.array(n[idx], pa.int64()),
+                "growth_millionths": pa.array(q[idx], pa.int64()),
+            }
+        )
+
+    return grouped_map(
+        weekly, ["event_type"], growth_block, sort_within=["week_idx"]
+    )
+
+
+def q_sentence_length_hist(sf_dir: str):
+    """Corpus sentence-length histogram in words
+    (ops/textstats.py:sentence_length_hist)."""
+    from ocr_ray.ops.textstats import sentence_length_hist
+
+    return sentence_length_hist(_docs(sf_dir, "text"))
+
+
 def q_mg_user_violations(sf_dir: str):
     """Misra-Gries heavy-hitter sketch over events.user_id, gated by
     its own guarantee: the query re-counts exactly and emits a row per
@@ -7164,6 +7285,9 @@ QUERIES = {
     "benford_orders": q_benford_orders,
     "quantile_normalize_chars": q_quantile_normalize_chars,
     "mg_user_violations": q_mg_user_violations,
+    "attribution_time_decay": q_attribution_time_decay,
+    "weekly_event_growth": q_weekly_event_growth,
+    "sentence_length_hist": q_sentence_length_hist,
 }
 
 
@@ -10152,6 +10276,26 @@ def oracle_sql() -> dict[str, str]:
     from ocr_ray.ops.sketch import mg_violations_sql
 
     oracles["mg_user_violations"] = mg_violations_sql()
+    from ocr_ray.ops.asof import attribution_time_decay_sql
+    from ocr_ray.ops.textstats import sentence_length_hist_sql
+
+    oracles["attribution_time_decay"] = attribution_time_decay_sql()
+    oracles["sentence_length_hist"] = sentence_length_hist_sql()
+    oracles["weekly_event_growth"] = (
+        "WITH w AS (\n"
+        " SELECT event_type, epoch_us(ts)//1000000//86400//7 AS week_idx,\n"
+        "  COUNT(*) AS n\n"
+        " FROM events GROUP BY 1, 2\n"
+        "), l AS (\n"
+        " SELECT event_type, week_idx, n,\n"
+        "  LAG(n) OVER (PARTITION BY event_type ORDER BY week_idx) AS prev\n"
+        " FROM w\n"
+        ")\n"
+        "SELECT event_type, week_idx, CAST(n AS BIGINT) AS n_events,\n"
+        " CAST((n - prev) * 1000000 // prev AS BIGINT)"
+        " AS growth_millionths\n"
+        "FROM l WHERE prev IS NOT NULL"
+    )
     oracles["cheapest_supplier_per_part"] = (
         "WITH ps AS (\n"
         " SELECT l_partkey AS p_partkey, l_suppkey AS suppkey,\n"

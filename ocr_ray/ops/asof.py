@@ -406,3 +406,128 @@ def attribution_linear_1h(events, window_us: int = 3_600_000_000,
             Sum("credit", alias_name="credit"),
         )
     )
+
+
+def attribution_time_decay(events, bucket_us: int = 900_000_000,
+                           n_buckets: int = 4, scale: int = 1 << 20):
+    """Time-decay multi-touch attribution: a touch ``d`` buckets before
+    the purchase earns ``scale >> d`` credit units (geometric half-life
+    of one bucket). Weights are exact powers of two, so every credit is
+    an exact integer — no float ``exp`` whose libm could differ from
+    the oracle's.
+
+    Same one-shuffle shape as ``attribution_linear_1h``: inside each
+    time-sorted user run, each decay bucket resolves with two
+    vectorized searchsorted calls against the touch subsequence and
+    per-type prefix sums; cost O(N·K·B) with K event types and B
+    buckets, never a pairwise expansion.
+
+    Output: (event_type, n_touches, credit)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "ts": t.column("ts"),
+                "event_type": t.column("event_type"),
+            }
+        )
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("n_touches", pa.int64()),
+         ("credit", pa.int64())]
+    )
+
+    def credit_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return part_schema.empty_table()
+        types = block.column("event_type")
+        if isinstance(types, pa.ChunkedArray):
+            types = types.combine_chunks()
+        enc = pc.dictionary_encode(types)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        names = enc.dictionary.to_pylist()
+        k = len(names)
+        is_p = np.array([t == "purchase" for t in names], bool)[codes]
+        ts = block.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        touches = np.zeros(k, np.int64)
+        credit = np.zeros(k, np.int64)
+        ends = np.append(starts[1:], n)
+        for s, e in zip(starts, ends):
+            run_p = is_p[s:e]
+            if not run_p.any() or run_p.all():
+                continue
+            ets = ts[s:e][~run_p]
+            ecodes = codes[s:e][~run_p]
+            pts = ts[s:e][run_p]
+            prefs = {
+                int(c): np.concatenate([[0], np.cumsum(ecodes == c)])
+                for c in np.unique(ecodes)
+            }
+            for b in range(n_buckets):
+                # bucket b = touches with (pts - ets) in
+                # [b*bucket, (b+1)*bucket), strictly before the purchase
+                lo = np.searchsorted(
+                    ets, pts - (b + 1) * bucket_us, side="right"
+                )
+                if b == 0:
+                    hi = np.searchsorted(ets, pts, side="left")
+                else:
+                    hi = np.searchsorted(
+                        ets, pts - b * bucket_us, side="right"
+                    )
+                if not (hi > lo).any():
+                    continue
+                w = scale >> b
+                for c, pref in prefs.items():
+                    c_t = pref[hi] - pref[lo]
+                    touches[c] += int(c_t.sum())
+                    credit[c] += int(c_t.sum()) * w
+        keep = touches > 0
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [names[i] for i in np.flatnonzero(keep)], pa.string()
+                ),
+                "n_touches": pa.array(touches[keep], pa.int64()),
+                "credit": pa.array(credit[keep], pa.int64()),
+            }
+        )
+
+    tagged = events.map_batches(tag, batch_format="pyarrow")
+    return (
+        grouped_map(tagged, ["user_id"], credit_block, sort_within=("ts",))
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_touches", alias_name="n_touches"),
+            Sum("credit", alias_name="credit"),
+        )
+    )
+
+
+def attribution_time_decay_sql(bucket_us: int = 900_000_000,
+                               n_buckets: int = 4,
+                               scale: int = 1 << 20) -> str:
+    window_us = bucket_us * n_buckets
+    return (
+        "WITH t AS (\n"
+        " SELECT user_id, ts, event_type FROM events"
+        " WHERE event_type <> 'purchase'\n"
+        "), p AS (\n"
+        " SELECT user_id, ts FROM events WHERE event_type = 'purchase'\n"
+        ")\n"
+        "SELECT t.event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,\n"
+        f" CAST(SUM({scale} >> CAST((epoch_us(p.ts) - epoch_us(t.ts))"
+        f" // {bucket_us} AS BIGINT)) AS BIGINT) AS credit\n"
+        "FROM p JOIN t ON t.user_id = p.user_id\n"
+        " AND t.ts < p.ts\n"
+        f" AND epoch_us(p.ts) - epoch_us(t.ts) < {window_us}\n"
+        "GROUP BY t.event_type"
+    )

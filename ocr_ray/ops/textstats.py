@@ -662,3 +662,67 @@ def readability_scores_sql() -> str:
         "  ELSE 0.0 END) + 0.5) AS BIGINT) AS flesch_micro\n"
         "FROM m"
     )
+
+
+def sentence_length_hist(docs, cap: int = 50):
+    """Corpus histogram of sentence lengths in words: documents split on
+    ``[.!?]+`` runs, each sentence's ``[a-zA-Z]+`` word count clipped at
+    ``cap``; zero-word fragments drop. Fully vectorized — one Arrow
+    regex split per batch, one regex count over the flattened sentence
+    array, one bincount — and each block collapses to <= cap slim
+    partial rows before the tiny keyed merge.
+
+    Both engines run RE2 ('[.!?]+' split, '[a-zA-Z]+' count), so the
+    histogram is exact against the DuckDB unnest oracle."""
+    from ray.data.aggregate import Sum
+
+    part_schema = pa.schema([("wc", pa.int64()), ("n_sentences", pa.int64())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        sentences = pc.split_pattern_regex(text, "[.!?]+")
+        flat = pc.list_flatten(sentences)
+        wc = pc.count_substring_regex(flat, "[a-zA-Z]+").to_numpy(
+            zero_copy_only=False
+        )
+        wc = wc[wc >= 1]
+        if len(wc) == 0:
+            return part_schema.empty_table()
+        wc = np.minimum(wc, cap)
+        counts = np.bincount(wc, minlength=cap + 1)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "wc": pa.array(nz.astype(np.int64), pa.int64()),
+                "n_sentences": pa.array(
+                    counts[nz].astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby("wc")
+        .aggregate(Sum("n_sentences", alias_name="n_sentences"))
+    )
+
+
+def sentence_length_hist_sql(cap: int = 50) -> str:
+    return (
+        "WITH s AS (\n"
+        " SELECT unnest(regexp_split_to_array(text, '[.!?]+')) AS sent\n"
+        " FROM documents\n"
+        "), w AS (\n"
+        f" SELECT LEAST(len(regexp_extract_all(sent, '[a-zA-Z]+')), {cap})"
+        " AS wc\n"
+        " FROM s\n"
+        " WHERE len(regexp_extract_all(sent, '[a-zA-Z]+')) >= 1\n"
+        ")\n"
+        "SELECT CAST(wc AS BIGINT) AS wc,"
+        " CAST(COUNT(*) AS BIGINT) AS n_sentences\n"
+        "FROM w GROUP BY wc"
+    )
