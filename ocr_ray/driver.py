@@ -6854,6 +6854,86 @@ def q_events_daily_dense(sf_dir: str):
     return daily_dense_fill(events)
 
 
+def q_percentile_cont_by_type(sf_dir: str):
+    """Interpolated PERCENTILE_CONT per event type, bit-matched to
+    DuckDB's native quantile_cont
+    (ops/stats.py:percentile_cont_by_type)."""
+    from ocr_ray.ops.stats import percentile_cont_by_type
+
+    return percentile_cont_by_type(_events(sf_dir))
+
+
+def q_pii_rate_by_source(sf_dir: str):
+    """Per-source PII exposure rollup over the staged redaction counts
+    (ops/redact.py:pii_rate_by_source)."""
+    from ocr_ray.ops.redact import pii_rate_by_source
+
+    return pii_rate_by_source(_docs(sf_dir, "source", "text"))
+
+
+def _augmented_embeddings_labeled(sf_dir: str):
+    """The floor-augmented embeddings (see _augmented_embeddings) with
+    labels: originals keep theirs; each copy's label shifts by 1000
+    only for ODD vec_ids — so (orig, copy) near-dup pairs are
+    cross-label for odd ids and same-label (filtered) for even ids,
+    exercising both branches of the cross-label miner."""
+    import ray.data as rd
+
+    from ocr_ray.ops.similarity import _batch_matrix
+
+    _quiet()
+
+    def add_copies(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        labels = (
+            t.column("label").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        copies = np.floor(m * 1000.0) / 1000.0
+        copy_labels = labels + (ids % 2) * 1000
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    np.concatenate([ids, ids + 1_000_000]), pa.int64()
+                ),
+                "embedding": pa.array(
+                    list(np.concatenate([m, copies])),
+                    pa.list_(pa.float64()),
+                ),
+                "label": pa.array(
+                    np.concatenate([labels, copy_labels]), pa.int64()
+                ),
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    ).map_batches(add_copies, batch_format="pyarrow")
+
+
+def q_cross_label_pairs(sf_dir: str):
+    """Cross-label near-duplicate pairs over the labeled floor-augmented
+    embeddings (ops/similarity.py:cross_label_pairs) — the recall gate
+    plus the label filter in one query."""
+    from ocr_ray.ops.similarity import cross_label_pairs
+
+    return _materialized(
+        cross_label_pairs(
+            _augmented_embeddings_labeled(sf_dir), threshold=0.999
+        ),
+        pa.schema(
+            [
+                ("vec_a", pa.int64()),
+                ("vec_b", pa.int64()),
+                ("cosine", pa.float64()),
+                ("label_a", pa.int64()),
+                ("label_b", pa.int64()),
+            ]
+        ),
+    )
+
+
 def q_attribution_time_decay(sf_dir: str):
     """Geometric time-decay multi-touch attribution with exact
     power-of-two bucket weights (ops/asof.py:attribution_time_decay) —
@@ -7288,6 +7368,9 @@ QUERIES = {
     "attribution_time_decay": q_attribution_time_decay,
     "weekly_event_growth": q_weekly_event_growth,
     "sentence_length_hist": q_sentence_length_hist,
+    "percentile_cont_by_type": q_percentile_cont_by_type,
+    "pii_rate_by_source": q_pii_rate_by_source,
+    "cross_label_pairs": q_cross_label_pairs,
 }
 
 
@@ -10281,6 +10364,29 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["attribution_time_decay"] = attribution_time_decay_sql()
     oracles["sentence_length_hist"] = sentence_length_hist_sql()
+    from ocr_ray.ops.redact import pii_rate_by_source_sql
+    from ocr_ray.ops.stats import percentile_cont_by_type_sql
+
+    oracles["percentile_cont_by_type"] = percentile_cont_by_type_sql()
+    oracles["pii_rate_by_source"] = pii_rate_by_source_sql()
+    oracles["cross_label_pairs"] = (
+        "WITH aug AS (\n"
+        " SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,"
+        " CAST(label AS BIGINT) AS label FROM embeddings\n"
+        " UNION ALL\n"
+        " SELECT vec_id + 1000000,"
+        " list_transform(CAST(embedding AS DOUBLE[]),"
+        " x -> FLOOR(x * 1000.0) / 1000.0),"
+        " CAST(label AS BIGINT) + (vec_id % 2) * 1000 FROM embeddings\n"
+        "), pairs AS (\n"
+        " SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,"
+        " list_cosine_similarity(a.v, b.v) AS raw,"
+        " a.label AS label_a, b.label AS label_b\n"
+        " FROM aug a JOIN aug b ON a.vec_id < b.vec_id\n"
+        ")\n"
+        "SELECT vec_a, vec_b, ROUND(raw, 6) AS cosine, label_a, label_b\n"
+        "FROM pairs WHERE raw >= 0.999 AND label_a <> label_b"
+    )
     oracles["weekly_event_growth"] = (
         "WITH w AS (\n"
         " SELECT event_type, epoch_us(ts)//1000000//86400//7 AS week_idx,\n"

@@ -85,3 +85,127 @@ def oracle_sql() -> str:
         ")\n"
         "SELECT doc_id, t AS redacted_text, n_urls, n_emails, n_phones FROM s3"
     )
+
+
+def pii_rate_by_source(docs):
+    """(source, n_docs, n_pii_docs, n_urls, n_emails, n_phones,
+    rate_millionths): the per-source PII exposure rollup a corpus audit
+    runs before release. Counts reuse the staged redaction semantics
+    above (each category counted on the text as the previous stage left
+    it), each block collapses to <= |sources| partial rows, and the
+    rate is exact integer millionths (truncating division — nonnegative
+    operands, so DuckDB's `//` and numpy agree)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    part_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_docs", pa.int64()),
+            ("n_pii_docs", pa.int64()),
+            ("n_urls", pa.int64()),
+            ("n_emails", pa.int64()),
+            ("n_phones", pa.int64()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        text = pc.fill_null(pc.cast(t.column("text"), pa.string()), "")
+        counts = {}
+        for count_name, pattern, placeholder in STAGES:
+            counts[count_name] = pc.cast(
+                pc.count_substring_regex(text, pattern), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            text = pc.replace_substring_regex(text, pattern, placeholder)
+        has = (
+            (counts["n_urls"] + counts["n_emails"] + counts["n_phones"]) > 0
+        ).astype(np.int64)
+        t2 = pa.table(
+            {
+                "source": t.column("source"),
+                "n_docs": pa.array(
+                    np.ones(t.num_rows, np.int64), pa.int64()
+                ),
+                "n_pii_docs": pa.array(has, pa.int64()),
+                "n_urls": pa.array(counts["n_urls"], pa.int64()),
+                "n_emails": pa.array(counts["n_emails"], pa.int64()),
+                "n_phones": pa.array(counts["n_phones"], pa.int64()),
+            }
+        )
+        g = t2.group_by("source").aggregate(
+            [(c, "sum") for c in part_schema.names[1:]]
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                **{
+                    c: pc.cast(g[c + "_sum"], pa.int64())
+                    for c in part_schema.names[1:]
+                },
+            }
+        )
+
+    merged = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            *[Sum(c, alias_name=c) for c in part_schema.names[1:]]
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                list(part_schema)
+                + [pa.field("rate_millionths", pa.int64())]
+            ).empty_table()
+        import numpy as np
+
+        nd = t["n_docs"].to_numpy(zero_copy_only=False)
+        np_ = t["n_pii_docs"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "rate_millionths",
+            pa.array(np_ * 1_000_000 // nd, pa.int64()),
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def pii_rate_by_source_sql() -> str:
+    def q(s: str) -> str:
+        # DuckDB single-quoted literals keep backslashes verbatim, so
+        # only quotes need escaping — the RE2 pattern passes through
+        return s.replace("'", "''")
+
+    url, email, phone = STAGES[0][1], STAGES[1][1], STAGES[2][1]
+    return (
+        "WITH s0 AS (\n"
+        " SELECT source, COALESCE(text, '') AS t FROM documents\n"
+        "), s1 AS (\n"
+        f" SELECT source, CAST(len(regexp_extract_all(t, '{q(url)}'))"
+        " AS BIGINT) AS n_urls,\n"
+        f"  regexp_replace(t, '{q(url)}', '<URL>', 'g') AS t FROM s0\n"
+        "), s2 AS (\n"
+        " SELECT source, n_urls,"
+        f" CAST(len(regexp_extract_all(t, '{q(email)}')) AS BIGINT)"
+        " AS n_emails,\n"
+        f"  regexp_replace(t, '{q(email)}', '<EMAIL>', 'g') AS t FROM s1\n"
+        "), s3 AS (\n"
+        " SELECT source, n_urls, n_emails,"
+        f" CAST(len(regexp_extract_all(t, '{q(phone)}')) AS BIGINT)"
+        " AS n_phones\n"
+        " FROM s2\n"
+        ")\n"
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,\n"
+        " CAST(SUM(CASE WHEN n_urls + n_emails + n_phones > 0"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,\n"
+        " CAST(SUM(n_urls) AS BIGINT) AS n_urls,\n"
+        " CAST(SUM(n_emails) AS BIGINT) AS n_emails,\n"
+        " CAST(SUM(n_phones) AS BIGINT) AS n_phones,\n"
+        " CAST(SUM(CASE WHEN n_urls + n_emails + n_phones > 0"
+        " THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)"
+        " AS rate_millionths\n"
+        "FROM s3 GROUP BY source"
+    )

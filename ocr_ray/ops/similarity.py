@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _batch_matrix(batch: pa.Table, column: str = "embedding") -> np.ndarray:
@@ -1011,3 +1012,57 @@ def cluster_top_terms(embeddings, docs, k: int = 8, iters: int = 5,
         counts.map_batches(local_topk, batch_format="pyarrow"), count_schema
     )
     return grouped_map(local, ["cluster"], topk_block)
+
+
+def cross_label_pairs(embeddings, threshold: float = 0.999,
+                      bits: int = 16, n_tables: int = 4):
+    """Near-duplicate vector pairs whose two sides carry DIFFERENT
+    labels — the cross-partition bridge miner (mislabeled near-copies,
+    cross-lingual parallel docs, train/test contamination across
+    splits). Input needs (vec_id, embedding, label).
+
+    Scale shape: the pair set comes from the existing multi-table
+    hyperplane LSH + exact-verify pipeline (slim bucket rows, candidate
+    -only payload joins); labels attach onto the SMALL verified pair
+    set via ``attach_pair_payloads`` (broadcast below its threshold,
+    two hash joins above), and the label filter is a vectorized mask.
+    Output (vec_a, vec_b, cosine, label_a, label_b)."""
+    from ocr_ray.ops.joins import attach_pair_payloads
+
+    pairs = embedding_cosine_dedup(
+        embeddings.select_columns(["vec_id", "embedding"]),
+        threshold=threshold, bits=bits, n_tables=n_tables,
+    )
+
+    def label_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id").cast(pa.int64()),
+                "label": t.column("label").cast(pa.int64()),
+            }
+        )
+
+    labels = embeddings.select_columns(["vec_id", "label"]).map_batches(
+        label_rows, batch_format="pyarrow"
+    )
+    ab = attach_pair_payloads(
+        pairs, labels, key_a="vec_a", key_b="vec_b", side_key="vec_id",
+        payloads={"label": ("label_a", "label_b")},
+    )
+    schema = pa.schema(
+        [
+            ("vec_a", pa.int64()),
+            ("vec_b", pa.int64()),
+            ("cosine", pa.float64()),
+            ("label_a", pa.int64()),
+            ("label_b", pa.int64()),
+        ]
+    )
+
+    def keep_cross(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return schema.empty_table()
+        mask = pc.not_equal(t["label_a"], t["label_b"])
+        return t.filter(mask).select(schema.names).cast(schema)
+
+    return ab.map_batches(keep_cross, batch_format="pyarrow")

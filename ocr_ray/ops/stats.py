@@ -1862,3 +1862,115 @@ def user_event_entropy_sql() -> str:
         f" / {float(s)} AS entropy\n"
         "FROM agg"
     )
+
+
+def percentile_cont_by_type(events, qs=(0.25, 0.5, 0.9, 0.99)):
+    """Exact PERCENTILE_CONT (linearly interpolated) per event type,
+    bit-matched against DuckDB's native ``quantile_cont``.
+
+    Scale shape: each block collapses to (event_type, value-bitpattern,
+    count) partials — the double's int64 bit pattern is the merge key,
+    so the keyed aggregate is exact with no float-key hashing — and the
+    stream entering the final per-type block is bounded by types ×
+    distinct values, independent of row count. The interpolation
+    replays DuckDB's exact expression: pos = q·(n−1),
+    result = (1−frac)·v_lo + frac·v_hi (calibrated against
+    quantile_cont on adversarial inputs — v_lo + frac·(v_hi−v_lo)
+    rounds differently and does NOT match)."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    part_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("vbits", pa.int64()),
+            ("c", pa.int64()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        v = t["value"]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        bits = v.to_numpy(zero_copy_only=False).view(np.int64)
+        t2 = pa.table(
+            {
+                "event_type": t["event_type"],
+                "vbits": pa.array(bits, pa.int64()),
+                "c": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            }
+        )
+        g = t2.group_by(["event_type", "vbits"]).aggregate([("c", "sum")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "vbits": g["vbits"],
+                "c": pc.cast(g["c_sum"], pa.int64()),
+            }
+        )
+
+    merged = (
+        events.map_batches(partials, batch_format="pyarrow")
+        .groupby(["event_type", "vbits"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    labels = [f"p{int(round(q * 100))}" for q in qs]
+    out_schema = pa.schema(
+        [("event_type", pa.string())]
+        + [(lb, pa.float64()) for lb in labels]
+    )
+
+    def finish_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        m = block.num_rows
+        if m == 0 or len(starts) == 0:
+            return out_schema.empty_table()
+        types = block.column("event_type").to_pylist()
+        vals = (
+            block.column("vbits")
+            .to_numpy(zero_copy_only=False)
+            .view(np.float64)
+        )
+        cnt = block.column("c").to_numpy(zero_copy_only=False)
+        ends = np.append(starts[1:], m)
+        out_rows: dict = {"event_type": []}
+        for lb in labels:
+            out_rows[lb] = []
+        for s, e in zip(starts, ends):
+            order = np.argsort(vals[s:e], kind="stable")
+            v = vals[s:e][order]
+            cums = np.cumsum(cnt[s:e][order])
+            n = int(cums[-1])
+            out_rows["event_type"].append(types[s])
+            for q, lb in zip(qs, labels):
+                pos = q * (n - 1)
+                lo = int(np.floor(pos))
+                hi = int(np.ceil(pos))
+                frac = pos - lo
+                v_lo = v[np.searchsorted(cums, lo + 1, side="left")]
+                v_hi = v[np.searchsorted(cums, hi + 1, side="left")]
+                out_rows[lb].append((1.0 - frac) * v_lo + frac * v_hi)
+        return pa.table(
+            {
+                "event_type": pa.array(out_rows["event_type"], pa.string()),
+                **{
+                    lb: pa.array(out_rows[lb], pa.float64())
+                    for lb in labels
+                },
+            }
+        )
+
+    return grouped_map(merged, ["event_type"], finish_block)
+
+
+def percentile_cont_by_type_sql(qs=(0.25, 0.5, 0.9, 0.99)) -> str:
+    cols = ",\n ".join(
+        f"quantile_cont(value, {q}) AS p{int(round(q * 100))}" for q in qs
+    )
+    return (
+        f"SELECT event_type,\n {cols}\n"
+        "FROM events GROUP BY event_type"
+    )
