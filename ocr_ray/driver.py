@@ -6854,6 +6854,46 @@ def q_events_daily_dense(sf_dir: str):
     return daily_dense_fill(events)
 
 
+def q_char_dup_coverage(sf_dir: str):
+    """Per-document duplicated-substring coverage via strided 64-char
+    grams (ops/segdedup.py:char_dup_coverage) — the exact-substring
+    dedup signal."""
+    return char_dup_coverage_op(_docs(sf_dir, "doc_id", "text"))
+
+
+def char_dup_coverage_op(docs):
+    from ocr_ray.ops.segdedup import char_dup_coverage
+
+    return char_dup_coverage(docs, gram=64, stride=32)
+
+
+def q_compaction_plan(sf_dir: str):
+    """Next-fit compaction planner over the documents table: chunk
+    assignment by distributed exclusive prefix sum of byte sizes in
+    doc_id order (ops/layout.py:compaction_plan)."""
+    return compaction_plan_op(_docs(sf_dir, "doc_id", "n_chars"))
+
+
+def compaction_plan_op(docs):
+    from ocr_ray.ops.layout import compaction_plan
+
+    return compaction_plan(docs)
+
+
+def q_diurnal_value_trend(sf_dir: str):
+    """Per-type OLS of cents against hour-of-day from exact integer
+    moments (ops/profile.py:diurnal_trend_by_type)."""
+    import ray.data as rd
+
+    from ocr_ray.ops.profile import diurnal_trend_by_type
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    return diurnal_trend_by_type(events)
+
+
 def q_percentile_cont_by_type(sf_dir: str):
     """Interpolated PERCENTILE_CONT per event type, bit-matched to
     DuckDB's native quantile_cont
@@ -7371,6 +7411,9 @@ QUERIES = {
     "percentile_cont_by_type": q_percentile_cont_by_type,
     "pii_rate_by_source": q_pii_rate_by_source,
     "cross_label_pairs": q_cross_label_pairs,
+    "char_dup_coverage": q_char_dup_coverage,
+    "compaction_plan": q_compaction_plan,
+    "diurnal_value_trend": q_diurnal_value_trend,
 }
 
 
@@ -10369,6 +10412,13 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["percentile_cont_by_type"] = percentile_cont_by_type_sql()
     oracles["pii_rate_by_source"] = pii_rate_by_source_sql()
+    from ocr_ray.ops.layout import compaction_plan_sql
+    from ocr_ray.ops.profile import diurnal_trend_by_type_sql
+    from ocr_ray.ops.segdedup import char_dup_coverage_sql
+
+    oracles["char_dup_coverage"] = char_dup_coverage_sql(gram=64, stride=32)
+    oracles["compaction_plan"] = compaction_plan_sql()
+    oracles["diurnal_value_trend"] = diurnal_trend_by_type_sql()
     oracles["cross_label_pairs"] = (
         "WITH aug AS (\n"
         " SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,"

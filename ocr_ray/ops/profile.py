@@ -597,3 +597,139 @@ def benford_sql(table: str, col: str) -> str:
         " * 1000000.0) * 1000000000.0 + 0.5) AS BIGINT) AS chi2_nano\n"
         "FROM k"
     )
+
+
+def diurnal_trend_by_type(events):
+    """Per-event-type OLS of value-in-cents against hour-of-day
+    (0..23): slope + intercept from exact int64 moment partials (n, Σx,
+    Σy, Σxy, Σx²), one <= K-row keyed merge, and a final float
+    expression shared term-for-term with the SQL oracle (the corr_matrix
+    contract — never a float accumulation whose order could differ).
+
+    Output: (event_type, n, slope, intercept); slope/intercept are 0
+    for a degenerate (constant-x) group."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.driver import _cents
+
+    part_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("sx", pa.int64()),
+            ("sy", pa.int64()),
+            ("sxy", pa.int64()),
+            ("sxx", pa.int64()),
+        ]
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        ts = t["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        secs = pc.cast(ts, pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // 1_000_000
+        x = (secs // 3600) % 24
+        y = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        t2 = pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                "sx": pa.array(x, pa.int64()),
+                "sy": pa.array(y, pa.int64()),
+                "sxy": pa.array(x * y, pa.int64()),
+                "sxx": pa.array(x * x, pa.int64()),
+            }
+        )
+        g = t2.group_by("event_type").aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx")]
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                **{
+                    c: pc.cast(g[c + "_sum"], pa.int64())
+                    for c in ("n", "sx", "sy", "sxy", "sxx")
+                },
+            }
+        )
+
+    merged = (
+        events.map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            *[
+                Sum(c, alias_name=c)
+                for c in ("n", "sx", "sy", "sxy", "sxx")
+            ]
+        )
+    )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("slope", pa.float64()),
+            ("intercept", pa.float64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        fn = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        fsx = t["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        fsy = t["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        fsxy = t["sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        fsxx = t["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        den = fn * fsxx - fsx * fsx
+        slope = np.where(den != 0.0, (fn * fsxy - fsx * fsy) / den, 0.0)
+        intercept = np.where(
+            fn != 0.0, (fsy - slope * fsx) / fn, 0.0
+        )
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": t["n"],
+                "slope": pa.array(slope, pa.float64()),
+                "intercept": pa.array(intercept, pa.float64()),
+            }
+        )
+
+    return merged.map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+def diurnal_trend_by_type_sql() -> str:
+    return (
+        "WITH m AS (\n"
+        " SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,\n"
+        "  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,\n"
+        "  CAST(SUM(x * y) AS BIGINT) AS sxy,"
+        " CAST(SUM(x * x) AS BIGINT) AS sxx\n"
+        " FROM (SELECT event_type,\n"
+        "   (epoch_us(ts) // 1000000 // 3600) % 24 AS x,\n"
+        "   CAST(ROUND(value * 100.0) AS BIGINT) AS y\n"
+        "  FROM events)\n"
+        " GROUP BY event_type\n"
+        "), d AS (\n"
+        " SELECT event_type, n, CAST(n AS DOUBLE) AS fn,"
+        " CAST(sx AS DOUBLE) AS fsx, CAST(sy AS DOUBLE) AS fsy,"
+        " CAST(sxy AS DOUBLE) AS fsxy, CAST(sxx AS DOUBLE) AS fsxx\n"
+        " FROM m\n"
+        "), s AS (\n"
+        " SELECT event_type, n, fn, fsx, fsy,\n"
+        "  CASE WHEN fn * fsxx - fsx * fsx <> 0.0\n"
+        "   THEN (fn * fsxy - fsx * fsy) / (fn * fsxx - fsx * fsx)\n"
+        "   ELSE 0.0 END AS slope\n"
+        " FROM d\n"
+        ")\n"
+        "SELECT event_type, n, slope,\n"
+        " CASE WHEN fn <> 0.0 THEN (fsy - slope * fsx) / fn"
+        " ELSE 0.0 END AS intercept\n"
+        "FROM s"
+    )

@@ -433,3 +433,167 @@ def segment_dedup_docs_sql(
         "FROM seg JOIN df USING (segment)\n"
         "GROUP BY seg.doc_id ORDER BY seg.doc_id"
     )
+
+
+# ------------------------------- char-gram exact substring duplication
+
+
+def char_dup_coverage(docs, gram: int = 64, stride: int = 32):
+    """Per-document duplicated-substring coverage, the exact-substring
+    dedup signal (strided char ``gram``-grams shared with >= 2 distinct
+    documents; cf. Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" — anchor-sampled rather than suffix-array).
+
+    Scale shape: each block emits slim per-(doc, gram) position counts
+    (in-batch pre-aggregated); ONE hash shuffle by gram computes each
+    gram's distinct-doc count and flags the rows in place (vectorized
+    run arithmetic); a per-doc keyed sum finishes. The grams shipped
+    are ``len/stride`` per doc — a tunable constant factor of the
+    corpus, never the quadratic pair space. Grams join on their exact
+    bytes (no fingerprint collisions), matching the substr-lateral SQL
+    oracle verbatim.
+
+    Output: (doc_id, n_grams, n_dup_grams, dup_millionths) for docs
+    with at least one full gram."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    row_schema = pa.schema(
+        [
+            ("gram", pa.string()),
+            ("doc_id", pa.int64()),
+            ("pos_count", pa.int64()),
+        ]
+    )
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return row_schema.empty_table()
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out_ids, out_grams = [], []
+        for did, tx in zip(ids, texts):
+            if tx is None or len(tx) < gram:
+                continue
+            for p in range(0, len(tx) - gram + 1, stride):
+                out_ids.append(did)
+                out_grams.append(tx[p:p + gram])
+        if not out_ids:
+            return row_schema.empty_table()
+        t2 = pa.table(
+            {
+                "gram": pa.array(out_grams, pa.string()),
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "pos_count": pa.array(
+                    np.ones(len(out_ids), np.int64), pa.int64()
+                ),
+            }
+        )
+        g = t2.group_by(["gram", "doc_id"]).aggregate([("pos_count", "sum")])
+        return pa.table(
+            {
+                "gram": g["gram"],
+                "doc_id": g["doc_id"],
+                "pos_count": pc.cast(g["pos_count_sum"], pa.int64()),
+            }
+        )
+
+    flag_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("pos_count", pa.int64()),
+            ("dup_count", pa.int64()),
+        ]
+    )
+
+    def flag_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return flag_schema.empty_table()
+        ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+        cnt = block.column("pos_count").to_numpy(zero_copy_only=False)
+        # combine (gram, doc) partials split across input batches —
+        # block is sorted by (gram, doc_id)
+        garr = block.column("gram")
+        if isinstance(garr, pa.ChunkedArray):
+            garr = garr.combine_chunks()
+        gcodes = pc.dictionary_encode(garr).indices.to_numpy(
+            zero_copy_only=False
+        )
+        change = np.ones(n, dtype=bool)
+        change[1:] = (gcodes[1:] != gcodes[:-1]) | (ids[1:] != ids[:-1])
+        first = np.flatnonzero(change)
+        cnt = np.add.reduceat(cnt, first)
+        ids = ids[first]
+        run_starts = np.unique(np.searchsorted(first, starts))
+        sizes = np.diff(np.append(run_starts, len(ids)))
+        n_docs = np.repeat(sizes, sizes)  # rows per gram = distinct docs
+        dup = np.where(n_docs >= 2, cnt, 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos_count": pa.array(cnt, pa.int64()),
+                "dup_count": pa.array(dup, pa.int64()),
+            }
+        )
+
+    flagged = grouped_map(
+        docs.map_batches(gram_rows, batch_format="pyarrow"),
+        ["gram"],
+        flag_block,
+        sort_within=["doc_id"],
+    )
+    agg = flagged.groupby("doc_id").aggregate(
+        Sum("pos_count", alias_name="n_grams"),
+        Sum("dup_count", alias_name="n_dup_grams"),
+    )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_grams", pa.int64()),
+            ("n_dup_grams", pa.int64()),
+            ("dup_millionths", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        ng = t["n_grams"].to_numpy(zero_copy_only=False)
+        nd = t["n_dup_grams"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_grams": t["n_grams"],
+                "n_dup_grams": t["n_dup_grams"],
+                "dup_millionths": pa.array(
+                    nd * 1_000_000 // ng, pa.int64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def char_dup_coverage_sql(gram: int = 64, stride: int = 32) -> str:
+    return (
+        "WITH g AS (\n"
+        f" SELECT doc_id, substr(text, CAST(p AS INTEGER), {gram}) AS gram\n"
+        " FROM documents CROSS JOIN LATERAL"
+        f" unnest(generate_series(1, len(text)-{gram - 1}, {stride}))"
+        " AS u(p)\n"
+        f" WHERE len(text) >= {gram}\n"
+        "), dg AS (\n"
+        " SELECT doc_id, gram, COUNT(*) AS pos_count FROM g GROUP BY 1, 2\n"
+        "), gd AS (\n"
+        " SELECT gram, COUNT(*) AS n_docs FROM dg GROUP BY 1\n"
+        ")\n"
+        "SELECT dg.doc_id, CAST(SUM(pos_count) AS BIGINT) AS n_grams,\n"
+        " CAST(SUM(CASE WHEN gd.n_docs >= 2 THEN pos_count ELSE 0 END)"
+        " AS BIGINT) AS n_dup_grams,\n"
+        " CAST(SUM(CASE WHEN gd.n_docs >= 2 THEN pos_count ELSE 0 END)"
+        " * 1000000 // SUM(pos_count) AS BIGINT) AS dup_millionths\n"
+        "FROM dg JOIN gd USING (gram) GROUP BY dg.doc_id"
+    )
