@@ -6854,6 +6854,29 @@ def q_events_daily_dense(sf_dir: str):
     return daily_dense_fill(events)
 
 
+def q_rate_limit_audit(sf_dir: str):
+    """Per-user sliding-window rate audit — batch re-expression of the
+    reference's 60 s rate limiter, app/middleware/auth.py:53-107
+    (ops/windows.py:rate_limit_audit)."""
+    import ray.data as rd
+
+    from ocr_ray.ops.windows import rate_limit_audit
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return rate_limit_audit(events, window_us=60_000_000, limit=30)
+
+
+def q_hapax_rate_by_source(sf_dir: str):
+    """Per-source vocabulary richness: vocab size, hapax legomena and
+    hapax rate (ops/keyness.py:hapax_rate_by_source)."""
+    from ocr_ray.ops.keyness import hapax_rate_by_source
+
+    return hapax_rate_by_source(_docs(sf_dir, "source", "text"))
+
+
 def q_char_dup_coverage(sf_dir: str):
     """Per-document duplicated-substring coverage via strided 64-char
     grams (ops/segdedup.py:char_dup_coverage) — the exact-substring
@@ -7414,6 +7437,8 @@ QUERIES = {
     "char_dup_coverage": q_char_dup_coverage,
     "compaction_plan": q_compaction_plan,
     "diurnal_value_trend": q_diurnal_value_trend,
+    "rate_limit_audit": q_rate_limit_audit,
+    "hapax_rate_by_source": q_hapax_rate_by_source,
 }
 
 
@@ -10419,6 +10444,13 @@ def oracle_sql() -> dict[str, str]:
     oracles["char_dup_coverage"] = char_dup_coverage_sql(gram=64, stride=32)
     oracles["compaction_plan"] = compaction_plan_sql()
     oracles["diurnal_value_trend"] = diurnal_trend_by_type_sql()
+    from ocr_ray.ops.keyness import hapax_rate_by_source_sql
+    from ocr_ray.ops.windows import rate_limit_audit_sql
+
+    oracles["rate_limit_audit"] = rate_limit_audit_sql(
+        window_us=60_000_000, limit=30
+    )
+    oracles["hapax_rate_by_source"] = hapax_rate_by_source_sql()
     oracles["cross_label_pairs"] = (
         "WITH aug AS (\n"
         " SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,"

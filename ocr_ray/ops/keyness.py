@@ -502,3 +502,138 @@ def bpe_merge_pairs_sql(k: int = 50) -> str:
         "counted AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY pair)\n"
         f"SELECT pair, n FROM counted ORDER BY n DESC, pair LIMIT {k}"
     )
+
+
+def hapax_rate_by_source(docs):
+    """Vocabulary richness per source: vocab size, hapax legomena count
+    (words occurring exactly once across the whole source) and the
+    hapax rate in integer millionths — the classic OCR-noise /
+    boilerplate tell (noisy sources run hapax-heavy, template sources
+    hapax-light).
+
+    Scale shape: in-batch (source, word) counts → one hash shuffle by
+    (source, word) for exact global counts (``grouped_map`` block
+    arithmetic, no per-word Python) → per-source partial (vocab, hapax)
+    rows → a <= |sources|-row keyed sum."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    row_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("word", pa.string()),
+            ("c", pa.int64()),
+        ]
+    )
+
+    def word_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return row_schema.empty_table()
+        srcs, words, cs = [], [], []
+        from collections import Counter
+
+        for src, text in zip(
+            t.column("source").to_pylist(), t.column("text").to_pylist()
+        ):
+            for w, c in Counter(
+                _WORD_RE.findall((text or "").lower())
+            ).items():
+                srcs.append(src)
+                words.append(w)
+                cs.append(c)
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "word": pa.array(words, pa.string()),
+                "c": pa.array(cs, pa.int64()),
+            }
+        )
+
+    part_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("vocab", pa.int64()),
+            ("hapax", pa.int64()),
+        ]
+    )
+
+    def count_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return part_schema.empty_table()
+        c = block.column("c").to_numpy(zero_copy_only=False)
+        # combine split (source, word) partials: block sorted by key
+        totals = np.add.reduceat(c, starts)
+        srcs = block.column("source").take(
+            pa.array(starts, pa.int64())
+        ).to_pylist()
+        # per-source rollup within the block (sources repeat across
+        # groups; a tiny in-block group_by collapses them)
+        t2 = pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "vocab": pa.array(np.ones(len(totals), np.int64)),
+                "hapax": pa.array((totals == 1).astype(np.int64)),
+            }
+        )
+        g = t2.group_by("source").aggregate(
+            [("vocab", "sum"), ("hapax", "sum")]
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                "vocab": pc.cast(g["vocab_sum"], pa.int64()),
+                "hapax": pc.cast(g["hapax_sum"], pa.int64()),
+            }
+        )
+
+    merged = (
+        grouped_map(
+            docs.map_batches(word_rows, batch_format="pyarrow"),
+            ["source", "word"],
+            count_block,
+        )
+        .groupby("source")
+        .aggregate(
+            Sum("vocab", alias_name="vocab"),
+            Sum("hapax", alias_name="hapax"),
+        )
+    )
+
+    out_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("vocab", pa.int64()),
+            ("hapax", pa.int64()),
+            ("hapax_millionths", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        v = t["vocab"].to_numpy(zero_copy_only=False)
+        h = t["hapax"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "hapax_millionths", pa.array(h * 1_000_000 // v, pa.int64())
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def hapax_rate_by_source_sql() -> str:
+    return (
+        "WITH w AS (\n"
+        " SELECT source, word, COUNT(*) AS c FROM (\n"
+        "  SELECT source,"
+        " unnest(regexp_extract_all(lower(text), '[a-zA-Z]{3,}')) AS word\n"
+        "  FROM documents\n"
+        " ) GROUP BY 1, 2\n"
+        ")\n"
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,\n"
+        " CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,\n"
+        " CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)"
+        " AS BIGINT) AS hapax_millionths\n"
+        "FROM w GROUP BY source"
+    )

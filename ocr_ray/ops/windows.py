@@ -674,3 +674,75 @@ def peak_concurrent_sessions_sql(gap_sec: int = 1800) -> str:
         " to_timestamp(MIN(t))::TIMESTAMP AS peak_at\n"
         "FROM run WHERE running = (SELECT MAX(running) FROM run)"
     )
+
+
+def rate_limit_audit(events, window_us: int = 60_000_000,
+                     limit: int = 30):
+    """Per-user sliding-window rate audit — the batch re-expression of
+    the reference's 60 s sliding-window rate limiter
+    (app/middleware/auth.py:53-107): for every user, the maximum number
+    of events falling in any trailing ``window_us`` window, and whether
+    it exceeds ``limit``.
+
+    One hash shuffle by user_id; inside each time-sorted run the
+    trailing count of every event is two vectorized searchsorted calls
+    (count = #events in (t-window, t], symmetric under duplicate
+    timestamps, matching the SQL self-join count), and the per-user max
+    is a segment reduce. Output (user_id, max_in_window,
+    limit_exceeded)."""
+    from ocr_ray.stages.grouped import grouped_map
+
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("max_in_window", pa.int64()),
+            ("limit_exceeded", pa.int64()),
+        ]
+    )
+
+    def block_fn(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return schema.empty_table()
+        users = block.column("user_id").to_numpy(zero_copy_only=False)
+        ts = block.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ends = np.append(starts[1:], n)
+        cnt = np.empty(n, np.int64)
+        for s, e in zip(starts, ends):
+            run = ts[s:e]
+            hi = np.searchsorted(run, run, side="right")
+            lo = np.searchsorted(run, run - window_us, side="right")
+            cnt[s:e] = hi - lo
+        mx = np.maximum.reduceat(cnt, starts)
+        return pa.table(
+            {
+                "user_id": pa.array(users[starts], pa.int64()),
+                "max_in_window": pa.array(mx, pa.int64()),
+                "limit_exceeded": pa.array(
+                    (mx > limit).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return grouped_map(events, ["user_id"], block_fn, sort_within=["ts"])
+
+
+def rate_limit_audit_sql(window_us: int = 60_000_000,
+                         limit: int = 30) -> str:
+    return (
+        "WITH e AS (\n"
+        " SELECT user_id, epoch_us(ts) AS t FROM events\n"
+        "), a AS (SELECT DISTINCT user_id, t FROM e),\n"
+        "c AS (\n"
+        " SELECT a.user_id, a.t, COUNT(*) AS cnt\n"
+        " FROM a JOIN e b ON a.user_id = b.user_id\n"
+        f"  AND b.t <= a.t AND b.t > a.t - {window_us}\n"
+        " GROUP BY a.user_id, a.t\n"
+        ")\n"
+        "SELECT user_id, CAST(MAX(cnt) AS BIGINT) AS max_in_window,\n"
+        f" CAST(CASE WHEN MAX(cnt) > {limit} THEN 1 ELSE 0 END AS BIGINT)"
+        " AS limit_exceeded\n"
+        "FROM c GROUP BY user_id"
+    )
