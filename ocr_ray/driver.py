@@ -4444,21 +4444,17 @@ def q_referential_integrity(sf_dir: str):
     )
 
 
-def q_media_dhash_pairs(sf_dir: str):
-    """Near-duplicate images over a deterministic full-entropy texture
-    corpus sized to the scale factor (distinct textures land ~32 bits
-    apart, so planted duplicates are the only signal): every 10th image
-    is an exact copy of its i−9 predecessor, every 10th+5 a
-    brightness-shifted twin of i−5 (dHash is provably invariant to a
-    uniform shift — the classic re-encode variant). Genuinely
-    non-SQL-expressible (pixel access) — rows-only in the driver,
-    pinned by tests/test_multimodal_dhash.py."""
+def _dhash_corpus(sf_dir: str):
+    """Deterministic planted-duplicate texture corpus shared by
+    q_media_dhash_pairs and q_media_dhash_violations: every 10th image
+    (i % 10 == 9) is an exact copy of its i−9 predecessor, every
+    i % 10 == 5 a +6-brightness twin of i−5 (dHash is exactly invariant
+    to a uniform non-clipping shift)."""
     import ray.data as rd
 
     from ocr_ray.ops.multimodal import (
         decode_raw_image,
         encode_raw_image,
-        media_dhash_pairs,
         synthesize_texture_images,
     )
 
@@ -4473,7 +4469,7 @@ def q_media_dhash_pairs(sf_dir: str):
             img = decode_raw_image(payloads[i - 5])
             img = (img.astype(np.int16) + 6).astype(np.uint8)  # never clips
             payloads[i] = encode_raw_image(img)
-    media = rd.from_arrow(
+    return rd.from_arrow(
         pa.table(
             {
                 "media_id": tbl.column("media_id"),
@@ -4481,13 +4477,108 @@ def q_media_dhash_pairs(sf_dir: str):
                 "payload": pa.array(payloads, pa.binary()),
             }
         )
-    )
+    ), n
+
+
+def q_media_dhash_pairs(sf_dir: str):
+    """Near-duplicate images over the planted-duplicate texture corpus
+    (_dhash_corpus; distinct textures land ~32 bits apart, so planted
+    duplicates are the only signal). Genuinely non-SQL-expressible
+    (pixel access) — rows-only in the driver, pinned by
+    tests/test_multimodal_dhash.py and gated by
+    q_media_dhash_violations."""
+    from ocr_ray.ops.multimodal import media_dhash_pairs
+
+    media, _ = _dhash_corpus(sf_dir)
     return _materialized(
         media_dhash_pairs(media),
         pa.schema(
             [("media_a", pa.int64()), ("media_b", pa.int64()),
              ("hamming", pa.int64())]
         ),
+    )
+
+
+def q_media_dhash_violations(sf_dir: str):
+    """Empty-oracle invariant gate for the (non-SQL) image near-dup
+    family, same pattern as ann_ivf_violations: every violated
+    invariant emits a row, so a buggy dHash/Hamming pipeline turns into
+    a row-count mismatch in the driver's gate.
+
+    Checked invariants over the planted corpus (_dhash_corpus):
+    1. pair ordering media_a < media_b, no duplicates;
+    2. reported hamming equals an independent exact popcount of the
+       two images' recomputed dHashes, and is <= max_hamming;
+    3. completeness: every PLANTED pair — (i−9, i) exact copies and
+       (i−5, i) brightness twins, both provably hamming 0 — appears.
+
+    Driver materialization is the pair set (bounded by the planted
+    count at this corpus) + one slim (media_id, hash) row per image —
+    at production scale check 2/3 would run as a hash join instead of
+    the broadcast dict, the invariants unchanged."""
+    from ocr_ray.ops.multimodal import (
+        decode_raw_image,
+        dhash64,
+        media_dhash_pairs,
+    )
+
+    media, n = _dhash_corpus(sf_dir)
+    pairs = media_dhash_pairs(media).take_all()
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("media_id").to_pylist()
+        out = []
+        for i, payload in zip(ids, t.column("payload").to_pylist()):
+            h = dhash64(decode_raw_image(payload))
+            # dhash64 is unsigned 64-bit; reinterpret as signed for the
+            # int64 column (the masked XOR below is bit-pattern exact)
+            out.append(
+                {"media_id": i,
+                 "h": h - (1 << 64) if h >= (1 << 63) else h}
+            )
+        return pa.Table.from_pylist(
+            out,
+            schema=pa.schema(
+                [("media_id", pa.int64()), ("h", pa.int64())]
+            ),
+        )
+
+    hashes = {
+        r["media_id"]: r["h"]
+        for r in media.map_batches(
+            hash_rows, batch_format="pyarrow"
+        ).take_all()
+    }
+
+    violations: list[tuple[int, int, str]] = []
+    seen: set[tuple[int, int]] = set()
+    found: set[tuple[int, int]] = set()
+    for r in pairs:
+        a, b, ham = r["media_a"], r["media_b"], r["hamming"]
+        if a >= b:
+            violations.append((a, b, "pair not ordered a < b"))
+        if (a, b) in seen:
+            violations.append((a, b, "duplicate pair"))
+        seen.add((a, b))
+        found.add((a, b))
+        exact = int(
+            bin((hashes[a] ^ hashes[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+        )
+        if exact != ham:
+            violations.append((a, b, "hamming != exact recompute"))
+        if ham > 3:
+            violations.append((a, b, "hamming above max_hamming"))
+    for i in range(n):
+        if i % 10 == 9 and (i - 9, i) not in found:
+            violations.append((i - 9, i, "planted exact copy missing"))
+        elif i % 10 == 5 and i >= 5 and (i - 5, i) not in found:
+            violations.append((i - 5, i, "planted brightness twin missing"))
+    return pa.table(
+        {
+            "media_a": pa.array([v[0] for v in violations], pa.int64()),
+            "media_b": pa.array([v[1] for v in violations], pa.int64()),
+            "reason": pa.array([v[2] for v in violations], pa.string()),
+        }
     )
 
 
@@ -7439,6 +7530,7 @@ QUERIES = {
     "diurnal_value_trend": q_diurnal_value_trend,
     "rate_limit_audit": q_rate_limit_audit,
     "hapax_rate_by_source": q_hapax_rate_by_source,
+    "media_dhash_violations": q_media_dhash_violations,
 }
 
 
@@ -10451,6 +10543,11 @@ def oracle_sql() -> dict[str, str]:
         window_us=60_000_000, limit=30
     )
     oracles["hapax_rate_by_source"] = hapax_rate_by_source_sql()
+    oracles["media_dhash_violations"] = (
+        "SELECT CAST(NULL AS BIGINT) AS media_a,"
+        " CAST(NULL AS BIGINT) AS media_b,"
+        " CAST(NULL AS VARCHAR) AS reason WHERE 1=0"
+    )
     oracles["cross_label_pairs"] = (
         "WITH aug AS (\n"
         " SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,"

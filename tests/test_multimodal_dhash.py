@@ -74,3 +74,13 @@ def test_media_dhash_pairs_finds_planted_dups(ray_session):
         (d + 5, d + 9) for d in range(0, len(payloads) - 9, 10)
     }
     assert set(pairs) == closure  # textures never collide by accident
+
+
+def test_media_dhash_violations_empty(ray_session):
+    """The invariant gate (ordering, exact-recompute hamming, planted-
+    pair completeness) must emit zero rows on the planted corpus."""
+    from ocr_ray import driver as drv
+
+    out = drv.QUERIES["media_dhash_violations"]("/root/testdata/sf0.001")
+    assert out.num_rows == 0
+    assert out.schema.names == ["media_a", "media_b", "reason"]
