@@ -92,6 +92,17 @@ BENCH_QUERIES = [
     "sampled_value_percentiles",
     "zorder_events",
     "readability_scores",
+    # round-3 continuation batch (2.8-17 s at sf0.1 / 32 CPUs;
+    # char_dup_coverage is the heavy one — the strided 64-char-gram
+    # shuffle is the exact-substring dedup workload)
+    "char_dup_coverage",
+    "quantile_normalize_chars",
+    "percentile_cont_by_type",
+    "user_active_time",
+    "rate_limit_audit",
+    "pii_rate_by_source",
+    "cheapest_supplier_per_part",
+    "hapax_rate_by_source",
 ]
 
 

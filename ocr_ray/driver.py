@@ -6945,6 +6945,35 @@ def q_events_daily_dense(sf_dir: str):
     return daily_dense_fill(events)
 
 
+def q_event_trigrams(sf_dir: str):
+    """Top-25 three-step event-type sequences — the order-2 Markov
+    extension of event_transitions (ops/windows.py:event_trigrams)."""
+    import ray.data as rd
+
+    from ocr_ray.ops.windows import event_trigrams
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return event_trigrams(events, k_top=25)
+
+
+def q_temporal_split_audit(sf_dir: str):
+    """Temporal-holdout leakage audit: users active on both sides of a
+    day-15 cutoff (ops/windows.py:temporal_split_audit)."""
+    import ray.data as rd
+
+    from ocr_ray.ops.windows import temporal_split_audit
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return temporal_split_audit(events, cutoff_day=15)
+
+
 def q_rate_limit_audit(sf_dir: str):
     """Per-user sliding-window rate audit — batch re-expression of the
     reference's 60 s rate limiter, app/middleware/auth.py:53-107
@@ -7531,6 +7560,8 @@ QUERIES = {
     "rate_limit_audit": q_rate_limit_audit,
     "hapax_rate_by_source": q_hapax_rate_by_source,
     "media_dhash_violations": q_media_dhash_violations,
+    "event_trigrams": q_event_trigrams,
+    "temporal_split_audit": q_temporal_split_audit,
 }
 
 
@@ -10547,6 +10578,15 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(NULL AS BIGINT) AS media_a,"
         " CAST(NULL AS BIGINT) AS media_b,"
         " CAST(NULL AS VARCHAR) AS reason WHERE 1=0"
+    )
+    from ocr_ray.ops.windows import (
+        event_trigrams_sql,
+        temporal_split_audit_sql,
+    )
+
+    oracles["event_trigrams"] = event_trigrams_sql(k_top=25)
+    oracles["temporal_split_audit"] = temporal_split_audit_sql(
+        cutoff_day=15
     )
     oracles["cross_label_pairs"] = (
         "WITH aug AS (\n"

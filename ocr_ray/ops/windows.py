@@ -746,3 +746,232 @@ def rate_limit_audit_sql(window_us: int = 60_000_000,
         " AS limit_exceeded\n"
         "FROM c GROUP BY user_id"
     )
+
+
+def event_trigrams(events, k_top: int = 25):
+    """Top-k 3-step event-type sequences across all users — the order-2
+    extension of ``event_transitions`` (what a funnel/recsys step fits
+    when one-step Markov is too coarse).
+
+    Same scale shape: one hash shuffle by user, vectorized boundary-
+    masked double-shift compare, one bincount over base-K³ composite
+    keys, <= K³ slim partial rows per block, a tiny keyed sum, then a
+    global sort bounded to k_top rows. Output (t1, t2, t3, n, rank)
+    ordered by (n DESC, t1, t2, t3)."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.dedup import _with_schema
+    from ocr_ray.stages.grouped import grouped_map
+
+    schema = pa.schema(
+        [
+            ("t1", pa.string()),
+            ("t2", pa.string()),
+            ("t3", pa.string()),
+            ("c", pa.int64()),
+        ]
+    )
+
+    def block_fn(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n < 3 or len(starts) == 0:
+            return schema.empty_table()
+        types = np.asarray(
+            block.column("event_type").to_pylist(), dtype=object
+        )
+        uniq, codes = np.unique(types, return_inverse=True)
+        k = len(uniq)
+        sizes = np.diff(np.append(starts, n))
+        gidx = np.repeat(np.arange(len(starts)), sizes)
+        within = (gidx[2:] == gidx[1:-1]) & (gidx[1:-1] == gidx[:-2])
+        keys = (
+            codes[:-2][within] * k * k
+            + codes[1:-1][within] * k
+            + codes[2:][within]
+        )
+        counts = np.bincount(keys, minlength=k * k * k)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "t1": pa.array(uniq[nz // (k * k)], pa.string()),
+                "t2": pa.array(uniq[(nz // k) % k], pa.string()),
+                "t3": pa.array(uniq[nz % k], pa.string()),
+                "c": pa.array(counts[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = grouped_map(
+        events, ["user_id"], block_fn, sort_within=["ts", "event_id"]
+    )
+    merged = _with_schema(
+        _with_schema(partials, schema)
+        .groupby(["t1", "t2", "t3"])
+        .aggregate(Sum("c", alias_name="n")),
+        pa.schema(
+            [
+                ("t1", pa.string()),
+                ("t2", pa.string()),
+                ("t3", pa.string()),
+                ("n", pa.int64()),
+            ]
+        ),
+    )
+    ranked = (
+        merged.sort(
+            ["n", "t1", "t2", "t3"], descending=[True, False, False, False]
+        )
+        .limit(k_top)
+        .repartition(1)  # rank below is position in ONE tiny block
+    )
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "rank",
+            pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64)),
+        )
+
+    # the limit() output is a single tiny block — rank is its position
+    return ranked.map_batches(
+        add_rank, batch_format="pyarrow", batch_size=None
+    )
+
+
+def event_trigrams_sql(k_top: int = 25) -> str:
+    return (
+        "WITH s AS (\n"
+        " SELECT user_id, event_type,\n"
+        "  LEAD(event_type, 1) OVER w AS t2,\n"
+        "  LEAD(event_type, 2) OVER w AS t3\n"
+        " FROM events\n"
+        " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)\n"
+        "), g AS (\n"
+        " SELECT event_type AS t1, t2, t3, COUNT(*) AS n\n"
+        " FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL\n"
+        " GROUP BY 1, 2, 3\n"
+        ")\n"
+        "SELECT t1, t2, t3, CAST(n AS BIGINT) AS n,\n"
+        " CAST(ROW_NUMBER() OVER (ORDER BY n DESC, t1, t2, t3) AS BIGINT)"
+        " AS rank\n"
+        f"FROM g ORDER BY n DESC, t1, t2, t3 LIMIT {k_top}"
+    )
+
+
+def temporal_split_audit(events, cutoff_day: int = 15):
+    """Temporal-holdout leakage audit: with train = days < cutoff and
+    test = days >= cutoff (epoch-day indexed from the stream's first
+    day), count users appearing on BOTH sides — entity leakage that
+    silently inflates temporal-model evals. One slim per-user min/max
+    day aggregate; the verdict is a one-row rollup with the rate in
+    exact integer millionths.
+
+    Output: (n_users, n_train_only, n_test_only, n_cross,
+    cross_millionths)."""
+    from ray.data.aggregate import Max, Min
+
+    perkey = (
+        events.map_batches(
+            lambda t: pa.table(
+                {
+                    "user_id": t.column("user_id").cast(pa.int64()),
+                    "day": pa.array(
+                        _epoch_seconds(t["ts"]) // 86_400, pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id")
+        .aggregate(Min("day", alias_name="lo"), Max("day", alias_name="hi"))
+    )
+    base = perkey.aggregate(Min("lo", alias_name="first_day"))
+    first_day = int(base["first_day"])
+    cut = first_day + cutoff_day
+
+    out_schema = pa.schema(
+        [
+            ("n_users", pa.int64()),
+            ("n_train_only", pa.int64()),
+            ("n_test_only", pa.int64()),
+            ("n_cross", pa.int64()),
+            ("cross_millionths", pa.int64()),
+        ]
+    )
+
+    def flags(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        lo = t["lo"].to_numpy(zero_copy_only=False)
+        hi = t["hi"].to_numpy(zero_copy_only=False)
+        train = lo < cut
+        test = hi >= cut
+        return pa.table(
+            {
+                "n_users": pa.array([t.num_rows], pa.int64()),
+                "n_train_only": pa.array(
+                    [int((train & ~test).sum())], pa.int64()
+                ),
+                "n_test_only": pa.array(
+                    [int((~train & test).sum())], pa.int64()
+                ),
+                "n_cross": pa.array(
+                    [int((train & test).sum())], pa.int64()
+                ),
+                "cross_millionths": pa.array([0], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    rolled = (
+        perkey.map_batches(flags, batch_format="pyarrow")
+        .aggregate(
+            Sum("n_users", alias_name="n_users"),
+            Sum("n_train_only", alias_name="n_train_only"),
+            Sum("n_test_only", alias_name="n_test_only"),
+            Sum("n_cross", alias_name="n_cross"),
+        )
+    )
+    n_users = int(rolled["n_users"] or 0)
+    n_cross = int(rolled["n_cross"] or 0)
+    return pa.table(
+        {
+            "n_users": pa.array([n_users], pa.int64()),
+            "n_train_only": pa.array(
+                [int(rolled["n_train_only"] or 0)], pa.int64()
+            ),
+            "n_test_only": pa.array(
+                [int(rolled["n_test_only"] or 0)], pa.int64()
+            ),
+            "n_cross": pa.array([n_cross], pa.int64()),
+            "cross_millionths": pa.array(
+                [n_cross * 1_000_000 // max(n_users, 1)], pa.int64()
+            ),
+        }
+    )
+
+
+def temporal_split_audit_sql(cutoff_day: int = 15) -> str:
+    return (
+        "WITH d AS (\n"
+        " SELECT user_id, MIN(epoch_us(ts)//1000000//86400) AS lo,\n"
+        "  MAX(epoch_us(ts)//1000000//86400) AS hi\n"
+        " FROM events GROUP BY user_id\n"
+        "), c AS (\n"
+        f" SELECT (SELECT MIN(lo) FROM d) + {cutoff_day} AS cut\n"
+        "), f AS (\n"
+        " SELECT CASE WHEN lo < cut THEN 1 ELSE 0 END AS train,\n"
+        "  CASE WHEN hi >= cut THEN 1 ELSE 0 END AS test\n"
+        " FROM d CROSS JOIN c\n"
+        ")\n"
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_users,\n"
+        " CAST(SUM(CASE WHEN train = 1 AND test = 0 THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_train_only,\n"
+        " CAST(SUM(CASE WHEN train = 0 AND test = 1 THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_test_only,\n"
+        " CAST(SUM(CASE WHEN train = 1 AND test = 1 THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_cross,\n"
+        " CAST(SUM(CASE WHEN train = 1 AND test = 1 THEN 1 ELSE 0 END)"
+        " * 1000000 // GREATEST(COUNT(*), 1) AS BIGINT)"
+        " AS cross_millionths\n"
+        "FROM f"
+    )
