@@ -6945,6 +6945,30 @@ def q_events_daily_dense(sf_dir: str):
     return daily_dense_fill(events)
 
 
+def q_events_ewma_daily(sf_dir: str):
+    """Exact power-of-two EWMA of daily cents per event type over the
+    dense day grid (ops/series.py:events_ewma_daily)."""
+    import ray.data as rd
+
+    from ocr_ray.ops.series import events_ewma_daily
+
+    _quiet()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    return events_ewma_daily(events)
+
+
+def q_token_budget_sample(sf_dir: str):
+    """Deterministic per-source character-budget downsampling
+    (ops/sample.py:token_budget_sample)."""
+    from ocr_ray.ops.sample import token_budget_sample
+
+    return token_budget_sample(
+        _docs(sf_dir, "doc_id", "source", "n_chars"), budget_chars=4_000
+    )
+
+
 def q_event_trigrams(sf_dir: str):
     """Top-25 three-step event-type sequences — the order-2 Markov
     extension of event_transitions (ops/windows.py:event_trigrams)."""
@@ -7562,6 +7586,8 @@ QUERIES = {
     "media_dhash_violations": q_media_dhash_violations,
     "event_trigrams": q_event_trigrams,
     "temporal_split_audit": q_temporal_split_audit,
+    "events_ewma_daily": q_events_ewma_daily,
+    "token_budget_sample": q_token_budget_sample,
 }
 
 
@@ -10587,6 +10613,13 @@ def oracle_sql() -> dict[str, str]:
     oracles["event_trigrams"] = event_trigrams_sql(k_top=25)
     oracles["temporal_split_audit"] = temporal_split_audit_sql(
         cutoff_day=15
+    )
+    from ocr_ray.ops.sample import token_budget_sample_sql
+    from ocr_ray.ops.series import events_ewma_daily_sql
+
+    oracles["events_ewma_daily"] = events_ewma_daily_sql()
+    oracles["token_budget_sample"] = token_budget_sample_sql(
+        budget_chars=4_000
     )
     oracles["cross_label_pairs"] = (
         "WITH aug AS (\n"

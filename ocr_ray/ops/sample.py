@@ -92,3 +92,101 @@ def oracle_sql(weight_col: str = "n_chars", k: int = 25) -> str:
         "FROM pri ORDER BY priority DESC, doc_id ASC\n"
         f"LIMIT {k}"
     )
+
+
+def token_budget_sample(docs, budget_chars: int = 8_000):
+    """Deterministic per-source downsampling to a character budget —
+    the "cap every source at N tokens" step of training-mix
+    construction: within each source, docs are taken in the order of
+    the SQL-reproducible multiplicative hash (a fixed random-looking
+    permutation), accumulating sizes until the budget is crossed; the
+    doc that crosses the boundary is included (so every non-empty
+    source keeps at least one doc).
+
+    Scale shape: one hash shuffle of slim (doc_id, source, n_chars,
+    hkey) rows by source; inside each sorted run the exclusive prefix
+    sum + threshold mask are pure vectorized arithmetic. All integers —
+    the DuckDB window oracle reproduces the pick set exactly.
+
+    Output: (doc_id, source, n_chars, cum_before)."""
+    from ocr_ray.stages.grouped import grouped_map
+
+    row_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+            ("hkey", pa.int64()),
+        ]
+    )
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return row_schema.empty_table()
+        ids = (
+            t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        h = ((ids.astype(np.uint64) * _KNUTH) & _M32).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "source": t.column("source"),
+                "n_chars": t.column("n_chars").cast(pa.int64()),
+                "hkey": pa.array(h, pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+            ("cum_before", pa.int64()),
+        ]
+    )
+
+    def pick_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return out_schema.empty_table()
+        sizes = np.diff(np.append(starts, n))
+        b = block.column("n_chars").to_numpy(zero_copy_only=False)
+        prefix = np.concatenate([[0], np.cumsum(b)[:-1]])
+        run_base = prefix[starts]
+        cum_before = prefix - np.repeat(run_base, sizes)
+        keep = cum_before < budget_chars
+        kept = block.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": kept.column("doc_id"),
+                "source": kept.column("source"),
+                "n_chars": kept.column("n_chars"),
+                "cum_before": pa.array(cum_before[keep], pa.int64()),
+            }
+        )
+
+    rows = docs.map_batches(add_hash, batch_format="pyarrow")
+    return grouped_map(
+        rows, ["source"], pick_block, sort_within=["hkey", "doc_id"]
+    )
+
+
+def token_budget_sample_sql(budget_chars: int = 8_000) -> str:
+    return (
+        "WITH h AS (\n"
+        " SELECT doc_id, source, n_chars,\n"
+        "  CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296"
+        " AS BIGINT) AS hkey\n"
+        " FROM documents\n"
+        "), o AS (\n"
+        " SELECT doc_id, source, n_chars,\n"
+        "  COALESCE(SUM(n_chars) OVER (PARTITION BY source"
+        " ORDER BY hkey, doc_id\n"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        " AS cum_before\n"
+        " FROM h\n"
+        ")\n"
+        "SELECT doc_id, source, n_chars,"
+        " CAST(cum_before AS BIGINT) AS cum_before\n"
+        f"FROM o WHERE cum_before < {budget_chars}"
+    )
