@@ -6945,6 +6945,17 @@ def q_events_daily_dense(sf_dir: str):
     return daily_dense_fill(events)
 
 
+def q_lang_source_mutual_info(sf_dir: str):
+    """Quantized-log mutual information between lang and source — the
+    dependence screen before treating two stratification keys as
+    independent (ops/infotheory.py:mutual_information)."""
+    from ocr_ray.ops.infotheory import mutual_information
+
+    return mutual_information(
+        _docs(sf_dir, "lang", "source"), col_a="lang", col_b="source"
+    )
+
+
 def q_events_ewma_daily(sf_dir: str):
     """Exact power-of-two EWMA of daily cents per event type over the
     dense day grid (ops/series.py:events_ewma_daily)."""
@@ -7588,6 +7599,7 @@ QUERIES = {
     "temporal_split_audit": q_temporal_split_audit,
     "events_ewma_daily": q_events_ewma_daily,
     "token_budget_sample": q_token_budget_sample,
+    "lang_source_mutual_info": q_lang_source_mutual_info,
 }
 
 
@@ -10620,6 +10632,11 @@ def oracle_sql() -> dict[str, str]:
     oracles["events_ewma_daily"] = events_ewma_daily_sql()
     oracles["token_budget_sample"] = token_budget_sample_sql(
         budget_chars=4_000
+    )
+    from ocr_ray.ops.infotheory import mutual_information_sql
+
+    oracles["lang_source_mutual_info"] = mutual_information_sql(
+        col_a="lang", col_b="source"
     )
     oracles["cross_label_pairs"] = (
         "WITH aug AS (\n"
