@@ -337,18 +337,21 @@ def corr_matrix(ds, cols: Sequence[tuple[str, float]]):
         for i in range(len(cols))
         for j in range(i + 1, len(cols))
     ]
+    # moment sums ship as TWO int64 limbs (hi·2^62 + lo) so no sum can
+    # overflow Ray's int64 aggregate at any corpus size — the MinHash
+    # HUGEINT-limb precedent (Σx² for cents-scaled prices exceeds 2^63
+    # from ~6·10^8 rows; the old single-int64 schema crashed the
+    # aggregator at sf0.1)
+    _SUMS = ("sx", "sy", "sxy", "sxx", "syy")
+    # limb width 42: per-block lo < 2^42, so Ray's int64 Sum over even
+    # a million blocks stays < 2^62 (no carry logic needed); hi carries
+    # the magnitude and its sum is ≤ total/2^42 — tiny
+    _LIMB = 1 << 42
     part_schema = pa.schema(
-        [
-            ("col_x", pa.string()),
-            ("col_y", pa.string()),
-            ("n", pa.int64()),
-            ("sx", pa.int64()),
-            ("sy", pa.int64()),
-            ("sxy", pa.int64()),
-            ("sxx", pa.int64()),
-            ("syy", pa.int64()),
-            ("mx", pa.int64()),
-        ]
+        [("col_x", pa.string()), ("col_y", pa.string()),
+         ("n", pa.int64())]
+        + [(f"{s}_{p}", pa.int64()) for s in _SUMS for p in ("hi", "lo")]
+        + [("mx", pa.int64())]
     )
 
     def to_ints(t: pa.Table, name: str, scale: float) -> np.ndarray:
@@ -360,22 +363,50 @@ def corr_matrix(ds, cols: Sequence[tuple[str, float]]):
             pa.int64(),
         ).to_numpy(zero_copy_only=False)
 
+    def exact_dot(a: np.ndarray, b: np.ndarray) -> int:
+        """Exact Σ a_i·b_i for nonnegative int64 arrays: chunk so each
+        int64 partial dot cannot wrap, fold chunks in Python ints."""
+        if len(a) == 0:
+            return 0
+        m = int(a.max()) * int(b.max())
+        if m >= 1 << 62:
+            # per-ELEMENT product would overflow the vectorized dot
+            raise OverflowError(
+                "corr_matrix: per-element product >= 2^62 — lower the "
+                "fixed-point scale for this column pair"
+            )
+        step = max(1, (1 << 62) // max(m, 1))
+        return sum(
+            int(np.dot(a[s:s + step], b[s:s + step]))
+            for s in range(0, len(a), step)
+        )
+
     def moments(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return part_schema.empty_table()
         ints = {name: to_ints(t, name, scale) for name, scale in cols}
+        for name, v in ints.items():
+            if len(v) and int(v.min()) < 0:
+                raise ValueError(
+                    f"corr_matrix: negative fixed-point values in {name} "
+                    "— the limb encoding assumes nonnegative columns"
+                )
         rows = []
         for (nx, _), (ny, _) in pairs:
             x, y = ints[nx], ints[ny]
-            rows.append(
-                {
-                    "col_x": nx, "col_y": ny, "n": len(x),
-                    "sx": int(x.sum()), "sy": int(y.sum()),
-                    "sxy": int((x * y).sum()),
-                    "sxx": int((x * x).sum()), "syy": int((y * y).sum()),
-                    "mx": int(max(x.max(), y.max())),
-                }
-            )
+            ones_x = np.ones_like(x)
+            sums = {
+                "sx": exact_dot(x, ones_x),
+                "sy": exact_dot(y, np.ones_like(y)),
+                "sxy": exact_dot(x, y),
+                "sxx": exact_dot(x, x),
+                "syy": exact_dot(y, y),
+            }
+            row = {"col_x": nx, "col_y": ny, "n": len(x),
+                   "mx": int(max(x.max(), y.max()))}
+            for s, v in sums.items():
+                row[f"{s}_hi"], row[f"{s}_lo"] = divmod(v, _LIMB)
+            rows.append(row)
         return pa.Table.from_pylist(rows, schema=part_schema)
 
     merged = _with_schema(
@@ -383,11 +414,11 @@ def corr_matrix(ds, cols: Sequence[tuple[str, float]]):
         .groupby(["col_x", "col_y"])
         .aggregate(
             Sum("n", alias_name="n"),
-            Sum("sx", alias_name="sx"),
-            Sum("sy", alias_name="sy"),
-            Sum("sxy", alias_name="sxy"),
-            Sum("sxx", alias_name="sxx"),
-            Sum("syy", alias_name="syy"),
+            *[
+                Sum(f"{s}_{p}", alias_name=f"{s}_{p}")
+                for s in _SUMS
+                for p in ("hi", "lo")
+            ],
             Max("mx", alias_name="mx"),
         ),
         part_schema,
@@ -405,34 +436,34 @@ def corr_matrix(ds, cols: Sequence[tuple[str, float]]):
     def finish(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or t.num_columns == 0:
             return out_schema.empty_table()
-        for n_i, mx_i in zip(
-            t.column("n").to_pylist(), t.column("mx").to_pylist()
-        ):
-            # exact overflow witness: every moment sum ≤ n·mx², so
-            # below 2^63 nothing wrapped in the int64 pipeline
-            if int(n_i) * int(mx_i) * int(mx_i) >= 2 ** 63:
-                raise OverflowError(
-                    "corr_matrix: int64 moment sums could overflow "
-                    "(n*max^2 >= 2^63) — shard the input or widen"
+        # rebuild exact Python big ints from the limbs; float(bigint)
+        # and DuckDB CAST(HUGEINT AS DOUBLE) are both correctly rounded,
+        # so the shared final expression stays bit-identical
+        cols_np = {c: t.column(c).to_pylist() for c in t.schema.names}
+        corr_out = []
+        for i in range(t.num_rows):
+            fn = float(cols_np["n"][i])
+            f = {}
+            for s in _SUMS:
+                v = (
+                    int(cols_np[f"{s}_hi"][i]) * _LIMB
+                    + int(cols_np[f"{s}_lo"][i])
                 )
-        f = {
-            k: t.column(k).to_numpy(zero_copy_only=False).astype(np.float64)
-            for k in ("n", "sx", "sy", "sxy", "sxx", "syy")
-        }
-        denom = np.sqrt(f["n"] * f["sxx"] - f["sx"] * f["sx"]) * np.sqrt(
-            f["n"] * f["syy"] - f["sy"] * f["sy"]
-        )
-        corr = np.where(
-            denom > 0.0,
-            (f["n"] * f["sxy"] - f["sx"] * f["sy"]) / denom,
-            0.0,
-        )
+                f[s] = float(v)
+            denom = np.sqrt(fn * f["sxx"] - f["sx"] * f["sx"]) * np.sqrt(
+                fn * f["syy"] - f["sy"] * f["sy"]
+            )
+            corr_out.append(
+                (fn * f["sxy"] - f["sx"] * f["sy"]) / denom
+                if denom > 0.0
+                else 0.0
+            )
         return pa.table(
             {
                 "col_x": t.column("col_x"),
                 "col_y": t.column("col_y"),
                 "n": t.column("n").cast(pa.int64()),
-                "corr": pa.array(corr, pa.float64()),
+                "corr": pa.array(corr_out, pa.float64()),
             }
         )
 
@@ -454,14 +485,16 @@ def corr_matrix_sql(table: str, cols: Sequence[tuple[str, float]]) -> str:
         for j in range(i + 1, len(cols)):
             (nx, sx_), (ny, sy_) = cols[i], cols[j]
             x, y = ix(nx, sx_), ix(ny, sy_)
+            # sums stay HUGEINT (DuckDB's exact SUM over BIGINT) — a
+            # BIGINT cast here overflows from ~6·10^8 cents-scaled rows
             branches.append(
                 f"SELECT '{nx}' AS col_x, '{ny}' AS col_y,"
                 " CAST(COUNT(*) AS BIGINT) AS n,"
-                f" CAST(SUM({x}) AS BIGINT) AS sx,"
-                f" CAST(SUM({y}) AS BIGINT) AS sy,"
-                f" CAST(SUM({x} * {y}) AS BIGINT) AS sxy,"
-                f" CAST(SUM({x} * {x}) AS BIGINT) AS sxx,"
-                f" CAST(SUM({y} * {y}) AS BIGINT) AS syy"
+                f" SUM({x}) AS sx,"
+                f" SUM({y}) AS sy,"
+                f" SUM({x} * {y}) AS sxy,"
+                f" SUM({x} * {x}) AS sxx,"
+                f" SUM({y} * {y}) AS syy"
                 f" FROM {table}"
             )
     return (

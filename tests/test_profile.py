@@ -259,3 +259,35 @@ def test_corr_matrix_multi_block_merges_moments(ray_session):
     ).to_pandas().iloc[0]
     assert int(out["n"]) == 60
     assert abs(out["corr"] - 1.0) < 1e-12
+
+
+def test_corr_matrix_beyond_int64_sum(ray_session):
+    """Regression: moment sums past 2^63 (the sf0.1 cents-scaled price
+    regime that crashed Ray's int64 aggregate) must flow through the
+    limb encoding and still match DuckDB bit-for-bit."""
+    import duckdb
+    import ray.data as rd
+
+    from ocr_ray.ops.profile import corr_matrix, corr_matrix_sql
+
+    rng = np.random.default_rng(71)
+    n = 40_000
+    # values ~3e6 → micro-scaled 3e12 … squared 9e24?? keep products
+    # under 2^62: x up to 2e9 → x² 4e18 < 2^62; Σx² ≈ 1.6e23 >> 2^63
+    xi = rng.integers(1_500_000_000, 2_000_000_000, n)
+    x = xi.astype(np.float64)
+    y = (xi // 2 + rng.integers(0, 1_000_000, n)).astype(np.float64)
+    t = pa.table({"a": pa.array(x, pa.float64()),
+                  "b": pa.array(y, pa.float64())})
+    spec = [("a", 1.0), ("b", 1.0)]
+    got = (
+        corr_matrix(rd.from_arrow(t).repartition(6), spec)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(corr_matrix_sql("t", spec)).df()
+    assert int(got.n[0]) == int(want.n[0]) == n
+    assert got["corr"][0] == want["corr"][0]
+    assert got["corr"][0] > 0.99
