@@ -7360,6 +7360,53 @@ def q_cusum_drift(sf_dir: str):
     return cusum_drift(events)
 
 
+def q_ks_drift_by_source(sf_dir: str):
+    """Exact two-sample KS statistic of each source's length
+    distribution vs the rest of the corpus (ops/stats.py:ks_by_group) —
+    the distribution-shape drift gate run before admitting a source
+    into a training mix; the reference's per-source stats rollups
+    (ocr_service.py stats endpoints) are its first-moment cousin."""
+    from ocr_ray.ops.stats import ks_by_group
+
+    return ks_by_group(
+        _docs(sf_dir, "source", "n_chars"),
+        value_col="n_chars",
+        group_col="source",
+    )
+
+
+def q_forget_customers(sf_dir: str):
+    """GDPR-style deletion-propagation audit: cascade-erase customers
+    with c_custkey % 97 == 0 through orders and lineitem, reporting
+    per-table deleted/remaining counts and a mod-P checksum of the
+    surviving keys (ops/forget.py:forget_customers)."""
+    import ray.data as rd
+
+    from ocr_ray.ops.forget import forget_customers
+
+    _quiet()
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    )
+    return forget_customers(customer, orders, lineitem)
+
+
+def q_hashed_bow(sf_dir: str):
+    """Feature-hashing bag-of-words vectorization: sparse signed
+    64-bucket hashed term counts per document
+    (ops/tfidf.py:hashed_bow) — the vocabulary-free featurizer for
+    quality classifiers at corpus scale."""
+    from ocr_ray.ops.tfidf import hashed_bow
+
+    return hashed_bow(_docs(sf_dir))
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -7447,6 +7494,9 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "extract_conservation": q_extract_conservation,
     "ann_ivf_violations": q_ann_ivf_violations,
+    "ks_drift_by_source": q_ks_drift_by_source,
+    "forget_customers": q_forget_customers,
+    "hashed_bow": q_hashed_bow,
     "term_postings": q_term_postings,
     "search_topk": q_search_topk,
     "label_centroids": q_label_centroids,
@@ -10705,4 +10755,13 @@ def oracle_sql() -> dict[str, str]:
         "JOIN supplier s ON ps.l_suppkey = s.s_suppkey\n"
         "WHERE ps.q * tot.ns > 2 * tq GROUP BY s.s_suppkey, s.s_name"
     )
+    from ocr_ray.ops.forget import forget_customers_sql
+    from ocr_ray.ops.stats import ks_by_group_sql
+    from ocr_ray.ops.tfidf import hashed_bow_sql
+
+    oracles["ks_drift_by_source"] = ks_by_group_sql(
+        value_col="n_chars", group_col="source"
+    )
+    oracles["forget_customers"] = forget_customers_sql()
+    oracles["hashed_bow"] = hashed_bow_sql(_WORDS_SQL)
     return oracles

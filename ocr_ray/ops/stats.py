@@ -1974,3 +1974,125 @@ def percentile_cont_by_type_sql(qs=(0.25, 0.5, 0.9, 0.99)) -> str:
         f"SELECT event_type,\n {cols}\n"
         "FROM events GROUP BY event_type"
     )
+
+
+# ---------------------------------------- two-sample KS drift per source
+
+
+def ks_by_group(rows, value_col: str = "n_chars", group_col: str = "source"):
+    """Exact two-sample Kolmogorov-Smirnov statistic of each group's
+    ``value_col`` distribution against the REST of the corpus — the
+    standard drift / batch-effect gate run before mixing a new source
+    into a training corpus (reference analogue: the per-source quality
+    rollups in ocr_service.py's stats endpoints; this is their
+    distribution-shape counterpart).
+
+    Scale shape (same two-pass broadcast-histogram plan as
+    ``curate.length_percent_rank``): pass 1 reduces the corpus to exact
+    per-(group, value) counts — map-side per-batch value counts, one
+    keyed aggregate; the result is bounded by #groups x #distinct
+    values, independent of corpus row count. The KS sup runs entirely
+    on that bounded table driver-side: both ECDFs are right-continuous
+    step functions, so the supremum is attained on the union grid of
+    step points, and evaluating |F_g - F_rest| at every distinct value
+    is exact. Each division is a single IEEE op on exact integer
+    counts, so the statistic is bit-stable against the SQL oracle's
+    window-cumsum formulation.
+    """
+    from ray.data.aggregate import Sum
+
+    hist = (
+        rows.map_batches(
+            lambda t: pa.table(
+                {
+                    "g": t.column(group_col),
+                    "v": t.column(value_col),
+                    "c": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                }
+            )
+            .group_by(["g", "v"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["g", "v", "c"]),
+            batch_format="pyarrow",
+        )
+        .groupby(["g", "v"])
+        .aggregate(Sum("c", alias_name="cnt"))
+    )
+    tbl = pa.Table.from_pylist(
+        hist.take_all(),  # bounded by #groups x #distinct values
+        schema=pa.schema(
+            [("g", pa.string()), ("v", pa.int64()), ("cnt", pa.int64())]
+        ),
+    ).sort_by([("v", "ascending"), ("g", "ascending")])
+
+    grid, grid_idx = np.unique(
+        tbl.column("v").to_numpy(zero_copy_only=False), return_inverse=True
+    )
+    groups = tbl.column("g").to_pylist()
+    cnts = tbl.column("cnt").to_numpy(zero_copy_only=False)
+    names = sorted(set(groups))
+    g_idx = np.array([names.index(g) for g in groups], dtype=np.int64)
+
+    # dense (#groups x #grid) count matrix -> per-group cumulative counts
+    mat = np.zeros((len(names), len(grid)), dtype=np.int64)
+    np.add.at(mat, (g_idx, grid_idx), cnts)
+    cum = np.cumsum(mat, axis=1)
+    cum_all = cum.sum(axis=0)
+    n_g = mat.sum(axis=1)
+    n_all = int(n_g.sum())
+
+    out_g, out_ns, out_nr, out_ks = [], [], [], []
+    for i, name in enumerate(names):
+        nr = n_all - int(n_g[i])
+        if nr == 0 or n_g[i] == 0:
+            continue  # KS vs an empty complement is undefined
+        f_g = cum[i].astype(np.float64) / np.float64(n_g[i])
+        f_r = (cum_all - cum[i]).astype(np.float64) / np.float64(nr)
+        out_g.append(name)
+        out_ns.append(int(n_g[i]))
+        out_nr.append(nr)
+        out_ks.append(float(np.max(np.abs(f_g - f_r))))
+    return pa.table(
+        {
+            group_col: pa.array(out_g, pa.string()),
+            "n_group": pa.array(out_ns, pa.int64()),
+            "n_rest": pa.array(out_nr, pa.int64()),
+            "ks_stat": pa.array(out_ks, pa.float64()),
+        }
+    )
+
+
+def ks_by_group_sql(value_col: str = "n_chars", group_col: str = "source",
+                    table: str = "documents") -> str:
+    """SQL replay: per-(group, value) counts, cross the group list with
+    the union value grid, window-cumsum both the group's and the global
+    counts, and take MAX(ABS(..)) of the two exactly-divided ECDFs.
+    The divisions are the same single IEEE ops the numpy side performs
+    on identical integers, so the float compares exactly."""
+    return (
+        "WITH c AS (\n"
+        f" SELECT {group_col} AS g, {value_col} AS v, COUNT(*) AS n\n"
+        f" FROM {table} GROUP BY 1, 2\n"
+        "), tot AS (SELECT g, SUM(n) AS ns FROM c GROUP BY 1),\n"
+        "gtot AS (SELECT SUM(n) AS na FROM c),\n"
+        "vall AS (SELECT v, SUM(n) AS nv FROM c GROUP BY 1),\n"
+        "sg AS (SELECT t.g, a.v, a.nv FROM tot t CROSS JOIN vall a),\n"
+        "j AS (\n"
+        " SELECT sg.g, sg.v, sg.nv, COALESCE(c.n, 0) AS n_s\n"
+        " FROM sg LEFT JOIN c ON c.g = sg.g AND c.v = sg.v\n"
+        "), cum AS (\n"
+        " SELECT g, v,\n"
+        "  SUM(n_s) OVER (PARTITION BY g ORDER BY v) AS cum_s,\n"
+        "  SUM(nv) OVER (PARTITION BY g ORDER BY v) AS cum_all\n"
+        " FROM j\n"
+        ")\n"
+        f"SELECT cum.g AS {group_col},\n"
+        " CAST(t.ns AS BIGINT) AS n_group,\n"
+        " CAST(gt.na - t.ns AS BIGINT) AS n_rest,\n"
+        " MAX(ABS(CAST(cum_s AS DOUBLE) / CAST(t.ns AS DOUBLE)\n"
+        "   - CAST(cum_all - cum_s AS DOUBLE)"
+        " / CAST(gt.na - t.ns AS DOUBLE))) AS ks_stat\n"
+        "FROM cum JOIN tot t USING (g) CROSS JOIN gtot gt\n"
+        "WHERE gt.na > t.ns AND t.ns > 0\n"
+        "GROUP BY 1, 2, 3"
+    )

@@ -251,3 +251,88 @@ def unigram_logprob(docs, scale: int = 1_000_000):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------- feature hashing (hashing trick)
+
+
+_FH_MEMO: dict[str, tuple[int, int]] = {}
+_FH_MEMO_CAP = 1_000_000  # ~60 MB worst case per actor; vocab-bounded anyway
+
+
+def _fh_bucket_sign(word: str, n_buckets: int) -> tuple[int, int]:
+    """(bucket, sign) from md5 — the same digest DuckDB's md5() returns,
+    so the assignment is SQL-replayable: bucket = first 8 hex chars as
+    uint32 mod n_buckets, sign = parity of the 9th hex char."""
+    got = _FH_MEMO.get(word)
+    if got is not None:
+        return got
+    import hashlib
+
+    d = hashlib.md5(word.encode("utf-8")).hexdigest()
+    pair = (int(d[:8], 16) % n_buckets, 1 if int(d[8], 16) % 2 == 0 else -1)
+    if len(_FH_MEMO) < _FH_MEMO_CAP:
+        _FH_MEMO[word] = pair
+    return pair
+
+
+def hashed_bow(docs, n_buckets: int = 64):
+    """Feature-hashing (hashing-trick) bag-of-words vectorization: each
+    document becomes sparse rows (doc_id, bucket, weight) where weight
+    is the signed sum of token counts hashing into the bucket
+    (Weinberger et al. 2009 — the fixed-width text featurizer that
+    needs NO vocabulary pass, so it's a single stateless map over the
+    corpus at any scale; the standard cheap featurizer for quality
+    classifiers over web-scale text).
+
+    Scale shape: one ``map_batches`` pass, no shuffle, no global state —
+    the hash IS the vocabulary. Per-actor md5 memoization makes the
+    digest cost per-distinct-word, not per-occurrence. Rows out are
+    bounded by docs x n_buckets. A (doc, bucket) group is emitted iff at
+    least one token hashed there (signed counts may cancel to weight 0 —
+    emitted as 0, exactly like the SQL GROUP BY it is checked against).
+    """
+
+    def batch_fn(t: pa.Table) -> pa.Table:
+        out_id, out_b, out_w = [], [], []
+        for doc_id, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            acc: dict[int, int] = {}
+            for w, c in Counter(
+                _WORD_RE.findall((text or "").lower())
+            ).items():
+                b, s = _fh_bucket_sign(w, n_buckets)
+                acc[b] = acc.get(b, 0) + s * c
+            for b in sorted(acc):
+                out_id.append(doc_id)
+                out_b.append(b)
+                out_w.append(acc[b])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "bucket": pa.array(out_b, pa.int64()),
+                "weight": pa.array(out_w, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(batch_fn, batch_format="pyarrow")
+
+
+def hashed_bow_sql(words_sql: str, n_buckets: int = 64) -> str:
+    """SQL replay: md5 via DuckDB's md5(), first 8 hex chars -> uint32
+    -> mod n_buckets, 9th hex char parity -> sign, GROUP BY doc/bucket."""
+    return (
+        "WITH words AS (\n"
+        f" SELECT doc_id, unnest({words_sql}) AS w FROM documents\n"
+        "), h AS (\n"
+        " SELECT doc_id,\n"
+        f"  CAST(('0x' || substr(md5(w), 1, 8))::BIGINT % {n_buckets}"
+        " AS BIGINT) AS bucket,\n"
+        "  CASE WHEN ('0x' || substr(md5(w), 9, 1))::BIGINT % 2 = 0"
+        " THEN 1 ELSE -1 END AS s\n"
+        " FROM words\n"
+        ")\n"
+        "SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS weight\n"
+        "FROM h GROUP BY 1, 2"
+    )
