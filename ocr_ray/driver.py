@@ -7407,6 +7407,83 @@ def q_hashed_bow(sf_dir: str):
     return hashed_bow(_docs(sf_dir))
 
 
+def q_l_diversity_customer(sf_dir: str):
+    """l-diversity release gate over the (nationkey, mktsegment)
+    quasi-identifier classes with acctbal-bucket as the sensitive
+    attribute (ops/privacy.py:l_diversity_audit) — the distinct-value
+    complement of q_k_anonymity_customer's size-only check."""
+    import ray.data as rd
+
+    from ocr_ray.ops.privacy import l_diversity_audit
+
+    _quiet()
+    return l_diversity_audit(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_nationkey", "c_mktsegment", "c_acctbal"],
+        )
+    )
+
+
+def q_attribution_position(sf_dir: str):
+    """U-shaped (position-based) multi-touch attribution: exact
+    integer credit fractions per (purchase, click) pair
+    (ops/asof.py:attribution_position), completing the attribution
+    family (last-click / linear / time-decay / position)."""
+    import ray.data as rd
+
+    from ocr_ray.ops.asof import attribution_position
+
+    _quiet()
+    return attribution_position(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+    )
+
+
+def q_daily_value_band(sf_dir: str):
+    """Per-day p50/p95 value band (ops/stats.py:daily_value_band) —
+    the monitoring-style percentile-over-time rollup."""
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import daily_value_band
+
+    _quiet()
+    return daily_value_band(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    )
+
+
+def q_autocorr_daily(sf_dir: str):
+    """Lag-1..7 autocorrelation of the daily event-count series
+    (ops/series.py:autocorr_daily) — the weekly-seasonality probe run
+    before choosing a temporal train/val split."""
+    import ray.data as rd
+
+    from ocr_ray.ops.series import autocorr_daily
+
+    _quiet()
+    return autocorr_daily(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    )
+
+
+def q_dau_jaccard(sf_dir: str):
+    """Day-over-day active-user Jaccard overlap
+    (ops/series.py:dau_jaccard) — audience-turnover trend without a
+    self-join."""
+    import ray.data as rd
+
+    from ocr_ray.ops.series import dau_jaccard
+
+    _quiet()
+    return dau_jaccard(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    )
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -7497,6 +7574,11 @@ QUERIES = {
     "ks_drift_by_source": q_ks_drift_by_source,
     "forget_customers": q_forget_customers,
     "hashed_bow": q_hashed_bow,
+    "l_diversity_customer": q_l_diversity_customer,
+    "attribution_position": q_attribution_position,
+    "daily_value_band": q_daily_value_band,
+    "autocorr_daily": q_autocorr_daily,
+    "dau_jaccard": q_dau_jaccard,
     "term_postings": q_term_postings,
     "search_topk": q_search_topk,
     "label_centroids": q_label_centroids,
@@ -10764,4 +10846,14 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["forget_customers"] = forget_customers_sql()
     oracles["hashed_bow"] = hashed_bow_sql(_WORDS_SQL)
+    from ocr_ray.ops.asof import attribution_position_sql
+    from ocr_ray.ops.privacy import l_diversity_audit_sql
+    from ocr_ray.ops.series import autocorr_daily_sql, dau_jaccard_sql
+    from ocr_ray.ops.stats import daily_value_band_sql
+
+    oracles["l_diversity_customer"] = l_diversity_audit_sql()
+    oracles["attribution_position"] = attribution_position_sql()
+    oracles["daily_value_band"] = daily_value_band_sql()
+    oracles["autocorr_daily"] = autocorr_daily_sql()
+    oracles["dau_jaccard"] = dau_jaccard_sql()
     return oracles

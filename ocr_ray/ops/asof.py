@@ -531,3 +531,147 @@ def attribution_time_decay_sql(bucket_us: int = 900_000_000,
         f" AND epoch_us(p.ts) - epoch_us(t.ts) < {window_us}\n"
         "GROUP BY t.event_type"
     )
+
+
+def attribution_position(events, window_us: int = 3_600_000_000):
+    """Position-based (U-shaped) multi-touch attribution: for each
+    purchase, the click touches in the preceding ``window_us`` earn —
+    n=1 touch: the whole credit (1/1); n=2: half each (1/2); n>=3:
+    first and last 40% each (2/5), each middle an equal share of the
+    remaining 20% (1/(5*(n-2))). Credit is emitted as an exact integer
+    FRACTION (credit_numer, credit_denom) per (purchase, touch) pair —
+    never a float division whose mixed denominators would make the sum
+    order-sensitive. Touch order within a purchase window is
+    (ts, event_id), so ties are deterministic on both sides.
+
+    Scale shape: one hash shuffle on user_id, then each time-sorted
+    user run resolves every purchase's window with two vectorized
+    searchsorted calls; output is bounded by touches-in-window per
+    purchase (the same expansion the SQL range self-join performs).
+
+    Output: (purchase_id, click_id, position, credit_numer,
+    credit_denom) with position in {'only','first','last','middle'}.
+    """
+    import pyarrow.compute as pc
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    out_schema = pa.schema(
+        [
+            ("purchase_id", pa.int64()),
+            ("click_id", pa.int64()),
+            ("position", pa.string()),
+            ("credit_numer", pa.int64()),
+            ("credit_denom", pa.int64()),
+        ]
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t["event_type"], value_set=pa.array(["click", "purchase"])
+        )
+        f = t.filter(keep)
+        return pa.table(
+            {
+                "user_id": f["user_id"].cast(pa.int64()),
+                "ts": f["ts"],
+                "event_id": f["event_id"].cast(pa.int64()),
+                "is_p": pc.equal(f["event_type"], "purchase"),
+            }
+        )
+
+    def credit_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return out_schema.empty_table()
+        ts = block.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        eid = block.column("event_id").to_numpy(zero_copy_only=False)
+        is_p = block.column("is_p").to_numpy(zero_copy_only=False)
+        ends = np.append(starts[1:], n)
+        o_pid, o_cid, o_pos, o_num, o_den = [], [], [], [], []
+        for s, e in zip(starts, ends):
+            run_p = is_p[s:e]
+            if not run_p.any() or run_p.all():
+                continue
+            cts = ts[s:e][~run_p]
+            cid = eid[s:e][~run_p]
+            pts = ts[s:e][run_p]
+            pid = eid[s:e][run_p]
+            # lo side="left" admits a click exactly window_us before the
+            # purchase — mirrors the oracle's `<=` window bound
+            lo = np.searchsorted(cts, pts - window_us, side="left")
+            hi = np.searchsorted(cts, pts, side="left")
+            for k in np.flatnonzero(hi > lo):
+                w = slice(int(lo[k]), int(hi[k]))
+                ids = cid[w]
+                m = len(ids)
+                if m == 1:
+                    rows = [(int(ids[0]), "only", 1, 1)]
+                elif m == 2:
+                    rows = [
+                        (int(ids[0]), "first", 1, 2),
+                        (int(ids[1]), "last", 1, 2),
+                    ]
+                else:
+                    mid_den = 5 * (m - 2)
+                    rows = (
+                        [(int(ids[0]), "first", 2, 5)]
+                        + [
+                            (int(i), "middle", 1, mid_den)
+                            for i in ids[1:-1]
+                        ]
+                        + [(int(ids[-1]), "last", 2, 5)]
+                    )
+                for cidv, pos, num, den in rows:
+                    o_pid.append(int(pid[k]))
+                    o_cid.append(cidv)
+                    o_pos.append(pos)
+                    o_num.append(num)
+                    o_den.append(den)
+        return pa.table(
+            {
+                "purchase_id": pa.array(o_pid, pa.int64()),
+                "click_id": pa.array(o_cid, pa.int64()),
+                "position": pa.array(o_pos, pa.string()),
+                "credit_numer": pa.array(o_num, pa.int64()),
+                "credit_denom": pa.array(o_den, pa.int64()),
+            }
+        )
+
+    tagged = events.map_batches(tag, batch_format="pyarrow")
+    return grouped_map(
+        tagged, ["user_id"], credit_block, sort_within=("ts", "event_id")
+    )
+
+
+def attribution_position_sql(window_us: int = 3_600_000_000) -> str:
+    """SQL replay: range self-join purchases x clicks, ROW_NUMBER by
+    (ts, event_id) within each purchase window, the same integer
+    fraction table."""
+    return (
+        "WITH c AS (\n"
+        " SELECT user_id, ts, event_id FROM events"
+        " WHERE event_type = 'click'\n"
+        "), p AS (\n"
+        " SELECT user_id, ts, event_id FROM events"
+        " WHERE event_type = 'purchase'\n"
+        "), w AS (\n"
+        " SELECT p.event_id AS purchase_id, c.event_id AS click_id,\n"
+        "  ROW_NUMBER() OVER (PARTITION BY p.event_id"
+        " ORDER BY c.ts, c.event_id) AS rn,\n"
+        "  COUNT(*) OVER (PARTITION BY p.event_id) AS m\n"
+        " FROM p JOIN c ON c.user_id = p.user_id AND c.ts < p.ts\n"
+        f"  AND epoch_us(p.ts) - epoch_us(c.ts) <= {window_us}\n"
+        ")\n"
+        "SELECT purchase_id, click_id,\n"
+        " CASE WHEN m = 1 THEN 'only' WHEN rn = 1 THEN 'first'\n"
+        "      WHEN rn = m THEN 'last' ELSE 'middle' END AS position,\n"
+        " CAST(CASE WHEN m <= 2 THEN 1 WHEN rn IN (1, m) THEN 2 ELSE 1"
+        " END AS BIGINT) AS credit_numer,\n"
+        " CAST(CASE WHEN m = 1 THEN 1 WHEN m = 2 THEN 2\n"
+        "      WHEN rn IN (1, m) THEN 5 ELSE 5 * (m - 2)"
+        " END AS BIGINT) AS credit_denom\n"
+        "FROM w"
+    )

@@ -160,3 +160,221 @@ def events_ewma_daily_sql() -> str:
         " GROUP BY d.event_type, d.day_idx, d.cents\n"
         ")"
     )
+
+
+# ----------------------------------------- daily-count autocorrelation
+
+
+def autocorr_daily(events, max_lag: int = 7):
+    """Lag-1..``max_lag`` Pearson autocorrelation of the daily
+    event-count series — the periodicity probe (a strong lag-7 spike
+    means weekly seasonality) run before picking a training-data time
+    split. Lags are in ROW space over the observed-day series sorted
+    ascending (missing days are skipped, exactly like the SQL LEAD
+    replay over the same ordered series).
+
+    Scale shape: the corpus reduces map-side to per-day counts (one
+    keyed aggregate, bounded by #days); the lag products fold
+    driver-side in exact Python big-int arithmetic, and the ONLY float
+    ops are the final casts + sqrt + divide, written identically in
+    the oracle so the statistic compares bit-exact.
+
+    Output: (lag, n_pairs, corr).
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us")
+        )
+        g = pa.table({"day": day}).group_by(["day"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["day", "n"])
+
+    rows = (
+        events.map_batches(partials, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+    ).take_all()  # bounded by #days
+    rows.sort(key=lambda r: r["day"])
+    x = [int(r["n"]) for r in rows]
+
+    out_lag, out_n, out_corr = [], [], []
+    for k in range(1, max_lag + 1):
+        m = len(x) - k
+        if m < 2:
+            continue
+        a = x[:m]
+        b = x[k:]
+        s1 = sum(a)
+        s2 = sum(b)
+        q1 = sum(v * v for v in a)
+        q2 = sum(v * v for v in b)
+        q11 = sum(u * v for u, v in zip(a, b))
+        num = m * q11 - s1 * s2
+        d1 = m * q1 - s1 * s1
+        d2 = m * q2 - s2 * s2
+        if d1 == 0 or d2 == 0:
+            continue  # constant series: correlation undefined
+        corr = float(num) / (
+            np.sqrt(np.float64(d1)) * np.sqrt(np.float64(d2))
+        )
+        out_lag.append(k)
+        out_n.append(m)
+        out_corr.append(float(corr))
+    return pa.table(
+        {
+            "lag": pa.array(out_lag, pa.int64()),
+            "n_pairs": pa.array(out_n, pa.int64()),
+            "corr": pa.array(out_corr, pa.float64()),
+        }
+    )
+
+
+def autocorr_daily_sql(max_lag: int = 7) -> str:
+    """SQL replay: daily counts, LEAD(k) over the ordered day series,
+    HUGEINT moment sums, then the identical DOUBLE cast/sqrt/divide."""
+    legs = []
+    for k in range(1, max_lag + 1):
+        legs.append(
+            "SELECT CAST({k} AS BIGINT) AS lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,\n"
+            " CAST(COUNT(*) * SUM(a * b) - SUM(a) * SUM(b) AS DOUBLE)\n"
+            "  / (SQRT(CAST(COUNT(*) * SUM(a * a) - SUM(a) * SUM(a)"
+            " AS DOUBLE))\n"
+            "     * SQRT(CAST(COUNT(*) * SUM(b * b) - SUM(b) * SUM(b)"
+            " AS DOUBLE))) AS corr\n"
+            "FROM (SELECT n AS a, LEAD(n, {k}) OVER (ORDER BY day) AS b"
+            " FROM daily) WHERE b IS NOT NULL\n"
+            "HAVING COUNT(*) >= 2\n"
+            " AND COUNT(*) * SUM(a * a) - SUM(a) * SUM(a) <> 0\n"
+            " AND COUNT(*) * SUM(b * b) - SUM(b) * SUM(b) <> 0".format(k=k)
+        )
+    return (
+        "WITH daily AS (\n"
+        " SELECT date_trunc('day', ts) AS day, COUNT(*) AS n\n"
+        " FROM events GROUP BY 1\n"
+        ")\n" + "\nUNION ALL\n".join(legs)
+    )
+
+
+# ------------------------------------ day-over-day active-user overlap
+
+
+def dau_jaccard(events):
+    """Jaccard overlap between consecutive days' active-user sets —
+    (day, dau, dau_next, inter, jaccard) for every day whose successor
+    day is also observed. The retention/churn shape: a sudden Jaccard
+    drop means the audience turned over.
+
+    Scale shape: distinct (day, user) pairs collapse map-side; each
+    pair emits itself tagged 'cur' and its PREVIOUS day tagged 'nxt',
+    so one keyed aggregate co-locates day d's users with day d+1's.
+    The per-day fold is a second tiny keyed pass. No self-join, no
+    driver materialization beyond the bounded day table.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    DAY_US = 86_400_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us")),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        users = t["user_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # map-side dedup before fan-out
+        pairs = np.unique(np.stack([day, users], axis=1), axis=0)
+        d, u = pairs[:, 0], pairs[:, 1]
+        return pa.table(
+            {
+                "day_us": pa.array(np.concatenate([d, d - DAY_US]), pa.int64()),
+                "user_id": pa.array(np.concatenate([u, u]), pa.int64()),
+                "cur": pa.array(
+                    np.concatenate(
+                        [np.ones(len(d), np.int64), np.zeros(len(d), np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+                "nxt": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(d), np.int64), np.ones(len(d), np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    flags = (
+        events.map_batches(tag, batch_format="pyarrow")
+        .groupby(["day_us", "user_id"])
+        .aggregate(Max("cur", alias_name="cur"), Max("nxt", alias_name="nxt"))
+    )
+
+    out_schema = pa.schema(
+        [
+            ("day", pa.timestamp("us")),
+            ("dau", pa.int64()),
+            ("dau_next", pa.int64()),
+            ("inter", pa.int64()),
+            ("jaccard", pa.float64()),
+        ]
+    )
+
+    def fold(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or block.num_columns == 0:
+            return out_schema.empty_table()
+        ends = np.append(starts[1:], n)
+        day_us = block.column("day_us").to_numpy(zero_copy_only=False)
+        cur = block.column("cur").to_numpy(zero_copy_only=False)
+        nxt = block.column("nxt").to_numpy(zero_copy_only=False)
+        o_day, o_dau, o_dn, o_in, o_j = [], [], [], [], []
+        for s, e in zip(starts, ends):
+            c = int(cur[s:e].sum())
+            x = int(nxt[s:e].sum())
+            i = int((cur[s:e] * nxt[s:e]).sum())
+            if c == 0 or x == 0:
+                continue  # day or its successor not observed
+            o_day.append(int(day_us[s]))
+            o_dau.append(c)
+            o_dn.append(x)
+            o_in.append(i)
+            o_j.append(float(i) / float(c + x - i))
+        return pa.table(
+            {
+                "day": pa.array(o_day, pa.int64()).cast(pa.timestamp("us")),
+                "dau": pa.array(o_dau, pa.int64()),
+                "dau_next": pa.array(o_dn, pa.int64()),
+                "inter": pa.array(o_in, pa.int64()),
+                "jaccard": pa.array(o_j, pa.float64()),
+            }
+        )
+
+    return grouped_map(flags, ["day_us"], fold)
+
+
+def dau_jaccard_sql() -> str:
+    return (
+        "WITH du AS (\n"
+        " SELECT DISTINCT date_trunc('day', ts) AS day, user_id"
+        " FROM events\n"
+        "), t AS (\n"
+        " SELECT day, user_id, 1 AS cur, 0 AS nxt FROM du\n"
+        " UNION ALL\n"
+        " SELECT day - INTERVAL 1 DAY, user_id, 0, 1 FROM du\n"
+        "), g AS (\n"
+        " SELECT day, user_id, MAX(cur) AS cur, MAX(nxt) AS nxt\n"
+        " FROM t GROUP BY 1, 2\n"
+        ")\n"
+        "SELECT day, CAST(SUM(cur) AS BIGINT) AS dau,\n"
+        " CAST(SUM(nxt) AS BIGINT) AS dau_next,\n"
+        " CAST(SUM(cur * nxt) AS BIGINT) AS inter,\n"
+        " CAST(SUM(cur * nxt) AS DOUBLE)\n"
+        "  / CAST(SUM(cur) + SUM(nxt) - SUM(cur * nxt) AS DOUBLE)"
+        " AS jaccard\n"
+        "FROM g GROUP BY day\n"
+        "HAVING SUM(cur) > 0 AND SUM(nxt) > 0"
+    )

@@ -2096,3 +2096,102 @@ def ks_by_group_sql(value_col: str = "n_chars", group_col: str = "source",
         "WHERE gt.na > t.ns AND t.ns > 0\n"
         "GROUP BY 1, 2, 3"
     )
+
+
+# ------------------------------------------- per-day value percentile bands
+
+
+def daily_value_band(events, qs=((  "p50_cents", 0.5), ("p95_cents", 0.95))):
+    """(day, p50_cents, p95_cents, n_events): exact integer-rank
+    percentiles of the cents-scaled event value PER DAY — the
+    latency-band-style daily rollup (p50/p95 over time) every
+    monitoring stack draws. Same rank rule as
+    ``value_percentiles_by_type`` (ceil(q*n), value at that rank), so
+    the SQL replay is the established window-cumsum pick.
+
+    Scale shape: per-(day, cents) counts collapse map-side, one keyed
+    aggregate bounded by #days x #distinct cents, then a vectorized
+    per-day rank pick inside ``grouped_map`` — the corpus row count
+    never crosses the shuffle.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    def partials(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us")
+        )
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(t["value"], 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        g = pa.table({"day": day, "cents": cents}).group_by(
+            ["day", "cents"]
+        ).aggregate([("cents", "count")])
+        return g.rename_columns(["day", "cents", "partial"])
+
+    counted = (
+        events.map_batches(partials, batch_format="pyarrow")
+        .groupby(["day", "cents"])
+        .aggregate(Sum("partial", alias_name="cnt"))
+    )
+
+    out_schema = pa.schema(
+        [("day", pa.timestamp("us"))]
+        + [(name, pa.int64()) for name, _ in qs]
+        + [("n_events", pa.int64())]
+    )
+
+    def finish(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or block.num_columns == 0:
+            return out_schema.empty_table()
+        ends = np.append(starts[1:], n)
+        days = block.column("day")
+        cents = block.column("cents").to_numpy(zero_copy_only=False)
+        cnts = block.column("cnt").to_numpy(zero_copy_only=False)
+        cols: dict[str, list] = {f.name: [] for f in out_schema}
+        for s, e in zip(starts, ends):
+            order = np.argsort(cents[s:e]) + s
+            cum = np.cumsum(cnts[order])
+            total = int(cum[-1])
+            cols["day"].append(days[s].as_py())
+            for name, q in qs:
+                rank = math.ceil(q * total)
+                idx = int(np.searchsorted(cum, rank, side="left"))
+                cols[name].append(int(cents[order][idx]))
+            cols["n_events"].append(total)
+        return pa.table(
+            {f.name: pa.array(cols[f.name], f.type) for f in out_schema}
+        )
+
+    return grouped_map(counted, ["day"], finish)
+
+
+def daily_value_band_sql(qs=(("p50_cents", 0.5), ("p95_cents", 0.95))) -> str:
+    picks = ",\n ".join(
+        f"MIN(CASE WHEN cum >= CEIL({q} * total) THEN cents END)"
+        f" AS {name}" for name, q in qs
+    )
+    return (
+        "WITH c AS (\n"
+        " SELECT date_trunc('day', ts) AS day,"
+        " CAST(ROUND(value * 100.0) AS BIGINT) AS cents FROM events\n"
+        "), counts AS (\n"
+        " SELECT day, cents, COUNT(*) AS cnt FROM c GROUP BY 1, 2\n"
+        "), cum AS (\n"
+        " SELECT day, cents,\n"
+        "  SUM(cnt) OVER (PARTITION BY day ORDER BY cents) AS cum,\n"
+        "  SUM(cnt) OVER (PARTITION BY day) AS total\n"
+        " FROM counts\n"
+        ")\n"
+        f"SELECT day, {picks},\n"
+        " CAST(MAX(total) AS BIGINT) AS n_events\n"
+        "FROM cum GROUP BY day"
+    )
