@@ -7484,6 +7484,54 @@ def q_dau_jaccard(sf_dir: str):
     )
 
 
+def q_quantile_sketch_violations(sf_dir: str):
+    """Rank-error invariant gate for the deterministic mergeable
+    quantile sketch (ops/sketch.py:quantile_sketch_violations): every
+    5%-grid estimate's exact rank interval is recomputed distributed;
+    violations beyond eps*n emit rows, and the oracle states the
+    empty relation."""
+    import ray.data as rd
+
+    from ocr_ray.ops.sketch import quantile_sketch_violations
+
+    _quiet()
+    return quantile_sketch_violations(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    )
+
+
+def q_token_counts_csv(sf_dir: str):
+    """token_counts over the CSV source path (io.py:read_documents_csv)
+    — proves the third source format end-to-end: RFC-4180 quoted CSV
+    with multiline text cells reads back byte-exact, so the
+    parquet-backed oracle applies unchanged."""
+    from ocr_ray.io import documents_csv_path, read_documents_csv
+    from ocr_ray.ops import analysis
+
+    _quiet()
+    docs = read_documents_csv(documents_csv_path(sf_dir)).select_columns(
+        ["doc_id", "text"]
+    )
+    return analysis.token_counts(docs)
+
+
+def q_salted_user_totals(sf_dir: str):
+    """Two-phase salted per-user rollup (ops/stats.py:
+    salted_user_totals) — the hot-key defusing shuffle shape, exactly
+    equal to the plain GROUP BY the oracle states."""
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import salted_user_totals
+
+    _quiet()
+    return salted_user_totals(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "value"],
+        )
+    )
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -7579,6 +7627,9 @@ QUERIES = {
     "daily_value_band": q_daily_value_band,
     "autocorr_daily": q_autocorr_daily,
     "dau_jaccard": q_dau_jaccard,
+    "quantile_sketch_violations": q_quantile_sketch_violations,
+    "token_counts_csv": q_token_counts_csv,
+    "salted_user_totals": q_salted_user_totals,
     "term_postings": q_term_postings,
     "search_topk": q_search_topk,
     "label_centroids": q_label_centroids,
@@ -10856,4 +10907,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["daily_value_band"] = daily_value_band_sql()
     oracles["autocorr_daily"] = autocorr_daily_sql()
     oracles["dau_jaccard"] = dau_jaccard_sql()
+    from ocr_ray.ops.sketch import quantile_sketch_violations_sql
+    from ocr_ray.ops.stats import salted_user_totals_sql
+
+    oracles["quantile_sketch_violations"] = quantile_sketch_violations_sql()
+    oracles["token_counts_csv"] = oracles["token_counts"]
+    oracles["salted_user_totals"] = salted_user_totals_sql()
     return oracles

@@ -153,3 +153,51 @@ def read_interleaved_jsonl(path: str, **ray_kwargs):
     return rd.read_json(path, **ray_kwargs).map_batches(
         normalize, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------- CSV source
+
+
+def documents_csv_path(sf_dir: str) -> str:
+    """Quoted-CSV copy of the documents table, written once per sf
+    under the /tmp cache — the third source format (parquet/Lance,
+    JSONL, CSV) the engine reads natively. Text cells keep embedded
+    newlines/quotes through pyarrow's RFC-4180 quoting, so the
+    round-trip is byte-exact and any parquet-backed oracle applies
+    unchanged to the CSV-read pipeline."""
+    import pathlib
+
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    key = sf_dir.strip("/").replace("/", "-")
+    path = pathlib.Path(f"/tmp/ocr_ray_cache/documents-csv-{key}")
+    marker = path / "_SUCCESS"
+    if not marker.exists():
+        path.mkdir(parents=True, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/documents.parquet")
+        pacsv.write_csv(t, str(path / "documents.csv"))
+        marker.touch()
+    return str(path / "documents.csv")
+
+
+def read_documents_csv(path: str, **ray_kwargs):
+    """ray.data CSV reader for the documents layout: explicit column
+    types (no inference drift) and multiline quoted values enabled."""
+    import pyarrow.csv as pacsv
+    import ray.data as rd
+
+    return rd.read_csv(
+        path,
+        parse_options=pacsv.ParseOptions(newlines_in_values=True),
+        convert_options=pacsv.ConvertOptions(
+            column_types={
+                "doc_id": pa.int64(),
+                "text": pa.string(),
+                "lang": pa.string(),
+                "source": pa.string(),
+                "n_chars": pa.int64(),
+            }
+        ),
+        **ray_kwargs,
+    )

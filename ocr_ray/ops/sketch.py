@@ -22,6 +22,7 @@ import math
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 M = 256  # registers (2^8)
 _ALPHA = 0.7213 / (1.0 + 1.079 / M)
@@ -938,4 +939,197 @@ def mg_violations_sql() -> str:
         " CAST(NULL AS BIGINT) AS true_cnt,"
         " CAST(NULL AS BIGINT) AS est,"
         " CAST(NULL AS VARCHAR) AS reason WHERE 1=0"
+    )
+
+
+# --------------------- mergeable quantile sketch (deterministic epsilon-merge)
+
+
+QSK_M = 1024  # items kept per compression stage
+QSK_PARTS = 32  # intermediate merge fan-in
+QSK_QS = tuple((i, i / 20.0) for i in range(1, 20))  # 5%..95% grid
+
+
+def _qsk_compress(values: np.ndarray, weights: np.ndarray,
+                  m: int = QSK_M) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic weighted compression: sort by value, split the
+    total weight W into m integer spans ``b_j = floor(j*W/m)``, and
+    keep for each span the value holding its midpoint. Total weight is
+    preserved exactly; the rank of any value moves by at most W/m per
+    compression — the KLL-style epsilon-merge bound without the
+    randomness (randomness is banned in this engine's deterministic
+    contract)."""
+    order = np.argsort(values, kind="stable")
+    v = values[order]
+    w = weights[order]
+    if len(v) <= m:
+        return v, w
+    cum = np.cumsum(w)
+    total = int(cum[-1])
+    b = (np.arange(m + 1, dtype=np.int64) * total) // m
+    new_w = np.diff(b)
+    keep = new_w > 0
+    mids = (b[:-1] + b[1:] + 1) // 2
+    idx = np.searchsorted(cum, mids[keep], side="left")
+    return v[idx], new_w[keep]
+
+
+def quantile_sketch(events, value_col: str = "value",
+                    m: int = QSK_M, parts: int = QSK_PARTS):
+    """Mergeable quantile sketch over the cents-scaled ``value_col``:
+    per-batch compress → hash-partitioned re-merge → one bounded
+    driver fold, a three-stage tree whose cumulative rank error is
+    ≤ 3·n/m (0.3% at the defaults) while shipping ~m items per stage
+    instead of the corpus.
+
+    Returns (estimates, n_total): estimates is a list of
+    (q_idx, q, est_cents) on the 5% grid.
+    """
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    def batch_sketch(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(t[value_col], 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        if len(cents) == 0:
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                }
+            )
+        v, w = _qsk_compress(cents, np.ones(len(cents), np.int64), m)
+        # deterministic partition: spread sketches by value-hash so the
+        # re-merge stage sees bounded, evenly sized groups
+        part = int((v[0] * 2654435761 + len(v)) % parts)
+        return pa.table(
+            {
+                "part": pa.array(np.full(len(v), part), pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "w": pa.array(w, pa.int64()),
+            }
+        )
+
+    rows = events.map_batches(batch_sketch, batch_format="pyarrow")
+
+    def merge_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        out_schema = pa.schema([("v", pa.int64()), ("w", pa.int64())])
+        if block.num_rows == 0 or block.num_columns == 0:
+            return out_schema.empty_table()
+        ends = np.append(starts[1:], block.num_rows)
+        vs = block.column("v").to_numpy(zero_copy_only=False)
+        ws = block.column("w").to_numpy(zero_copy_only=False)
+        outs_v, outs_w = [], []
+        for s, e in zip(starts, ends):
+            v, w = _qsk_compress(vs[s:e], ws[s:e], m)
+            outs_v.append(v)
+            outs_w.append(w)
+        return pa.table(
+            {
+                "v": pa.array(np.concatenate(outs_v), pa.int64()),
+                "w": pa.array(np.concatenate(outs_w), pa.int64()),
+            }
+        )
+
+    merged = grouped_map(rows, ["part"], merge_block)
+    items = merged.take_all()  # bounded: <= parts * m rows
+    if not items:
+        return [], 0
+    v = np.array([r["v"] for r in items], np.int64)
+    w = np.array([r["w"] for r in items], np.int64)
+    v, w = _qsk_compress(v, w, m)
+    cum = np.cumsum(w)
+    total = int(cum[-1])
+    ests = []
+    for q_idx, q in QSK_QS:
+        target = int(math.ceil(q * total))
+        i = int(np.searchsorted(cum, target, side="left"))
+        ests.append((q_idx, q, int(v[i])))
+    return ests, total
+
+
+def quantile_sketch_violations(events, value_col: str = "value",
+                               eps: float = 0.01):
+    """Empty-oracle invariant gate for ``quantile_sketch``: recompute
+    the EXACT rank interval of every estimate distributed (count of
+    values strictly below / at-or-below it) and emit one row per
+    quantile whose target rank ``ceil(q*n)`` falls farther than
+    ``eps*n`` outside that interval. The 3-stage tree's worst-case
+    error is 3n/m ≈ 0.003n, so eps=0.01 passes with margin iff the
+    merge logic is right."""
+    from ray.data.aggregate import Sum
+
+    ests, total = quantile_sketch(events, value_col)
+    out_schema = pa.schema(
+        [
+            ("q_idx", pa.int64()),
+            ("est_cents", pa.int64()),
+            ("rank_lo", pa.int64()),
+            ("rank_hi", pa.int64()),
+            ("target", pa.int64()),
+        ]
+    )
+    if not ests:
+        return out_schema.empty_table()
+    est_v = np.array([e for _, _, e in ests], np.int64)
+
+    def rank_partials(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(t[value_col], 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        s = np.sort(cents)
+        lt = np.searchsorted(s, est_v, side="left")
+        le = np.searchsorted(s, est_v, side="right")
+        return pa.table(
+            {
+                "q_idx": pa.array([q for q, _, _ in ests], pa.int64()),
+                "lt": pa.array(lt, pa.int64()),
+                "le": pa.array(le, pa.int64()),
+            }
+        )
+
+    ranks = (
+        events.map_batches(rank_partials, batch_format="pyarrow")
+        .groupby("q_idx")
+        .aggregate(Sum("lt", alias_name="lt"), Sum("le", alias_name="le"))
+    ).take_all()  # bounded: one row per quantile
+    by_q = {int(r["q_idx"]): (int(r["lt"]), int(r["le"])) for r in ranks}
+    slack = int(math.ceil(eps * total))
+    rows = []
+    for q_idx, q, est in ests:
+        lt, le = by_q[q_idx]
+        target = int(math.ceil(q * total))
+        # true rank of est is anywhere in [lt+1, le]
+        if target < lt + 1 - slack or target > le + slack:
+            rows.append((q_idx, est, lt + 1, le, target))
+    if not rows:
+        return out_schema.empty_table()
+    cols = list(zip(*rows))
+    return pa.table(
+        {f.name: pa.array(list(c), f.type)
+         for f, c in zip(out_schema, cols)}
+    )
+
+
+def quantile_sketch_violations_sql() -> str:
+    """A correct sketch yields zero violations; the oracle states the
+    empty relation with the matching schema."""
+    return (
+        "SELECT CAST(NULL AS BIGINT) AS q_idx,"
+        " CAST(NULL AS BIGINT) AS est_cents,"
+        " CAST(NULL AS BIGINT) AS rank_lo,"
+        " CAST(NULL AS BIGINT) AS rank_hi,"
+        " CAST(NULL AS BIGINT) AS target\n"
+        "WHERE FALSE"
     )

@@ -2195,3 +2195,76 @@ def daily_value_band_sql(qs=(("p50_cents", 0.5), ("p95_cents", 0.95))) -> str:
         " CAST(MAX(total) AS BIGINT) AS n_events\n"
         "FROM cum GROUP BY day"
     )
+
+
+# ----------------------------------------------- salted hot-key aggregation
+
+
+def salted_user_totals(events, n_salts: int = 16):
+    """Two-phase SALTED per-user rollup — the skew-defusing shape for
+    keys hot enough that even post-combine partials overwhelm one
+    reducer (a single user with 10^9 events at 100 TB). Phase 1 keys
+    the shuffle on (user_id, event_id % n_salts) so a hot user's load
+    spreads over ``n_salts`` reducers; phase 2 folds the ≤ n_salts
+    salt-partials per user through a second, tiny shuffle. The result
+    is EXACTLY the unsalted GROUP BY (sums are associative), which is
+    what the SQL oracle states.
+
+    Output: (user_id, n_events, sum_cents).
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(t["value"], 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        tbl = pa.table(
+            {
+                "user_id": t["user_id"].cast(pa.int64()),
+                "salt": pa.array(eid % n_salts, pa.int64()),
+                "cents": cents,
+                "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            }
+        )
+        g = tbl.group_by(["user_id", "salt"]).aggregate(
+            [("one", "sum"), ("cents", "sum")]
+        )
+        return g.rename_columns(["user_id", "salt", "n", "cents"])
+
+    phase1 = (
+        events.map_batches(partials, batch_format="pyarrow")
+        .groupby(["user_id", "salt"])
+        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+    )
+
+    def drop_salt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [("user_id", pa.int64()), ("n", pa.int64()),
+                 ("cents", pa.int64())]
+            ).empty_table()
+        return t.select(["user_id", "n", "cents"])
+
+    return (
+        phase1.map_batches(drop_salt, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("n", alias_name="n_events"),
+            Sum("cents", alias_name="sum_cents"),
+        )
+    )
+
+
+def salted_user_totals_sql() -> str:
+    """The salt is algebra-invisible: the oracle is the plain rollup."""
+    return (
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,\n"
+        " CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)"
+        " AS sum_cents\n"
+        "FROM events GROUP BY user_id"
+    )
