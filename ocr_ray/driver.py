@@ -7532,6 +7532,39 @@ def q_salted_user_totals(sf_dir: str):
     )
 
 
+def q_type_cooccurrence_bitmap(sf_dir: str):
+    """Exact pairwise co-active user counts via word-partitioned 64-bit
+    bitmaps (ops/bitmap.py:type_cooccurrence_bitmap) — the bitmap-index
+    replacement for the distinct-pair self-join the oracle runs."""
+    import ray.data as rd
+
+    from ocr_ray.ops.bitmap import type_cooccurrence_bitmap
+
+    _quiet()
+    return type_cooccurrence_bitmap(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+        )
+    )
+
+
+def q_weighted_median_price(sf_dir: str):
+    """Quantity-weighted median extended price per return flag
+    (ops/stats.py:weighted_median_price_by_flag) — the weighted
+    percentile shape on the established integer rank rule."""
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import weighted_median_price_by_flag
+
+    _quiet()
+    return weighted_median_price_by_flag(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+        )
+    )
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -7630,6 +7663,8 @@ QUERIES = {
     "quantile_sketch_violations": q_quantile_sketch_violations,
     "token_counts_csv": q_token_counts_csv,
     "salted_user_totals": q_salted_user_totals,
+    "type_cooccurrence_bitmap": q_type_cooccurrence_bitmap,
+    "weighted_median_price": q_weighted_median_price,
     "term_postings": q_term_postings,
     "search_topk": q_search_topk,
     "label_centroids": q_label_centroids,
@@ -10913,4 +10948,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["quantile_sketch_violations"] = quantile_sketch_violations_sql()
     oracles["token_counts_csv"] = oracles["token_counts"]
     oracles["salted_user_totals"] = salted_user_totals_sql()
+    from ocr_ray.ops.bitmap import type_cooccurrence_bitmap_sql
+    from ocr_ray.ops.stats import weighted_median_price_by_flag_sql
+
+    oracles["type_cooccurrence_bitmap"] = type_cooccurrence_bitmap_sql()
+    oracles["weighted_median_price"] = weighted_median_price_by_flag_sql()
     return oracles

@@ -528,3 +528,192 @@ def synthesize_texture_images(n: int, seed: int = 11,
             "payload": pa.array(payloads, pa.binary()),
         }
     )
+
+
+# ----------------------------------------------- raw (codec-free) audio
+
+_RAWA_MAGIC = b"RAWA"
+
+
+def encode_raw_audio(pcm: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Pack mono int16 PCM as an uncompressed payload: ``RAWA`` magic +
+    big-endian uint32 sample rate + little-endian int16 samples. Like
+    RAWI images, no codec is needed to read it back, so the audio
+    kernels below are REAL feature extraction, not stubs."""
+    if pcm.ndim != 1 or pcm.dtype != np.int16:
+        raise ValueError("expected 1-D int16 PCM")
+    return _RAWA_MAGIC + struct.pack(">I", sample_rate) + pcm.tobytes()
+
+
+def decode_raw_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    if payload[:4] != _RAWA_MAGIC:
+        raise ValueError("not a raw audio payload")
+    (rate,) = struct.unpack(">I", payload[4:8])
+    pcm = np.frombuffer(payload, dtype="<i2", offset=8)
+    return pcm, int(rate)
+
+
+def synthesize_raw_audio(n: int, seed: int = 23,
+                         sample_rate: int = 16_000) -> pa.Table:
+    """Deterministic speech-shaped clips: alternating voiced bursts
+    (hash-seeded sine mixtures) and near-silence gaps, 1-4 s long —
+    enough structure for the RMS/ZCR kernels and the silence segmenter
+    to produce non-degenerate output, with no audio library."""
+    ids, kinds, payloads = [], [], []
+    for i in range(n):
+        h = hashlib.sha256(f"aud|{seed}|{i}".encode()).digest()
+        total_ms = 1000 + (h[0] | (h[1] << 8)) % 3000
+        t = np.arange(int(sample_rate * total_ms / 1000), dtype=np.float64)
+        pcm = np.zeros(len(t))
+        # voiced bursts every ~600 ms, 300 ms long, alternating with gaps
+        burst = int(0.3 * sample_rate)
+        period = int(0.6 * sample_rate)
+        freq = 80.0 + h[2]  # fundamental per clip
+        for k, s in enumerate(range(0, len(t) - burst, period)):
+            f = freq * (1 + 0.25 * ((h[3 + k % 8] % 5) - 2) / 10.0)
+            seg = t[s:s + burst] - t[s]
+            pcm[s:s + burst] = (
+                6000 * np.sin(2 * np.pi * f * seg / sample_rate)
+                + 2000 * np.sin(2 * np.pi * 2.3 * f * seg / sample_rate)
+            )
+        # low deterministic noise floor everywhere
+        noise = (
+            np.frombuffer(
+                hashlib.shake_256(f"audnoise|{seed}|{i}".encode()).digest(
+                    2 * len(t)
+                ),
+                dtype="<i2",
+            ).astype(np.float64)
+            / 32768.0
+            * 50.0
+        )
+        pcm = np.clip(pcm + noise[: len(t)], -32767, 32767).astype(np.int16)
+        ids.append(i)
+        kinds.append("audio")
+        payloads.append(encode_raw_audio(pcm, sample_rate))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+class AudioChunkStats:
+    """Actor stage: audio → one row per ``chunk_ms`` window with RMS
+    energy and zero-crossing rate — the VAD-ish features every speech
+    pipeline extracts before ASR. Fully vectorized (reshape + einsum-
+    free reductions); REAL computation on raw PCM, no codec needed.
+
+    Output: (media_id, chunk_idx, start_ms, rms, zcr)."""
+
+    def __init__(self, chunk_ms: int = 250):
+        self.chunk_ms = chunk_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        o_id, o_idx, o_start, o_rms, o_zcr = [], [], [], [], []
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        for mid, payload in zip(ids, payloads):
+            if payload[:4] != _RAWA_MAGIC:
+                continue
+            pcm, rate = decode_raw_audio(payload)
+            win = max(1, int(rate * self.chunk_ms / 1000))
+            n_chunks = len(pcm) // win
+            if n_chunks == 0:
+                continue
+            x = pcm[: n_chunks * win].astype(np.float64).reshape(n_chunks, win)
+            rms = np.sqrt(np.mean(x * x, axis=1))
+            sign = np.signbit(x)
+            zcr = np.mean(sign[:, 1:] != sign[:, :-1], axis=1)
+            o_id.extend([mid] * n_chunks)
+            o_idx.extend(range(n_chunks))
+            o_start.extend(
+                int(j * win * 1000 / rate) for j in range(n_chunks)
+            )
+            o_rms.extend(float(v) for v in rms)
+            o_zcr.extend(float(v) for v in zcr)
+        return pa.table(
+            {
+                "media_id": pa.array(o_id, pa.int64()),
+                "chunk_idx": pa.array(o_idx, pa.int32()),
+                "start_ms": pa.array(o_start, pa.int64()),
+                "rms": pa.array(o_rms, pa.float64()),
+                "zcr": pa.array(o_zcr, pa.float64()),
+            }
+        )
+
+
+class SilenceSegments:
+    """Actor stage: audio → speech segments (start_ms, end_ms) found by
+    thresholding windowed RMS and collapsing runs — the segmentation
+    primitive an ASR pipeline feeds its decoder. Vectorized run
+    detection via flatnonzero on the thresholded diff."""
+
+    def __init__(self, win_ms: int = 50, rms_threshold: float = 500.0,
+                 min_segment_ms: int = 100):
+        self.win_ms = win_ms
+        self.rms_threshold = rms_threshold
+        self.min_segment_ms = min_segment_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        o_id, o_seg, o_start, o_end = [], [], [], []
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        for mid, payload in zip(ids, payloads):
+            if payload[:4] != _RAWA_MAGIC:
+                continue
+            pcm, rate = decode_raw_audio(payload)
+            win = max(1, int(rate * self.win_ms / 1000))
+            n = len(pcm) // win
+            if n == 0:
+                continue
+            x = pcm[: n * win].astype(np.float64).reshape(n, win)
+            voiced = np.sqrt(np.mean(x * x, axis=1)) >= self.rms_threshold
+            edges = np.diff(np.concatenate([[0], voiced.view(np.int8), [0]]))
+            starts = np.flatnonzero(edges == 1)
+            ends = np.flatnonzero(edges == -1)
+            seg_i = 0
+            for s, e in zip(starts, ends):
+                start_ms = int(s * win * 1000 / rate)
+                end_ms = int(e * win * 1000 / rate)
+                if end_ms - start_ms < self.min_segment_ms:
+                    continue
+                o_id.append(mid)
+                o_seg.append(seg_i)
+                o_start.append(start_ms)
+                o_end.append(end_ms)
+                seg_i += 1
+        return pa.table(
+            {
+                "media_id": pa.array(o_id, pa.int64()),
+                "segment_idx": pa.array(o_seg, pa.int32()),
+                "start_ms": pa.array(o_start, pa.int64()),
+                "end_ms": pa.array(o_end, pa.int64()),
+            }
+        )
+
+
+def audio_chunk_stats(media, chunk_ms: int = 250, concurrency=(1, 4),
+                      batch_size: int = 32):
+    """Actor-pool audio feature extraction; small batches because
+    payloads are large binaries (the memory-aware multimodal shape)."""
+    return media.map_batches(
+        AudioChunkStats,
+        fn_constructor_kwargs={"chunk_ms": chunk_ms},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def silence_segments(media, concurrency=(1, 4), batch_size: int = 32,
+                     **kwargs):
+    return media.map_batches(
+        SilenceSegments,
+        fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

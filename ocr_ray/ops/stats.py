@@ -2268,3 +2268,108 @@ def salted_user_totals_sql() -> str:
         " AS sum_cents\n"
         "FROM events GROUP BY user_id"
     )
+
+
+# ------------------------------------------------ weighted median per group
+
+
+def weighted_median_price_by_flag(lineitem):
+    """Quantity-weighted median of the cents-scaled extended price per
+    l_returnflag — the weighted-percentile shape (each row counts
+    ``l_quantity`` times). Weighted rank rule: total weight W =
+    Σ qty, target = ceil(W/2), median = smallest price whose
+    cumulative weight (ascending price order) reaches the target —
+    the same integer-rank convention as the unweighted percentile
+    family, replayed by the oracle's window cumsum.
+
+    Scale shape: per-(flag, price) weight sums collapse map-side;
+    the shuffle carries one row per distinct (flag, price)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    def partials(t: pa.Table) -> pa.Table:
+        price = pc.cast(
+            pc.round(
+                pc.multiply(t["l_extendedprice"], 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        qty = pc.cast(
+            pc.round(t["l_quantity"], round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        g = pa.table(
+            {
+                "flag": t["l_returnflag"],
+                "price": price,
+                "qty": qty,
+            }
+        ).group_by(["flag", "price"]).aggregate([("qty", "sum")])
+        return g.rename_columns(["flag", "price", "w"])
+
+    counted = (
+        lineitem.map_batches(partials, batch_format="pyarrow")
+        .groupby(["flag", "price"])
+        .aggregate(Sum("w", alias_name="w"))
+    )
+
+    out_schema = pa.schema(
+        [
+            ("flag", pa.string()),
+            ("wmedian_cents", pa.int64()),
+            ("total_weight", pa.int64()),
+        ]
+    )
+
+    def finish(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or block.num_columns == 0:
+            return out_schema.empty_table()
+        ends = np.append(starts[1:], n)
+        flags = block.column("flag").to_pylist()
+        price = block.column("price").to_numpy(zero_copy_only=False)
+        w = block.column("w").to_numpy(zero_copy_only=False)
+        o_f, o_m, o_w = [], [], []
+        for s, e in zip(starts, ends):
+            order = np.argsort(price[s:e]) + s
+            cum = np.cumsum(w[order])
+            total = int(cum[-1])
+            target = math.ceil(total / 2)
+            idx = int(np.searchsorted(cum, target, side="left"))
+            o_f.append(flags[s])
+            o_m.append(int(price[order][idx]))
+            o_w.append(total)
+        return pa.table(
+            {
+                "flag": pa.array(o_f, pa.string()),
+                "wmedian_cents": pa.array(o_m, pa.int64()),
+                "total_weight": pa.array(o_w, pa.int64()),
+            }
+        )
+
+    return grouped_map(counted, ["flag"], finish)
+
+
+def weighted_median_price_by_flag_sql() -> str:
+    return (
+        "WITH c AS (\n"
+        " SELECT l_returnflag AS flag,\n"
+        "  CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS price,\n"
+        "  SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS w\n"
+        " FROM lineitem GROUP BY 1, 2\n"
+        "), cum AS (\n"
+        " SELECT flag, price,\n"
+        "  SUM(w) OVER (PARTITION BY flag ORDER BY price) AS cw,\n"
+        "  SUM(w) OVER (PARTITION BY flag) AS total\n"
+        " FROM c\n"
+        ")\n"
+        "SELECT flag,\n"
+        " CAST(MIN(CASE WHEN cw >= CEIL(CAST(total AS DOUBLE) / 2)"
+        " THEN price END) AS BIGINT) AS wmedian_cents,\n"
+        " CAST(MAX(total) AS BIGINT) AS total_weight\n"
+        "FROM cum GROUP BY flag"
+    )
