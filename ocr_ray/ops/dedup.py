@@ -1190,7 +1190,10 @@ def dedup_exact_incremental(new_docs, known_docs,
         .group_by("fingerprint")
         .aggregate([]),
         batch_format="pyarrow",
-    )
+    ).materialize()
+    # pinned: the broadcast-ability probe below consumes it, and the
+    # too-big fallback consumes it AGAIN for the distinct+join — without
+    # materialize that second path re-hashes the entire known corpus.
 
     seen: set = set()
     too_big = False

@@ -202,7 +202,13 @@ def keyness_terms(docs, k: int = 15, min_count: int = 5):
         docs.map_batches(partials, batch_format="pyarrow")
         .groupby(["source", "word"])
         .aggregate(Sum("partial", alias_name="n"))
-    )
+    ).materialize()
+    # materialized because it feeds TWO consumers (the per-source token
+    # totals and the word-partitioned candidate pass): without pinning,
+    # lineage would re-run the corpus tokenization + keyed shuffle for
+    # each — a full duplicate scan at 100 TB. The pinned table is slim
+    # (one int row per distinct (source, word)), and the object store
+    # spills it if the vocabulary is huge.
 
     # per-source token totals: tiny (one row per source), bounded collect
     def src_partials(t: pa.Table) -> pa.Table:

@@ -882,7 +882,10 @@ def temporal_split_audit(events, cutoff_day: int = 15):
         )
         .groupby("user_id")
         .aggregate(Min("day", alias_name="lo"), Max("day", alias_name="hi"))
-    )
+    ).materialize()
+    # pinned because TWO consumers follow (the first-day probe and the
+    # flags rollup): unmaterialized, each would re-run the full events
+    # scan + user shuffle. One slim row per user, spill-safe.
     base = perkey.aggregate(Min("lo", alias_name="first_day"))
     first_day = int(base["first_day"])
     cut = first_day + cutoff_day
