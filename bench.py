@@ -103,6 +103,13 @@ BENCH_QUERIES = [
     "pii_rate_by_source",
     "cheapest_supplier_per_part",
     "hapax_rate_by_source",
+    "ks_drift_by_source",
+    "hashed_bow",
+    "forget_customers",
+    "type_cooccurrence_bitmap",
+    "salted_user_totals",
+    "attribution_position",
+    "quantile_sketch_violations",
 ]
 
 
