@@ -7565,6 +7565,35 @@ def q_weighted_median_price(sf_dir: str):
     )
 
 
+def q_order_gap_hist(sf_dir: str):
+    """Repeat-purchase cadence: histogram of per-customer consecutive
+    order gaps in whole days (ops/intervals.py:order_gap_hist)."""
+    import ray.data as rd
+
+    from ocr_ray.ops.intervals import order_gap_hist
+
+    _quiet()
+    return order_gap_hist(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_orderkey"],
+        )
+    )
+
+
+def q_html_link_violations(sf_dir: str):
+    """Invariant gate over the per-doc link-density profile of the
+    interleaved corpus's html spans (ops/htmlops.py:
+    html_link_violations): subset/floor/zero-consistency plus
+    planted-nav completeness; a correct DOM walker yields zero rows,
+    which the empty-relation oracle states."""
+    from ocr_ray.ops.htmlops import html_link_violations
+
+    _quiet()
+    ds = io.read_interleaved(interleaved_path_for(sf_dir))
+    return html_link_violations(ds)
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -7665,6 +7694,8 @@ QUERIES = {
     "salted_user_totals": q_salted_user_totals,
     "type_cooccurrence_bitmap": q_type_cooccurrence_bitmap,
     "weighted_median_price": q_weighted_median_price,
+    "order_gap_hist": q_order_gap_hist,
+    "html_link_violations": q_html_link_violations,
     "term_postings": q_term_postings,
     "search_topk": q_search_topk,
     "label_centroids": q_label_centroids,
@@ -10953,4 +10984,9 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["type_cooccurrence_bitmap"] = type_cooccurrence_bitmap_sql()
     oracles["weighted_median_price"] = weighted_median_price_by_flag_sql()
+    from ocr_ray.ops.htmlops import html_link_violations_sql
+    from ocr_ray.ops.intervals import order_gap_hist_sql
+
+    oracles["order_gap_hist"] = order_gap_hist_sql()
+    oracles["html_link_violations"] = html_link_violations_sql()
     return oracles

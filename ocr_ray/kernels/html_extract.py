@@ -22,9 +22,11 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
 
-_SKIP_CONTENT = {
-    # non-content payloads
+_SKIP_PAYLOADS = frozenset({
+    # non-content payloads (never text, in ANY parse mode)
     "script", "style", "noscript", "template", "head",
+})
+_SKIP_CONTENT = _SKIP_PAYLOADS | {
     # structural boilerplate: navigation chrome never counts as main content
     "nav", "header", "footer", "aside",
 }
@@ -51,20 +53,21 @@ class _Node:
 
 
 class _TreeBuilder(HTMLParser):
-    def __init__(self) -> None:
+    def __init__(self, skip: frozenset | set | None = None) -> None:
         super().__init__(convert_charrefs=True)
         self.root = _Node(tag="#root")
         self.stack = [self.root]
         self.counter = 0
         self._skip_depth = 0
         self._skip_tag = None
+        self._skip = _SKIP_CONTENT if skip is None else skip
 
     def handle_starttag(self, tag, attrs):
         if self._skip_depth:
             if tag == self._skip_tag:
                 self._skip_depth += 1
             return
-        if tag in _SKIP_CONTENT:
+        if tag in self._skip:
             self._skip_depth = 1
             self._skip_tag = tag
             return
@@ -174,3 +177,75 @@ def extract_main_text(html: str) -> str:
     _emit_lines(best, out, buf)
     _flush(out, buf)
     return "\n".join(out)
+
+
+def _norm_text(node: _Node, acc: list[str], stop_tables: bool) -> None:
+    for child in node.children:
+        if not child.tag:
+            acc.append(child.text)
+        elif stop_tables and child.tag == "table":
+            continue  # nested tables extract separately, never twice
+        else:
+            _norm_text(child, acc, stop_tables)
+
+
+def _collect(node: _Node, tag: str, acc: list[_Node],
+             stop: frozenset = frozenset()) -> None:
+    for child in node.children:
+        if child.tag == tag:
+            acc.append(child)
+        if child.tag and child.tag not in stop:
+            _collect(child, tag, acc, stop)
+
+
+def extract_tables(html: str) -> list[list[list[str]]]:
+    """Structured <table> extraction: tables (document order) → rows
+    (<tr>) → cells (<td>/<th>, whitespace-normalized text). Nested
+    tables are emitted as their own entries and EXCLUDED from the
+    enclosing cell's text, so no character is extracted twice — the
+    conservation property the span pipeline relies on.
+    """
+    if not html:
+        return []
+    builder = _TreeBuilder()
+    builder.feed(html)
+    builder.close()
+    tables: list[_Node] = []
+    _collect(builder.root, "table", tables)  # includes nested, doc order
+    out = []
+    for tbl in sorted(tables, key=lambda n: n.order):
+        rows: list[_Node] = []
+        _collect(tbl, "tr", rows, stop=frozenset({"table"}))
+        t_rows = []
+        for tr in sorted(rows, key=lambda n: n.order):
+            cells: list[_Node] = []
+            for tag in ("td", "th"):
+                _collect(tr, tag, cells, stop=frozenset({"table"}))
+            row = []
+            for cell in sorted(cells, key=lambda n: n.order):
+                buf: list[str] = []
+                _norm_text(cell, buf, stop_tables=True)
+                row.append(" ".join(" ".join(buf).split()))
+            t_rows.append(row)
+        out.append(t_rows)
+    return out
+
+
+def link_stats(html: str) -> tuple[int, int, int]:
+    """(n_links, link_text_chars, total_text_chars) — the raw counts
+    behind the link-density heuristic ``extract_main_text`` scores
+    with, exposed for per-page quality rollups (a page whose text is
+    mostly links is navigation, not content)."""
+    if not html:
+        return 0, 0, 0
+    # parse with structural chrome KEPT (nav/header/footer/aside): the
+    # link-density signal exists precisely to FLAG navigation-heavy
+    # pages, so their links must count — unlike extract_main_text,
+    # which drops them before scoring. Script/style stay excluded.
+    builder = _TreeBuilder(skip=_SKIP_PAYLOADS)
+    builder.feed(html)
+    builder.close()
+    links: list[_Node] = []
+    _collect(builder.root, "a", links)
+    total, link = _text_stats(builder.root)
+    return len(links), link, total

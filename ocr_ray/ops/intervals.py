@@ -212,3 +212,79 @@ def cusum_drift_sql() -> str:
         " CAST(run - LEAST(0, runmin) AS BIGINT) AS cusum\n"
         "FROM mm"
     )
+
+
+def order_gap_hist(orders):
+    """Histogram of per-customer consecutive order gaps in whole days —
+    (gap_days, n_pairs) — the repeat-purchase cadence profile behind
+    churn models. One hash shuffle on o_custkey; gaps resolve inside
+    each (custkey)-sorted run vectorized, then a tiny keyed count
+    collapses the bounded gap domain. Ordering within a customer is
+    (o_orderdate, o_orderkey), so equal-date ties are deterministic on
+    both sides.
+    """
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    DAY_US = 86_400_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cust": t["o_custkey"].cast(pa.int64()),
+                "ts": t["o_orderdate"].cast(pa.int64()),
+                "ok": t["o_orderkey"].cast(pa.int64()),
+            }
+        )
+
+    part_schema = pa.schema(
+        [("gap_days", pa.int64()), ("n", pa.int64())]
+    )
+
+    def gaps_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return part_schema.empty_table()
+        ts = block.column("ts").to_numpy(zero_copy_only=False)
+        ends = np.append(starts[1:], n)
+        out: dict[int, int] = {}
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            d = (ts[s + 1:e] - ts[s:e - 1]) // DAY_US
+            vals, cnts = np.unique(d, return_counts=True)
+            for v, c in zip(vals, cnts):
+                out[int(v)] = out.get(int(v), 0) + int(c)
+        if not out:
+            return part_schema.empty_table()
+        ks = sorted(out)
+        return pa.table(
+            {
+                "gap_days": pa.array(ks, pa.int64()),
+                "n": pa.array([out[k] for k in ks], pa.int64()),
+            }
+        )
+
+    tagged = orders.map_batches(tag, batch_format="pyarrow")
+    return (
+        grouped_map(tagged, ["cust"], gaps_block, sort_within=("ts", "ok"))
+        .groupby("gap_days")
+        .aggregate(Sum("n", alias_name="n_pairs"))
+    )
+
+
+def order_gap_hist_sql() -> str:
+    return (
+        "WITH g AS (\n"
+        " SELECT o_custkey,\n"
+        "  (epoch_us(o_orderdate) - epoch_us(LAG(o_orderdate) OVER w))"
+        " // 86400000000 AS gap_days\n"
+        " FROM orders\n"
+        " WINDOW w AS (PARTITION BY o_custkey"
+        " ORDER BY o_orderdate, o_orderkey)\n"
+        ")\n"
+        "SELECT CAST(gap_days AS BIGINT) AS gap_days,"
+        " CAST(COUNT(*) AS BIGINT) AS n_pairs\n"
+        "FROM g WHERE gap_days IS NOT NULL GROUP BY 1"
+    )
