@@ -7594,6 +7594,50 @@ def q_html_link_violations(sf_dir: str):
     return html_link_violations(ds)
 
 
+def q_latest_event_per_user(sf_dir: str):
+    """The QUALIFY/argmax-row primitive: each user's last event row in
+    full (ops/windows.py:latest_event_per_user)."""
+    from ocr_ray.ops.windows import latest_event_per_user
+
+    return latest_event_per_user(_events_cols(sf_dir))
+
+
+def _events_cols(sf_dir: str):
+    import ray.data as rd
+
+    _quiet()
+    return rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "value"],
+    )
+
+
+def q_daily_value_ohlc(sf_dir: str):
+    """Daily open/high/low/close of the event value
+    (ops/windows.py:daily_value_ohlc) — the FIRST_VALUE/LAST_VALUE +
+    extrema rollup under deterministic (ts, event_id) order."""
+    from ocr_ray.ops.windows import daily_value_ohlc
+
+    return daily_value_ohlc(_events_cols(sf_dir))
+
+
+def q_debounced_event_counts(sf_dir: str):
+    """Chained time-debounce per (user, type) with per-type survivor
+    counts (ops/windows.py:debounced_event_counts); the oracle replays
+    the chain with a recursive CTE."""
+    import ray.data as rd
+
+    from ocr_ray.ops.windows import debounced_event_counts
+
+    _quiet()
+    return debounced_event_counts(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type", "ts", "event_id"],
+        )
+    )
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -7696,6 +7740,9 @@ QUERIES = {
     "weighted_median_price": q_weighted_median_price,
     "order_gap_hist": q_order_gap_hist,
     "html_link_violations": q_html_link_violations,
+    "latest_event_per_user": q_latest_event_per_user,
+    "daily_value_ohlc": q_daily_value_ohlc,
+    "debounced_event_counts": q_debounced_event_counts,
     "term_postings": q_term_postings,
     "search_topk": q_search_topk,
     "label_centroids": q_label_centroids,
@@ -10989,4 +11036,13 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["order_gap_hist"] = order_gap_hist_sql()
     oracles["html_link_violations"] = html_link_violations_sql()
+    from ocr_ray.ops.windows import (
+        daily_value_ohlc_sql,
+        debounced_event_counts_sql,
+        latest_event_per_user_sql,
+    )
+
+    oracles["latest_event_per_user"] = latest_event_per_user_sql()
+    oracles["daily_value_ohlc"] = daily_value_ohlc_sql()
+    oracles["debounced_event_counts"] = debounced_event_counts_sql()
     return oracles

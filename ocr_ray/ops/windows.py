@@ -978,3 +978,264 @@ def temporal_split_audit_sql(cutoff_day: int = 15) -> str:
         " AS cross_millionths\n"
         "FROM f"
     )
+
+
+def latest_event_per_user(events):
+    """The QUALIFY shape: each user's LAST event row in full —
+    (user_id, ts, event_type, cents), ordered inside each user run by
+    (ts, event_id) so equal-timestamp ties are deterministic. One hash
+    shuffle on user_id; each run reduces to its final row vectorized
+    (the argmax-row primitive behind snapshot/SCD reads)."""
+    from ocr_ray.stages.grouped import grouped_map
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"].cast(pa.int64()),
+                "ts": t["ts"],
+                "event_id": t["event_id"].cast(pa.int64()),
+                "event_type": t["event_type"],
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(t["value"], 100.0),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("event_type", pa.string()),
+            ("cents", pa.int64()),
+        ]
+    )
+
+    def last_row(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return out_schema.empty_table()
+        last = np.append(starts[1:], n) - 1  # runs are (ts, event_id)-sorted
+        idx = pa.array(last, pa.int64())
+        taken = block.take(idx)
+        return pa.table(
+            {
+                "user_id": taken["user_id"],
+                "ts": taken["ts"],
+                "event_type": taken["event_type"],
+                "cents": taken["cents"],
+            }
+        )
+
+    tagged = events.map_batches(tag, batch_format="pyarrow")
+    return grouped_map(
+        tagged, ["user_id"], last_row, sort_within=("ts", "event_id")
+    )
+
+
+def latest_event_per_user_sql() -> str:
+    return (
+        "SELECT user_id, ts, event_type,\n"
+        " CAST(ROUND(value * 100.0) AS BIGINT) AS cents\n"
+        "FROM (\n"
+        " SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id"
+        " ORDER BY ts DESC, event_id DESC) AS rn FROM events\n"
+        ") WHERE rn = 1"
+    )
+
+
+def daily_value_ohlc(events):
+    """Daily open/close/high/low of the cents-scaled event value —
+    (day, open_cents, high_cents, low_cents, close_cents, n_events).
+    Open/close follow (ts, event_id) order within the day; high/low
+    are plain extrema. One hash shuffle on the day key; first/last
+    resolve positionally inside each sorted run."""
+    from ocr_ray.stages.grouped import grouped_map
+
+    def tag(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us")
+        )
+        return pa.table(
+            {
+                "day": day,
+                "ts": t["ts"],
+                "event_id": t["event_id"].cast(pa.int64()),
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(t["value"], 100.0),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("day", pa.timestamp("us")),
+            ("open_cents", pa.int64()),
+            ("high_cents", pa.int64()),
+            ("low_cents", pa.int64()),
+            ("close_cents", pa.int64()),
+            ("n_events", pa.int64()),
+        ]
+    )
+
+    def ohlc(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return out_schema.empty_table()
+        ends = np.append(starts[1:], n)
+        days = block.column("day")
+        cents = block.column("cents").to_numpy(zero_copy_only=False)
+        cols = {f.name: [] for f in out_schema}
+        for s, e in zip(starts, ends):
+            run = cents[s:e]
+            cols["day"].append(days[s].as_py())
+            cols["open_cents"].append(int(run[0]))
+            cols["high_cents"].append(int(run.max()))
+            cols["low_cents"].append(int(run.min()))
+            cols["close_cents"].append(int(run[-1]))
+            cols["n_events"].append(int(e - s))
+        return pa.table(
+            {f.name: pa.array(cols[f.name], f.type) for f in out_schema}
+        )
+
+    tagged = events.map_batches(tag, batch_format="pyarrow")
+    return grouped_map(
+        tagged, ["day"], ohlc, sort_within=("ts", "event_id")
+    )
+
+
+def daily_value_ohlc_sql() -> str:
+    return (
+        "WITH c AS (\n"
+        " SELECT date_trunc('day', ts) AS day, ts, event_id,\n"
+        "  CAST(ROUND(value * 100.0) AS BIGINT) AS cents\n"
+        " FROM events\n"
+        "), w AS (\n"
+        " SELECT day, cents,\n"
+        "  ROW_NUMBER() OVER (PARTITION BY day"
+        " ORDER BY ts, event_id) AS rn_a,\n"
+        "  ROW_NUMBER() OVER (PARTITION BY day"
+        " ORDER BY ts DESC, event_id DESC) AS rn_d\n"
+        " FROM c\n"
+        ")\n"
+        "SELECT day,\n"
+        " CAST(MAX(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT)"
+        " AS open_cents,\n"
+        " CAST(MAX(cents) AS BIGINT) AS high_cents,\n"
+        " CAST(MIN(cents) AS BIGINT) AS low_cents,\n"
+        " CAST(MAX(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT)"
+        " AS close_cents,\n"
+        " CAST(COUNT(*) AS BIGINT) AS n_events\n"
+        "FROM w GROUP BY day"
+    )
+
+
+def debounced_event_counts(events, gap_us: int = 5_000_000):
+    """Debounce collapse: drop every event that follows a SURVIVING
+    event of the same (user, type) by less than ``gap_us`` — the
+    double-click/duplicate-fire cleanup every clickstream ingests
+    through — and count survivors per type: (event_type, n_raw,
+    n_survivors). Chained semantics (each survivor restarts the
+    window), so the result is an order-dependent scan within each
+    (user, type) run — resolved sequentially per run but vectorized
+    across runs via a per-run numpy loop bounded by run length.
+    """
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"].cast(pa.int64()),
+                "event_type": t["event_type"],
+                "ts": t["ts"],
+                "event_id": t["event_id"].cast(pa.int64()),
+            }
+        )
+
+    part_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n_raw", pa.int64()),
+            ("n_survivors", pa.int64()),
+        ]
+    )
+
+    def collapse(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return part_schema.empty_table()
+        ends = np.append(starts[1:], n)
+        ts = block.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        types = block.column("event_type").to_pylist()
+        agg: dict[str, list[int]] = {}
+        for s, e in zip(starts, ends):
+            raw = e - s
+            kept = 1
+            last = ts[s]
+            for i in range(s + 1, e):
+                if ts[i] - last >= gap_us:
+                    kept += 1
+                    last = ts[i]
+            cur = agg.setdefault(types[s], [0, 0])
+            cur[0] += int(raw)
+            cur[1] += kept
+        ks = sorted(agg)
+        return pa.table(
+            {
+                "event_type": pa.array(ks, pa.string()),
+                "n_raw": pa.array([agg[k][0] for k in ks], pa.int64()),
+                "n_survivors": pa.array([agg[k][1] for k in ks], pa.int64()),
+            }
+        )
+
+    tagged = events.map_batches(tag, batch_format="pyarrow")
+    return (
+        grouped_map(
+            tagged, ["user_id", "event_type"], collapse,
+            sort_within=("ts", "event_id"),
+        )
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_raw", alias_name="n_raw"),
+            Sum("n_survivors", alias_name="n_survivors"),
+        )
+    )
+
+
+def debounced_event_counts_sql(gap_us: int = 5_000_000) -> str:
+    """Chained debounce in SQL: a recursive CTE walks each (user, type)
+    run ordered by (ts, event_id), carrying the last-survivor
+    timestamp."""
+    return (
+        "WITH RECURSIVE seq AS (\n"
+        " SELECT user_id, event_type, ts, event_id,\n"
+        "  ROW_NUMBER() OVER (PARTITION BY user_id, event_type"
+        " ORDER BY ts, event_id) AS rn\n"
+        " FROM events\n"
+        "), walk AS (\n"
+        " SELECT user_id, event_type, rn, ts AS last_ts, 1 AS kept\n"
+        " FROM seq WHERE rn = 1\n"
+        " UNION ALL\n"
+        " SELECT s.user_id, s.event_type, s.rn,\n"
+        f"  CASE WHEN epoch_us(s.ts) - epoch_us(w.last_ts) >= {gap_us}\n"
+        "       THEN s.ts ELSE w.last_ts END,\n"
+        f"  CASE WHEN epoch_us(s.ts) - epoch_us(w.last_ts) >= {gap_us}\n"
+        "       THEN 1 ELSE 0 END\n"
+        " FROM walk w JOIN seq s ON s.user_id = w.user_id\n"
+        "  AND s.event_type = w.event_type AND s.rn = w.rn + 1\n"
+        ")\n"
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_raw,\n"
+        " CAST(SUM(kept) AS BIGINT) AS n_survivors\n"
+        "FROM walk GROUP BY event_type"
+    )
