@@ -7638,6 +7638,36 @@ def q_debounced_event_counts(sf_dir: str):
     )
 
 
+def q_fold_balance(sf_dir: str):
+    """Hash-assigned k-fold assignment with per-fold language-balance
+    chi-square (ops/split.py:fold_balance) — the stratification sanity
+    gate before cross-validation."""
+    from ocr_ray.ops.split import fold_balance
+
+    return fold_balance(_docs(sf_dir, "doc_id", "lang"))
+
+
+def q_ship_delay_percentiles(sf_dir: str):
+    """Order-to-ship latency p50/p90 per priority
+    (ops/stats.py:ship_delay_percentiles) — a big-big join composed
+    with the bounded percentile machinery."""
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import ship_delay_percentiles
+
+    _quiet()
+    return ship_delay_percentiles(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_shipdate"],
+        ),
+    )
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -7743,6 +7773,8 @@ QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "daily_value_ohlc": q_daily_value_ohlc,
     "debounced_event_counts": q_debounced_event_counts,
+    "fold_balance": q_fold_balance,
+    "ship_delay_percentiles": q_ship_delay_percentiles,
     "term_postings": q_term_postings,
     "search_topk": q_search_topk,
     "label_centroids": q_label_centroids,
@@ -11045,4 +11077,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["latest_event_per_user"] = latest_event_per_user_sql()
     oracles["daily_value_ohlc"] = daily_value_ohlc_sql()
     oracles["debounced_event_counts"] = debounced_event_counts_sql()
+    from ocr_ray.ops.split import fold_balance_sql
+    from ocr_ray.ops.stats import ship_delay_percentiles_sql
+
+    oracles["fold_balance"] = fold_balance_sql()
+    oracles["ship_delay_percentiles"] = ship_delay_percentiles_sql()
     return oracles

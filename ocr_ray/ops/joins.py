@@ -83,7 +83,29 @@ def large_join(left, right, on, *, join_type: str = "inner",
     import ray
 
     if num_partitions is None:
-        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        cpus = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        # size-aware default: one partition per ~32 MB of joined input,
+        # clamped to [8, one reduce wave]. At benchmark scale the
+        # measured per-partition aggregator tax dominates (32 -> 16.1 s
+        # vs 8 -> 7.6 s joining 150k x 600k slim rows at 32 CPUs); at
+        # 100 TB the estimate saturates the clamp and the default is
+        # the full CPU wave exactly as before. size_bytes() is parquet
+        # metadata for reads and a cheap sample probe for mapped
+        # lineages — worst case ~1 s, far under the partition tax.
+        est = 0
+        for side in (left, right):
+            try:
+                b = side.size_bytes()
+            except Exception:
+                b = None
+            if b is None:
+                est = None
+                break
+            est += b
+        if est is None:
+            num_partitions = cpus
+        else:
+            num_partitions = max(8, min(cpus, math.ceil(est / (32 << 20))))
     use_hash_shuffle(left)
     apply_to_dataset(right)
     on = (on,) if isinstance(on, str) else tuple(on)

@@ -414,3 +414,116 @@ def split_leakage_sql(fp_sql: str) -> str:
         " AS n_leaked_docs\n"
         "FROM g"
     )
+
+
+# --------------------------------------- k-fold assignment balance audit
+
+
+def fold_balance(docs, k: int = 5):
+    """Hash-assigned k-fold cross-validation folds with a per-fold
+    language-balance chi-square: fold = Knuth-hash(doc_id) mod k, and
+    for each fold the chi-square of its lang distribution against the
+    whole corpus's — a high value means hash folding broke on this
+    corpus (correlated ids) and a stratified fold is needed.
+
+    One map-side (fold, lang) count + one tiny keyed aggregate; the
+    chi-square folds driver-side on the bounded k x #langs table.
+    Output: (fold, n_docs, chi2) with the exact-int-moments float tree
+    shared with keyness_terms.
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        if ids.size and int(ids.min()) < 0:
+            raise ValueError("fold_balance requires non-negative doc_id")
+        fold = (
+            (ids.astype(np.uint64) * _KNUTH) & _M32
+        ) % np.uint64(k)
+        t = pa.table(
+            {
+                "fold": pa.array(fold.astype(np.int64), pa.int64()),
+                "lang": batch.column("lang"),
+            }
+        )
+        g = t.group_by(["fold", "lang"]).aggregate([([], "count_all")])
+        return g.rename_columns(["fold", "lang", "n"])
+
+    cells = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby(["fold", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+    ).take_all()  # bounded: k x #langs rows
+
+    langs = sorted({r["lang"] for r in cells})
+    folds = sorted({int(r["fold"]) for r in cells})
+    mat = {(int(r["fold"]), r["lang"]): int(r["n"]) for r in cells}
+    lang_tot = {
+        lang: sum(mat.get((f, lang), 0) for f in folds) for lang in langs
+    }
+    grand = sum(lang_tot.values())
+
+    out_fold, out_n, out_chi = [], [], []
+    for f in folds:
+        n_f = sum(mat.get((f, lang), 0) for lang in langs)
+        chi = np.float64(0.0)
+        for lang in langs:
+            obs = mat.get((f, lang), 0)
+            # expected = n_f * lang_tot / grand; chi2 term written as
+            # (grand*obs - n_f*tot)^2 / (grand * n_f * tot) with exact
+            # integer numerator — identical IEEE tree in the oracle
+            num = grand * obs - n_f * lang_tot[lang]
+            den = grand * n_f * lang_tot[lang]
+            if den:
+                chi = chi + np.float64(num) * np.float64(num) / np.float64(
+                    den
+                )
+        out_fold.append(f)
+        out_n.append(n_f)
+        out_chi.append(float(chi))
+    return pa.table(
+        {
+            "fold": pa.array(out_fold, pa.int64()),
+            "n_docs": pa.array(out_n, pa.int64()),
+            "chi2": pa.array(out_chi, pa.float64()),
+        }
+    )
+
+
+def fold_balance_sql(k: int = 5) -> str:
+    """SQL replay of the fold hash and the exact-integer chi-square
+    accumulation. The per-lang terms are summed in lang order (the
+    engine folds langs sorted), so the float sum order matches:
+    SUM() OVER (ORDER BY lang ROWS UNBOUNDED PRECEDING) picks the last
+    cumulative value per fold."""
+    return (
+        "WITH f AS (\n"
+        f" SELECT ((doc_id * 2654435761) % 4294967296) % {k} AS fold,"
+        " lang FROM documents\n"
+        "), cells AS (\n"
+        " SELECT fold, lang, COUNT(*) AS n FROM f GROUP BY 1, 2\n"
+        "), lt AS (SELECT lang, SUM(n) AS tot FROM cells GROUP BY 1),\n"
+        "ft AS (SELECT fold, SUM(n) AS n_f FROM cells GROUP BY 1),\n"
+        "g AS (SELECT SUM(n) AS grand FROM cells),\n"
+        "grid AS (SELECT ft.fold, ft.n_f, lt.lang, lt.tot"
+        " FROM ft CROSS JOIN lt),\n"
+        "terms AS (\n"
+        " SELECT grid.fold, grid.n_f,\n"
+        "  CAST(g.grand * COALESCE(c.n, 0) - grid.n_f * grid.tot"
+        " AS DOUBLE) AS num,\n"
+        "  CAST(g.grand * grid.n_f * grid.tot AS DOUBLE) AS den,\n"
+        "  grid.lang\n"
+        " FROM grid CROSS JOIN g\n"
+        " LEFT JOIN cells c ON c.fold = grid.fold AND c.lang = grid.lang\n"
+        "), cum AS (\n"
+        " SELECT fold, n_f, lang,\n"
+        "  SUM(num * num / den) OVER (PARTITION BY fold ORDER BY lang\n"
+        "   ROWS UNBOUNDED PRECEDING) AS chi,\n"
+        "  ROW_NUMBER() OVER (PARTITION BY fold ORDER BY lang DESC) AS rn\n"
+        " FROM terms WHERE den <> 0\n"
+        ")\n"
+        "SELECT fold, CAST(n_f AS BIGINT) AS n_docs, chi AS chi2\n"
+        "FROM cum WHERE rn = 1"
+    )

@@ -2373,3 +2373,124 @@ def weighted_median_price_by_flag_sql() -> str:
         " CAST(MAX(total) AS BIGINT) AS total_weight\n"
         "FROM cum GROUP BY flag"
     )
+
+
+# -------------------------------------- ship-delay percentiles per priority
+
+
+def ship_delay_percentiles(orders, lineitem,
+                           qs=(("p50_days", 0.5), ("p90_days", 0.9))):
+    """Days between order placement and each lineitem shipment,
+    percentiled per order priority — (o_orderpriority, p50_days,
+    p90_days, n_lineitems) on the established integer rank rule. The
+    big-big join ships only three slim columns per side and the
+    percentile pass reuses the bounded (priority, delay) count table,
+    so the shuffle never carries raw rows twice.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.joins import large_join
+    from ocr_ray.stages.grouped import grouped_map
+
+    DAY_US = 86_400_000_000
+
+    o = orders.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "prio": t["o_orderpriority"],
+                "odate": t["o_orderdate"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    li = lineitem.map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"].cast(pa.int64()),
+                "sdate": t["l_shipdate"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = large_join(o, li, on="o_orderkey", right_on="l_orderkey")
+
+    def delay_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sdate" not in t.column_names:
+            return pa.schema(
+                [("prio", pa.string()), ("delay", pa.int64()),
+                 ("n", pa.int64())]
+            ).empty_table()
+        d = (
+            t["sdate"].to_numpy(zero_copy_only=False)
+            - t["odate"].to_numpy(zero_copy_only=False)
+        ) // DAY_US
+        g = pa.table(
+            {"prio": t["prio"], "delay": pa.array(d, pa.int64())}
+        ).group_by(["prio", "delay"]).aggregate([([], "count_all")])
+        return g.rename_columns(["prio", "delay", "n"])
+
+    counted = (
+        joined.map_batches(delay_partials, batch_format="pyarrow")
+        .groupby(["prio", "delay"])
+        .aggregate(Sum("n", alias_name="cnt"))
+    )
+
+    out_schema = pa.schema(
+        [("o_orderpriority", pa.string())]
+        + [(name, pa.int64()) for name, _ in qs]
+        + [("n_lineitems", pa.int64())]
+    )
+
+    def finish(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or block.num_columns == 0:
+            return out_schema.empty_table()
+        ends = np.append(starts[1:], n)
+        prios = block.column("prio").to_pylist()
+        delay = block.column("delay").to_numpy(zero_copy_only=False)
+        cnts = block.column("cnt").to_numpy(zero_copy_only=False)
+        cols = {f.name: [] for f in out_schema}
+        for s, e in zip(starts, ends):
+            order = np.argsort(delay[s:e]) + s
+            cum = np.cumsum(cnts[order])
+            total = int(cum[-1])
+            cols["o_orderpriority"].append(prios[s])
+            for name, q in qs:
+                rank = math.ceil(q * total)
+                idx = int(np.searchsorted(cum, rank, side="left"))
+                cols[name].append(int(delay[order][idx]))
+            cols["n_lineitems"].append(total)
+        return pa.table(
+            {f.name: pa.array(cols[f.name], f.type) for f in out_schema}
+        )
+
+    return grouped_map(counted, ["prio"], finish)
+
+
+def ship_delay_percentiles_sql(
+        qs=(("p50_days", 0.5), ("p90_days", 0.9))) -> str:
+    picks = ",\n ".join(
+        f"CAST(MIN(CASE WHEN cum >= CEIL({q} * total) THEN delay END)"
+        f" AS BIGINT) AS {name}" for name, q in qs
+    )
+    return (
+        "WITH d AS (\n"
+        " SELECT o.o_orderpriority AS prio,\n"
+        "  (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))"
+        " // 86400000000 AS delay\n"
+        " FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey\n"
+        "), counts AS (\n"
+        " SELECT prio, delay, COUNT(*) AS cnt FROM d GROUP BY 1, 2\n"
+        "), cum AS (\n"
+        " SELECT prio, delay,\n"
+        "  SUM(cnt) OVER (PARTITION BY prio ORDER BY delay) AS cum,\n"
+        "  SUM(cnt) OVER (PARTITION BY prio) AS total\n"
+        " FROM counts\n"
+        ")\n"
+        f"SELECT prio AS o_orderpriority, {picks},\n"
+        " CAST(MAX(total) AS BIGINT) AS n_lineitems\n"
+        "FROM cum GROUP BY prio"
+    )
