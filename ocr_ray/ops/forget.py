@@ -54,6 +54,8 @@ def _reduce(ds) -> tuple[int, int, int]:
         Sum("n_rem", alias_name="r"),
         Sum("rem_sum", alias_name="s"),
     )
+    if agg is None:  # zero-block input: Ray returns no aggregate row
+        return 0, 0, 0
     return (
         int(agg["d"] or 0),
         int(agg["r"] or 0),
@@ -141,6 +143,7 @@ def forget_customers(customer, orders, lineitem, mod: int = DEFAULT_MOD):
     tot = li.map_batches(li_tot, batch_format="pyarrow").aggregate(
         Sum("n", alias_name="n"), Sum("s", alias_name="s")
     )
+    tot = tot or {"n": 0, "s": 0}
     l_tot_n = int(tot["n"] or 0)
     l_tot_s = int(tot["s"] or 0) % CHECKSUM_P
 
@@ -166,6 +169,7 @@ def forget_customers(customer, orders, lineitem, mod: int = DEFAULT_MOD):
     md = matched.map_batches(li_del, batch_format="pyarrow").aggregate(
         Sum("n", alias_name="n"), Sum("s", alias_name="s")
     )
+    md = md or {"n": 0, "s": 0}
     l_del_n = int(md["n"] or 0)
     l_del_s = int(md["s"] or 0) % CHECKSUM_P
 

@@ -1137,6 +1137,20 @@ def daily_value_ohlc_sql() -> str:
     )
 
 
+
+def _debounce_run(ts: np.ndarray, gap_us: int) -> int:
+    """Survivor count of one (ts-sorted) run under CHAINED debounce:
+    each survivor restarts the gap window. Exposed for property tests
+    (tests/test_continuation_properties.py)."""
+    kept = 1
+    last = ts[0]
+    for i in range(1, len(ts)):
+        if ts[i] - last >= gap_us:
+            kept += 1
+            last = ts[i]
+    return kept
+
+
 def debounced_event_counts(events, gap_us: int = 5_000_000):
     """Debounce collapse: drop every event that follows a SURVIVING
     event of the same (user, type) by less than ``gap_us`` — the
@@ -1180,16 +1194,9 @@ def debounced_event_counts(events, gap_us: int = 5_000_000):
         types = block.column("event_type").to_pylist()
         agg: dict[str, list[int]] = {}
         for s, e in zip(starts, ends):
-            raw = e - s
-            kept = 1
-            last = ts[s]
-            for i in range(s + 1, e):
-                if ts[i] - last >= gap_us:
-                    kept += 1
-                    last = ts[i]
             cur = agg.setdefault(types[s], [0, 0])
-            cur[0] += int(raw)
-            cur[1] += kept
+            cur[0] += int(e - s)
+            cur[1] += _debounce_run(ts[s:e], gap_us)
         ks = sorted(agg)
         return pa.table(
             {
