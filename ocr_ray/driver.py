@@ -7668,6 +7668,17 @@ def q_ship_delay_percentiles(sf_dir: str):
     )
 
 
+def q_pq_adc_violations(sf_dir: str):
+    """Empty-oracle gate for the product-quantization ADC search
+    (ops/similarity.py:pq_adc_violations): structural invariants plus a
+    mean-recall@10 floor vs exact brute force — completing the ANN
+    family (brute, IVF, SQ8, PQ)."""
+    from ocr_ray.ops.similarity import pq_adc_violations
+
+    _quiet()
+    return pq_adc_violations(_embeddings(sf_dir), _query_matrix(sf_dir))
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -7775,6 +7786,7 @@ QUERIES = {
     "debounced_event_counts": q_debounced_event_counts,
     "fold_balance": q_fold_balance,
     "ship_delay_percentiles": q_ship_delay_percentiles,
+    "pq_adc_violations": q_pq_adc_violations,
     "term_postings": q_term_postings,
     "search_topk": q_search_topk,
     "label_centroids": q_label_centroids,
@@ -11082,4 +11094,7 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["fold_balance"] = fold_balance_sql()
     oracles["ship_delay_percentiles"] = ship_delay_percentiles_sql()
+    from ocr_ray.ops.similarity import pq_adc_violations_sql
+
+    oracles["pq_adc_violations"] = pq_adc_violations_sql()
     return oracles

