@@ -7679,6 +7679,16 @@ def q_pq_adc_violations(sf_dir: str):
     return pq_adc_violations(_embeddings(sf_dir), _query_matrix(sf_dir))
 
 
+def q_snm_quality(sf_dir: str):
+    """Blocking-evaluation rollup: precision/recall of the
+    sorted-neighborhood candidate pairs vs exact-duplicate ground truth
+    (ops/dedup.py:snm_quality_report) — pairs quality / pairs
+    completeness in ER terms."""
+    from ocr_ray.ops.dedup import snm_quality_report
+
+    return snm_quality_report(_docs(sf_dir), window=3)
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -7787,6 +7797,7 @@ QUERIES = {
     "fold_balance": q_fold_balance,
     "ship_delay_percentiles": q_ship_delay_percentiles,
     "pq_adc_violations": q_pq_adc_violations,
+    "snm_quality": q_snm_quality,
     "term_postings": q_term_postings,
     "search_topk": q_search_topk,
     "label_centroids": q_label_centroids,
@@ -11097,4 +11108,7 @@ def oracle_sql() -> dict[str, str]:
     from ocr_ray.ops.similarity import pq_adc_violations_sql
 
     oracles["pq_adc_violations"] = pq_adc_violations_sql()
+    from ocr_ray.ops.dedup import snm_quality_report_sql
+
+    oracles["snm_quality"] = snm_quality_report_sql(_FP_SQL)
     return oracles

@@ -1802,3 +1802,124 @@ def sorted_neighborhood_pairs(docs, window: int = 3, key_chars: int = 24,
         )
         pairs = pairs.union(cross)
     return pairs
+
+
+def snm_quality_report(docs, window: int = 3):
+    """Entity-resolution blocking quality: precision/recall of the
+    sorted-neighborhood candidate pairs against exact-duplicate ground
+    truth (pairs sharing the content fingerprint). The standard
+    blocking-evaluation rollup (pairs completeness / pairs quality in
+    the ER literature) — run before trusting a cheap blocker at corpus
+    scale.
+
+    One row: (n_candidates, n_true_pairs, n_found, precision_ppm,
+    recall_ppm), rates as exact integer millionths (floor). Truth
+    pairs are bounded by the duplicate clusters (collected via the
+    keyed fingerprint aggregate, never the corpus); candidates stream
+    through a broadcast membership probe.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    # ground truth: all unordered pairs within each fingerprint cluster
+    clusters = (
+        docs.map_batches(_hash_batch, batch_format="pyarrow")
+        .groupby("fingerprint")
+        .map_groups(
+            lambda df: df if len(df) > 1 else df.iloc[0:0],
+            batch_format="pandas",
+        )
+    ).take_all()  # bounded by duplicate rows, tiny at any sane dup rate
+    by_fp: dict[str, list[int]] = {}
+    for r in clusters:
+        by_fp.setdefault(r["fingerprint"], []).append(int(r["doc_id"]))
+    truth: set[tuple[int, int]] = set()
+    for ids in by_fp.values():
+        ids.sort()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                truth.add((a, b))
+    truth_ref = ray.put(truth)
+
+    cands = sorted_neighborhood_pairs(docs, window=window)
+
+    def probe(t: pa.Table, _ref=truth_ref) -> pa.Table:
+        if t.num_rows == 0 or "doc_a" not in t.column_names:
+            return pa.table(
+                {"n": pa.array([0], pa.int64()),
+                 "hit": pa.array([0], pa.int64())}
+            )
+        tr = ray.get(_ref)
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        hits = sum(1 for p in zip(lo.tolist(), hi.tolist()) if p in tr)
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "hit": pa.array([hits], pa.int64()),
+            }
+        )
+
+    agg = cands.map_batches(probe, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("hit", alias_name="hit")
+    )
+    agg = agg or {"n": 0, "hit": 0}
+    n_cand = int(agg["n"] or 0)
+    n_found = int(agg["hit"] or 0)
+    n_true = len(truth)
+    return pa.table(
+        {
+            "n_candidates": pa.array([n_cand], pa.int64()),
+            "n_true_pairs": pa.array([n_true], pa.int64()),
+            "n_found": pa.array([n_found], pa.int64()),
+            "precision_ppm": pa.array(
+                [(n_found * 1_000_000) // n_cand if n_cand else 0],
+                pa.int64(),
+            ),
+            "recall_ppm": pa.array(
+                [(n_found * 1_000_000) // n_true if n_true else 0],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def snm_quality_report_sql(fp_sql: str, window: int = 3,
+                           key_chars: int = 24) -> str:
+    """SQL replay: the SNM window join, the fingerprint-cluster truth
+    pairs, and the same integer-millionth floors."""
+    return (
+        "WITH k AS (\n"
+        " SELECT doc_id, substr(trim(regexp_replace(lower(text),"
+        f" '\\s+', ' ', 'g')), 1, {key_chars}) AS key\n"
+        " FROM documents\n"
+        "), o AS (\n"
+        " SELECT doc_id, ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rn"
+        " FROM k\n"
+        "), snm AS (\n"
+        " SELECT LEAST(a.doc_id, b.doc_id) AS da,"
+        " GREATEST(a.doc_id, b.doc_id) AS db\n"
+        f" FROM o a JOIN o b ON b.rn - a.rn BETWEEN 1 AND {window}\n"
+        "), fp AS (\n"
+        f" SELECT doc_id, {fp_sql} AS fp FROM documents\n"
+        "), truth AS (\n"
+        " SELECT x.doc_id AS da, y.doc_id AS db\n"
+        " FROM fp x JOIN fp y ON x.fp = y.fp AND x.doc_id < y.doc_id\n"
+        "), m AS (\n"
+        " SELECT (SELECT COUNT(*) FROM snm) AS n_cand,\n"
+        "  (SELECT COUNT(*) FROM truth) AS n_true,\n"
+        "  (SELECT COUNT(*) FROM snm JOIN truth USING (da, db)) AS n_found\n"
+        ")\n"
+        "SELECT CAST(n_cand AS BIGINT) AS n_candidates,\n"
+        " CAST(n_true AS BIGINT) AS n_true_pairs,\n"
+        " CAST(n_found AS BIGINT) AS n_found,\n"
+        " CAST(CASE WHEN n_cand = 0 THEN 0"
+        " ELSE (n_found * 1000000) // n_cand END AS BIGINT)"
+        " AS precision_ppm,\n"
+        " CAST(CASE WHEN n_true = 0 THEN 0"
+        " ELSE (n_found * 1000000) // n_true END AS BIGINT)"
+        " AS recall_ppm\n"
+        "FROM m"
+    )

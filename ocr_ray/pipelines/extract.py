@@ -104,3 +104,19 @@ def extract_documents(ds, config: ExtractConfig | None = None):
 
 def extract_from_path(path: str, config: ExtractConfig | None = None):
     return extract_documents(io.read_interleaved(path), config)
+
+
+def extract_table_cells(ds):
+    """Side-channel structured extraction: every html span's <table>
+    cells as flat rows (ops/htmlops.py:html_table_cells). Runs off the
+    SAME interleaved Dataset as the main pipeline — callers wanting
+    both outputs should materialize ``ds`` first so the source scan
+    executes once:
+
+        src = io.read_interleaved(path).materialize()
+        docs  = extract_documents(src, cfg)
+        cells = extract_table_cells(src)
+    """
+    from ocr_ray.ops.htmlops import html_table_cells
+
+    return html_table_cells(ds)
