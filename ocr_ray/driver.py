@@ -7689,6 +7689,23 @@ def q_snm_quality(sf_dir: str):
     return snm_quality_report(_docs(sf_dir), window=3)
 
 
+def q_rendezvous_shards(sf_dir: str):
+    """HRW (rendezvous) placement audit: shard sizes and char mass per
+    node for an 8-node layout (ops/placement.py:rendezvous_shards)."""
+    from ocr_ray.ops.placement import rendezvous_shards
+
+    return rendezvous_shards(_docs(sf_dir, "doc_id", "n_chars"))
+
+
+def q_welch_t_by_source(sf_dir: str):
+    """Welch unequal-variance t of each source's length mean vs the
+    rest (ops/stats.py:welch_t_by_group) — the parametric sibling of
+    ks_drift_by_source."""
+    from ocr_ray.ops.stats import welch_t_by_group
+
+    return welch_t_by_group(_docs(sf_dir, "source", "n_chars"))
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -7798,6 +7815,8 @@ QUERIES = {
     "ship_delay_percentiles": q_ship_delay_percentiles,
     "pq_adc_violations": q_pq_adc_violations,
     "snm_quality": q_snm_quality,
+    "rendezvous_shards": q_rendezvous_shards,
+    "welch_t_by_source": q_welch_t_by_source,
     "term_postings": q_term_postings,
     "search_topk": q_search_topk,
     "label_centroids": q_label_centroids,
@@ -11111,4 +11130,9 @@ def oracle_sql() -> dict[str, str]:
     from ocr_ray.ops.dedup import snm_quality_report_sql
 
     oracles["snm_quality"] = snm_quality_report_sql(_FP_SQL)
+    from ocr_ray.ops.placement import rendezvous_shards_sql
+    from ocr_ray.ops.stats import welch_t_by_group_sql
+
+    oracles["rendezvous_shards"] = rendezvous_shards_sql()
+    oracles["welch_t_by_source"] = welch_t_by_group_sql()
     return oracles

@@ -2494,3 +2494,122 @@ def ship_delay_percentiles_sql(
         " CAST(MAX(total) AS BIGINT) AS n_lineitems\n"
         "FROM cum GROUP BY prio"
     )
+
+
+# ---------------------------------------------- Welch t drift per source
+
+
+def welch_t_by_group(rows, value_col: str = "n_chars",
+                     group_col: str = "source"):
+    """Welch's unequal-variance t statistic of each group's
+    ``value_col`` mean against the REST of the corpus — the parametric
+    sibling of ``ks_by_group`` (KS feels distribution shape, Welch
+    feels the mean under unequal variances; pipelines gate on both).
+
+    Exact integer moments (n, Σx, Σx²) per group collapse map-side;
+    the t statistic folds driver-side on the bounded group table with
+    the float expression written identically in the oracle: unbiased
+    variances s² = (n·Σx² − (Σx)²) / (n·(n−1)), then
+    t = (m_g − m_r) / sqrt(s²_g/n_g + s²_r/n_r).
+
+    Output: (group, n_group, n_rest, t_stat); groups with fewer than
+    2 members on either side are dropped (variance undefined).
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[value_col], pa.int64()).to_numpy(zero_copy_only=False)
+        g = pa.table(
+            {
+                "g": t[group_col],
+                "n": pa.array(np.ones(len(v), np.int64), pa.int64()),
+                "s1": pa.array(v, pa.int64()),
+                "s2": pa.array(v * v, pa.int64()),
+            }
+        ).group_by("g").aggregate(
+            [("n", "sum"), ("s1", "sum"), ("s2", "sum")]
+        )
+        return g.rename_columns(["g", "n", "s1", "s2"])
+
+    rows_agg = (
+        rows.map_batches(partials, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2"),
+        )
+    ).take_all()  # bounded: one row per group
+
+    N = sum(int(r["n"]) for r in rows_agg)
+    S1 = sum(int(r["s1"]) for r in rows_agg)
+    S2 = sum(int(r["s2"]) for r in rows_agg)
+
+    o_g, o_ng, o_nr, o_t = [], [], [], []
+    for r in sorted(rows_agg, key=lambda x: x["g"]):
+        n_g, s1_g, s2_g = int(r["n"]), int(r["s1"]), int(r["s2"])
+        n_r, s1_r, s2_r = N - n_g, S1 - s1_g, S2 - s2_g
+        if n_g < 2 or n_r < 2:
+            continue
+        m_g = np.float64(s1_g) / np.float64(n_g)
+        m_r = np.float64(s1_r) / np.float64(n_r)
+        var_g = np.float64(n_g * s2_g - s1_g * s1_g) / np.float64(
+            n_g * (n_g - 1)
+        )
+        var_r = np.float64(n_r * s2_r - s1_r * s1_r) / np.float64(
+            n_r * (n_r - 1)
+        )
+        denom = np.sqrt(
+            var_g / np.float64(n_g) + var_r / np.float64(n_r)
+        )
+        if denom == 0:
+            continue
+        o_g.append(r["g"])
+        o_ng.append(n_g)
+        o_nr.append(n_r)
+        o_t.append(float((m_g - m_r) / denom))
+    return pa.table(
+        {
+            group_col: pa.array(o_g, pa.string()),
+            "n_group": pa.array(o_ng, pa.int64()),
+            "n_rest": pa.array(o_nr, pa.int64()),
+            "t_stat": pa.array(o_t, pa.float64()),
+        }
+    )
+
+
+def welch_t_by_group_sql(value_col: str = "n_chars",
+                         group_col: str = "source",
+                         table: str = "documents") -> str:
+    """Identical IEEE expression tree over HUGEINT-exact moments."""
+    return (
+        "WITH m AS (\n"
+        f" SELECT {group_col} AS g, COUNT(*) AS n,\n"
+        f"  SUM(CAST({value_col} AS BIGINT)) AS s1,\n"
+        f"  SUM(CAST({value_col} AS BIGINT) * CAST({value_col} AS BIGINT))"
+        " AS s2\n"
+        f" FROM {table} GROUP BY 1\n"
+        "), tot AS (\n"
+        " SELECT SUM(n) AS nn, SUM(s1) AS t1, SUM(s2) AS t2 FROM m\n"
+        ")\n"
+        f"SELECT m.g AS {group_col}, CAST(m.n AS BIGINT) AS n_group,\n"
+        " CAST(tot.nn - m.n AS BIGINT) AS n_rest,\n"
+        " (CAST(m.s1 AS DOUBLE) / CAST(m.n AS DOUBLE)\n"
+        "  - CAST(tot.t1 - m.s1 AS DOUBLE) / CAST(tot.nn - m.n AS DOUBLE))\n"
+        " / SQRT(\n"
+        "   CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)"
+        " / CAST(m.n * (m.n - 1) AS DOUBLE) / CAST(m.n AS DOUBLE)\n"
+        "   + CAST((tot.nn - m.n) * (tot.t2 - m.s2)"
+        " - (tot.t1 - m.s1) * (tot.t1 - m.s1) AS DOUBLE)\n"
+        "     / CAST((tot.nn - m.n) * (tot.nn - m.n - 1) AS DOUBLE)"
+        " / CAST(tot.nn - m.n AS DOUBLE)\n"
+        " ) AS t_stat\n"
+        "FROM m CROSS JOIN tot\n"
+        "WHERE m.n >= 2 AND tot.nn - m.n >= 2\n"
+        " AND (CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)"
+        " / CAST(m.n * (m.n - 1) AS DOUBLE) / CAST(m.n AS DOUBLE)\n"
+        "  + CAST((tot.nn - m.n) * (tot.t2 - m.s2)"
+        " - (tot.t1 - m.s1) * (tot.t1 - m.s1) AS DOUBLE)\n"
+        "    / CAST((tot.nn - m.n) * (tot.nn - m.n - 1) AS DOUBLE)"
+        " / CAST(tot.nn - m.n AS DOUBLE)) <> 0"
+    )
