@@ -110,6 +110,16 @@ BENCH_QUERIES = [
     "salted_user_totals",
     "attribution_position",
     "quantile_sketch_violations",
+    "order_gap_hist",
+    "daily_value_ohlc",
+    "latest_event_per_user",
+    "debounced_event_counts",
+    "weighted_median_price",
+    "ship_delay_percentiles",
+    "snm_quality",
+    "pq_adc_violations",
+    "welch_t_by_source",
+    "rendezvous_shards",
 ]
 
 
