@@ -574,7 +574,10 @@ def q_customer_rfm(sf_dir: str):
         rd.read_parquet(
             f"{sf_dir}/orders.parquet",
             columns=["o_custkey", "o_orderdate", "o_totalprice"],
-        )
+        ),
+        anchor_us=_parquet_max_ts_us(
+            f"{sf_dir}/orders.parquet", "o_orderdate"
+        ),
     )
 
 
@@ -4862,8 +4865,29 @@ def q_decayed_user_value(sf_dir: str):
         rd.read_parquet(
             f"{sf_dir}/events.parquet",
             columns=["ts", "user_id", "event_type", "value"],
-        )
+        ),
+        anchor_us=_parquet_max_ts_us(f"{sf_dir}/events.parquet", "ts"),
     )
+
+
+def _parquet_max_ts_us(path: str, column: str) -> int:
+    """Global column max from parquet FOOTER statistics — zero data
+    pages scanned (row-group stats are exact for timestamp columns).
+    Kills the extra full-table pass a Dataset.max() would cost; at
+    100 TB the anchor of a decayed rollup comes from metadata, not a
+    scan."""
+    import pyarrow.parquet as pqt
+
+    md = pqt.read_metadata(path)
+    idx = md.schema.to_arrow_schema().get_field_index(column)
+    best = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            raise ValueError(f"no parquet stats for {column} in {path}")
+        v = st.max
+        best = v if best is None or v > best else best
+    return int(pa.scalar(best, pa.timestamp("us")).value)
 
 
 # --- TPC-H-shaped filter/join revenue aggregates (Q6/Q14/Q19 analogues;

@@ -1421,7 +1421,7 @@ def activity_reconciliation(orders, events):
     ).sort("day")
 
 
-def customer_rfm(orders, tiles: int = 4):
+def customer_rfm(orders, tiles: int = 4, anchor_us: int | None = None):
     """RFM segmentation — (c_custkey, r_days, n_orders, total_cents,
     r_tile, f_tile, m_tile, rfm_code): the classic three-dimension
     quartile feature. Recency anchors at the GLOBAL max order date
@@ -1443,12 +1443,15 @@ def customer_rfm(orders, tiles: int = 4):
     from ocr_ray.ops.joins import large_join
 
     day_us = 86_400_000_000
-    anchor = orders.max("o_orderdate")
-    if anchor is None:
-        import ray.data as rd
+    if anchor_us is None:
+        # callers with a parquet source should pass the footer-stats
+        # max instead (driver._parquet_max_ts_us) and skip this scan
+        anchor = orders.max("o_orderdate")
+        if anchor is None:
+            import ray.data as rd
 
-        return rd.from_arrow(_RFM_SCHEMA.empty_table())
-    anchor_us = int(pa.scalar(anchor, pa.timestamp("us")).value)
+            return rd.from_arrow(_RFM_SCHEMA.empty_table())
+        anchor_us = int(pa.scalar(anchor, pa.timestamp("us")).value)
 
     def partials(t: pa.Table) -> pa.Table:
         from ocr_ray.driver import _cents
