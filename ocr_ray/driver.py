@@ -7730,6 +7730,21 @@ def q_welch_t_by_source(sf_dir: str):
     return welch_t_by_group(_docs(sf_dir, "source", "n_chars"))
 
 
+def q_skew_plan_violations(sf_dir: str):
+    """Invariant gate for the skew-aware placement planner
+    (ops/skewplan.py:skew_plan_violations): conservation vs an
+    independent exact count, the greedy-LPT balance bound, and plan
+    shape — empty on a correct planner."""
+    import ray.data as rd
+
+    from ocr_ray.ops.skewplan import skew_plan_violations
+
+    _quiet()
+    return skew_plan_violations(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    )
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -7841,6 +7856,7 @@ QUERIES = {
     "snm_quality": q_snm_quality,
     "rendezvous_shards": q_rendezvous_shards,
     "welch_t_by_source": q_welch_t_by_source,
+    "skew_plan_violations": q_skew_plan_violations,
     "term_postings": q_term_postings,
     "search_topk": q_search_topk,
     "label_centroids": q_label_centroids,
@@ -11159,4 +11175,7 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["rendezvous_shards"] = rendezvous_shards_sql()
     oracles["welch_t_by_source"] = welch_t_by_group_sql()
+    from ocr_ray.ops.skewplan import skew_plan_violations_sql
+
+    oracles["skew_plan_violations"] = skew_plan_violations_sql()
     return oracles
