@@ -7745,6 +7745,20 @@ def q_skew_plan_violations(sf_dir: str):
     )
 
 
+def q_multigrain_rollup(sf_dir: str):
+    """Hour/day/week rollup tree out of ONE shuffle
+    (ops/stats.py:multigrain_event_rollup) — three grains, one corpus
+    scan, one keyed aggregate."""
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import multigrain_event_rollup
+
+    _quiet()
+    return multigrain_event_rollup(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    )
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -7857,6 +7871,7 @@ QUERIES = {
     "rendezvous_shards": q_rendezvous_shards,
     "welch_t_by_source": q_welch_t_by_source,
     "skew_plan_violations": q_skew_plan_violations,
+    "multigrain_rollup": q_multigrain_rollup,
     "term_postings": q_term_postings,
     "search_topk": q_search_topk,
     "label_centroids": q_label_centroids,
@@ -11178,4 +11193,7 @@ def oracle_sql() -> dict[str, str]:
     from ocr_ray.ops.skewplan import skew_plan_violations_sql
 
     oracles["skew_plan_violations"] = skew_plan_violations_sql()
+    from ocr_ray.ops.stats import multigrain_event_rollup_sql
+
+    oracles["multigrain_rollup"] = multigrain_event_rollup_sql()
     return oracles

@@ -2616,3 +2616,77 @@ def welch_t_by_group_sql(value_col: str = "n_chars",
         "    / CAST((tot.nn - m.n) * (tot.nn - m.n - 1) AS DOUBLE)"
         " / CAST(tot.nn - m.n AS DOUBLE)) <> 0"
     )
+
+
+# ---------------------------------------- multi-grain rollup in one shuffle
+
+
+_GRAINS = (("hour", 3_600_000_000), ("day", 86_400_000_000),
+           ("week", 604_800_000_000))
+
+
+def multigrain_event_rollup(events):
+    """Hour + day + week event rollups out of ONE shuffle — each batch
+    pre-aggregates every grain map-side (3 slim keyed rows per active
+    bucket, not per event), then a single keyed sum finishes all three
+    grains together. The rollup-tree trick that replaces three separate
+    jobs (and three corpus scans) with one.
+
+    Buckets are integer epoch-us floors (week = epoch // 7d — epoch
+    anchored, i.e. Thursday-started weeks, stated in the oracle the
+    same way). Output: (grain, bucket_start, n_events, sum_cents).
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(t["value"], 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        gs, bs, ns, ss = [], [], [], []
+        for name, width in _GRAINS:
+            bucket = (ts // width) * width
+            uniq, inv = np.unique(bucket, return_inverse=True)
+            n = np.bincount(inv)
+            s = np.zeros(len(uniq), np.int64)
+            np.add.at(s, inv, cents)
+            gs.extend([name] * len(uniq))
+            bs.extend(int(b) for b in uniq)
+            ns.extend(int(x) for x in n)
+            ss.extend(int(x) for x in s)
+        return pa.table(
+            {
+                "grain": pa.array(gs, pa.string()),
+                "bucket_start": pa.array(bs, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+                "cents": pa.array(ss, pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(partials, batch_format="pyarrow")
+        .groupby(["grain", "bucket_start"])
+        .aggregate(
+            Sum("n", alias_name="n_events"),
+            Sum("cents", alias_name="sum_cents"),
+        )
+    )
+
+
+def multigrain_event_rollup_sql() -> str:
+    legs = []
+    for name, width in _GRAINS:
+        legs.append(
+            f"SELECT '{name}' AS grain,\n"
+            f" CAST((epoch_us(ts) // {width}) * {width} AS BIGINT)"
+            " AS bucket_start,\n"
+            " CAST(COUNT(*) AS BIGINT) AS n_events,\n"
+            " CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)"
+            " AS sum_cents\n"
+            "FROM events GROUP BY 1, 2"
+        )
+    return "\nUNION ALL\n".join(legs)

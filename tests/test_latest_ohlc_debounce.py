@@ -100,3 +100,36 @@ def test_debounced_event_counts_chained(ray_session):
     assert int(got.loc["click", "n_survivors"]) == 5  # drops only t=3
     assert int(got.loc["view", "n_raw"]) == 1
     assert int(got.loc["view", "n_survivors"]) == 1
+
+
+def test_multigrain_rollup(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.ops.stats import multigrain_event_rollup
+
+    rows = [
+        (1, 0, 1, "a", 1.0),
+        (2, 1800, 2, "a", 2.0),       # same hour as first
+        (3, 7200, 3, "a", 4.0),       # different hour, same day
+        (4, 86400 * 8, 4, "a", 8.0),  # next week
+    ]
+    got = (
+        multigrain_event_rollup(rd.from_arrow(_events(rows)))
+        .to_pandas()
+    )
+    by = {
+        (r.grain, int(r.bucket_start)): (int(r.n_events), int(r.sum_cents))
+        for r in got.itertuples()
+    }
+    HOUR, DAY, WEEK = 3_600_000_000, 86_400_000_000, 604_800_000_000
+    t0_us = int(pa.scalar(T0, pa.timestamp("us")).value)
+    h0 = (t0_us // HOUR) * HOUR
+    assert by[("hour", h0)] == (2, 300)
+    assert by[("hour", h0 + 2 * HOUR)] == (1, 400)
+    d0 = (t0_us // DAY) * DAY
+    assert by[("day", d0)] == (3, 700)
+    w0 = (t0_us // WEEK) * WEEK
+    w_next = ((t0_us + 8 * DAY) // WEEK) * WEEK
+    assert by[("week", w0)] == (3, 700)
+    assert by[("week", w_next)] == (1, 800)
+    assert len([k for k in by if k[0] == "hour"]) == 3
