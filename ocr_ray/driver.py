@@ -7759,6 +7759,65 @@ def q_multigrain_rollup(sf_dir: str):
     )
 
 
+def q_kaplan_meier_retention(sf_dir: str):
+    """Kaplan-Meier survival curve of session duration with
+    right-censoring at the stream horizon
+    (ops/survival.py:kaplan_meier_retention) — the engagement-length
+    read on the event telemetry."""
+    import ray.data as rd
+
+    from ocr_ray.ops.survival import kaplan_meier_retention
+
+    _quiet()
+    return kaplan_meier_retention(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+        )
+    )
+
+
+def q_markov_stationary(sf_dir: str):
+    """Damped stationary distribution of the event-type Markov chain
+    (ops/survival.py:markov_stationary): fixed-point integer power
+    iteration over the K^2 transition counts, bit-exact vs the
+    oracle's unrolled HUGEINT CTE chain."""
+    import ray.data as rd
+
+    from ocr_ray.ops.survival import markov_stationary
+
+    _quiet()
+    return markov_stationary(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+    )
+
+
+def q_phrase_match_counts(sf_dir: str):
+    """Lexicon tagging: per-phrase occurrence and matched-doc counts
+    via vectorized multi-pattern substring counting
+    (ops/lexicon.py:phrase_match_counts)."""
+    from ocr_ray.ops.lexicon import phrase_match_counts
+
+    _quiet()
+    return phrase_match_counts(_docs(sf_dir, "text"))
+
+
+def q_rolling_corr_daily(sf_dir: str):
+    """7-day rolling Pearson correlation between daily event count and
+    daily revenue cents (ops/series.py:rolling_corr_daily), exact
+    integer moments with the float finish mirrored in the oracle."""
+    import ray.data as rd
+
+    from ocr_ray.ops.series import rolling_corr_daily
+
+    _quiet()
+    return rolling_corr_daily(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    )
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -8025,6 +8084,10 @@ QUERIES = {
     "events_ewma_daily": q_events_ewma_daily,
     "token_budget_sample": q_token_budget_sample,
     "lang_source_mutual_info": q_lang_source_mutual_info,
+    "kaplan_meier_retention": q_kaplan_meier_retention,
+    "markov_stationary": q_markov_stationary,
+    "phrase_match_counts": q_phrase_match_counts,
+    "rolling_corr_daily": q_rolling_corr_daily,
 }
 
 
@@ -11196,4 +11259,15 @@ def oracle_sql() -> dict[str, str]:
     from ocr_ray.ops.stats import multigrain_event_rollup_sql
 
     oracles["multigrain_rollup"] = multigrain_event_rollup_sql()
+    from ocr_ray.ops.lexicon import phrase_match_counts_sql
+    from ocr_ray.ops.series import rolling_corr_daily_sql
+    from ocr_ray.ops.survival import (
+        kaplan_meier_retention_sql,
+        markov_stationary_sql,
+    )
+
+    oracles["kaplan_meier_retention"] = kaplan_meier_retention_sql()
+    oracles["markov_stationary"] = markov_stationary_sql()
+    oracles["phrase_match_counts"] = phrase_match_counts_sql()
+    oracles["rolling_corr_daily"] = rolling_corr_daily_sql()
     return oracles

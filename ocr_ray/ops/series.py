@@ -378,3 +378,104 @@ def dau_jaccard_sql() -> str:
         "FROM g GROUP BY day\n"
         "HAVING SUM(cur) > 0 AND SUM(nxt) > 0"
     )
+
+
+def rolling_corr_daily(events, window: int = 7):
+    """Rolling Pearson correlation between the daily event COUNT and
+    the daily revenue (exact cents) series, over a window of
+    ``window`` consecutive OBSERVED days (row-space, like
+    ``autocorr_daily``) — the load-vs-revenue coupling monitor a
+    capacity/mix decision reads.
+
+    Scale shape: one keyed aggregate collapses the stream to
+    (day, n, cents) — bounded by #days — and the rolling moments fold
+    driver-side over that bounded series in exact big-int arithmetic.
+    The ONLY floats are the final casts + sqrt + divide, written
+    identically in the oracle (window SUMs over HUGEINT there), so the
+    statistic compares bit-exact.
+
+    Output: (day, n_days, corr) for every window fully inside the
+    observed-day series with nonzero variance on both sides.
+    """
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.driver import _cents
+
+    def partials(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us")
+        )
+        g = (
+            pa.table({"day": day, "cents": _cents(t["value"])})
+            .group_by(["day"])
+            .aggregate([("cents", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["day", "cents", "n"])
+
+    rows = (
+        events.map_batches(partials, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(
+            Sum("cents", alias_name="cents"), Sum("n", alias_name="n")
+        )
+    ).take_all()  # bounded by #days
+    rows.sort(key=lambda r: r["day"])
+    days = [r["day"] for r in rows]
+    xs = [int(r["n"]) for r in rows]
+    ys = [int(r["cents"]) for r in rows]
+
+    out_day, out_n, out_c = [], [], []
+    for i in range(window - 1, len(xs)):
+        a = xs[i - window + 1 : i + 1]
+        b = ys[i - window + 1 : i + 1]
+        m = window
+        s1, s2 = sum(a), sum(b)
+        q1 = sum(v * v for v in a)
+        q2 = sum(v * v for v in b)
+        q11 = sum(u * v for u, v in zip(a, b))
+        num = m * q11 - s1 * s2
+        d1 = m * q1 - s1 * s1
+        d2 = m * q2 - s2 * s2
+        if d1 == 0 or d2 == 0:
+            continue
+        corr = float(num) / (
+            np.sqrt(np.float64(d1)) * np.sqrt(np.float64(d2))
+        )
+        out_day.append(days[i])
+        out_n.append(m)
+        out_c.append(float(corr))
+    return pa.table(
+        {
+            "day": pa.array(out_day, pa.timestamp("us")),
+            "n_days": pa.array(out_n, pa.int64()),
+            "corr": pa.array(out_c, pa.float64()),
+        }
+    )
+
+
+def rolling_corr_daily_sql(window: int = 7) -> str:
+    w = window - 1
+    return (
+        "WITH d AS (\n"
+        " SELECT date_trunc('day', ts) AS day,\n"
+        "  COUNT(*)::HUGEINT AS n,\n"
+        "  SUM(CAST(ROUND(value * 100.0) AS BIGINT))::HUGEINT AS cents\n"
+        " FROM events GROUP BY 1\n"
+        "), m AS (\n"
+        " SELECT day,\n"
+        f"  COUNT(*) OVER w AS cnt,\n"
+        "  SUM(n) OVER w AS s1, SUM(cents) OVER w AS s2,\n"
+        "  SUM(n * n) OVER w AS q1, SUM(cents * cents) OVER w AS q2,\n"
+        "  SUM(n * cents) OVER w AS q11\n"
+        " FROM d\n"
+        f" WINDOW w AS (ORDER BY day ROWS BETWEEN {w} PRECEDING AND CURRENT ROW)\n"
+        "), f AS (\n"
+        f" SELECT day, {window}::HUGEINT * q11 - s1 * s2 AS num,\n"
+        f"  {window}::HUGEINT * q1 - s1 * s1 AS d1,\n"
+        f"  {window}::HUGEINT * q2 - s2 * s2 AS d2\n"
+        f" FROM m WHERE cnt = {window}\n"
+        ")\n"
+        f"SELECT day, {window}::BIGINT AS n_days,\n"
+        " CAST(num AS DOUBLE) / (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE))) AS corr\n"
+        "FROM f WHERE d1 <> 0 AND d2 <> 0"
+    )
