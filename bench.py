@@ -120,6 +120,14 @@ BENCH_QUERIES = [
     "pq_adc_violations",
     "welch_t_by_source",
     "rendezvous_shards",
+    # round-3 close batch: survival/process-state + provenance family
+    "kaplan_meier_retention",
+    "markov_stationary",
+    "phrase_match_counts",
+    "rolling_corr_daily",
+    "mutual_nn_pairs",
+    "cross_source_overlap_matrix",
+    "daily_interp",
 ]
 
 

@@ -7818,6 +7818,45 @@ def q_rolling_corr_daily(sf_dir: str):
     )
 
 
+def q_mutual_nn_pairs(sf_dir: str):
+    """Mutual nearest-neighbor cosine pairs
+    (ops/similarity.py:mutual_nn_pairs): exact top-1 per vector against
+    the broadcast corpus matrix, mutuality resolved by one slim
+    unordered-pair shuffle."""
+    from ocr_ray.ops.similarity import mutual_nn_pairs
+
+    _quiet()
+    return mutual_nn_pairs(_embeddings(sf_dir))
+
+
+def q_cross_source_overlap_matrix(sf_dir: str):
+    """Source-granular MOSS matrix: winnowing-fingerprint
+    co-occurrence counts per unordered source pair
+    (ops/textstats.py:cross_source_overlap_matrix) — provenance
+    contamination audit; co-occurrences counted per fingerprint group,
+    never enumerated."""
+    from ocr_ray.ops.textstats import cross_source_overlap_matrix
+
+    _quiet()
+    return cross_source_overlap_matrix(_docs(sf_dir, "text", "source"))
+
+
+def q_daily_interp(sf_dir: str):
+    """Dense daily grid with exact-integer linear interpolation of
+    missing days (ops/resample.py:daily_linear_interp) — the gap-fill
+    companion to the LOCF resample."""
+    import ray.data as rd
+
+    from ocr_ray.ops.resample import daily_linear_interp
+
+    _quiet()
+    return daily_linear_interp(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        )
+    )
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -8088,6 +8127,9 @@ QUERIES = {
     "markov_stationary": q_markov_stationary,
     "phrase_match_counts": q_phrase_match_counts,
     "rolling_corr_daily": q_rolling_corr_daily,
+    "mutual_nn_pairs": q_mutual_nn_pairs,
+    "cross_source_overlap_matrix": q_cross_source_overlap_matrix,
+    "daily_interp": q_daily_interp,
 }
 
 
@@ -8247,6 +8289,38 @@ def _winnow_overlap_sql(min_shared: int = 8, max_df: int = 64,
         "SELECT doc_a, doc_b, n_shared, sa.sz AS size_a, sb.sz AS size_b\n"
         "FROM prs JOIN sizes sa ON sa.doc_id = prs.doc_a\n"
         "JOIN sizes sb ON sb.doc_id = prs.doc_b"
+    )
+
+
+def _cross_source_overlap_sql(max_df: int = 64, window: int = 8) -> str:
+    """SQL replay of textstats.cross_source_overlap_matrix: the
+    winnowing CTE chain up to per-doc distinct fingerprints, then
+    per-(fp, source) counts and the pair-count rollup (n_a*n_b /
+    C(n,2)) under the same df cap."""
+    base = _winnowing_sql(window=window)
+    chain = base[: base.index("), flagged AS (")] + ")"
+    return (
+        chain + ",\n"
+        "fps AS (\n"
+        " SELECT DISTINCT doc_id, wmin AS fp FROM winpos\n"
+        " UNION\n"
+        " SELECT doc_id, MIN(h) AS fp FROM valid GROUP BY doc_id"
+        f" HAVING MAX(n_h) <= {window}\n"
+        "), dfs AS (SELECT fp, COUNT(*) AS dfc FROM fps GROUP BY fp),\n"
+        "g AS (\n"
+        " SELECT f.fp, d.source, COUNT(*) AS n\n"
+        " FROM fps f JOIN documents d USING (doc_id) JOIN dfs USING (fp)\n"
+        f" WHERE dfs.dfc <= {max_df} AND dfs.dfc >= 2\n"
+        " GROUP BY 1, 2\n"
+        "), p AS (\n"
+        " SELECT a.source AS source_a, b.source AS source_b,\n"
+        "  CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2\n"
+        "       ELSE a.n * b.n END AS c\n"
+        " FROM g a JOIN g b ON a.fp = b.fp AND a.source <= b.source\n"
+        ")\n"
+        "SELECT source_a, source_b,"
+        " CAST(SUM(c) AS BIGINT) AS n_cooccurrences\n"
+        "FROM p GROUP BY 1, 2 HAVING SUM(c) > 0"
     )
 
 
@@ -11270,4 +11344,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["markov_stationary"] = markov_stationary_sql()
     oracles["phrase_match_counts"] = phrase_match_counts_sql()
     oracles["rolling_corr_daily"] = rolling_corr_daily_sql()
+    from ocr_ray.ops.resample import daily_linear_interp_sql
+    from ocr_ray.ops.similarity import mutual_nn_pairs_sql
+
+    oracles["mutual_nn_pairs"] = mutual_nn_pairs_sql()
+    oracles["cross_source_overlap_matrix"] = _cross_source_overlap_sql()
+    oracles["daily_interp"] = daily_linear_interp_sql()
     return oracles

@@ -1923,3 +1923,4 @@ def snm_quality_report_sql(fp_sql: str, window: int = 3,
         " AS recall_ppm\n"
         "FROM m"
     )
+

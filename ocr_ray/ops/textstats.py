@@ -726,3 +726,104 @@ def sentence_length_hist_sql(cap: int = 50) -> str:
         " CAST(COUNT(*) AS BIGINT) AS n_sentences\n"
         "FROM w GROUP BY wc"
     )
+
+
+def cross_source_overlap_matrix(docs, max_df: int = 64):
+    """Source-granular MOSS matrix: for every unordered source pair
+    (a <= b), the number of cross-document winnowing-fingerprint
+    co-occurrences with one doc in each source (within-source
+    co-occurrences count C(n,2)) — "which crawls copy from which", the
+    provenance contamination rollup a corpus-mixing decision reads.
+    Fingerprints present in more than ``max_df`` docs are dropped
+    whole before pairing (stop-fingerprint guard, mirrored by the
+    oracle's df filter).
+
+    Scale shape: one hash shuffle of slim (fp, source) rows; each
+    fingerprint group collapses to per-source counts and emits at most
+    S^2 pair rows — co-occurrences are COUNTED via n_a*n_b, never
+    enumerated.  A tiny keyed sum finishes.
+
+    Output: (source_a, source_b, n_cooccurrences), source_a <= source_b.
+    """
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.dedup import _with_schema
+    from ocr_ray.stages.grouped import grouped_map
+
+    def fp_src_rows(batch: pa.Table) -> pa.Table:
+        fp_out, src_out = [], []
+        for text, src in zip(
+            batch.column("text").to_pylist(),
+            batch.column("source").to_pylist(),
+        ):
+            fps = np.unique(
+                np.array(winnow_fingerprints(text), dtype=np.int64)
+            )
+            fp_out.append(fps)
+            src_out.extend([src] * fps.size)
+        if not fp_out:
+            return pa.schema(
+                [("fp", pa.int64()), ("source", pa.string())]
+            ).empty_table()
+        return pa.table(
+            {
+                "fp": pa.array(np.concatenate(fp_out), pa.int64()),
+                "source": pa.array(src_out, pa.string()),
+            }
+        )
+
+    pair_schema = pa.schema(
+        [
+            ("source_a", pa.string()),
+            ("source_b", pa.string()),
+            ("c", pa.int64()),
+        ]
+    )
+
+    def pairs(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return pair_schema.empty_table()
+        src = np.asarray(block.column("source").to_pylist(), dtype=object)
+        ends = np.append(starts[1:], n)
+        a_o, b_o, c_o = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2 or e - s > max_df:
+                continue  # unique fp, or stop-fingerprint
+            uniq, cnt = np.unique(src[s:e], return_counts=True)
+            for i in range(len(uniq)):
+                if cnt[i] > 1:
+                    a_o.append(uniq[i])
+                    b_o.append(uniq[i])
+                    c_o.append(int(cnt[i]) * (int(cnt[i]) - 1) // 2)
+                for j in range(i + 1, len(uniq)):
+                    a_o.append(uniq[i])
+                    b_o.append(uniq[j])
+                    c_o.append(int(cnt[i]) * int(cnt[j]))
+        return pa.table(
+            {
+                "source_a": pa.array(a_o, pa.string()),
+                "source_b": pa.array(b_o, pa.string()),
+                "c": pa.array(c_o, pa.int64()),
+            }
+        )
+
+    out = (
+        grouped_map(
+            docs.map_batches(fp_src_rows, batch_format="pyarrow"),
+            ["fp"],
+            pairs,
+        )
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("c", alias_name="n_cooccurrences"))
+    )
+    return _with_schema(
+        out,
+        pa.schema(
+            [
+                ("source_a", pa.string()),
+                ("source_b", pa.string()),
+                ("n_cooccurrences", pa.int64()),
+            ]
+        ),
+    )
