@@ -128,6 +128,10 @@ BENCH_QUERIES = [
     "mutual_nn_pairs",
     "cross_source_overlap_matrix",
     "daily_interp",
+    # bootstrap is map-side-only; effective_token_counts stays
+    # oracle-gated (it re-runs the full MinHash drop-list chain —
+    # same class as dedup_minhash_canonical)
+    "bootstrap_mean_ci",
 ]
 
 

@@ -7857,6 +7857,106 @@ def q_daily_interp(sf_dir: str):
     )
 
 
+def q_bootstrap_mean_ci(sf_dir: str):
+    """Deterministic Poisson-bootstrap replicate means of event value
+    (ops/bootstrap.py:bootstrap_mean_ci): hash-derived Poisson(1)
+    weights folded map-side to R partial rows; the replicate spread is
+    the metric's error bar."""
+    import ray.data as rd
+
+    from ocr_ray.ops.bootstrap import bootstrap_mean_ci
+
+    _quiet()
+    return bootstrap_mean_ci(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+        )
+    )
+
+
+def q_effective_token_counts(sf_dir: str):
+    """Tokens surviving near-dedup, by source: the corpus-size metric
+    a data-mixing decision actually consumes (raw token counts
+    overstate sources that copy themselves).  Composition: the MinHash
+    connected-component drop list (ops/dedup.py:dedup_minhash_drop_list,
+    bounded by the duplicate count) broadcast as an anti-join set over
+    one token-counting scan; per-source partials, one tiny keyed sum."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.analysis import _WORD_RE
+    from ocr_ray.ops.dedup import _with_schema, dedup_minhash_drop_list
+
+    _quiet()
+    drop_rows = _materialized(
+        dedup_minhash_drop_list(_docs(sf_dir), threshold=0.5),
+        pa.schema([("doc_id", pa.int64())]),
+    )
+    dropped = set(drop_rows.column("doc_id").to_pylist())
+
+    part_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_docs", pa.int64()),
+            ("total_tokens", pa.int64()),
+            ("n_kept", pa.int64()),
+            ("effective_tokens", pa.int64()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        import numpy as np
+
+        toks = np.asarray(
+            [
+                len(_WORD_RE.findall((x or "").lower()))
+                for x in t.column("text").to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        keep = np.asarray(
+            [
+                0 if d in dropped else 1
+                for d in t.column("doc_id").to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        src = np.asarray(t.column("source").to_pylist(), dtype=object)
+        uniq, inv = np.unique(src, return_inverse=True)
+        return pa.table(
+            {
+                "source": pa.array(list(uniq), pa.string()),
+                "n_docs": pa.array(np.bincount(inv), pa.int64()),
+                "total_tokens": pa.array(
+                    np.bincount(inv, weights=toks).astype(np.int64),
+                    pa.int64(),
+                ),
+                "n_kept": pa.array(
+                    np.bincount(inv, weights=keep).astype(np.int64),
+                    pa.int64(),
+                ),
+                "effective_tokens": pa.array(
+                    np.bincount(inv, weights=toks * keep).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = (
+        _docs(sf_dir, "doc_id", "text", "source")
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_tokens", alias_name="total_tokens"),
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("effective_tokens", alias_name="effective_tokens"),
+        )
+    )
+    return _with_schema(out, part_schema)
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -8130,6 +8230,8 @@ QUERIES = {
     "mutual_nn_pairs": q_mutual_nn_pairs,
     "cross_source_overlap_matrix": q_cross_source_overlap_matrix,
     "daily_interp": q_daily_interp,
+    "bootstrap_mean_ci": q_bootstrap_mean_ci,
+    "effective_token_counts": q_effective_token_counts,
 }
 
 
@@ -11350,4 +11452,22 @@ def oracle_sql() -> dict[str, str]:
     oracles["mutual_nn_pairs"] = mutual_nn_pairs_sql()
     oracles["cross_source_overlap_matrix"] = _cross_source_overlap_sql()
     oracles["daily_interp"] = daily_linear_interp_sql()
+    from ocr_ray.ops.bootstrap import bootstrap_mean_ci_sql
+
+    oracles["bootstrap_mean_ci"] = bootstrap_mean_ci_sql()
+    oracles["effective_token_counts"] = (
+        "WITH RECURSIVE " + _SHINGLES_BODY + ",\n"
+        + _JACCARD_PAIRS_BODY + ",\n" + _COMPONENTS_BODY + ",\n"
+        "drops AS (SELECT node AS doc_id FROM comp"
+        " WHERE node <> component),\n"
+        f"tok AS (SELECT doc_id, source, len({_WORDS_SQL}) AS n_tok"
+        " FROM documents)\n"
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,\n"
+        " CAST(SUM(n_tok) AS BIGINT) AS total_tokens,\n"
+        " CAST(COUNT(*) - COUNT(d.doc_id) AS BIGINT) AS n_kept,\n"
+        " CAST(SUM(CASE WHEN d.doc_id IS NULL THEN n_tok ELSE 0 END)"
+        " AS BIGINT) AS effective_tokens\n"
+        "FROM tok LEFT JOIN drops d USING (doc_id)\n"
+        "GROUP BY source"
+    )
     return oracles
