@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     # oracle-gated (it re-runs the full MinHash drop-list chain —
     # same class as dedup_minhash_canonical)
     "bootstrap_mean_ci",
+    "target_encoding_folds",
 ]
 
 

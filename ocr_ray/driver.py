@@ -7957,6 +7957,23 @@ def q_effective_token_counts(sf_dir: str):
     return _with_schema(out, part_schema)
 
 
+def q_target_encoding_folds(sf_dir: str):
+    """Leave-fold-out target encoding of event_type by value cents
+    (ops/split.py:target_encoding_folds) — leakage-free categorical
+    mean encoding with entity-keyed folds."""
+    import ray.data as rd
+
+    from ocr_ray.ops.split import target_encoding_folds
+
+    _quiet()
+    return target_encoding_folds(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type", "value"],
+        )
+    )
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -8232,6 +8249,7 @@ QUERIES = {
     "daily_interp": q_daily_interp,
     "bootstrap_mean_ci": q_bootstrap_mean_ci,
     "effective_token_counts": q_effective_token_counts,
+    "target_encoding_folds": q_target_encoding_folds,
 }
 
 
@@ -11455,6 +11473,9 @@ def oracle_sql() -> dict[str, str]:
     from ocr_ray.ops.bootstrap import bootstrap_mean_ci_sql
 
     oracles["bootstrap_mean_ci"] = bootstrap_mean_ci_sql()
+    from ocr_ray.ops.split import target_encoding_folds_sql
+
+    oracles["target_encoding_folds"] = target_encoding_folds_sql()
     oracles["effective_token_counts"] = (
         "WITH RECURSIVE " + _SHINGLES_BODY + ",\n"
         + _JACCARD_PAIRS_BODY + ",\n" + _COMPONENTS_BODY + ",\n"
