@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     # same class as dedup_minhash_canonical)
     "bootstrap_mean_ci",
     "target_encoding_folds",
+    "negative_samples",
 ]
 
 

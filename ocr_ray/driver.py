@@ -7974,6 +7974,27 @@ def q_target_encoding_folds(sf_dir: str):
     )
 
 
+def q_negative_samples(sf_dir: str):
+    """Deterministic implicit-feedback negative sampling per customer
+    (ops/sample.py:negative_samples): hash-generated candidates scanned
+    against the per-customer purchased set, first k kept."""
+    import ray.data as rd
+
+    from ocr_ray.ops.sample import negative_samples
+
+    _quiet()
+    n_parts = pq.ParquetFile(f"{sf_dir}/part.parquet").metadata.num_rows
+    return negative_samples(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+        ),
+        n_parts=n_parts,
+    )
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -8250,6 +8271,7 @@ QUERIES = {
     "bootstrap_mean_ci": q_bootstrap_mean_ci,
     "effective_token_counts": q_effective_token_counts,
     "target_encoding_folds": q_target_encoding_folds,
+    "negative_samples": q_negative_samples,
 }
 
 
@@ -11476,6 +11498,9 @@ def oracle_sql() -> dict[str, str]:
     from ocr_ray.ops.split import target_encoding_folds_sql
 
     oracles["target_encoding_folds"] = target_encoding_folds_sql()
+    from ocr_ray.ops.sample import negative_samples_sql
+
+    oracles["negative_samples"] = negative_samples_sql()
     oracles["effective_token_counts"] = (
         "WITH RECURSIVE " + _SHINGLES_BODY + ",\n"
         + _JACCARD_PAIRS_BODY + ",\n" + _COMPONENTS_BODY + ",\n"
