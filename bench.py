@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "bootstrap_mean_ci",
     "target_encoding_folds",
     "negative_samples",
+    "transition_entropy",
 ]
 
 

@@ -7995,6 +7995,23 @@ def q_negative_samples(sf_dir: str):
     )
 
 
+def q_transition_entropy(sf_dir: str):
+    """Conditional entropy H(next|prev) of the event-type chain
+    (ops/infotheory.py:transition_entropy), quantized-log exact
+    integers over the K^2-bounded transition counts."""
+    import ray.data as rd
+
+    from ocr_ray.ops.infotheory import transition_entropy
+
+    _quiet()
+    return transition_entropy(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+    )
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -8272,6 +8289,7 @@ QUERIES = {
     "effective_token_counts": q_effective_token_counts,
     "target_encoding_folds": q_target_encoding_folds,
     "negative_samples": q_negative_samples,
+    "transition_entropy": q_transition_entropy,
 }
 
 
@@ -11501,6 +11519,9 @@ def oracle_sql() -> dict[str, str]:
     from ocr_ray.ops.sample import negative_samples_sql
 
     oracles["negative_samples"] = negative_samples_sql()
+    from ocr_ray.ops.infotheory import transition_entropy_sql
+
+    oracles["transition_entropy"] = transition_entropy_sql()
     oracles["effective_token_counts"] = (
         "WITH RECURSIVE " + _SHINGLES_BODY + ",\n"
         + _JACCARD_PAIRS_BODY + ",\n" + _COMPONENTS_BODY + ",\n"
