@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "target_encoding_folds",
     "negative_samples",
     "transition_entropy",
+    "vocab_concentration",
 ]
 
 

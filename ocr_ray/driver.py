@@ -8012,6 +8012,16 @@ def q_transition_entropy(sf_dir: str):
     )
 
 
+def q_vocab_concentration(sf_dir: str):
+    """Herfindahl token concentration per source in exact ppb
+    (ops/analysis.py:vocab_concentration) — template/spam dominance
+    signal for mixing decisions."""
+    from ocr_ray.ops.analysis import vocab_concentration
+
+    _quiet()
+    return vocab_concentration(_docs(sf_dir, "text", "source"))
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -8290,6 +8300,7 @@ QUERIES = {
     "target_encoding_folds": q_target_encoding_folds,
     "negative_samples": q_negative_samples,
     "transition_entropy": q_transition_entropy,
+    "vocab_concentration": q_vocab_concentration,
 }
 
 
@@ -11522,6 +11533,9 @@ def oracle_sql() -> dict[str, str]:
     from ocr_ray.ops.infotheory import transition_entropy_sql
 
     oracles["transition_entropy"] = transition_entropy_sql()
+    from ocr_ray.ops.analysis import vocab_concentration_sql
+
+    oracles["vocab_concentration"] = vocab_concentration_sql(_WORDS_SQL)
     oracles["effective_token_counts"] = (
         "WITH RECURSIVE " + _SHINGLES_BODY + ",\n"
         + _JACCARD_PAIRS_BODY + ",\n" + _COMPONENTS_BODY + ",\n"

@@ -15,6 +15,7 @@ import hashlib
 import re
 from collections import Counter
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -690,4 +691,109 @@ def unigram_js_divergence(docs):
         grouped_map(per_word, ["word"], pair_contrib)
         .groupby(["source_a", "source_b"])
         .aggregate(Sum("jsd_nano", alias_name="jsd_nano"))
+    )
+
+
+def vocab_concentration(docs):
+    """Herfindahl-Hirschman concentration of each source's token
+    distribution, in exact parts-per-billion:
+    ``hhi_ppb = Σ_w n_w² * 10^9 // N²`` — near 10^9/V means a flat
+    vocabulary, large values mean a few words dominate (template/spam
+    signal a mixing step downweights).  Pure integers end to end; no
+    float leaves either engine.
+
+    Scale shape: identical to ``vocab_by_source`` — map-side Counter
+    partials emit each batch's distinct (source, word) once, a keyed
+    sum merges them, and a second tiny keyed aggregate (one row per
+    source) folds Σn and Σn²; the ppb division is exact bigint.
+
+    Output: (source, n_tokens, n_types, hhi_ppb).
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        counts: Counter[tuple[str, str]] = Counter()
+        for source, text in zip(
+            t.column("source").to_pylist(), t.column("text").to_pylist()
+        ):
+            for w in _WORD_RE.findall((text or "").lower()):
+                counts[(source, w)] += 1
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in counts], pa.string()),
+                "word": pa.array([k[1] for k in counts], pa.string()),
+                "c": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    per_word = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby(["source", "word"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def sq(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [
+                    ("source", pa.string()),
+                    ("n_tokens", pa.int64()),
+                    ("n_types", pa.int64()),
+                    ("c2", pa.int64()),
+                ]
+            ).empty_table()
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "n_tokens": t.column("c"),
+                "n_types": pa.array(np.ones(len(c), np.int64), pa.int64()),
+                "c2": pa.array(c * c, pa.int64()),
+            }
+        )
+
+    rolled = (
+        per_word.map_batches(sq, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_types", alias_name="n_types"),
+            Sum("c2", alias_name="c2"),
+        )
+    ).take_all()  # bounded: one row per source
+    rolled.sort(key=lambda r: r["source"])
+    return pa.table(
+        {
+            "source": pa.array([r["source"] for r in rolled], pa.string()),
+            "n_tokens": pa.array(
+                [int(r["n_tokens"]) for r in rolled], pa.int64()
+            ),
+            "n_types": pa.array(
+                [int(r["n_types"]) for r in rolled], pa.int64()
+            ),
+            "hhi_ppb": pa.array(
+                [
+                    int(r["c2"]) * 1_000_000_000
+                    // max(int(r["n_tokens"]) ** 2, 1)
+                    for r in rolled
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def vocab_concentration_sql(words_sql: str) -> str:
+    return (
+        "WITH w AS (\n"
+        f" SELECT source, unnest({words_sql}) AS word FROM documents\n"
+        "), c AS (\n"
+        " SELECT source, word, COUNT(*) AS n FROM w GROUP BY 1, 2\n"
+        ")\n"
+        "SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,\n"
+        " CAST(COUNT(*) AS BIGINT) AS n_types,\n"
+        " CAST(SUM(n::HUGEINT * n) * 1000000000\n"
+        "  // GREATEST(SUM(n::HUGEINT) * SUM(n::HUGEINT), 1)"
+        " AS BIGINT) AS hhi_ppb\n"
+        "FROM c GROUP BY source"
     )

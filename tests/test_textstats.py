@@ -297,3 +297,33 @@ def test_readability_no_terminator_is_one_sentence(ray_session):
     )
     out = readability_scores(rd.from_arrow(t)).to_pandas().iloc[0]
     assert out["n_sents"] == 1
+
+
+def test_vocab_concentration_extremes(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.analysis import vocab_concentration
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "spam spam spam spam",          # one word: HHI = 1e9
+                    "alpha beta gamma delta",       # 4 words once: 1e9/4
+                ],
+                pa.string(),
+            ),
+            "source": pa.array(["mono", "flat"], pa.string()),
+        }
+    )
+    out = (
+        vocab_concentration(rd.from_arrow(docs))
+        .to_pandas()
+        .set_index("source")
+    )
+    assert out.loc["mono", "hhi_ppb"] == 1_000_000_000
+    assert out.loc["mono", "n_types"] == 1
+    assert out.loc["flat", "hhi_ppb"] == 250_000_000
+    assert out.loc["flat", "n_tokens"] == 4
