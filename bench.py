@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "negative_samples",
     "transition_entropy",
     "vocab_concentration",
+    "langid_calibration",
 ]
 
 

@@ -8022,6 +8022,15 @@ def q_vocab_concentration(sf_dir: str):
     return vocab_concentration(_docs(sf_dir, "text", "source"))
 
 
+def q_langid_calibration(sf_dir: str):
+    """Margin-binned accuracy of the stopword language-ID heuristic vs
+    the labeled lang column (ops/analysis.py:langid_calibration)."""
+    from ocr_ray.ops.analysis import langid_calibration
+
+    _quiet()
+    return langid_calibration(_docs(sf_dir, "text", "lang"))
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -8301,6 +8310,7 @@ QUERIES = {
     "negative_samples": q_negative_samples,
     "transition_entropy": q_transition_entropy,
     "vocab_concentration": q_vocab_concentration,
+    "langid_calibration": q_langid_calibration,
 }
 
 
@@ -11536,6 +11546,11 @@ def oracle_sql() -> dict[str, str]:
     from ocr_ray.ops.analysis import vocab_concentration_sql
 
     oracles["vocab_concentration"] = vocab_concentration_sql(_WORDS_SQL)
+    from ocr_ray.ops.analysis import langid_calibration_sql
+
+    oracles["langid_calibration"] = langid_calibration_sql(
+        _WORDS_SQL, _stop_list_sql(STOP_ID), _stop_list_sql(STOP_EN)
+    )
     oracles["effective_token_counts"] = (
         "WITH RECURSIVE " + _SHINGLES_BODY + ",\n"
         + _JACCARD_PAIRS_BODY + ",\n" + _COMPONENTS_BODY + ",\n"

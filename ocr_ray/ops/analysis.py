@@ -797,3 +797,109 @@ def vocab_concentration_sql(words_sql: str) -> str:
         " AS BIGINT) AS hhi_ppb\n"
         "FROM c GROUP BY source"
     )
+
+
+def langid_calibration(docs):
+    """Margin-binned calibration audit of the stopword language-ID
+    heuristic against the labeled ``lang`` column: margin =
+    stop_id − stop_en clipped to [−5, 5]; per margin bucket, how often
+    the prediction matches the label — the confidence-vs-accuracy
+    table that decides where the cheap heuristic needs a model
+    fallback.
+
+    Map-side bucket partials (≤ 11 rows per batch), one tiny keyed
+    sum; accuracy is the single float division mirrored by the oracle.
+
+    Output: (margin_bucket, n_docs, n_correct, accuracy).
+    """
+    from ray.data.aggregate import Sum
+
+    stop_id, stop_en = set(STOP_ID), set(STOP_EN)
+
+    part_schema = pa.schema(
+        [
+            ("margin_bucket", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("n_correct", pa.int64()),
+        ]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        buckets, corrects = [], []
+        for text, lang in zip(
+            batch.column("text").to_pylist(),
+            batch.column("lang").to_pylist(),
+        ):
+            words = _WORD_RE.findall((text or "").lower())
+            sid = sum(1 for w in words if w in stop_id)
+            sen = sum(1 for w in words if w in stop_en)
+            pred = "id" if sid >= sen else "en"
+            m = max(-5, min(5, sid - sen))
+            buckets.append(m)
+            corrects.append(1 if pred == lang else 0)
+        b = np.asarray(buckets, dtype=np.int64)
+        c = np.asarray(corrects, dtype=np.int64)
+        uniq, inv = np.unique(b, return_inverse=True)
+        return pa.table(
+            {
+                "margin_bucket": pa.array(uniq, pa.int64()),
+                "n_docs": pa.array(np.bincount(inv), pa.int64()),
+                "n_correct": pa.array(
+                    np.bincount(inv, weights=c).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    rows = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby("margin_bucket")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_correct", alias_name="n_correct"),
+        )
+    ).take_all()  # bounded: 11 buckets
+    rows.sort(key=lambda r: int(r["margin_bucket"]))
+    return pa.table(
+        {
+            "margin_bucket": pa.array(
+                [int(r["margin_bucket"]) for r in rows], pa.int64()
+            ),
+            "n_docs": pa.array([int(r["n_docs"]) for r in rows], pa.int64()),
+            "n_correct": pa.array(
+                [int(r["n_correct"]) for r in rows], pa.int64()
+            ),
+            "accuracy": pa.array(
+                [
+                    float(int(r["n_correct"])) / float(int(r["n_docs"]))
+                    for r in rows
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def langid_calibration_sql(words_sql: str, stop_id_sql: str,
+                           stop_en_sql: str) -> str:
+    return (
+        "WITH counted AS (\n"
+        " SELECT lang,\n"
+        f"  CAST(len(list_filter({words_sql}, x ->"
+        f" list_contains({stop_id_sql}, x))) AS BIGINT) AS stop_id,\n"
+        f"  CAST(len(list_filter({words_sql}, x ->"
+        f" list_contains({stop_en_sql}, x))) AS BIGINT) AS stop_en\n"
+        " FROM documents\n"
+        "), scored AS (\n"
+        " SELECT GREATEST(-5, LEAST(5, stop_id - stop_en)) AS margin_bucket,\n"
+        "  CASE WHEN (CASE WHEN stop_id >= stop_en THEN 'id' ELSE 'en' END)"
+        " = lang THEN 1 ELSE 0 END AS correct\n"
+        " FROM counted\n"
+        ")\n"
+        "SELECT margin_bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,\n"
+        " CAST(SUM(correct) AS BIGINT) AS n_correct,\n"
+        " CAST(SUM(correct) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+        " AS accuracy\n"
+        "FROM scored GROUP BY margin_bucket"
+    )

@@ -327,3 +327,34 @@ def test_vocab_concentration_extremes(ray_session):
     assert out.loc["mono", "n_types"] == 1
     assert out.loc["flat", "hhi_ppb"] == 250_000_000
     assert out.loc["flat", "n_tokens"] == 4
+
+
+def test_langid_calibration_hand(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.analysis import langid_calibration
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "the and of the",     # words >=3 chars: the,and,the -> margin -3, pred en
+                    "yang dan",           # margin 2, pred id
+                    "plain words only",   # margin 0, pred id (tie -> id)
+                ],
+                pa.string(),
+            ),
+            "lang": pa.array(["en", "id", "en"], pa.string()),
+        }
+    )
+    out = (
+        langid_calibration(rd.from_arrow(docs))
+        .to_pandas()
+        .set_index("margin_bucket")
+    )
+    assert out.loc[-3, "n_correct"] == 1
+    assert out.loc[2, "n_correct"] == 1
+    assert out.loc[0, "n_correct"] == 0  # tie predicted id, truth en
+    assert out.loc[0, "accuracy"] == 0.0
