@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "transition_entropy",
     "vocab_concentration",
     "langid_calibration",
+    "kcenter_coreset",
 ]
 
 

@@ -8031,6 +8031,16 @@ def q_langid_calibration(sf_dir: str):
     return langid_calibration(_docs(sf_dir, "text", "lang"))
 
 
+def q_kcenter_coreset(sf_dir: str):
+    """Greedy farthest-point k-center coreset over the embeddings
+    (ops/similarity.py:kcenter_coreset): k map-reduce passes, exact
+    integer squared distances, deterministic argmax."""
+    from ocr_ray.ops.similarity import kcenter_coreset
+
+    _quiet()
+    return kcenter_coreset(_embeddings(sf_dir))
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -8311,6 +8321,7 @@ QUERIES = {
     "transition_entropy": q_transition_entropy,
     "vocab_concentration": q_vocab_concentration,
     "langid_calibration": q_langid_calibration,
+    "kcenter_coreset": q_kcenter_coreset,
 }
 
 
@@ -11551,6 +11562,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["langid_calibration"] = langid_calibration_sql(
         _WORDS_SQL, _stop_list_sql(STOP_ID), _stop_list_sql(STOP_EN)
     )
+    from ocr_ray.ops.similarity import kcenter_coreset_sql
+
+    oracles["kcenter_coreset"] = kcenter_coreset_sql()
     oracles["effective_token_counts"] = (
         "WITH RECURSIVE " + _SHINGLES_BODY + ",\n"
         + _JACCARD_PAIRS_BODY + ",\n" + _COMPONENTS_BODY + ",\n"

@@ -1507,3 +1507,164 @@ def mutual_nn_pairs_sql() -> str:
         "FROM nn x JOIN nn y ON y.ai = x.bi AND y.bi = x.ai\n"
         "WHERE x.rn = 1 AND y.rn = 1 AND x.ai < x.bi"
     )
+
+
+# ------------------------------------------------------- k-center coreset
+
+
+def kcenter_coreset(embeddings, k: int = 8, scale: int = 1_000_000):
+    """Greedy farthest-point (k-center / Gonzalez) coreset selection —
+    the diversity-maximizing data-pruning pass: start from the
+    min-vec_id vector, then k−1 times pick the vector farthest (max
+    min-distance) from everything selected so far.
+
+    Exactness contract: coordinates quantize to ``floor(x * scale)``
+    int64 ONCE, and all distances are exact integer squared-Euclidean,
+    so the argmax (ties broken by vec_id ASC) is deterministic and the
+    oracle's unrolled CTE replay picks the identical centers — no
+    float comparison anywhere.
+
+    Scale shape: the canonical k-pass iterative algorithm — each
+    round is one map_batches pass emitting ONE candidate row per
+    batch (its local farthest point, vector carried along), the
+    driver reduces the per-batch candidates and broadcasts the grown
+    center list into the next pass via the task closure.  k passes
+    over the data, O(#batches) driver rows per pass. Degenerate
+    corpora (all points equal) stop early when the max distance hits
+    0, in both engines.
+
+    Output: (center_rank, vec_id, min_dist) with min_dist the exact
+    integer squared distance to the previously selected set (0 for
+    rank 0).
+    """
+
+    def quant(batch: pa.Table):
+        m = _batch_matrix(batch)
+        q = np.floor(m * scale).astype(np.int64)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return ids, q
+
+    def min_id_candidate(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "d": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        ids, q = quant(batch)
+        i = int(np.argmin(ids))
+        return pa.table(
+            {
+                "vec_id": pa.array([int(ids[i])], pa.int64()),
+                "d": pa.array([0], pa.int64()),
+                "v": pa.array([q[i].tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    cands = embeddings.map_batches(
+        min_id_candidate, batch_format="pyarrow"
+    ).take_all()
+    if not cands:
+        return pa.table(
+            {
+                "center_rank": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "min_dist": pa.array([], pa.int64()),
+            }
+        )
+    first = min(cands, key=lambda r: r["vec_id"])
+    centers = [np.asarray(first["v"], dtype=np.int64)]
+    out_rank = [0]
+    out_id = [int(first["vec_id"])]
+    out_d = [0]
+
+    for rank in range(1, k):
+        cmat = np.stack(centers)
+
+        def far_candidate(batch: pa.Table, cmat=cmat) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "vec_id": pa.array([], pa.int64()),
+                        "d": pa.array([], pa.int64()),
+                        "v": pa.array([], pa.list_(pa.int64())),
+                    }
+                )
+            ids, q = quant(batch)
+            # exact int sq dist to each center: (n, c) via loop over the
+            # few centers (k <= 8), vectorized over rows and dims
+            dmin = None
+            for c in cmat:
+                diff = q - c[None, :]
+                d = (diff * diff).sum(axis=1)
+                dmin = d if dmin is None else np.minimum(dmin, d)
+            best = int(dmin.max())
+            tie = ids[np.flatnonzero(dmin == best)]
+            i = int(np.flatnonzero(ids == tie.min())[0])
+            return pa.table(
+                {
+                    "vec_id": pa.array([int(ids[i])], pa.int64()),
+                    "d": pa.array([best], pa.int64()),
+                    "v": pa.array([q[i].tolist()], pa.list_(pa.int64())),
+                }
+            )
+
+        cands = embeddings.map_batches(
+            far_candidate, batch_format="pyarrow"
+        ).take_all()
+        best = max(cands, key=lambda r: (int(r["d"]), -int(r["vec_id"])))
+        if int(best["d"]) == 0:
+            break  # all remaining points coincide with a center
+        centers.append(np.asarray(best["v"], dtype=np.int64))
+        out_rank.append(rank)
+        out_id.append(int(best["vec_id"]))
+        out_d.append(int(best["d"]))
+
+    return pa.table(
+        {
+            "center_rank": pa.array(out_rank, pa.int64()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "min_dist": pa.array(out_d, pa.int64()),
+        }
+    )
+
+
+def kcenter_coreset_sql(k: int = 8, scale: int = 1_000_000) -> str:
+    def sq(c: str) -> str:
+        return (
+            "list_sum(list_transform(q.v, (x, i) ->"
+            f" (x - {c}.v[i]) * (x - {c}.v[i])))"
+        )
+
+    parts = [
+        "WITH q AS MATERIALIZED (\n"
+        " SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),"
+        f" x -> CAST(floor(x * {scale}) AS BIGINT)) AS v\n"
+        " FROM embeddings\n"
+        "), c0 AS MATERIALIZED (\n"
+        " SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 1\n"
+        ")"
+    ]
+    for j in range(1, k):
+        prev = ", ".join(f"c{i}" for i in range(j))
+        sqs = [sq(f"c{i}") for i in range(j)]
+        mind = sqs[0] if j == 1 else "LEAST(" + ", ".join(sqs) + ")"
+        parts.append(
+            f", c{j} AS MATERIALIZED (\n"
+            f" SELECT q.vec_id, q.v, {mind} AS d\n"
+            f" FROM q, {prev}\n"
+            " WHERE " + mind + " > 0\n"
+            " ORDER BY d DESC, q.vec_id ASC LIMIT 1\n"
+            ")"
+        )
+    selects = [
+        "SELECT 0::BIGINT AS center_rank, vec_id,"
+        " 0::BIGINT AS min_dist FROM c0"
+    ] + [
+        f"SELECT {j}::BIGINT AS center_rank, vec_id,"
+        f" CAST(d AS BIGINT) AS min_dist FROM c{j}"
+        for j in range(1, k)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)

@@ -125,3 +125,54 @@ def test_semdedup_e2e_matches_numpy_replay(ray_session):
     assert len(expect) >= 25  # the implanted near-dups were found
     for _, row in got.iterrows():
         assert assign[row["vec_id"]] == row["cluster"]
+
+
+def test_kcenter_coreset_hand(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.similarity import kcenter_coreset
+
+    # 2-D points: start at min id (0,0); farthest is (10,0); then (5,5)
+    pts = {1: [0.0, 0.0], 2: [10.0, 0.0], 3: [5.0, 5.0], 4: [0.1, 0.0]}
+    emb = pa.table(
+        {
+            "vec_id": pa.array(list(pts), pa.int64()),
+            "embedding": pa.array(
+                list(pts.values()), pa.list_(pa.float64())
+            ),
+        }
+    )
+    out = (
+        kcenter_coreset(rd.from_arrow(emb), k=3)
+        .to_pandas()
+        .sort_values("center_rank")
+        .reset_index(drop=True)
+    )
+    assert out["vec_id"].tolist() == [1, 2, 3]
+    s = 1_000_000
+    assert out["min_dist"].tolist() == [
+        0,
+        (10 * s) ** 2,
+        2 * (5 * s) ** 2,
+    ]
+
+
+def test_kcenter_coreset_degenerate_stops(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.similarity import kcenter_coreset
+
+    emb = pa.table(
+        {
+            "vec_id": pa.array([5, 9], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 2.0], [1.0, 2.0]], pa.list_(pa.float64())
+            ),
+        }
+    )
+    out = kcenter_coreset(rd.from_arrow(emb), k=4).to_pandas()
+    # identical points: only the first center is selectable
+    assert out["vec_id"].tolist() == [5]
