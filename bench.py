@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "vocab_concentration",
     "langid_calibration",
     "kcenter_coreset",
+    "embedding_top_pc",
 ]
 
 

@@ -8041,6 +8041,16 @@ def q_kcenter_coreset(sf_dir: str):
     return kcenter_coreset(_embeddings(sf_dir))
 
 
+def q_embedding_top_pc(sf_dir: str):
+    """Dominant eigenvector of the embedding Gram matrix via
+    fixed-point power iteration over the distributed exact moments
+    (ops/search.py:embedding_top_pc)."""
+    from ocr_ray.ops.search import embedding_top_pc
+
+    _quiet()
+    return embedding_top_pc(_embeddings(sf_dir))
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -8322,6 +8332,7 @@ QUERIES = {
     "vocab_concentration": q_vocab_concentration,
     "langid_calibration": q_langid_calibration,
     "kcenter_coreset": q_kcenter_coreset,
+    "embedding_top_pc": q_embedding_top_pc,
 }
 
 
@@ -11565,6 +11576,9 @@ def oracle_sql() -> dict[str, str]:
     from ocr_ray.ops.similarity import kcenter_coreset_sql
 
     oracles["kcenter_coreset"] = kcenter_coreset_sql()
+    from ocr_ray.ops.search import embedding_top_pc_sql
+
+    oracles["embedding_top_pc"] = embedding_top_pc_sql()
     oracles["effective_token_counts"] = (
         "WITH RECURSIVE " + _SHINGLES_BODY + ",\n"
         + _JACCARD_PAIRS_BODY + ",\n" + _COMPONENTS_BODY + ",\n"

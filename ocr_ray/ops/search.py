@@ -556,3 +556,94 @@ def bm25_topk(docs, terms, k: int = 20):
         score_schema,
     )
     return scored.sort(["score", "doc_id"], descending=[True, False]).limit(k)
+
+
+PC_SCALE = 10**9  # fixed-point one for the power iteration
+
+
+def embedding_top_pc(embeddings, iters: int = 20, quant: int = 1000):
+    """Dominant eigenvector of the embedding second-moment (Gram)
+    matrix by fixed-point power iteration — the first PCA direction
+    (uncentered), the spectral summary a whitening / dimensionality
+    decision reads.
+
+    The distributed part is ``embedding_gram_moments`` (exact int64
+    quantized moments, d(d+1)/2 + d + 1 rows regardless of corpus
+    size); the 20-step iteration folds driver-side in pure integers:
+    w = G·v exactly, then renormalize v' = sign(w)·(|w|·S // max|w|)
+    (truncating division on NON-NEGATIVE operands only — DuckDB's
+    ``//`` truncates toward zero while Python floors, so the sign is
+    split identically in both engines). The oracle replays the
+    iteration with unrolled MATERIALIZED CTEs and the fixed-point
+    vector compares exactly.
+
+    Output: (dim, v_fixed) — 1-based dimension index and the
+    fixed-point eigenvector component (scale 10^9, max-norm 1).
+    """
+    moments = embedding_gram_moments(embeddings, quant=quant).take_all()
+    cells = {(int(r["i"]), int(r["j"])): int(r["s"]) for r in moments}
+    d = max((i for i, _ in cells), default=0)
+    if d == 0:
+        return pa.table(
+            {
+                "dim": pa.array([], pa.int64()),
+                "v_fixed": pa.array([], pa.int64()),
+            }
+        )
+    g = np.zeros((d, d), dtype=object)
+    for (i, j), s in cells.items():
+        if i >= 1 and j >= 1:
+            g[i - 1][j - 1] = s
+            if i != j:
+                g[j - 1][i - 1] = s
+
+    v = [PC_SCALE] * d
+    for _ in range(iters):
+        w = [sum(int(g[i][j]) * v[j] for j in range(d)) for i in range(d)]
+        mx = max(abs(x) for x in w)
+        if mx == 0:
+            break
+        v = [
+            (abs(x) * PC_SCALE // mx) * (1 if x >= 0 else -1) for x in w
+        ]
+    return pa.table(
+        {
+            "dim": pa.array(np.arange(1, d + 1, dtype=np.int64), pa.int64()),
+            "v_fixed": pa.array(v, pa.int64()),
+        }
+    )
+
+
+def embedding_top_pc_sql(iters: int = 20, quant: int = 1000) -> str:
+    base = embedding_gram_moments_sql(quant=quant)
+    s = PC_SCALE
+    parts = [
+        "WITH m AS MATERIALIZED (\n" + base + "\n),\n"
+        "g AS MATERIALIZED (\n"
+        " SELECT i, j, s FROM m WHERE i >= 1 AND j >= 1\n"
+        " UNION ALL\n"
+        " SELECT j, i, s FROM m WHERE i >= 1 AND j > i\n"
+        "),\n"
+        "dims AS MATERIALIZED (SELECT DISTINCT i AS dim FROM g),\n"
+        f"v0 AS MATERIALIZED (SELECT dim, {s}::HUGEINT AS v FROM dims)"
+    ]
+    for t in range(iters):
+        parts.append(
+            f", w{t} AS MATERIALIZED (\n"
+            f" SELECT g.i AS dim, SUM(g.s::HUGEINT * v.v) AS w\n"
+            f" FROM g JOIN v{t} v ON v.dim = g.j GROUP BY g.i\n"
+            f"), mx{t} AS MATERIALIZED (SELECT MAX(ABS(w)) AS mx FROM w{t}),\n"
+            f"v{t + 1} AS MATERIALIZED (\n"
+            " SELECT d.dim,\n"
+            " CASE WHEN m.mx = 0 THEN v_prev.v\n"
+            f"  WHEN w.w >= 0 THEN (ABS(w.w) * {s}::HUGEINT) // m.mx\n"
+            f"  ELSE -((ABS(w.w) * {s}::HUGEINT) // m.mx) END AS v\n"
+            f" FROM dims d JOIN w{t} w ON w.dim = d.dim\n"
+            f" JOIN v{t} v_prev ON v_prev.dim = d.dim\n"
+            f" CROSS JOIN mx{t} m\n"
+            ")"
+        )
+    return (
+        "".join(parts)
+        + f"\nSELECT dim, CAST(v AS BIGINT) AS v_fixed FROM v{iters}"
+    )

@@ -176,3 +176,40 @@ def test_kcenter_coreset_degenerate_stops(ray_session):
     out = kcenter_coreset(rd.from_arrow(emb), k=4).to_pandas()
     # identical points: only the first center is selectable
     assert out["vec_id"].tolist() == [5]
+
+
+def test_embedding_top_pc_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.search import embedding_top_pc
+
+    # anisotropic cloud: dominant direction along (1, 0.5)
+    rng = [(i * 37 % 19) - 9 for i in range(40)]
+    base = np.array([[1.0, 0.5]]) * np.array(rng, dtype=float)[:, None]
+    noise = np.array(
+        [[(i * 53 % 7 - 3) / 50.0, (i * 29 % 11 - 5) / 50.0] for i in range(40)]
+    )
+    m = base + noise
+    emb = pa.table(
+        {
+            "vec_id": pa.array(np.arange(40), pa.int64()),
+            "embedding": pa.array([list(r) for r in m], pa.list_(pa.float64())),
+        }
+    )
+    out = (
+        embedding_top_pc(rd.from_arrow(emb))
+        .to_pandas()
+        .sort_values("dim")
+        .reset_index(drop=True)
+    )
+    v = out["v_fixed"].to_numpy().astype(float)
+    v = v / np.linalg.norm(v)
+    # numpy reference on the SAME quantized second-moment matrix
+    q = np.floor(m * 1000).astype(np.int64)
+    g = (q.T @ q).astype(float)
+    evals, evecs = np.linalg.eigh(g)
+    ref = evecs[:, -1]
+    cos = abs(float(v @ ref))
+    assert cos > 0.9999
