@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "langid_calibration",
     "kcenter_coreset",
     "embedding_top_pc",
+    "markov_eval_accuracy",
 ]
 
 

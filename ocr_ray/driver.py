@@ -8051,6 +8051,22 @@ def q_embedding_top_pc(sf_dir: str):
     return embedding_top_pc(_embeddings(sf_dir))
 
 
+def q_markov_eval_accuracy(sf_dir: str):
+    """Temporal-holdout next-event-type prediction accuracy of the
+    Markov mode model (ops/survival.py:markov_eval_accuracy)."""
+    import ray.data as rd
+
+    from ocr_ray.ops.survival import markov_eval_accuracy
+
+    _quiet()
+    return markov_eval_accuracy(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+    )
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -8333,6 +8349,7 @@ QUERIES = {
     "langid_calibration": q_langid_calibration,
     "kcenter_coreset": q_kcenter_coreset,
     "embedding_top_pc": q_embedding_top_pc,
+    "markov_eval_accuracy": q_markov_eval_accuracy,
 }
 
 
@@ -11579,6 +11596,9 @@ def oracle_sql() -> dict[str, str]:
     from ocr_ray.ops.search import embedding_top_pc_sql
 
     oracles["embedding_top_pc"] = embedding_top_pc_sql()
+    from ocr_ray.ops.survival import markov_eval_accuracy_sql
+
+    oracles["markov_eval_accuracy"] = markov_eval_accuracy_sql()
     oracles["effective_token_counts"] = (
         "WITH RECURSIVE " + _SHINGLES_BODY + ",\n"
         + _JACCARD_PAIRS_BODY + ",\n" + _COMPONENTS_BODY + ",\n"

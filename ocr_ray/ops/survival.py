@@ -325,3 +325,173 @@ def markov_stationary_sql(iters: int = 20, damping: int = 85) -> str:
         f"FROM v{iters}"
     )
     return head + "".join(steps) + tail
+
+
+def markov_eval_accuracy(events, cutoff_day: int = 15):
+    """Temporal-holdout evaluation of the Markov next-event predictor:
+    train = transition pairs whose NEXT event lands before
+    first_day + ``cutoff_day``, eval = the rest; the model predicts,
+    per prev type, the train-mode next type (ties lexicographic), with
+    the global train mode as the unseen-prev fallback — the
+    train/test-discipline template every sequence-model eval follows,
+    over the same K²-bounded transition statistics.
+
+    Scale shape: one scalar min-day aggregate, then ONE hash shuffle
+    of the stream by user where each block bincounts its consecutive
+    pairs into (prev, next, is_train) cells (≤ 2K² slim rows per
+    block); the model fit and the scoring fold driver-side over the
+    bounded cell table.  Exact integers; accuracy is the single float
+    division.
+
+    Output: one row (n_train, n_eval, n_correct, accuracy).  With an
+    empty train side nothing can be scored: (0, 0, 0, 0.0).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from ocr_ray.ops.dedup import _with_schema
+    from ocr_ray.stages.grouped import grouped_map
+
+    days_ds = events.map_batches(
+        lambda t: pa.table({"day": _epoch_day(t["ts"])}),
+        batch_format="pyarrow",
+    )
+    d0 = days_ds.aggregate(Min("day", alias_name="d0"))["d0"]
+    zero = pa.table(
+        {
+            "n_train": pa.array([0], pa.int64()),
+            "n_eval": pa.array([0], pa.int64()),
+            "n_correct": pa.array([0], pa.int64()),
+            "accuracy": pa.array([0.0], pa.float64()),
+        }
+    )
+    if d0 is None:
+        return zero
+    cut = int(d0) + cutoff_day
+
+    schema = pa.schema(
+        [
+            ("prev_type", pa.string()),
+            ("next_type", pa.string()),
+            ("tr", pa.int64()),
+            ("c", pa.int64()),
+        ]
+    )
+
+    def block_fn(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n < 2 or len(starts) == 0:
+            return schema.empty_table()
+        types = np.asarray(
+            block.column("event_type").to_pylist(), dtype=object
+        )
+        days = np.asarray(_epoch_day(block["ts"]), dtype=np.int64)
+        uniq, codes = np.unique(types, return_inverse=True)
+        k = len(uniq)
+        sizes = np.diff(np.append(starts, n))
+        gidx = np.repeat(np.arange(len(starts)), sizes)
+        within = gidx[1:] == gidx[:-1]
+        tr = (days[1:][within] < cut).astype(np.int64)
+        keys = (codes[:-1][within] * k + codes[1:][within]) * 2 + tr
+        counts = np.bincount(keys, minlength=k * k * 2)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "prev_type": pa.array(uniq[(nz // 2) // k], pa.string()),
+                "next_type": pa.array(uniq[(nz // 2) % k], pa.string()),
+                "tr": pa.array((nz % 2).astype(np.int64), pa.int64()),
+                "c": pa.array(counts[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = grouped_map(
+        events, ["user_id"], block_fn, sort_within=["ts", "event_id"]
+    )
+    cells = (
+        _with_schema(partials, schema)
+        .groupby(["prev_type", "next_type", "tr"])
+        .aggregate(Sum("c", alias_name="c"))
+    ).take_all()  # <= 2K^2 rows
+
+    train: dict[tuple[str, str], int] = {}
+    evals: dict[tuple[str, str], int] = {}
+    for r in cells:
+        key = (r["prev_type"], r["next_type"])
+        if int(r["tr"]) == 1:
+            train[key] = train.get(key, 0) + int(r["c"])
+        else:
+            evals[key] = evals.get(key, 0) + int(r["c"])
+    n_train = sum(train.values())
+    if n_train == 0:
+        return zero
+    # per-prev mode; iterating next ascending keeps the lexicographic
+    # smallest on count ties (matching ORDER BY c DESC, nxt ASC rn=1)
+    pred: dict[str, str] = {}
+    for (p, nx), c in sorted(train.items()):
+        if p not in pred or c > train[(p, pred[p])]:
+            pred[p] = nx
+    gmode_counts: dict[str, int] = {}
+    for (_p, nx), c in train.items():
+        gmode_counts[nx] = gmode_counts.get(nx, 0) + c
+    gmode = sorted(
+        gmode_counts.items(), key=lambda kv: (-kv[1], kv[0])
+    )[0][0]
+    n_eval = sum(evals.values())
+    n_correct = sum(
+        c for (p, nx), c in evals.items() if pred.get(p, gmode) == nx
+    )
+    return pa.table(
+        {
+            "n_train": pa.array([n_train], pa.int64()),
+            "n_eval": pa.array([n_eval], pa.int64()),
+            "n_correct": pa.array([n_correct], pa.int64()),
+            "accuracy": pa.array(
+                [
+                    float(n_correct) / float(n_eval) if n_eval else 0.0
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def markov_eval_accuracy_sql(cutoff_day: int = 15) -> str:
+    return (
+        "WITH b AS (SELECT MIN(epoch_us(ts)//1000000//86400) AS d0"
+        " FROM events),\n"
+        "seq AS (\n"
+        " SELECT user_id, event_type AS prev,\n"
+        "  LEAD(event_type) OVER w AS nxt,\n"
+        "  LEAD(epoch_us(ts)//1000000//86400) OVER w AS nday\n"
+        " FROM events\n"
+        " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)\n"
+        "), p AS (\n"
+        f" SELECT prev, nxt,"
+        f" CASE WHEN nday < b.d0 + {cutoff_day} THEN 1 ELSE 0 END AS tr\n"
+        " FROM seq, b WHERE nxt IS NOT NULL\n"
+        "), tc AS (\n"
+        " SELECT prev, nxt, COUNT(*) AS c FROM p WHERE tr = 1 GROUP BY 1, 2\n"
+        "), pred AS (\n"
+        " SELECT prev, nxt AS pr FROM (\n"
+        "  SELECT prev, nxt,\n"
+        "   ROW_NUMBER() OVER (PARTITION BY prev ORDER BY c DESC, nxt ASC)"
+        " AS rn\n"
+        "  FROM tc) t WHERE rn = 1\n"
+        "), gmode AS (\n"
+        " SELECT nxt AS gpr FROM (SELECT nxt, SUM(c) AS c FROM tc"
+        " GROUP BY 1) t\n"
+        " ORDER BY c DESC, nxt ASC LIMIT 1\n"
+        "), scored AS (\n"
+        " SELECT CASE WHEN COALESCE(pred.pr, g.gpr) = ev.nxt THEN 1 ELSE 0"
+        " END AS ok\n"
+        " FROM (SELECT prev, nxt FROM p WHERE tr = 0) ev\n"
+        " LEFT JOIN pred ON pred.prev = ev.prev CROSS JOIN gmode g\n"
+        ")\n"
+        "SELECT\n"
+        " CAST(COALESCE((SELECT SUM(c) FROM tc), 0) AS BIGINT) AS n_train,\n"
+        " CAST(COUNT(*) AS BIGINT) AS n_eval,\n"
+        " CAST(COALESCE(SUM(ok), 0) AS BIGINT) AS n_correct,\n"
+        " CASE WHEN COUNT(*) > 0 THEN\n"
+        "  CAST(SUM(ok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)\n"
+        " ELSE 0.0 END AS accuracy\n"
+        "FROM scored"
+    )

@@ -183,3 +183,39 @@ def test_rolling_corr_daily_constant_side_skipped(ray_session):
     )
     out = rolling_corr_daily(rd.from_arrow(events)).to_pandas()
     assert len(out) == 0
+
+
+def test_markov_eval_accuracy_hand(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.survival import markov_eval_accuracy
+
+    # train days 0..14: A->B 3x, A->C 1x (mode A->B); B->A 3x, C->A 1x
+    # eval days 15+: A->B (correct), A->C (wrong), B->A (correct)
+    day = 86_400 * 1_000_000
+    seq = [
+        # user 1, train: A B A B A B A C (pairs all before day 15)
+        (1, 0, "A"), (1, 1, "B"), (1, 2, "A"), (1, 3, "B"),
+        (1, 4, "A"), (1, 5, "B"), (1, 6, "A"), (1, 7, "C"),
+        (1, 8, "A"),
+        # user 2, eval: events on days 20..23 -> pairs in eval
+        (2, 20, "A"), (2, 21, "B"), (2, 22, "A"), (2, 23, "C"),
+    ]
+    events = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in seq], pa.int64()),
+            "ts": pa.array([r[1] * day for r in seq], pa.timestamp("us")),
+            "event_id": pa.array(range(len(seq)), pa.int64()),
+            "event_type": pa.array([r[2] for r in seq], pa.string()),
+        }
+    )
+    out = markov_eval_accuracy(
+        rd.from_arrow(events), cutoff_day=15
+    ).to_pandas()
+    # train pairs: A->B x3, A->C x1, B->A x3, C->A x1 = 8
+    assert out["n_train"][0] == 8
+    # eval pairs: A->B (pred B, ok), B->A (pred A, ok), A->C (pred B, no)
+    assert out["n_eval"][0] == 3
+    assert out["n_correct"][0] == 2
+    assert out["accuracy"][0] == 2 / 3
