@@ -219,3 +219,81 @@ def test_markov_eval_accuracy_hand(ray_session):
     assert out["n_eval"][0] == 3
     assert out["n_correct"][0] == 2
     assert out["accuracy"][0] == 2 / 3
+
+
+def test_kaplan_meier_matches_independent_reference(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from ocr_ray.ops.survival import kaplan_meier_retention
+
+    # deterministic pseudo-random stream: 60 users, bursty sessions
+    rows = []
+    state = 12345
+    def nxt(m):
+        nonlocal state
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        return state % m
+    for u in range(60):
+        t = nxt(50_000)
+        for _ in range(1 + nxt(5)):
+            n_ev = 1 + nxt(4)
+            for _ in range(n_ev):
+                rows.append((u, t))
+                t += 30 + nxt(900)
+            t += 2000 + nxt(20_000)  # gap > 1800 -> new session
+    out = (
+        kaplan_meier_retention(rd.from_arrow(_sec_events(rows)))
+        .to_pandas()
+        .sort_values("duration_min")
+        .reset_index(drop=True)
+    )
+
+    # independent per-user sessionizer + KM fold (plain dicts/loops)
+    from collections import defaultdict
+    by_user = defaultdict(list)
+    for u, s in rows:
+        by_user[u].append(s)
+    sessions = []
+    for u, secs in by_user.items():
+        secs.sort()
+        start = prev = secs[0]
+        for s in secs[1:]:
+            if s - prev > 1800:
+                sessions.append((start, prev))
+                start = s
+            prev = s
+        sessions.append((start, prev))
+    mx = max(e for _, e in sessions)
+    durs = sorted(
+        ((e - s) // 60, 1 if e <= mx - 1800 else 0) for s, e in sessions
+    )
+    # KM fold
+    total = len(durs)
+    steps = {}
+    for d, churn in durs:
+        n, m = steps.get(d, (0, 0))
+        steps[d] = (n + churn, m + 1)
+    surv = 1.0
+    seen = 0
+    expect = []
+    for d in sorted(steps):
+        n_churn, m = steps[d]
+        n_risk = total - seen
+        seen += m
+        if n_churn == 0:
+            continue
+        surv = surv * (1.0 - float(n_churn) / float(n_risk))
+        expect.append((d, n_risk, n_churn, surv))
+
+    got = list(
+        zip(
+            out["duration_min"], out["n_risk"],
+            out["n_churned"], out["survival"],
+        )
+    )
+    assert [(a, b, c) for a, b, c, _ in expect] == [
+        (a, b, c) for a, b, c, _ in got
+    ]
+    for (_, _, _, se), (_, _, _, sg) in zip(expect, got):
+        assert se == sg  # identical float fold
