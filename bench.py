@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "kcenter_coreset",
     "embedding_top_pc",
     "markov_eval_accuracy",
+    "neyman_allocation",
 ]
 
 

@@ -8067,6 +8067,16 @@ def q_markov_eval_accuracy(sf_dir: str):
     )
 
 
+def q_neyman_allocation(sf_dir: str):
+    """Neyman-optimal stratified sample allocation over sources with
+    exact integer square roots and largest-remainder rounding
+    (ops/split.py:neyman_allocation)."""
+    from ocr_ray.ops.split import neyman_allocation
+
+    _quiet()
+    return neyman_allocation(_docs(sf_dir, "source", "n_chars"))
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -8350,6 +8360,7 @@ QUERIES = {
     "kcenter_coreset": q_kcenter_coreset,
     "embedding_top_pc": q_embedding_top_pc,
     "markov_eval_accuracy": q_markov_eval_accuracy,
+    "neyman_allocation": q_neyman_allocation,
 }
 
 
@@ -11599,6 +11610,9 @@ def oracle_sql() -> dict[str, str]:
     from ocr_ray.ops.survival import markov_eval_accuracy_sql
 
     oracles["markov_eval_accuracy"] = markov_eval_accuracy_sql()
+    from ocr_ray.ops.split import neyman_allocation_sql
+
+    oracles["neyman_allocation"] = neyman_allocation_sql()
     oracles["effective_token_counts"] = (
         "WITH RECURSIVE " + _SHINGLES_BODY + ",\n"
         + _JACCARD_PAIRS_BODY + ",\n" + _COMPONENTS_BODY + ",\n"

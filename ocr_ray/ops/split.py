@@ -630,3 +630,127 @@ def target_encoding_folds_sql(k: int = 5) -> str:
         " ELSE 0.0 END AS enc_cents\n"
         "FROM cells c JOIN tot t USING (event_type)"
     )
+
+
+def neyman_allocation(docs, budget: int = 1000):
+    """Neyman-optimal stratified sample allocation over sources:
+    stratum weight w_s = N_s·σ_s computed EXACTLY as
+    isqrt(N_s·Σx² − (Σx)²) on the n_chars column (that product is
+    N_s²·Var_s, so its integer square root IS N_s·σ_s floored), then
+    ``budget`` seats assigned by the largest-remainder method
+    (floor(B·w/W) each, leftovers to the largest B·w mod W, ties by
+    source ascending) — the classical survey-design allocator, with
+    every comparison in exact integers so the oracle replays the
+    allocation seat-for-seat.
+
+    Scale shape: one map-side moment partial per batch (count, Σx,
+    Σx²), one tiny keyed sum (one row per source); the allocation
+    folds driver-side on the bounded source table.  The oracle's
+    isqrt is floor(sqrt(DOUBLE)) followed by a ±1 integer correction,
+    exact for any BIGINT.
+
+    Output: (source, n_docs, weight, alloc) sorted by source.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = t.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        src = np.asarray(t.column("source").to_pylist(), dtype=object)
+        uniq, inv = np.unique(src, return_inverse=True)
+        return pa.table(
+            {
+                "source": pa.array(list(uniq), pa.string()),
+                "n": pa.array(np.bincount(inv), pa.int64()),
+                "s1": pa.array(
+                    np.bincount(inv, weights=x).astype(np.int64), pa.int64()
+                ),
+                "s2": pa.array(
+                    np.bincount(inv, weights=x * x).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    rows = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2"),
+        )
+    ).take_all()  # bounded: one row per source
+    rows.sort(key=lambda r: r["source"])
+
+    srcs = [r["source"] for r in rows]
+    ns = [int(r["n"]) for r in rows]
+    ws = [
+        math.isqrt(max(int(r["n"]) * int(r["s2"]) - int(r["s1"]) ** 2, 0))
+        for r in rows
+    ]
+    total_w = sum(ws)
+    if total_w == 0:
+        alloc = [0] * len(ws)
+    else:
+        alloc = [budget * w // total_w for w in ws]
+        rem = [budget * w % total_w for w in ws]
+        leftover = budget - sum(alloc)
+        order = sorted(
+            range(len(ws)), key=lambda i: (-rem[i], srcs[i])
+        )
+        for i in order[:leftover]:
+            alloc[i] += 1
+    return pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "n_docs": pa.array(ns, pa.int64()),
+            "weight": pa.array(ws, pa.int64()),
+            "alloc": pa.array(alloc, pa.int64()),
+        }
+    )
+
+
+def neyman_allocation_sql(budget: int = 1000) -> str:
+    return (
+        "WITH m AS (\n"
+        " SELECT source, COUNT(*)::HUGEINT AS n,\n"
+        "  SUM(n_chars)::HUGEINT AS s1,\n"
+        "  SUM(n_chars::HUGEINT * n_chars)::HUGEINT AS s2\n"
+        " FROM documents GROUP BY source\n"
+        "), v AS (\n"
+        " SELECT source, n, GREATEST(n * s2 - s1 * s1, 0) AS num FROM m\n"
+        "), r0 AS (\n"
+        " SELECT source, n, num,\n"
+        "  CAST(floor(sqrt(CAST(num AS DOUBLE))) AS HUGEINT) AS s_approx\n"
+        " FROM v\n"
+        "), w AS (\n"
+        " SELECT source, n,\n"
+        "  s_approx\n"
+        "   - CASE WHEN s_approx * s_approx > num THEN 1 ELSE 0 END\n"
+        "   + CASE WHEN (s_approx + 1) * (s_approx + 1) <= num"
+        " THEN 1 ELSE 0 END AS wt\n"
+        " FROM r0\n"
+        "), tot AS (SELECT SUM(wt) AS tw FROM w),\n"
+        "base AS (\n"
+        f" SELECT source, n, wt,\n"
+        f"  CASE WHEN tot.tw = 0 THEN 0 ELSE ({budget}::HUGEINT * wt) // tot.tw END AS fl,\n"
+        f"  CASE WHEN tot.tw = 0 THEN 0 ELSE ({budget}::HUGEINT * wt) % tot.tw END AS rem\n"
+        " FROM w, tot\n"
+        "), lo AS (\n"
+        f" SELECT {budget} - SUM(fl) AS leftover FROM base\n"
+        "), rk AS (\n"
+        " SELECT source, n, wt, fl, rem,\n"
+        "  ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rn\n"
+        " FROM base\n"
+        ")\n"
+        "SELECT source, CAST(n AS BIGINT) AS n_docs,\n"
+        " CAST(wt AS BIGINT) AS weight,\n"
+        " CAST(fl + CASE WHEN (SELECT tw FROM tot) > 0"
+        " AND rn <= (SELECT leftover FROM lo)"
+        " THEN 1 ELSE 0 END AS BIGINT) AS alloc\n"
+        "FROM rk"
+    )

@@ -136,3 +136,39 @@ def test_target_encoding_leave_fold_out(ray_session):
         assert row["n_rest"] == total_n - nf
         assert row["enc_cents"] == (total_s - sf) / (total_n - nf)
     assert out["n_in_fold"].sum() == 6
+
+
+def test_neyman_allocation_hand(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.split import neyman_allocation
+
+    # source A: chars [10, 30] (N=2, var num = 2*1000 - 1600 = 400,
+    # w = 20); source B: constant chars (w = 0); source C: [5, 9, 13]
+    # (N=3, num = 3*275 - 27^2 = 96, w = isqrt(96) = 9)
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(7), pa.int64()),
+            "source": pa.array(
+                ["A", "A", "B", "B", "C", "C", "C"], pa.string()
+            ),
+            "n_chars": pa.array([10, 30, 7, 7, 5, 9, 13], pa.int64()),
+        }
+    )
+    out = (
+        neyman_allocation(rd.from_arrow(docs), budget=10)
+        .to_pandas()
+        .set_index("source")
+    )
+    assert out.loc["A", "weight"] == 20
+    assert out.loc["B", "weight"] == 0
+    assert out.loc["C", "weight"] == math.isqrt(96)
+    # W = 29: floors are 10*20//29 = 6, 0, 10*9//29 = 3; leftover 1
+    # goes to the largest remainder (A: 200%29=26, C: 90%29=3)
+    assert out.loc["A", "alloc"] == 7
+    assert out.loc["B", "alloc"] == 0
+    assert out.loc["C", "alloc"] == 3
+    assert out["alloc"].sum() == 10
