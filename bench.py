@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "embedding_top_pc",
     "markov_eval_accuracy",
     "neyman_allocation",
+    "dsir_clip_ess",
 ]
 
 

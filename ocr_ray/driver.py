@@ -8077,6 +8077,16 @@ def q_neyman_allocation(sf_dir: str):
     return neyman_allocation(_docs(sf_dir, "source", "n_chars"))
 
 
+def q_dsir_clip_ess(sf_dir: str):
+    """DSIR importance-weight clip sweep with effective sample size
+    (ops/filters.py:dsir_clip_ess) — the bias/variance diagnostic
+    behind choosing a weight clip for mixture reweighting."""
+    from ocr_ray.ops.filters import dsir_clip_ess
+
+    _quiet()
+    return dsir_clip_ess(_docs(sf_dir, "doc_id", "lang", "text"))
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_spans": q_extract_spans,
@@ -8361,6 +8371,7 @@ QUERIES = {
     "embedding_top_pc": q_embedding_top_pc,
     "markov_eval_accuracy": q_markov_eval_accuracy,
     "neyman_allocation": q_neyman_allocation,
+    "dsir_clip_ess": q_dsir_clip_ess,
 }
 
 
@@ -11613,6 +11624,9 @@ def oracle_sql() -> dict[str, str]:
     from ocr_ray.ops.split import neyman_allocation_sql
 
     oracles["neyman_allocation"] = neyman_allocation_sql()
+    from ocr_ray.ops.filters import dsir_clip_ess_sql
+
+    oracles["dsir_clip_ess"] = dsir_clip_ess_sql()
     oracles["effective_token_counts"] = (
         "WITH RECURSIVE " + _SHINGLES_BODY + ",\n"
         + _JACCARD_PAIRS_BODY + ",\n" + _COMPONENTS_BODY + ",\n"

@@ -323,3 +323,119 @@ def dsir_weights_sql(target_lang: str = "en") -> str:
         " CAST(COUNT(*) AS BIGINT) AS n_feat\n"
         "FROM b JOIN lr USING (bucket) GROUP BY doc_id"
     )
+
+
+DEFAULT_ESS_CLIPS = (0, 500_000, 1_000_000, 2_000_000)
+
+
+def dsir_clip_ess(docs, target_lang: str = "en",
+                  clips: tuple[int, ...] = DEFAULT_ESS_CLIPS):
+    """Weight-clipping sweep for the DSIR importance weights: for each
+    clip threshold (micro log-units), the effective sample size
+    ESS = (Σw)²/Σw² of the clipped weights
+    ``w = floor(exp(min(log_w, clip)/1e6)·1e6)`` — the diagnostic that
+    picks the clip value balancing bias (hard clip) against variance
+    (a few huge weights dominating the mixture).  Weights quantize to
+    integers through the same FLOOR(·1e6) discipline as the log-ratio
+    table itself, so both engines sum identical integers; ESS is the
+    single shared float expression.
+
+    Scale shape: rides the dsir scoring pass (per-doc slim weight
+    rows), folds to ``len(clips)`` partial rows per batch, one tiny
+    keyed sum.
+
+    Output: (clip_micro, n_docs, sum_wq, sum_wq2, ess).
+    """
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.dedup import _with_schema
+
+    weights = dsir_weights(docs, target_lang=target_lang)
+    clip_arr = np.asarray(clips, dtype=np.int64)
+
+    part_schema = pa.schema(
+        [
+            ("clip_micro", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("sum_wq", pa.int64()),
+            ("sum_wq2", pa.int64()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "weight_micro" not in t.column_names:
+            return part_schema.empty_table()
+        w = t.column("weight_micro").to_numpy(zero_copy_only=False)
+        rows_n, rows_s, rows_s2 = [], [], []
+        for c in clip_arr:
+            clipped = np.minimum(w, c).astype(np.float64) / 1e6
+            wq = np.floor(np.exp(clipped) * 1e6).astype(np.int64)
+            rows_n.append(len(wq))
+            rows_s.append(int(wq.sum()))
+            rows_s2.append(int((wq * wq).sum()))
+        return pa.table(
+            {
+                "clip_micro": pa.array(clip_arr, pa.int64()),
+                "n_docs": pa.array(rows_n, pa.int64()),
+                "sum_wq": pa.array(rows_s, pa.int64()),
+                "sum_wq2": pa.array(rows_s2, pa.int64()),
+            }
+        )
+
+    rows = (
+        weights.map_batches(partials, batch_format="pyarrow")
+        .groupby("clip_micro")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_wq", alias_name="sum_wq"),
+            Sum("sum_wq2", alias_name="sum_wq2"),
+        )
+    ).take_all()  # bounded: len(clips) rows
+    rows.sort(key=lambda r: int(r["clip_micro"]))
+    return pa.table(
+        {
+            "clip_micro": pa.array(
+                [int(r["clip_micro"]) for r in rows], pa.int64()
+            ),
+            "n_docs": pa.array([int(r["n_docs"]) for r in rows], pa.int64()),
+            "sum_wq": pa.array([int(r["sum_wq"]) for r in rows], pa.int64()),
+            "sum_wq2": pa.array(
+                [int(r["sum_wq2"]) for r in rows], pa.int64()
+            ),
+            "ess": pa.array(
+                [
+                    float(int(r["sum_wq"])) * float(int(r["sum_wq"]))
+                    / float(int(r["sum_wq2"]))
+                    if int(r["sum_wq2"]) > 0
+                    else 0.0
+                    for r in rows
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def dsir_clip_ess_sql(target_lang: str = "en",
+                      clips: tuple[int, ...] = DEFAULT_ESS_CLIPS) -> str:
+    values = ", ".join(f"({c})" for c in clips)
+    return (
+        "WITH d AS MATERIALIZED (\n"
+        + dsir_weights_sql(target_lang=target_lang)
+        + "\n), clips(clip_micro) AS (VALUES " + values + "),\n"
+        "w AS (\n"
+        " SELECT clips.clip_micro,\n"
+        "  CAST(floor(exp(CAST(LEAST(d.weight_micro, clips.clip_micro)"
+        " AS DOUBLE) / 1000000.0) * 1000000.0) AS HUGEINT) AS wq\n"
+        " FROM d CROSS JOIN clips\n"
+        ")\n"
+        "SELECT CAST(clip_micro AS BIGINT) AS clip_micro,"
+        " CAST(COUNT(*) AS BIGINT) AS n_docs,\n"
+        " CAST(SUM(wq) AS BIGINT) AS sum_wq,\n"
+        " CAST(SUM(wq * wq) AS BIGINT) AS sum_wq2,\n"
+        " CASE WHEN SUM(wq * wq) > 0 THEN\n"
+        "  CAST(SUM(wq) AS DOUBLE) * CAST(SUM(wq) AS DOUBLE)\n"
+        "   / CAST(SUM(wq * wq) AS DOUBLE)\n"
+        " ELSE 0.0 END AS ess\n"
+        "FROM w GROUP BY clip_micro"
+    )

@@ -154,3 +154,44 @@ def test_dsir_multi_block_counts_merge(ray_session):
     # identical texts → identical weights regardless of block placement
     assert len(en) == 1 and len(xx) == 1
     assert en[0] > xx[0]
+
+
+def test_dsir_clip_ess_monotone(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.ops.filters import dsir_clip_ess
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(8), pa.int64()),
+            "lang": pa.array(
+                ["en", "en", "en", "id", "id", "id", "en", "id"],
+                pa.string(),
+            ),
+            "text": pa.array(
+                [
+                    "the quick brown fox", "the lazy dog sleeps",
+                    "stream of tables", "yang dan di ke",
+                    "dari untuk dengan", "pada ini itu",
+                    "hash join filter scan", "adalah tidak akan",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        dsir_clip_ess(rd.from_arrow(docs))
+        .to_pandas()
+        .sort_values("clip_micro")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4
+    # every clip scores all docs; ESS in (0, n]
+    assert (out["n_docs"] == 8).all()
+    assert ((out["ess"] > 0) & (out["ess"] <= 8)).all()
+    # tighter clips can only concentrate less: ESS non-increasing as
+    # the clip loosens is NOT guaranteed in general, but the hardest
+    # clip (0: all positive weights flattened to <=1) must have ESS
+    # at least as high as the loosest
+    assert out["ess"].iloc[0] >= out["ess"].iloc[-1] - 1e-9
