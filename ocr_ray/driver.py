@@ -1802,6 +1802,28 @@ def q_curate_corpus_stats(sf_dir: str):
     return curate_stats(_docs(sf_dir))
 
 
+def q_curation_dag_stats(sf_dir: str):
+    """THE flagship composed curation DAG: read → quality/langid filter
+    → exact dedup → near-dup drop (inverted-index jaccard + connected
+    components) → decontaminate (benchmark = doc_id % 50 == 0, the
+    deterministic eval-set stand-in) → hash train/val/test split →
+    per-split sequence packing → per-split rollup. Text scanned twice;
+    every shuffle slim (pipelines/curation.py for the full scale
+    story). The oracle composes the green SQL fragments of
+    curate_corpus_stats, ngram_jaccard_pairs, dedup_minhash_components,
+    contamination_report, train_split_stats and pack_sequences."""
+    from ocr_ray.pipelines.curation import curation_dag_stats
+
+    docs = _docs(sf_dir)
+
+    def is_bench(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 50 == 0))
+
+    bench = docs.map_batches(is_bench, batch_format="pyarrow")
+    return curation_dag_stats(docs, bench)
+
+
 def q_redact_pii(sf_dir: str):
     """PII masking (URL/email/phone) as pure Arrow regex kernels; the
     oracle replays the byte-identical RE2 patterns in DuckDB."""
@@ -8204,6 +8226,7 @@ QUERIES = {
     "search_topk": q_search_topk,
     "label_centroids": q_label_centroids,
     "curate_corpus_stats": q_curate_corpus_stats,
+    "curation_dag_stats": q_curation_dag_stats,
     "redact_pii": q_redact_pii,
     "weighted_sample_docs": q_weighted_sample_docs,
     "chunk_docs": q_chunk_docs,
@@ -9101,6 +9124,143 @@ def _embedding_gram_sql() -> str:
     return embedding_gram_moments_sql()
 
 
+def _curation_dag_sql(
+    seq_len: int = 512,
+    max_df: int = 256,
+    threshold: float = 0.5,
+    contam_k: int = 8,
+    bench_pred: str = "doc_id % 50 = 0",
+) -> str:
+    """The flagship DAG's oracle: a verbatim composition of the proven
+    fragments — curate scoring/filter/exact-dedup (curate_corpus_stats),
+    keeper-restricted word-3-gram jaccard pairs with the same df cap
+    (ngram_jaccard_pairs), recursive-CTE connected components
+    (dedup_minhash_components), 8-token-shingle contamination
+    (contamination_report), the multiplicative-hash split
+    (train_split_stats) and the per-split window-cumsum packing
+    (pack_sequences). Heavy CTEs are MATERIALIZED (the repo-wide
+    recipe: DuckDB re-inlines per reference otherwise)."""
+    from ocr_ray.ops.split import TRAIN_PCT, VAL_PCT
+    from ocr_ray.ops.textstats import STOP_EN, STOP_ID
+
+    all_stops = _stop_list_sql(sorted(set(STOP_EN) | set(STOP_ID)))
+    return (
+        "WITH RECURSIVE scored AS MATERIALIZED (\n"
+        f" SELECT doc_id, {_WORDS_SQL} AS words, {_FP_SQL} AS fp,\n"
+        "  CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS punct,\n"
+        "  CAST(length(text) AS BIGINT) AS n_chars,\n"
+        "  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens\n"
+        " FROM documents\n"
+        "), derived AS MATERIALIZED (\n"
+        " SELECT doc_id, fp, n_tokens,\n"
+        "  CAST(len(words) AS BIGINT) AS n_words,\n"
+        "  CAST(punct AS DOUBLE) / CAST(GREATEST(n_chars, 1) AS DOUBLE)"
+        " AS punct_ratio,\n"
+        f"  CAST(len(list_filter(words, x -> list_contains({all_stops}, x)))"
+        " AS DOUBLE) / CAST(GREATEST(len(words), 1) AS DOUBLE) AS stop_ratio,\n"
+        f"  CAST(len(list_filter(words, x -> list_contains({_stop_list_sql(STOP_ID)}, x))) AS BIGINT) AS stop_id,\n"
+        f"  CAST(len(list_filter(words, x -> list_contains({_stop_list_sql(STOP_EN)}, x))) AS BIGINT) AS stop_en\n"
+        " FROM scored\n"
+        "), kept AS MATERIALIZED (\n"
+        " SELECT doc_id, fp, n_tokens,\n"
+        "  CASE WHEN stop_id >= stop_en THEN 'id' ELSE 'en' END AS lang_pred\n"
+        " FROM derived\n"
+        f" WHERE n_words >= {CURATE_MIN_WORDS}"
+        f" AND stop_ratio >= {CURATE_MIN_STOPWORD_RATIO}"
+        f" AND punct_ratio <= {CURATE_MAX_PUNCT_RATIO}\n"
+        "), dedup AS MATERIALIZED (\n"
+        " SELECT fp, lang_pred, n_tokens, MIN(doc_id) AS doc_id\n"
+        " FROM kept GROUP BY fp, lang_pred, n_tokens\n"
+        "), dtoks AS MATERIALIZED (\n"
+        " SELECT doc_id,"
+        " regexp_extract_all(lower(COALESCE(text, '')), '\\S+') AS t\n"
+        " FROM documents\n"
+        "), dsh AS MATERIALIZED (\n"
+        " SELECT DISTINCT doc_id,"
+        f" array_to_string(t[s + 1 : s + {contam_k}], ' ') AS shingle\n"
+        f" FROM (SELECT doc_id, t, unnest(range(0, len(t) - {contam_k} + 1))"
+        " AS s\n"
+        f"       FROM dtoks WHERE len(t) >= {contam_k})\n"
+        "), bench AS MATERIALIZED (\n"
+        f" SELECT DISTINCT shingle FROM dsh WHERE {bench_pred}\n"
+        "), contam AS MATERIALIZED (\n"
+        " SELECT DISTINCT doc_id FROM dsh"
+        " WHERE shingle IN (SELECT shingle FROM bench)\n"
+        "), kwords AS MATERIALIZED (\n"
+        " SELECT d.doc_id, regexp_extract_all(lower(text), '[a-zA-Z0-9]+')"
+        " AS ws\n"
+        " FROM documents d JOIN dedup USING (doc_id)\n"
+        "), ksh AS MATERIALIZED (\n"
+        " SELECT DISTINCT doc_id, shingle FROM (\n"
+        "  SELECT doc_id, CASE WHEN len(ws) >= 3 THEN"
+        " unnest(list_transform(generate_series(1, len(ws) - 2),"
+        " i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))\n"
+        "  ELSE array_to_string(ws, ' ') END AS shingle\n"
+        "  FROM kwords WHERE len(ws) > 0)\n"
+        "), sizes AS MATERIALIZED ("
+        "SELECT doc_id, COUNT(*) AS sz FROM ksh GROUP BY doc_id),\n"
+        "kdf AS MATERIALIZED ("
+        "SELECT shingle, COUNT(*) AS dfc FROM ksh GROUP BY shingle),\n"
+        "inter AS MATERIALIZED (\n"
+        " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        " CAST(COUNT(*) AS BIGINT) AS intersection\n"
+        " FROM ksh a JOIN ksh b USING (shingle) JOIN kdf USING (shingle)\n"
+        f" WHERE a.doc_id < b.doc_id AND kdf.dfc <= {max_df}"
+        " GROUP BY 1, 2\n"
+        "), pairs AS MATERIALIZED (\n"
+        " SELECT doc_a, doc_b FROM inter\n"
+        " JOIN sizes sa ON sa.doc_id = inter.doc_a\n"
+        " JOIN sizes sb ON sb.doc_id = inter.doc_b\n"
+        " WHERE CAST(intersection AS DOUBLE)"
+        " / CAST(sa.sz + sb.sz - intersection AS DOUBLE)"
+        f" >= {threshold}\n"
+        "), und AS MATERIALIZED (\n"
+        " SELECT doc_a AS a, doc_b AS b FROM pairs"
+        " UNION SELECT doc_b, doc_a FROM pairs\n"
+        "), reach(node, r) AS (\n"
+        " SELECT a, a FROM und UNION SELECT b, b FROM und\n"
+        " UNION\n"
+        " SELECT u.a, r.r FROM und u JOIN reach r ON u.b = r.node\n"
+        "), comp AS MATERIALIZED (\n"
+        " SELECT node, MIN(r) AS component FROM reach GROUP BY node\n"
+        "), drops AS MATERIALIZED (\n"
+        " SELECT node AS doc_id FROM comp WHERE node <> component\n"
+        "), clean AS MATERIALIZED (\n"
+        " SELECT d.doc_id, d.lang_pred, d.n_tokens FROM dedup d\n"
+        " WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)\n"
+        "   AND d.doc_id NOT IN (SELECT doc_id FROM contam)\n"
+        "), sp AS MATERIALIZED (\n"
+        " SELECT doc_id, lang_pred, n_tokens,\n"
+        f"  CASE WHEN pct < {TRAIN_PCT} THEN 'train'\n"
+        f"       WHEN pct < {VAL_PCT} THEN 'val'\n"
+        "       ELSE 'test' END AS split\n"
+        " FROM (SELECT doc_id, lang_pred, n_tokens,\n"
+        "   ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) % 100"
+        " AS pct FROM clean)\n"
+        "), c AS MATERIALIZED (\n"
+        " SELECT split, lang_pred, n_tokens,\n"
+        "  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY split"
+        " ORDER BY doc_id\n"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        " AS BIGINT) AS prefix\n"
+        " FROM sp\n"
+        ")\n"
+        "SELECT split,\n"
+        " CAST(COUNT(*) AS BIGINT) AS n_docs,\n"
+        " CAST(SUM(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_docs_en,\n"
+        " CAST(SUM(CASE WHEN lang_pred = 'id' THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_docs_id,\n"
+        " CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,\n"
+        f" CAST(MAX((prefix + n_tokens - 1) // {seq_len}) + 1 AS BIGINT)"
+        " AS n_sequences,\n"
+        f" CAST(SUM(CASE WHEN prefix // {seq_len}"
+        f" <> (prefix + n_tokens - 1) // {seq_len}"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs\n"
+        "FROM c GROUP BY split"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     kamus = kamus_sql_list()
     oracles = {
@@ -9929,6 +10089,7 @@ def oracle_sql() -> dict[str, str]:
             " CAST(MAX(doc_id) AS BIGINT) AS max_doc_id\n"
             "FROM deduped GROUP BY lang_pred"
         ),
+        "curation_dag_stats": _curation_dag_sql(),
         "redact_pii": _redact_oracle_sql(),
         "weighted_sample_docs": _weighted_sample_oracle_sql(
             weight_col="n_chars", k=25

@@ -1,0 +1,692 @@
+"""The flagship composed curation DAG — every stage a 100 TB training
+run needs, in ONE streaming pipeline:
+
+    read → quality/langid filter → exact dedup → near-dup drop →
+    decontaminate → train/val/test split → sequence packing → rollup
+    (and, via :func:`run_curation_checkpointed`, → partitioned write
+    with per-stage lineage and kill-and-resume).
+
+Every stage reuses the PROVEN kernel of its standalone operator
+(``ops.curate`` scoring filter, ``ops.dedup`` inverted-index jaccard +
+connected components, ``ops.decontam`` benchmark shingle probe,
+``ops.split`` hash split, ``ops.chunk`` distributed prefix-sum
+packing), so the DuckDB oracle composes their already-green SQL
+fragments verbatim.
+
+Scale design — what moves, and how often the text is read:
+
+- The document TEXT is scanned exactly twice (plus one small benchmark
+  scan): pass 1 scores + filters + fingerprints + contamination-probes
+  every doc into a SLIM row (~60 B/doc); pass 2 re-derives shingle rows
+  for filter survivors. Text never enters a shuffle.
+- Every shuffle in the DAG moves slim derived rows only: the exact-dedup
+  groupby ships (fp, lang, n_tokens, flag) keys; the keeper restriction
+  and the anti-joins are marker-union ``grouped_map`` passes over
+  (doc_id)-keyed slim rows — no broadcast of O(corpus) id sets, ever;
+  the near-dup machinery ships (shingle-hash, doc_id) pairs with the
+  ``max_df`` stop-shingle guard; packing ships (split, bucket, doc_id,
+  n_tokens) integer quads.
+- The benchmark set is SMALL by definition (an eval set): built
+  distributed, ``ray.put`` once, fetched per actor in ``__init__``.
+- Driver-side materializations are bounded by construction: per-bucket
+  token totals (``n_docs / bucket_width`` rows — 16 MB at 1e12 docs)
+  and the per-split offset fold.
+
+Filter → dedup ordering note (same argument as ``ops/curate.py``):
+fingerprint-equal texts score identically on every filter signal, and
+their lowercased token streams are identical, so ``lang_pred``,
+``n_tokens`` and the contamination flag are fingerprint-invariant and
+ride in the dedup group key — no join back to the keeper row.
+
+Reference parity: this composes the reference's curation-relevant
+semantics (unique-word dedup constraint, app/services/db_service.py:69;
+quality scoring, app/services/ocr_service.py) into the pipeline shape
+the reference runs per-request — here as one batch DAG.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ocr_ray.ops.analysis import normalize_for_fingerprint
+from ocr_ray.ops.decontam import DEFAULT_K as DEFAULT_CONTAM_K
+from ocr_ray.ops.decontam import _shingles as _contam_shingles
+from ocr_ray.ops.decontam import benchmark_shingle_set
+from ocr_ray.ops.curate import (
+    DEFAULT_MAX_PUNCT_RATIO,
+    DEFAULT_MIN_STOPWORD_RATIO,
+    DEFAULT_MIN_WORDS,
+)
+from ocr_ray.ops.textstats import STOP_EN, STOP_ID, _PUNCT_RE, _WORD_RE
+
+DEFAULT_SHINGLE_N = 3
+DEFAULT_MAX_DF = 256
+DEFAULT_JACCARD = 0.5
+DEFAULT_SEQ_LEN = 512
+DEFAULT_BUCKET_WIDTH = 65536
+
+_SPLIT_NAMES = np.array(["train", "val", "test"])
+
+_SCORED_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("fp", pa.string()),
+        ("lang_pred", pa.string()),
+        ("n_tokens", pa.int64()),
+        ("contaminated", pa.int64()),
+    ]
+)
+
+_KEEPER_SCHEMA = pa.schema(
+    [
+        ("fp", pa.string()),
+        ("lang_pred", pa.string()),
+        ("n_tokens", pa.int64()),
+        ("contaminated", pa.int64()),
+        ("doc_id", pa.int64()),
+        ("n_copies", pa.int64()),
+    ]
+)
+
+_STATS_SCHEMA = pa.schema(
+    [
+        ("split", pa.string()),
+        ("n_docs", pa.int64()),
+        ("n_docs_en", pa.int64()),
+        ("n_docs_id", pa.int64()),
+        ("sum_tokens", pa.int64()),
+        ("n_sequences", pa.int64()),
+        ("n_boundary_docs", pa.int64()),
+    ]
+)
+
+
+def _passes_filter(
+    words: list[str],
+    text: str,
+    *,
+    min_words: int,
+    min_stopword_ratio: float,
+    max_punct_ratio: float,
+    stops: frozenset,
+) -> bool:
+    """The curate keep-predicate, shared verbatim between pass 1 and the
+    pass-2 prefilter (ops/curate.py:_score_filter_batch semantics)."""
+    n_words = len(words)
+    if n_words < min_words:
+        return False
+    punct_ratio = len(_PUNCT_RE.findall(text)) / max(len(text), 1)
+    if punct_ratio > max_punct_ratio:
+        return False
+    stop_ratio = sum(1 for w in words if w in stops) / max(n_words, 1)
+    return stop_ratio >= min_stopword_ratio
+
+
+class _ScoreStage:
+    """Pass 1 (actor pool): per-doc scoring + filter + fingerprint +
+    contamination probe in ONE scan. The benchmark shingle set is
+    fetched from the object store once per actor in ``__init__``."""
+
+    def __init__(
+        self,
+        bench_ref,
+        *,
+        min_words: int,
+        min_stopword_ratio: float,
+        max_punct_ratio: float,
+        contam_k: int,
+    ):
+        import ray
+
+        self.bench = (
+            ray.get(bench_ref) if bench_ref is not None else frozenset()
+        )
+        self.min_words = min_words
+        self.min_stopword_ratio = min_stopword_ratio
+        self.max_punct_ratio = max_punct_ratio
+        self.contam_k = contam_k
+        self.stop_id = frozenset(STOP_ID)
+        self.stop_en = frozenset(STOP_EN)
+        self.stops = self.stop_id | self.stop_en
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_fp, out_lang, out_tok, out_con = [], [], [], [], []
+        for doc_id, text in zip(ids, batch.column("text").to_pylist()):
+            t = text or ""
+            words = _WORD_RE.findall(t.lower())
+            if not _passes_filter(
+                words,
+                t,
+                min_words=self.min_words,
+                min_stopword_ratio=self.min_stopword_ratio,
+                max_punct_ratio=self.max_punct_ratio,
+                stops=self.stops,
+            ):
+                continue
+            sid = sum(1 for w in words if w in self.stop_id)
+            sen = sum(1 for w in words if w in self.stop_en)
+            contaminated = int(
+                any(
+                    s in self.bench
+                    for s in set(_contam_shingles(t, self.contam_k))
+                )
+            )
+            out_id.append(doc_id)
+            out_fp.append(
+                hashlib.md5(
+                    normalize_for_fingerprint(t).encode("utf-8")
+                ).hexdigest()
+            )
+            out_lang.append("id" if sid >= sen else "en")
+            out_tok.append(len(t.split()))
+            out_con.append(contaminated)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "fp": pa.array(out_fp, pa.string()),
+                "lang_pred": pa.array(out_lang, pa.string()),
+                "n_tokens": pa.array(out_tok, pa.int64()),
+                "contaminated": pa.array(out_con, pa.int64()),
+            }
+        )
+
+
+def curation_scored(
+    docs,
+    bench_ref=None,
+    *,
+    min_words: int = DEFAULT_MIN_WORDS,
+    min_stopword_ratio: float = DEFAULT_MIN_STOPWORD_RATIO,
+    max_punct_ratio: float = DEFAULT_MAX_PUNCT_RATIO,
+    contam_k: int = DEFAULT_CONTAM_K,
+    concurrency=(1, 8),
+):
+    """Pass 1: (doc_id, text) → slim scored rows for filter survivors."""
+    from ocr_ray.ops.dedup import _with_schema
+
+    return _with_schema(
+        docs.map_batches(
+            _ScoreStage,
+            fn_constructor_kwargs={
+                "bench_ref": bench_ref,
+                "min_words": min_words,
+                "min_stopword_ratio": min_stopword_ratio,
+                "max_punct_ratio": max_punct_ratio,
+                "contam_k": contam_k,
+            },
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        ),
+        _SCORED_SCHEMA,
+    )
+
+
+def curation_keepers(scored):
+    """Exact dedup over the slim scored rows: one keyed groupby; keeper
+    = min doc_id per fingerprint (lang/tokens/flag are fp-invariant and
+    ride in the key — see module docstring)."""
+    from ray.data.aggregate import Count, Min
+
+    from ocr_ray.ops.dedup import _with_schema
+
+    return _with_schema(
+        scored.groupby(["fp", "lang_pred", "n_tokens", "contaminated"])
+        .aggregate(
+            Min("doc_id", alias_name="doc_id"),
+            Count(alias_name="n_copies"),
+        ),
+        _KEEPER_SCHEMA,
+    )
+
+
+def _marker_semi_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+    """Keep non-marker rows of (doc_id-keyed) groups that contain a
+    marker row — the slim hash semi-join (no O(corpus) broadcast)."""
+    n = block.num_rows
+    if n == 0 or len(starts) == 0:
+        return block.drop_columns(["is_marker"]).slice(0, 0)
+    ism = block.column("is_marker").to_numpy(zero_copy_only=False)
+    sizes = np.diff(np.append(starts, n))
+    gidx = np.repeat(np.arange(len(starts)), sizes)
+    has_marker = np.bincount(gidx, weights=ism, minlength=len(starts)) > 0
+    keep = has_marker[gidx] & (ism == 0)
+    return block.filter(pa.array(keep)).drop_columns(["is_marker"])
+
+
+def _marker_anti_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+    """Keep non-marker rows of groups WITHOUT a marker row — the slim
+    hash anti-join (drop-list application without a broadcast)."""
+    n = block.num_rows
+    if n == 0 or len(starts) == 0:
+        return block.drop_columns(["is_marker"]).slice(0, 0)
+    ism = block.column("is_marker").to_numpy(zero_copy_only=False)
+    sizes = np.diff(np.append(starts, n))
+    gidx = np.repeat(np.arange(len(starts)), sizes)
+    has_marker = np.bincount(gidx, weights=ism, minlength=len(starts)) > 0
+    keep = (~has_marker[gidx]) & (ism == 0)
+    return block.filter(pa.array(keep)).drop_columns(["is_marker"])
+
+
+def _tagged_union(data, data_schema: pa.Schema, ids, block_fn):
+    """Union ``data`` (tagged is_marker=0) with marker rows built from
+    ``ids``'s doc_id column (tagged 1, other columns zero/empty), hash
+    partition by doc_id, apply ``block_fn`` per block. Both inputs are
+    slim; one shuffle total."""
+    from ocr_ray.stages.grouped import grouped_map
+
+    tagged_schema = data_schema.append(pa.field("is_marker", pa.int64()))
+
+    def tag_data(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return tagged_schema.empty_table()
+        return t.select(data_schema.names).append_column(
+            "is_marker", pa.array(np.zeros(t.num_rows, np.int64))
+        )
+
+    def tag_marker(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return tagged_schema.empty_table()
+        n = t.num_rows
+        cols = {}
+        for f in data_schema:
+            if f.name == "doc_id":
+                cols[f.name] = t.column("doc_id").cast(pa.int64())
+            elif pa.types.is_integer(f.type) or pa.types.is_floating(f.type):
+                cols[f.name] = pa.array(np.zeros(n), f.type)
+            else:
+                cols[f.name] = pa.array([""] * n, f.type)
+        cols["is_marker"] = pa.array(np.ones(n, np.int64))
+        return pa.table(cols, schema=tagged_schema)
+
+    left = data.map_batches(tag_data, batch_format="pyarrow")
+    right = ids.map_batches(tag_marker, batch_format="pyarrow")
+    return grouped_map(left.union(right), ["doc_id"], block_fn)
+
+
+def _prefilter_factory(
+    min_words: int, min_stopword_ratio: float, max_punct_ratio: float
+):
+    stops = frozenset(STOP_ID) | frozenset(STOP_EN)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        keep = [
+            _passes_filter(
+                _WORD_RE.findall((t or "").lower()),
+                t or "",
+                min_words=min_words,
+                min_stopword_ratio=min_stopword_ratio,
+                max_punct_ratio=max_punct_ratio,
+                stops=stops,
+            )
+            for t in batch.column("text").to_pylist()
+        ]
+        return batch.filter(pa.array(keep))
+
+    return prefilter
+
+
+def curation_neardup_drops(
+    docs,
+    keepers,
+    *,
+    shingle_n: int = DEFAULT_SHINGLE_N,
+    max_df: int = DEFAULT_MAX_DF,
+    threshold: float = DEFAULT_JACCARD,
+    min_words: int = DEFAULT_MIN_WORDS,
+    min_stopword_ratio: float = DEFAULT_MIN_STOPWORD_RATIO,
+    max_punct_ratio: float = DEFAULT_MAX_PUNCT_RATIO,
+):
+    """Near-dup drop list over the exact-dedup keepers: pass 2 re-derives
+    word-shingle rows for filter survivors (the prefilter avoids
+    shingling docs the filter already rejected — a pure optimization,
+    the keeper semi-join decides membership), restricts them to keepers
+    via the slim marker semi-join, then runs the proven inverted-index
+    jaccard machinery + connected components; drop = every non-min
+    member of a component.
+
+    Restricting BEFORE pair generation matters for parity: the
+    ``max_df`` stop-shingle guard must see keeper-only document
+    frequencies, exactly like the oracle's df CTE over keepers."""
+    from ocr_ray.ops.dedup import (
+        _cooccur_block_factory,
+        _pair_sum_block,
+        _shingle_rows_factory,
+        connected_components,
+    )
+    from ocr_ray.stages.grouped import grouped_map
+
+    shingle_schema = pa.schema(
+        [
+            ("shingle", pa.uint64()),
+            ("doc_id", pa.int64()),
+            ("set_size", pa.int64()),
+        ]
+    )
+    rows = docs.map_batches(
+        _prefilter_factory(min_words, min_stopword_ratio, max_punct_ratio),
+        batch_format="pyarrow",
+    ).map_batches(_shingle_rows_factory(shingle_n), batch_format="pyarrow")
+
+    restricted = _tagged_union(
+        rows, shingle_schema, keepers, _marker_semi_block
+    )
+    pairs = grouped_map(
+        restricted, ["shingle"], _cooccur_block_factory(max_df)
+    )
+    counted = grouped_map(pairs, ["doc_a", "doc_b"], _pair_sum_block)
+
+    def jaccard_filter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [("doc_a", pa.int64()), ("doc_b", pa.int64())]
+            ).empty_table()
+        inter = (
+            t["intersection"].to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        union = (
+            t["size_a"].to_numpy(zero_copy_only=False)
+            + t["size_b"].to_numpy(zero_copy_only=False)
+            - inter
+        )
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "doc_a": t.column("doc_a").filter(pa.array(keep)),
+                "doc_b": t.column("doc_b").filter(pa.array(keep)),
+            }
+        )
+
+    near_pairs = counted.map_batches(jaccard_filter, batch_format="pyarrow")
+    comp = connected_components(near_pairs)
+
+    def non_min(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema([("doc_id", pa.int64())]).empty_table()
+        keep = pc.not_equal(t.column("node"), t.column("label"))
+        return pa.table({"doc_id": t.column("node").filter(keep)})
+
+    return comp.map_batches(non_min, batch_format="pyarrow")
+
+
+def curation_survivors(keepers, drops):
+    """Apply the near-dup drop list (slim marker anti-join) and the
+    contamination flag: the clean, deduplicated, decontaminated corpus
+    as slim rows (doc_id, lang_pred, n_tokens)."""
+    kept = _tagged_union(keepers, _KEEPER_SCHEMA, drops, _marker_anti_block)
+
+    def decontam(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("lang_pred", pa.string()),
+                ("n_tokens", pa.int64()),
+            ]
+        )
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        clean = t.filter(pc.equal(t.column("contaminated"), 0))
+        return clean.select(["doc_id", "lang_pred", "n_tokens"])
+
+    return kept.map_batches(decontam, batch_format="pyarrow")
+
+
+def curation_pack(
+    survivors,
+    *,
+    seq_len: int = DEFAULT_SEQ_LEN,
+    bucket_width: int = DEFAULT_BUCKET_WIDTH,
+):
+    """Per-split greedy sequence packing of the surviving corpus, as a
+    distributed ordered prefix sum (ops/chunk.py:pack_sequences pattern,
+    keyed by (split, doc_id-range bucket)): documents never shuffle;
+    per-(split, bucket) token totals are a tiny keyed aggregate; the
+    driver folds them into base offsets in bucket order and broadcasts
+    ONE dict; one grouped_map computes in-block cumsums."""
+    import ray
+
+    from ocr_ray.ops.dedup import _with_schema
+    from ocr_ray.ops.split import split_of
+    from ocr_ray.stages.grouped import grouped_map
+
+    tok_schema = pa.schema(
+        [
+            ("split", pa.string()),
+            ("bucket", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("lang_pred", pa.string()),
+            ("n_tokens", pa.int64()),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            ("split", pa.string()),
+            ("doc_id", pa.int64()),
+            ("lang_pred", pa.string()),
+            ("n_tokens", pa.int64()),
+            ("seq_first", pa.int64()),
+            ("seq_last", pa.int64()),
+        ]
+    )
+
+    def add_split_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return tok_schema.empty_table()
+        ids = (
+            t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "split": pa.array(_SPLIT_NAMES[split_of(ids)], pa.string()),
+                "bucket": pa.array(ids // bucket_width, pa.int64()),
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "lang_pred": t.column("lang_pred"),
+                "n_tokens": t.column("n_tokens").cast(pa.int64()),
+            }
+        )
+
+    tok = _with_schema(
+        survivors.map_batches(add_split_bucket, batch_format="pyarrow"),
+        tok_schema,
+    ).materialize()
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        tok.groupby(["split", "bucket"])
+        .aggregate(Sum("n_tokens", alias_name="s"))
+        .take_all()
+    )  # bounded: one row per (split, doc_id-range bucket)
+    offsets: dict[tuple[str, int], int] = {}
+    for split in _SPLIT_NAMES:
+        acc = 0
+        for r in sorted(
+            (r for r in totals if r["split"] == split),
+            key=lambda r: r["bucket"],
+        ):
+            offsets[(split, int(r["bucket"]))] = acc
+            acc += int(r["s"])
+    offsets_ref = ray.put(offsets)
+
+    def pack_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n_rows = block.num_rows
+        if n_rows == 0 or len(starts) == 0:
+            return out_schema.empty_table()
+        base = ray.get(offsets_ref)
+        nt = block.column("n_tokens").to_numpy(zero_copy_only=False)
+        bk = block.column("bucket").to_numpy(zero_copy_only=False)
+        sp = block.column("split").to_pylist()
+        sizes = np.diff(np.append(starts, n_rows))
+        cum = np.cumsum(nt) - nt
+        seg_base = cum[starts]
+        prefix = cum - np.repeat(seg_base, sizes)
+        prefix += np.repeat(
+            np.array(
+                [base[(sp[s], int(bk[s]))] for s in starts], np.int64
+            ),
+            sizes,
+        )
+        return pa.table(
+            {
+                "split": block.column("split"),
+                "doc_id": block.column("doc_id"),
+                "lang_pred": block.column("lang_pred"),
+                "n_tokens": block.column("n_tokens"),
+                "seq_first": pa.array(prefix // seq_len, pa.int64()),
+                "seq_last": pa.array(
+                    (prefix + nt - 1) // seq_len, pa.int64()
+                ),
+            }
+        )
+
+    return grouped_map(
+        tok, ["split", "bucket"], pack_block, sort_within=["doc_id"]
+    )
+
+
+def curation_rollup(packed, *, seq_len: int = DEFAULT_SEQ_LEN):
+    """Final per-split stats: doc/lang/token counts, sequence count
+    (max seq_last + 1 — proves the prefix sum ran), boundary-straddling
+    docs. Map-side partials then a 3-row groupby."""
+    from ray.data.aggregate import Max, Sum
+
+    part_schema = pa.schema(
+        [
+            ("split", pa.string()),
+            ("n_docs", pa.int64()),
+            ("n_docs_en", pa.int64()),
+            ("n_docs_id", pa.int64()),
+            ("sum_tokens", pa.int64()),
+            ("max_seq_last", pa.int64()),
+            ("n_boundary_docs", pa.int64()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        sp = np.asarray(t.column("split").to_pylist())
+        lang = np.asarray(t.column("lang_pred").to_pylist())
+        nt = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        sf = t.column("seq_first").to_numpy(zero_copy_only=False)
+        sl = t.column("seq_last").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(sp, return_inverse=True)
+        k = len(uniq)
+        # int64 accumulators throughout (never float64 bincount weights)
+        sum_tok = np.zeros(k, np.int64)
+        np.add.at(sum_tok, inv, nt.astype(np.int64))
+        max_last = np.full(k, -1, np.int64)
+        np.maximum.at(max_last, inv, sl.astype(np.int64))
+        boundary = np.zeros(k, np.int64)
+        np.add.at(boundary, inv, (sf != sl).astype(np.int64))
+        return pa.table(
+            {
+                "split": pa.array(uniq, pa.string()),
+                "n_docs": pa.array(
+                    np.bincount(inv, minlength=k).astype(np.int64), pa.int64()
+                ),
+                "n_docs_en": pa.array(
+                    np.bincount(inv[lang == "en"], minlength=k).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+                "n_docs_id": pa.array(
+                    np.bincount(inv[lang == "id"], minlength=k).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+                "sum_tokens": pa.array(sum_tok, pa.int64()),
+                "max_seq_last": pa.array(max_last, pa.int64()),
+                "n_boundary_docs": pa.array(boundary, pa.int64()),
+            }
+        )
+
+    agg = (
+        packed.map_batches(partials, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_docs_en", alias_name="n_docs_en"),
+            Sum("n_docs_id", alias_name="n_docs_id"),
+            Sum("sum_tokens", alias_name="sum_tokens"),
+            Max("max_seq_last", alias_name="max_seq_last"),
+            Sum("n_boundary_docs", alias_name="n_boundary_docs"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _STATS_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "split": t.column("split"),
+                "n_docs": t.column("n_docs").cast(pa.int64()),
+                "n_docs_en": t.column("n_docs_en").cast(pa.int64()),
+                "n_docs_id": t.column("n_docs_id").cast(pa.int64()),
+                "sum_tokens": t.column("sum_tokens").cast(pa.int64()),
+                "n_sequences": pc.add(
+                    t.column("max_seq_last").cast(pa.int64()), 1
+                ),
+                "n_boundary_docs": t.column("n_boundary_docs").cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    from ocr_ray.ops.dedup import _with_schema
+
+    return _with_schema(
+        agg.map_batches(finalize, batch_format="pyarrow"), _STATS_SCHEMA
+    )
+
+
+def curation_dag_stats(
+    docs,
+    bench_docs,
+    *,
+    seq_len: int = DEFAULT_SEQ_LEN,
+    shingle_n: int = DEFAULT_SHINGLE_N,
+    max_df: int = DEFAULT_MAX_DF,
+    threshold: float = DEFAULT_JACCARD,
+    contam_k: int = DEFAULT_CONTAM_K,
+    min_words: int = DEFAULT_MIN_WORDS,
+    min_stopword_ratio: float = DEFAULT_MIN_STOPWORD_RATIO,
+    max_punct_ratio: float = DEFAULT_MAX_PUNCT_RATIO,
+    bucket_width: int = DEFAULT_BUCKET_WIDTH,
+):
+    """The full composed DAG, returning the per-split stats table
+    (split, n_docs, n_docs_en, n_docs_id, sum_tokens, n_sequences,
+    n_boundary_docs). See module docstring for the stage graph."""
+    import ray
+
+    bench_ref = ray.put(benchmark_shingle_set(bench_docs, k=contam_k))
+    scored = curation_scored(
+        docs,
+        bench_ref,
+        min_words=min_words,
+        min_stopword_ratio=min_stopword_ratio,
+        max_punct_ratio=max_punct_ratio,
+        contam_k=contam_k,
+    )
+    keepers = curation_keepers(scored).materialize()  # slim: 1 row/distinct doc
+    drops = curation_neardup_drops(
+        docs,
+        keepers,
+        shingle_n=shingle_n,
+        max_df=max_df,
+        threshold=threshold,
+        min_words=min_words,
+        min_stopword_ratio=min_stopword_ratio,
+        max_punct_ratio=max_punct_ratio,
+    )
+    survivors = curation_survivors(keepers, drops)
+    packed = curation_pack(
+        survivors, seq_len=seq_len, bucket_width=bucket_width
+    )
+    return curation_rollup(packed, seq_len=seq_len)
