@@ -271,14 +271,16 @@ def _marker_anti_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
     return block.filter(pa.array(keep)).drop_columns(["is_marker"])
 
 
-def _tagged_union(data, data_schema: pa.Schema, ids, block_fn):
+def _tagged_union(data, data_schema: pa.Schema, ids, block_fn,
+                  key: str = "doc_id"):
     """Union ``data`` (tagged is_marker=0) with marker rows built from
-    ``ids``'s doc_id column (tagged 1, other columns zero/empty), hash
-    partition by doc_id, apply ``block_fn`` per block. Both inputs are
+    ``ids``'s ``key`` column (tagged 1, other columns zero/empty), hash
+    partition by ``key``, apply ``block_fn`` per block. Both inputs are
     slim; one shuffle total."""
     from ocr_ray.stages.grouped import grouped_map
 
     tagged_schema = data_schema.append(pa.field("is_marker", pa.int64()))
+    key_type = data_schema.field(key).type
 
     def tag_data(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or t.num_columns == 0:
@@ -293,8 +295,8 @@ def _tagged_union(data, data_schema: pa.Schema, ids, block_fn):
         n = t.num_rows
         cols = {}
         for f in data_schema:
-            if f.name == "doc_id":
-                cols[f.name] = t.column("doc_id").cast(pa.int64())
+            if f.name == key:
+                cols[f.name] = t.column(key).cast(key_type)
             elif pa.types.is_integer(f.type) or pa.types.is_floating(f.type):
                 cols[f.name] = pa.array(np.zeros(n), f.type)
             else:
@@ -304,7 +306,7 @@ def _tagged_union(data, data_schema: pa.Schema, ids, block_fn):
 
     left = data.map_batches(tag_data, batch_format="pyarrow")
     right = ids.map_batches(tag_marker, batch_format="pyarrow")
-    return grouped_map(left.union(right), ["doc_id"], block_fn)
+    return grouped_map(left.union(right), [key], block_fn)
 
 
 def _prefilter_factory(
@@ -351,28 +353,45 @@ def curation_neardup_drops(
     Restricting BEFORE pair generation matters for parity: the
     ``max_df`` stop-shingle guard must see keeper-only document
     frequencies, exactly like the oracle's df CTE over keepers."""
-    from ocr_ray.ops.dedup import (
-        _cooccur_block_factory,
-        _pair_sum_block,
-        _shingle_rows_factory,
-        connected_components,
-    )
-    from ocr_ray.stages.grouped import grouped_map
+    from ocr_ray.ops.dedup import _shingle_rows_factory
 
-    shingle_schema = pa.schema(
-        [
-            ("shingle", pa.uint64()),
-            ("doc_id", pa.int64()),
-            ("set_size", pa.int64()),
-        ]
-    )
     rows = docs.map_batches(
         _prefilter_factory(min_words, min_stopword_ratio, max_punct_ratio),
         batch_format="pyarrow",
     ).map_batches(_shingle_rows_factory(shingle_n), batch_format="pyarrow")
+    return neardup_drops_from_rows(
+        rows, keepers, max_df=max_df, threshold=threshold
+    )
+
+
+_SHINGLE_ROW_SCHEMA = pa.schema(
+    [
+        ("shingle", pa.uint64()),
+        ("doc_id", pa.int64()),
+        ("set_size", pa.int64()),
+    ]
+)
+
+
+def neardup_drops_from_rows(
+    rows,
+    keepers,
+    *,
+    max_df: int = DEFAULT_MAX_DF,
+    threshold: float = DEFAULT_JACCARD,
+):
+    """Near-dup drop list from precomputed shingle rows (the runner's
+    entry point: stage 1 persists the rows, stage 3 replays them
+    without re-reading text)."""
+    from ocr_ray.ops.dedup import (
+        _cooccur_block_factory,
+        _pair_sum_block,
+        connected_components,
+    )
+    from ocr_ray.stages.grouped import grouped_map
 
     restricted = _tagged_union(
-        rows, shingle_schema, keepers, _marker_semi_block
+        rows, _SHINGLE_ROW_SCHEMA, keepers, _marker_semi_block
     )
     pairs = grouped_map(
         restricted, ["shingle"], _cooccur_block_factory(max_df)
@@ -690,3 +709,470 @@ def curation_dag_stats(
         survivors, seq_len=seq_len, bucket_width=bucket_width
     )
     return curation_rollup(packed, seq_len=seq_len)
+
+
+# ------------------------------------------------------------------
+# Checkpoint-resumable runner: the DAG as a staged job with per-stage
+# lineage, atomic artifact commits, partitioned output and incremental
+# (growing-corpus) fingerprint mode.
+# ------------------------------------------------------------------
+
+import json as _json
+import os as _os
+import pathlib as _pathlib
+import shutil as _shutil
+import time as _time
+
+import pyarrow.parquet  # noqa: F401  (binds pa.parquet for the runner)
+from dataclasses import dataclass as _dataclass
+from dataclasses import field as _field
+
+
+@_dataclass
+class CurationConfig:
+    seq_len: int = DEFAULT_SEQ_LEN
+    shingle_n: int = DEFAULT_SHINGLE_N
+    max_df: int = DEFAULT_MAX_DF
+    threshold: float = DEFAULT_JACCARD
+    contam_k: int = DEFAULT_CONTAM_K
+    min_words: int = DEFAULT_MIN_WORDS
+    min_stopword_ratio: float = DEFAULT_MIN_STOPWORD_RATIO
+    max_punct_ratio: float = DEFAULT_MAX_PUNCT_RATIO
+    bucket_width: int = DEFAULT_BUCKET_WIDTH
+    bench_modulus: int = 50          # benchmark stand-in: doc_id % m == 0
+    files_per_partition: int = 1
+    known_fingerprints: str | None = None  # incremental mode: prior store
+
+
+def _read_parquet_dir(path, columns=None):
+    import ray.data as rd
+
+    if isinstance(path, (list, tuple)):
+        path = [str(p) for p in path]
+    else:
+        path = str(path)
+    return rd.read_parquet(path, columns=columns)
+
+
+class _Artifacts:
+    """Atomic artifact store under the run directory: each artifact is a
+    directory committed by temp-write + ``os.replace`` with a manifest
+    row written AFTER the rename; a resumed run skips every artifact
+    whose manifest validates against the same inputs descriptor.
+    (Same commit discipline as stages/checkpoint.py:run_partition.)"""
+
+    def __init__(self, out: _pathlib.Path):
+        self.out = out
+        (out / "_manifests").mkdir(parents=True, exist_ok=True)
+
+    def _manifest(self, name: str) -> _pathlib.Path:
+        return self.out / "_manifests" / f"{name.replace('/', '-')}.json"
+
+    def dir(self, name: str) -> _pathlib.Path:
+        return self.out / name
+
+    def complete(self, name: str, inputs) -> dict | None:
+        mp = self._manifest(name)
+        if not mp.exists() or not self.dir(name).exists():
+            return None
+        try:
+            row = _json.loads(mp.read_text())
+        except (ValueError, OSError):
+            return None
+        if row.get("inputs") != inputs:
+            return None
+        return row
+
+    def commit(self, name: str, tmp: _pathlib.Path, inputs, extra: dict):
+        final = self.dir(name)
+        if final.exists():
+            _shutil.rmtree(final)
+        final.parent.mkdir(parents=True, exist_ok=True)
+        _os.replace(tmp, final)
+        self._manifest(name).write_text(
+            _json.dumps({"inputs": inputs, **extra}, default=str)
+        )
+
+    def tmp(self, name: str) -> _pathlib.Path:
+        t = self.out / "_tmp" / name.replace("/", "-")
+        if t.exists():
+            _shutil.rmtree(t)
+        t.mkdir(parents=True)
+        return t
+
+
+def _pq_count(path: _pathlib.Path) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in path.rglob("*.parquet")
+    )
+
+
+def _pq_minmax(path: _pathlib.Path, column: str) -> tuple[int, int]:
+    """min/max of an int column across a parquet dir, from row-group
+    statistics only (no data read)."""
+    import pyarrow.parquet as pq
+
+    lo, hi = None, None
+    for f in path.rglob("*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(column)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        return 0, -1
+    return int(lo), int(hi)
+
+
+def run_curation_checkpointed(
+    input_path: str,
+    output_path: str,
+    config: CurationConfig | None = None,
+    *,
+    resume: bool = True,
+    stop_after_partitions: int | None = None,
+    stop_after_stage: str | None = None,
+) -> dict:
+    """Run the full curation DAG over a directory of (doc_id, text)
+    parquet files as a checkpoint-resumable staged job.
+
+    Stage graph and artifacts (all committed atomically with lineage):
+
+    - ``bench/``      benchmark shingle set (stage 0, one artifact)
+    - ``score/part=K`` + ``shingles/part=K``  per input partition: slim
+      scored rows and word-shingle rows (stage 1, PARTITION-resumable —
+      a killed run repeats at most one partition)
+    - ``keepers/`` ``drops/`` ``fingerprints/``  exact keepers (incl.
+      incremental anti-join against a prior fingerprint store),
+      near-dup drop list, and the updated fingerprint store (stage 2)
+    - ``assignment/bucket=B/``  survivor (split, seq_first, seq_last)
+      rows, hive-partitioned by doc_id-range bucket so the final text
+      pass prunes at the directory level (stage 3)
+    - ``curated/part=K``  the curated corpus text with its split column,
+      one directory per input partition (stage 4, partition-resumable)
+    - ``metrics.json``  the whole-run funnel + walls
+
+    ``stop_after_partitions`` / ``stop_after_stage`` are TEST HOOKS that
+    abort the run at a stage boundary, simulating a kill; a subsequent
+    ``resume=True`` run picks up with zero repeated partitions.
+    """
+    import ray
+
+    from ocr_ray import io as _io
+    from ocr_ray.ops.dedup import _shingle_rows_factory, _with_schema
+
+    config = config or CurationConfig()
+    t_start = _time.perf_counter()
+    out = _pathlib.Path(output_path)
+    out.mkdir(parents=True, exist_ok=True)
+    art = _Artifacts(out)
+    files = [str(f) for f in _io.input_files(input_path)]
+    partitions = [
+        files[i : i + config.files_per_partition]
+        for i in range(0, len(files), config.files_per_partition)
+    ]
+    walls: dict[str, float] = {}
+    funnel: dict[str, int] = {}
+    partitions_run = {"score": 0, "text": 0}
+    partitions_skipped = {"score": 0, "text": 0}
+
+    def _stop(stage: str):
+        if stop_after_stage == stage:
+            raise _StopRun(stage)
+
+    class _StopRun(Exception):
+        def __init__(self, stage):
+            self.stage = stage
+
+    # ---- stage 0: benchmark shingle set ---------------------------
+    bench_inputs = {"files": files, "m": config.bench_modulus,
+                    "k": config.contam_k}
+    row = art.complete("bench", bench_inputs)
+    if row is None or not resume:
+        t0 = _time.perf_counter()
+        docs = _read_parquet_dir(input_path, columns=["doc_id", "text"])
+
+        def is_bench(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % config.bench_modulus == 0))
+
+        bench_set = benchmark_shingle_set(
+            docs.map_batches(is_bench, batch_format="pyarrow"),
+            k=config.contam_k,
+        )
+        tmp = art.tmp("bench")
+        pa.parquet.write_table(
+            pa.table({"shingle": pa.array(sorted(bench_set), pa.string())}),
+            tmp / "bench.parquet",
+        )
+        art.commit("bench", tmp, bench_inputs,
+                   {"n_shingles": len(bench_set)})
+        walls["bench"] = round(_time.perf_counter() - t0, 3)
+    bench_tbl = pa.parquet.read_table(art.dir("bench") / "bench.parquet")
+    bench_ref = ray.put(frozenset(bench_tbl.column("shingle").to_pylist()))
+    funnel["bench_shingles"] = bench_tbl.num_rows
+
+    try:
+        _stop("bench")
+
+        # ---- stage 1: per-partition score + shingle rows ----------
+        t0 = _time.perf_counter()
+        for k, part_files in enumerate(partitions):
+            name_s = f"score/part={k:05d}"
+            name_g = f"shingles/part={k:05d}"
+            inputs = {"files": part_files}
+            if (
+                resume
+                and art.complete(name_s, inputs)
+                and art.complete(name_g, inputs)
+            ):
+                partitions_skipped["score"] += 1
+                continue
+            if (
+                stop_after_partitions is not None
+                and partitions_run["score"] >= stop_after_partitions
+            ):
+                raise _StopRun("score-partial")
+            docs = _read_parquet_dir(part_files, columns=["doc_id", "text"])
+            n_raw = docs.count()
+            scored = curation_scored(
+                docs,
+                bench_ref,
+                min_words=config.min_words,
+                min_stopword_ratio=config.min_stopword_ratio,
+                max_punct_ratio=config.max_punct_ratio,
+                contam_k=config.contam_k,
+            )
+            tmp = art.tmp(name_s)
+            scored.write_parquet(str(tmp))
+            lo, hi = _pq_minmax(tmp, "doc_id")
+            art.commit(name_s, tmp, inputs, {
+                "n_raw": n_raw, "n_filtered": _pq_count(tmp),
+                "doc_id_min": lo, "doc_id_max": hi,
+            })
+            rows = docs.map_batches(
+                _prefilter_factory(
+                    config.min_words,
+                    config.min_stopword_ratio,
+                    config.max_punct_ratio,
+                ),
+                batch_format="pyarrow",
+            ).map_batches(
+                _shingle_rows_factory(config.shingle_n),
+                batch_format="pyarrow",
+            )
+            tmp = art.tmp(name_g)
+            _with_schema(rows, _SHINGLE_ROW_SCHEMA).write_parquet(str(tmp))
+            art.commit(name_g, tmp, inputs, {})
+            partitions_run["score"] += 1
+        walls["score"] = round(_time.perf_counter() - t0, 3)
+        funnel["n_raw"] = sum(
+            art.complete(f"score/part={k:05d}", {"files": p})["n_raw"]
+            for k, p in enumerate(partitions)
+        )
+        funnel["n_filtered"] = sum(
+            art.complete(f"score/part={k:05d}", {"files": p})["n_filtered"]
+            for k, p in enumerate(partitions)
+        )
+        _stop("score")
+
+        # lineage chain: downstream inputs carry a digest of every
+        # stage-1 manifest row, so a re-run that CHANGED a partition's
+        # output invalidates keepers/drops/assignment/curated, while a
+        # byte-identical re-run leaves them resumable
+        score_digest = hashlib.sha256(
+            _json.dumps(
+                [
+                    art.complete(f"score/part={k:05d}", {"files": p})
+                    for k, p in enumerate(partitions)
+                ],
+                sort_keys=True,
+                default=str,
+            ).encode()
+        ).hexdigest()[:16]
+
+        # ---- stage 2: exact dedup (+incremental) and near-dup -----
+        dedup_inputs = {
+            "partitions": len(partitions),
+            "score_digest": score_digest,
+            "known": config.known_fingerprints,
+            "max_df": config.max_df,
+            "threshold": config.threshold,
+        }
+        if not (resume and art.complete("keepers", dedup_inputs)
+                and art.complete("drops", dedup_inputs)
+                and art.complete("fingerprints", dedup_inputs)):
+            t0 = _time.perf_counter()
+            scored_ds = _read_parquet_dir(art.dir("score"))
+            keepers = curation_keepers(scored_ds)
+            if config.known_fingerprints:
+                known = _read_parquet_dir(
+                    config.known_fingerprints, columns=["fp"]
+                )
+                keepers = _tagged_union(
+                    keepers, _KEEPER_SCHEMA, known, _marker_anti_block,
+                    key="fp",
+                )
+            tmp = art.tmp("keepers")
+            _with_schema(keepers, _KEEPER_SCHEMA).write_parquet(str(tmp))
+            art.commit("keepers", tmp, dedup_inputs,
+                       {"n_keepers": _pq_count(tmp)})
+
+            keepers_ds = _read_parquet_dir(art.dir("keepers"))
+            rows = _read_parquet_dir(art.dir("shingles"))
+            drops = neardup_drops_from_rows(
+                rows, keepers_ds,
+                max_df=config.max_df, threshold=config.threshold,
+            )
+            tmp = art.tmp("drops")
+            _with_schema(
+                drops, pa.schema([("doc_id", pa.int64())])
+            ).write_parquet(str(tmp))
+            art.commit("drops", tmp, dedup_inputs,
+                       {"n_drops": _pq_count(tmp)})
+
+            # updated fingerprint store: every fp this run admitted at
+            # the exact stage, plus the prior store (incremental chain)
+            fps = _read_parquet_dir(art.dir("keepers"), columns=["fp"])
+            if config.known_fingerprints:
+                fps = fps.union(
+                    _read_parquet_dir(
+                        config.known_fingerprints, columns=["fp"]
+                    )
+                )
+            tmp = art.tmp("fingerprints")
+            fps.write_parquet(str(tmp))
+            art.commit("fingerprints", tmp, dedup_inputs,
+                       {"n_fps": _pq_count(tmp)})
+            walls["dedup"] = round(_time.perf_counter() - t0, 3)
+        funnel["n_exact_keepers"] = art.complete(
+            "keepers", dedup_inputs)["n_keepers"]
+        funnel["n_neardup_drops"] = art.complete(
+            "drops", dedup_inputs)["n_drops"]
+        _stop("dedup")
+
+        # ---- stage 3: survivors, split, pack, assignment ----------
+        pack_inputs = {**dedup_inputs, "seq_len": config.seq_len,
+                       "bucket_width": config.bucket_width}
+        if not (resume and art.complete("assignment", pack_inputs)):
+            t0 = _time.perf_counter()
+            keepers_ds = _read_parquet_dir(art.dir("keepers"))
+            drops_ds = _read_parquet_dir(art.dir("drops"))
+            survivors = curation_survivors(keepers_ds, drops_ds)
+            packed = curation_pack(
+                survivors,
+                seq_len=config.seq_len,
+                bucket_width=config.bucket_width,
+            )
+
+            def with_bucket(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0 or t.num_columns == 0:
+                    return t
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                return t.append_column(
+                    "bucket",
+                    pa.array(
+                        ids.astype(np.int64) // config.bucket_width,
+                        pa.int64(),
+                    ),
+                )
+
+            tmp = art.tmp("assignment")
+            packed.map_batches(
+                with_bucket, batch_format="pyarrow"
+            ).write_parquet(str(tmp), partition_cols=["bucket"])
+            art.commit("assignment", tmp, pack_inputs,
+                       {"n_survivors": _pq_count(tmp)})
+            walls["pack"] = round(_time.perf_counter() - t0, 3)
+        funnel["n_survivors"] = art.complete(
+            "assignment", pack_inputs)["n_survivors"]
+        _stop("pack")
+
+        # ---- stage 4: per-partition curated text write ------------
+        t0 = _time.perf_counter()
+        for k, part_files in enumerate(partitions):
+            name = f"curated/part={k:05d}"
+            inputs = {"files": part_files, **pack_inputs}
+            if resume and art.complete(name, inputs):
+                partitions_skipped["text"] += 1
+                continue
+            srow = art.complete(
+                f"score/part={k:05d}", {"files": part_files}
+            )
+            lo, hi = srow["doc_id_min"], srow["doc_id_max"]
+            # directory-level pruning: only assignment buckets that
+            # intersect this partition's doc_id range are read
+            bucket_dirs = [
+                str(art.dir("assignment") / f"bucket={b}")
+                for b in range(
+                    int(lo) // config.bucket_width,
+                    int(hi) // config.bucket_width + 1,
+                )
+                if (art.dir("assignment") / f"bucket={b}").exists()
+            ]
+            keep: dict[int, str] = {}
+            for d in bucket_dirs:
+                t = pa.parquet.read_table(d, columns=["doc_id", "split"])
+                for i, s in zip(
+                    t.column("doc_id").to_pylist(),
+                    t.column("split").to_pylist(),
+                ):
+                    if lo <= i <= hi:
+                        keep[i] = s
+            keep_ref = ray.put(keep)
+
+            class _KeepFilter:
+                def __init__(self, ref):
+                    self.keep = ray.get(ref)
+
+                def __call__(self, t: pa.Table) -> pa.Table:
+                    ids = t.column("doc_id").to_pylist()
+                    mask = [i in self.keep for i in ids]
+                    kept = t.filter(pa.array(mask))
+                    splits = [
+                        self.keep[i]
+                        for i, m in zip(ids, mask)
+                        if m
+                    ]
+                    return kept.append_column(
+                        "split", pa.array(splits, pa.string())
+                    )
+
+            docs = _read_parquet_dir(part_files, columns=["doc_id", "text"])
+            tmp = art.tmp(name)
+            docs.map_batches(
+                _KeepFilter,
+                fn_constructor_kwargs={"ref": keep_ref},
+                batch_format="pyarrow",
+                concurrency=(1, 4),
+            ).write_parquet(str(tmp))
+            art.commit(name, tmp, inputs,
+                       {"n_docs": _pq_count(tmp)})
+            partitions_run["text"] += 1
+        walls["text"] = round(_time.perf_counter() - t0, 3)
+        aborted = None
+    except _StopRun as s:
+        aborted = s.stage
+
+    metrics = {
+        "partitions": len(partitions),
+        "partitions_run": partitions_run,
+        "partitions_skipped": partitions_skipped,
+        "funnel": funnel,
+        "walls_sec": walls,
+        "wall_sec": round(_time.perf_counter() - t_start, 3),
+        "aborted_at": aborted,
+        "incremental": bool(config.known_fingerprints),
+    }
+    if aborted is None:
+        metrics["docs_per_sec"] = (
+            round(funnel.get("n_raw", 0) / max(metrics["wall_sec"], 1e-9), 3)
+        )
+        (out / "metrics.json").write_text(_json.dumps(metrics, indent=1))
+    return metrics
