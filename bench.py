@@ -142,6 +142,10 @@ BENCH_QUERIES = [
     "markov_eval_accuracy",
     "neyman_allocation",
     "dsir_clip_ess",
+    # round-4: the flagship composed curation DAG (filter → exact dedup
+    # → near-dup → decontam → split → pack → rollup) — ~6 chained
+    # proven stages, so its wall is a composition, not a single op
+    "curation_dag_stats",
 ]
 
 
@@ -228,7 +232,96 @@ def run_once() -> dict:
             rounds=int(os.environ.get("OCR_BENCH_SCALING_ROUNDS", "3")),
             docs=int(os.environ.get("OCR_BENCH_SCALING_DOCS", "80000")),
         )
+        # flagship curation DAG through the CHECKPOINTED runner at bench
+        # scale, plus a resume pass proving zero re-processing
+        result["curation"] = measure_curation()
     return result
+
+
+def measure_curation(n_dups: int = 1000, n_files: int = 8) -> dict:
+    """The composed curation DAG at bench scale via the checkpoint
+    runner (pipelines/curation.py): cold staged run over the sf0.1
+    documents table PLUS ``n_dups`` id-shifted exact copies (the
+    synthetic table has no doc-level dups, so the exact stage would
+    otherwise be idle), then a resume pass that must re-process zero
+    partitions."""
+    import pathlib
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    import ray
+
+    corpus = pathlib.Path("/tmp/ocr_ray_cache") / (
+        f"curation-bench-{pathlib.Path(SF_DIR).name}-{n_dups}-{n_files}"
+    )
+    if not corpus.exists():
+        import pyarrow as pa
+
+        base = pq.read_table(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        dup = base.slice(0, n_dups)
+        dup = pa.table(
+            {
+                "doc_id": pa.compute.add(dup.column("doc_id"), 10_000_000),
+                "text": dup.column("text"),
+            }
+        )
+        full = pa.concat_tables([base, dup])
+        tmp = corpus.with_suffix(".tmp")
+        if tmp.exists():
+            import shutil as sh
+
+            sh.rmtree(tmp)
+        tmp.mkdir(parents=True)
+        rows = full.num_rows
+        for i in range(n_files):
+            lo = i * rows // n_files
+            pq.write_table(
+                full.slice(lo, (i + 1) * rows // n_files - lo),
+                tmp / f"part-{i}.parquet",
+            )
+        os.replace(tmp, corpus)
+
+    from ocr_ray.pipelines.curation import (
+        CurationConfig,
+        run_curation_checkpointed,
+    )
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data.context import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    out = tempfile.mkdtemp(prefix="curation-bench-")
+    cfg = CurationConfig()
+    t0 = time.perf_counter()
+    m1 = run_curation_checkpointed(corpus, out, cfg)
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    m2 = run_curation_checkpointed(corpus, out, cfg)
+    resume = time.perf_counter() - t0
+    ray.shutdown()
+    shutil.rmtree(out, ignore_errors=True)
+    return {
+        "n_docs": m1["funnel"]["n_raw"],
+        "n_planted_dups": n_dups,
+        "wall_cold_sec": round(cold, 3),
+        "docs_per_sec": round(m1["funnel"]["n_raw"] / cold, 3),
+        "wall_resume_sec": round(resume, 3),
+        "partitions_reprocessed_on_resume": sum(
+            m2["partitions_run"].values()
+        ),
+        "funnel": m1["funnel"],
+        "protocol": "staged checkpoint runner, 8-file corpus, same "
+        "session; resume validates every artifact manifest",
+    }
 
 
 def measure_stress(n_docs: int = 100_000) -> dict:

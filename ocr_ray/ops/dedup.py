@@ -543,12 +543,58 @@ def connected_components(pairs, col_a: str = "doc_a", col_b: str = "doc_b",
         ),
         batch_format="pyarrow",
     ).materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         import ray.data as rd
 
         return rd.from_arrow(
             pa.table(
                 {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+            )
+        )
+    if n_edges <= 2_000_000:
+        # local fast path, same discipline as similarity.py's k-means
+        # small-input shortcut: a near-dup edge set this small (~32 MB)
+        # is a DRIVER-BOUNDED structure, and one path-compressed
+        # union-find beats 3-25 distributed join rounds by ~20 s of
+        # fixed per-round overhead (measured at sf0.1). Label = min
+        # node id per component — identical semantics to the iterative
+        # path; above the cap the distributed rounds take over.
+        import ray.data as rd
+
+        tbl = pa.concat_tables(
+            [b for b in edges.iter_batches(batch_format="pyarrow")]
+        )
+        src = tbl.column("src").to_numpy(zero_copy_only=False)
+        dst = tbl.column("dst").to_numpy(zero_copy_only=False)
+        nodes, idx = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        parent = np.arange(len(nodes))
+
+        def find(i: int) -> int:
+            root = i
+            while parent[root] != root:
+                root = parent[root]
+            while parent[i] != root:
+                parent[i], i = root, parent[i]
+            return root
+
+        si, di = idx[: len(src)], idx[len(src):]
+        for a, b in zip(si, di):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                # union by smaller NODE value so the root is always the
+                # component's min node (labels = min doc_id)
+                if nodes[ra] <= nodes[rb]:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        labels = nodes[np.array([find(int(i)) for i in range(len(nodes))])]
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes, pa.int64()),
+                    "label": pa.array(labels, pa.int64()),
+                }
             )
         )
 
