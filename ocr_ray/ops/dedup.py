@@ -509,7 +509,8 @@ def minhash_calibration(docs, num_perm: int = 64, bands: int = 16,
 
 
 def connected_components(pairs, col_a: str = "doc_a", col_b: str = "doc_b",
-                         max_iters: int = 25, doubling_from: int = 3):
+                         max_iters: int = 25, doubling_from: int = 3,
+                         local_threshold: int = 2_000_000):
     """Distributed connected components over an undirected pair graph:
     per round, every node adopts the minimum label in its closed
     neighborhood (2 keyed joins + a groupby-min). From round
@@ -552,7 +553,7 @@ def connected_components(pairs, col_a: str = "doc_a", col_b: str = "doc_b",
                 {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
             )
         )
-    if n_edges <= 2_000_000:
+    if n_edges <= local_threshold:
         # local fast path, same discipline as similarity.py's k-means
         # small-input shortcut: a near-dup edge set this small (~32 MB)
         # is a DRIVER-BOUNDED structure, and one path-compressed

@@ -185,19 +185,66 @@ def synthesize_raw_images(
     )
 
 
+def _to_rgb(img: np.ndarray) -> np.ndarray:
+    """Any decoded image layout → (H, W, 3) uint8 RGB (the RAWI pixel
+    contract): grey stacked, grey+alpha takes luma, RGBA drops alpha."""
+    if img.ndim == 2:
+        return np.repeat(img[:, :, None], 3, axis=2)
+    if img.shape[2] == 2:
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(img[:, :, :3])
+
+
+_JPEG_MAGIC = b"\xff\xd8\xff"
+
+
 class DecodeMedia:
-    """Actor stage: payload → typed metadata columns. A real deployment
-    replaces ``_decode`` with PIL.Image.open / soundfile / PyAV — the
-    actor keeps the codec context warm across batches."""
+    """Actor stage: payload → typed metadata columns (and, with
+    ``real_codecs=True``, real pixels). PNG decodes via the stdlib-zlib
+    codec (kernels/png.py) and is TRANSCODED to the RAWI payload the
+    downstream pixel kernels (resize/deskew/background, M3-M5) consume —
+    the reference's PIL decode seam (ocr_service.py:513-525) with PNG
+    closed for real; JPEG still names its missing library. PNG
+    dimensions come from the IHDR even in metadata-only mode (no
+    decompression)."""
 
     def __init__(self, real_codecs: bool = False):
-        if real_codecs:
-            raise NotImplementedError(
-                "real decode needs PIL/soundfile/PyAV (not in this container)"
-            )
+        self.real_codecs = real_codecs
 
-    @staticmethod
-    def _decode(payload: bytes) -> dict:
+    def _decode(self, payload: bytes) -> dict:
+        from ocr_ray.kernels.png import decode_png, is_png
+
+        if is_png(payload):
+            if self.real_codecs:
+                img = _to_rgb(decode_png(payload))
+                return {
+                    "media_type": "image",
+                    "width": img.shape[1],
+                    "height": img.shape[0],
+                    "duration_ms": 0,
+                    "n_bytes": len(payload),
+                    "payload": encode_raw_image(img),
+                }
+            import struct as _struct
+
+            w, h = _struct.unpack(">II", payload[16:24])
+            return {
+                "media_type": "image",
+                "width": w,
+                "height": h,
+                "duration_ms": 0,
+                "n_bytes": len(payload),
+                "payload": payload,
+            }
+        if self.real_codecs and not is_raw_image(payload):
+            if payload[:3] == _JPEG_MAGIC:
+                raise NotImplementedError(
+                    "JPEG decode needs PIL/libjpeg (not in this container)"
+                )
+            raise NotImplementedError(
+                "real decode of this payload needs PIL/soundfile/PyAV "
+                "(not in this container); PNG and RAWI decode for real"
+            )
         kind, width, height, duration = _parse_header(payload)
         return {
             "media_type": kind,
@@ -205,6 +252,7 @@ class DecodeMedia:
             "height": height,
             "duration_ms": duration,
             "n_bytes": len(payload),
+            "payload": payload,
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -217,7 +265,9 @@ class DecodeMedia:
                 "height": pa.array([m["height"] for m in metas], pa.int32()),
                 "duration_ms": pa.array([m["duration_ms"] for m in metas], pa.int64()),
                 "n_bytes": pa.array([m["n_bytes"] for m in metas], pa.int64()),
-                "payload": batch.column("payload"),
+                "payload": pa.array(
+                    [m["payload"] for m in metas], pa.binary()
+                ),
             }
         )
 
@@ -440,9 +490,10 @@ def media_dhash_pairs(media, max_hamming: int = 3, max_bucket: int = 8192):
     the SHARED 64-bit Hamming machinery from text SimHash dedup
     (ops/dedup.py) — 4×16-bit pigeonhole chunk tables, one shuffle of
     slim (table, chunk, id, hash) rows, vectorized popcount all-pairs
-    per bucket with the logged rep-pair overflow guard. Non-raw payloads
-    (compressed formats needing PIL/cv2) are skipped here; the real
-    decode seam is ``DecodeMedia(real_codecs=True)``.
+    per bucket with the logged rep-pair overflow guard. RAWI and PNG
+    payloads hash directly (PNG via the stdlib codec, kernels/png.py);
+    other compressed formats (JPEG — needs PIL) are skipped here; the
+    full decode seam is ``DecodeMedia(real_codecs=True)``.
 
     Output (media_a, media_b, hamming) for hamming ≤ ``max_hamming``.
     Not SQL-expressible (pixel access) — pinned by pytest instead
@@ -455,11 +506,17 @@ def media_dhash_pairs(media, max_hamming: int = 3, max_bucket: int = 8192):
 
     def hash_batch(batch: pa.Table) -> pa.Table:
         ids_out, hashes = [], []
+        from ocr_ray.kernels.png import decode_png, is_png
+
         ids = batch.column("media_id").to_pylist()
         for mid, payload in zip(ids, batch.column("payload").to_pylist()):
-            if not is_raw_image(payload):
+            if is_raw_image(payload):
+                img = decode_raw_image(payload)
+            elif is_png(payload):
+                img = _to_rgb(decode_png(payload))
+            else:
                 continue
-            hashes.append(dhash64(decode_raw_image(payload)))
+            hashes.append(dhash64(img))
             ids_out.append(mid)
         n = len(ids_out)
         return pa.table(
