@@ -351,3 +351,103 @@ def neutralize_background(img: np.ndarray) -> np.ndarray:
     out[:, :, 1] = 128.0
     out[:, :, 2] = 128.0
     return lab_to_rgb(out)
+
+
+# ---------------------------------------------------------- M6 enhance
+
+def thicken_text(gray: np.ndarray) -> np.ndarray:
+    """Morphological text thickening (reference preprocess_gambar step
+    3, ocr_service.py:191-198): invert (text → white), dilate with a
+    2×2 ones kernel, invert back. OpenCV's default anchor for a 2×2
+    kernel is its center index (1, 1), so the dilation maximum runs
+    over {self, top, left, top-left}; out-of-bounds neighbors
+    contribute nothing (cv2 uses -inf border for dilate)."""
+    g = np.asarray(gray, dtype=np.uint8)
+    inv = 255 - g
+    p = np.zeros((g.shape[0] + 1, g.shape[1] + 1), np.uint8)
+    p[1:, 1:] = inv
+    dil = np.maximum.reduce(
+        [p[1:, 1:], p[:-1, 1:], p[1:, :-1], p[:-1, :-1]]
+    )
+    return (255 - dil).astype(np.uint8)
+
+
+def _gaussian_kernel1d(sigma: float) -> np.ndarray:
+    """cv2.GaussianBlur's automatic kernel for 8-bit input and
+    ksize=(0,0): ksize = round(sigma·3·2 + 1) | 1, weights
+    exp(-(i-c)²/2σ²) normalized (getGaussianKernel)."""
+    k = int(round(sigma * 3 * 2 + 1)) | 1
+    c = (k - 1) / 2.0
+    x = np.arange(k, dtype=np.float64)
+    w = np.exp(-((x - c) ** 2) / (2.0 * sigma * sigma))
+    return w / w.sum()
+
+
+def gaussian_blur_u8(gray: np.ndarray, sigma: float = 2.0) -> np.ndarray:
+    """Separable Gaussian blur with reflect-101 borders (cv2's
+    BORDER_DEFAULT: edge pixel not repeated — numpy pad mode
+    'reflect'), rounded half-to-even back to uint8."""
+    k = _gaussian_kernel1d(sigma)
+    r = len(k) // 2
+    g = np.asarray(gray, dtype=np.float64)
+    w = g.shape[1]
+    p = np.pad(g, ((0, 0), (r, r)), mode="reflect")
+    h = np.zeros_like(g)
+    for i, kv in enumerate(k):  # one vectorized add per tap (13 taps)
+        h += kv * p[:, i : i + w]
+    rows = g.shape[0]
+    p2 = np.pad(h, ((r, r), (0, 0)), mode="reflect")
+    v = np.zeros_like(g)
+    for i, kv in enumerate(k):
+        v += kv * p2[i : i + rows, :]
+    return np.clip(np.rint(v), 0, 255).astype(np.uint8)
+
+
+def unsharp_mask(
+    gray: np.ndarray,
+    sigma: float = 2.0,
+    sharp_weight: float = 1.8,
+    blur_weight: float = -0.8,
+) -> np.ndarray:
+    """Unsharp masking (step 4, ocr_service.py:200-203):
+    addWeighted(src, 1.8, GaussianBlur(src, σ=2), −0.8, 0), saturated
+    uint8 with round-half-even (cvRound)."""
+    g = np.asarray(gray, dtype=np.float64)
+    b = gaussian_blur_u8(gray, sigma).astype(np.float64)
+    return np.clip(
+        np.rint(sharp_weight * g + blur_weight * b), 0, 255
+    ).astype(np.uint8)
+
+
+def contrast_scale_abs(
+    gray: np.ndarray, alpha: float = 1.3, beta: float = -30.0
+) -> np.ndarray:
+    """Final contrast boost (step 5, ocr_service.py:205-210):
+    convertScaleAbs = saturate(round(|α·v + β|)) — note cv2 takes the
+    ABSOLUTE value, so very dark pixels brighten slightly rather than
+    clamping at 0 (β=−30, v=0 → 30); mirrored exactly."""
+    v = np.asarray(gray, dtype=np.float64) * alpha + beta
+    return np.clip(np.rint(np.abs(v)), 0, 255).astype(np.uint8)
+
+
+def enhance_chain(img: np.ndarray) -> np.ndarray:
+    """The COMPLETE 5-step preprocess chain (reference
+    preprocess_gambar, ocr_service.py:145-223) on an (H, W, 3) uint8
+    RGB page, all numpy:
+
+    1. LAB neutralize (kill aged-paper yellow) → grayscale
+    2. CLAHE, clipLimit 4.0, 8×8 tiles (the stronger per-chain limit —
+       _remove_yellow_background's own CLAHE uses 3.0)
+    3. 2×2 morphological dilation text thickening
+    4. unsharp masking (σ=2, 1.8/−0.8)
+    5. convertScaleAbs contrast (α=1.3, β=−30)
+
+    Returns the enhanced page re-expanded to (H, W, 3) RGB, matching
+    the reference's final ``Image.fromarray(final).convert('RGB')``."""
+    neutral = neutralize_background(np.asarray(img, dtype=np.uint8))
+    gray = to_gray(neutral)
+    g = clahe(gray, clip_limit=4.0, tiles=8)
+    g = thicken_text(g)
+    g = unsharp_mask(g)
+    g = contrast_scale_abs(g)
+    return np.repeat(g[:, :, None], 3, axis=2)

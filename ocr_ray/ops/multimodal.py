@@ -441,6 +441,56 @@ def resize_images(decoded, max_dimension: int = 2000, concurrency=(1, 4)):
     )
 
 
+class EnhanceImage:
+    """M6: the COMPLETE preprocess_gambar enhance chain (reference
+    ocr_service.py:145-223 — LAB neutralize → CLAHE 4.0 → 2×2 dilation
+    thicken → unsharp σ2 1.8/−0.8 → convertScaleAbs 1.3/−30), run for
+    REAL on every RAWI or PNG payload via kernels/pixels.py:
+    enhance_chain; opaque payloads (JPEG — codec absent) pass through
+    flagged ``enhanced=False``. Replaces the payload with the enhanced
+    RAWI page, exactly what a warm OCR engine would consume next."""
+
+    def __init__(self, enhance: bool = True):
+        self.enhance = enhance
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ocr_ray.kernels.png import decode_png, is_png
+
+        payloads = batch.column("payload").to_pylist()
+        flags = []
+        changed = False
+        for i, p in enumerate(payloads):
+            img = None
+            if self.enhance and p is not None:
+                if is_raw_image(p):
+                    img = decode_raw_image(p)
+                elif is_png(p):
+                    img = _to_rgb(decode_png(p))
+            if img is None:
+                flags.append(False)
+                continue
+            payloads[i] = encode_raw_image(px.enhance_chain(img))
+            flags.append(True)
+            changed = True
+        out = batch
+        if changed:
+            idx = out.column_names.index("payload")
+            out = out.set_column(
+                idx, "payload", pa.array(payloads, pa.binary())
+            )
+        return out.append_column("enhanced", pa.array(flags, pa.bool_()))
+
+
+def enhance_images(decoded, enhance: bool = True, concurrency=(1, 4)):
+    return decoded.map_batches(
+        EnhanceImage,
+        fn_constructor_kwargs={"enhance": enhance},
+        batch_format="pyarrow",
+        batch_size=16,  # full-page pixel work: keep batches small
+        concurrency=concurrency,
+    )
+
+
 def sample_frames(decoded, interval_ms: int = 1000, concurrency=(1, 4)):
     return decoded.map_batches(
         SampleFrames,
