@@ -62,3 +62,37 @@ def test_snm_quality_no_dups(ray_session):
     assert got["n_true_pairs"] == 0
     assert got["n_found"] == 0
     assert got["recall_ppm"] == 0
+
+
+def test_snm_quality_half_duplicate_skew_corpus(ray_session):
+    """The r03 VERDICT scale-killer scenario: one exact-dup cluster
+    holding 50% of the corpus. The rewritten report never materializes
+    cluster rows or pair sets on the driver — n_true comes from the
+    keyed C(n,2) aggregate, n_found from slim fp-equality joins — so
+    this passes in test budget where the old O(cluster^2) fold would
+    have built 31k pairs in Python (and billions at web scale)."""
+    import ray.data as rd
+
+    from ocr_ray.ops.dedup import snm_quality_report
+
+    n_dup, n_uniq = 250, 250
+    texts = ["shared duplicate body text"] * n_dup + [
+        f"unique document {i} content" for i in range(n_uniq)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n_dup + n_uniq), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = (
+        snm_quality_report(rd.from_arrow(t).repartition(4), window=3)
+        .to_pylist()[0]
+    )
+    assert got["n_true_pairs"] == n_dup * (n_dup - 1) // 2  # 31125
+    # identical keys sort adjacent: window=3 finds exactly the pairs
+    # within 3 ranks inside the cluster = 3n - 6 of them
+    assert got["n_found"] == 3 * n_dup - 6
+    assert got["recall_ppm"] == (
+        (3 * n_dup - 6) * 1_000_000 // (n_dup * (n_dup - 1) // 2)
+    )
