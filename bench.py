@@ -195,8 +195,15 @@ def run_once() -> dict:
     extract_sec = time.perf_counter() - t0
 
     queries = {}
+    query_loads = {}
     if not os.environ.get("OCR_BENCH_SCALING"):
         for name in BENCH_QUERIES:
+            # 1-min load average sampled as each query starts: BASELINE
+            # documents 1.5-7x ambient wall swings on this shared box,
+            # so a per-query load sample makes a wall regression
+            # attributable (co-tenant load vs code) without a manual
+            # quiet-window re-run
+            query_loads[name] = round(os.getloadavg()[0], 1)
             t0 = time.perf_counter()
             _consume(drv.QUERIES[name](SF_DIR))
             queries[name] = round(time.perf_counter() - t0, 3)
@@ -211,6 +218,8 @@ def run_once() -> dict:
         "docs_per_sec": round(n_docs / extract_sec, 3),
         "n_docs": n_docs,
         "queries": queries,
+        "query_loads_1min": query_loads,
+        "load_avg_end": [round(v, 1) for v in os.getloadavg()],
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
     }

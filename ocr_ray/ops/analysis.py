@@ -869,13 +869,13 @@ def langid_calibration(docs):
         b = np.clip(sid - sen, -5, 5).astype(np.int64)
         c = (pred == lang).astype(np.int64)
         uniq, inv = np.unique(b, return_inverse=True)
+        corr = np.zeros(len(uniq), np.int64)
+        np.add.at(corr, inv, c)  # int64, never float64 bincount weights
         return pa.table(
             {
                 "margin_bucket": pa.array(uniq, pa.int64()),
                 "n_docs": pa.array(np.bincount(inv), pa.int64()),
-                "n_correct": pa.array(
-                    np.bincount(inv, weights=c).astype(np.int64), pa.int64()
-                ),
+                "n_correct": pa.array(corr, pa.int64()),
             }
         )
 

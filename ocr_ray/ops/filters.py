@@ -327,6 +327,13 @@ def dsir_weights_sql(target_lang: str = "en") -> str:
 
 DEFAULT_ESS_CLIPS = (0, 500_000, 1_000_000, 2_000_000)
 
+# sign-safe offset for the frozen exp-input grid: added before the
+# integer 1024-step floor so the floor-div operand is positive on both
+# engines (numpy // floors, DuckDB // truncates toward zero — they
+# agree only for non-negative operands)
+_EXP_OFF = 1 << 40
+_EXP_OFF_LIT = str(_EXP_OFF)
+
 
 def dsir_clip_ess(docs, target_lang: str = "en",
                   clips: tuple[int, ...] = DEFAULT_ESS_CLIPS):
@@ -368,8 +375,17 @@ def dsir_clip_ess(docs, target_lang: str = "en",
         w = t.column("weight_micro").to_numpy(zero_copy_only=False)
         rows_n, rows_s, rows_s2 = [], [], []
         for c in clip_arr:
-            clipped = np.minimum(w, c).astype(np.float64) / 1e6
-            wq = np.floor(np.exp(clipped) * 1e6).astype(np.int64)
+            # exponent snapped to a frozen 1024-micro grid via
+            # sign-safe integer arithmetic (offset keeps the operand
+            # positive so numpy floor-div == DuckDB // — ADVICE r03:
+            # a raw libm-vs-DuckDB exp 1-ulp divergence could flip
+            # floor(exp(w)*1e6) at a boundary; the coarse frozen grid
+            # makes the exp-input set small and auditable)
+            q = np.minimum(w, c).astype(np.int64)
+            q = ((q + _EXP_OFF) // 1024) * 1024 - _EXP_OFF
+            wq = np.floor(np.exp(q.astype(np.float64) / 1e6) * 1e6).astype(
+                np.int64
+            )
             rows_n.append(len(wq))
             rows_s.append(int(wq.sum()))
             rows_s2.append(int((wq * wq).sum()))
@@ -425,7 +441,9 @@ def dsir_clip_ess_sql(target_lang: str = "en",
         + "\n), clips(clip_micro) AS (VALUES " + values + "),\n"
         "w AS (\n"
         " SELECT clips.clip_micro,\n"
-        "  CAST(floor(exp(CAST(LEAST(d.weight_micro, clips.clip_micro)"
+        "  CAST(floor(exp(CAST((((LEAST(d.weight_micro,"
+        f" clips.clip_micro) + {_EXP_OFF_LIT}) // 1024) * 1024"
+        f" - {_EXP_OFF_LIT})"
         " AS DOUBLE) / 1000000.0) * 1000000.0) AS HUGEINT) AS wq\n"
         " FROM d CROSS JOIN clips\n"
         ")\n"

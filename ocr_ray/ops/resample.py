@@ -174,6 +174,9 @@ def daily_dense_fill_sql() -> str:
     )
 
 
+_INTERP_OFF = 1 << 40  # cents; see interp offset comment
+
+
 def daily_linear_interp(events):
     """Linear gap-fill companion to ``daily_dense_fill``: per event
     type, the dense day grid over THAT TYPE'S [first, last] observed
@@ -278,11 +281,17 @@ def daily_linear_interp(events):
             nd_ = d[np.clip(nxt, 0, len(d) - 1)].astype(object)
             g = grid.astype(object)
             span = nd_ - pd_
+            # +K offset on both anchors keeps the // numerator positive
+            # (it cancels exactly: K*1000*span is divisible by span), so
+            # Python floor-div and DuckDB truncate-div agree even for
+            # negative daily sums (ADVICE r03; the convention split
+            # similarity.py's _KM_OFFSET guards the same way)
             interp = np.where(
                 obs == 1,
                 v[np.clip(has, 0, None)].astype(object) * 1000,
-                (pv * 1000 * (nd_ - g) + nv * 1000 * (g - pd_))
-                // np.where(span == 0, 1, span),
+                ((pv + _INTERP_OFF) * 1000 * (nd_ - g)
+                 + (nv + _INTERP_OFF) * 1000 * (g - pd_))
+                // np.where(span == 0, 1, span) - _INTERP_OFF * 1000,
             )
             out.append(
                 pa.table(
@@ -334,7 +343,9 @@ def daily_linear_interp_sql() -> str:
         ")\n"
         "SELECT event_type, day AS day_idx, CAST(observed AS BIGINT) AS observed,\n"
         " CAST(CASE WHEN observed = 1 THEN cents * 1000\n"
-        "      ELSE (pv * 1000 * (nd - day) + nv * 1000 * (day - pd))\n"
-        "           // (nd - pd) END AS BIGINT) AS interp_milli_cents\n"
+        f"      ELSE ((pv + {_INTERP_OFF}) * 1000 * (nd - day)"
+        f" + (nv + {_INTERP_OFF}) * 1000 * (day - pd))\n"
+        f"           // (nd - pd) - {_INTERP_OFF} * 1000"
+        " END AS BIGINT) AS interp_milli_cents\n"
         "FROM w"
     )

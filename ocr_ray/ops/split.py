@@ -661,17 +661,19 @@ def neyman_allocation(docs, budget: int = 1000):
         )
         src = np.asarray(t.column("source").to_pylist(), dtype=object)
         uniq, inv = np.unique(src, return_inverse=True)
+        # int64 accumulators (ADVICE r03: float64 bincount weights
+        # silently lose exactness past 2^53 — sum of n_chars^2 gets
+        # there at web scale)
+        s1 = np.zeros(len(uniq), np.int64)
+        np.add.at(s1, inv, x)
+        s2 = np.zeros(len(uniq), np.int64)
+        np.add.at(s2, inv, x * x)
         return pa.table(
             {
                 "source": pa.array(list(uniq), pa.string()),
                 "n": pa.array(np.bincount(inv), pa.int64()),
-                "s1": pa.array(
-                    np.bincount(inv, weights=x).astype(np.int64), pa.int64()
-                ),
-                "s2": pa.array(
-                    np.bincount(inv, weights=x * x).astype(np.int64),
-                    pa.int64(),
-                ),
+                "s1": pa.array(s1, pa.int64()),
+                "s2": pa.array(s2, pa.int64()),
             }
         )
 

@@ -1875,7 +1875,18 @@ def percentile_cont_by_type(events, qs=(0.25, 0.5, 0.9, 0.99)):
     count) partials — the double's int64 bit pattern is the merge key,
     so the keyed aggregate is exact with no float-key hashing — and the
     stream entering the final per-type block is bounded by types ×
-    distinct values, independent of row count. The interpolation
+    distinct values, independent of row count.
+
+    DEGRADATION CONDITION (VERDICT r03): "bounded by types × distinct
+    values" collapses on CONTINUOUS domains — when nearly every double
+    is distinct (sensor readings, ratios), distinct ≈ n and this
+    becomes an n-row slim shuffle. That is acceptable for an EXACT
+    PERCENTILE_CONT (comparable to sort-based plans), but at 100 TB on
+    a continuous column prefer the sketch paths:
+    ``histogram_quantiles`` (mergeable fixed-bin histogram) or
+    ``sampled_value_percentiles`` (hash-sampled exact). This operator
+    is the right tool when values are discrete-ish (prices in cents,
+    counts, durations in ms). The interpolation
     replays DuckDB's exact expression: pos = q·(n−1),
     result = (1−frac)·v_lo + frac·v_hi (calibrated against
     quantile_cont on adversarial inputs — v_lo + frac·(v_hi−v_lo)
