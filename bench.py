@@ -146,6 +146,13 @@ BENCH_QUERIES = [
     # → near-dup → decontam → split → pack → rollup) — ~6 chained
     # proven stages, so its wall is a composition, not a single op
     "curation_dag_stats",
+    # round-4 planning operators
+    "packing_efficiency",
+    "lsh_candidate_planner",
+    "curriculum_ntile",
+    "shingle_novelty",
+    "mixture_waterfill",
+    "term_burstiness",
 ]
 
 

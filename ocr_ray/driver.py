@@ -1824,6 +1824,67 @@ def q_curation_dag_stats(sf_dir: str):
     return curation_dag_stats(docs, bench)
 
 
+def q_packing_efficiency(sf_dir: str):
+    """Sequence-length planning sweep: per candidate seq_len, padded
+    vs greedy-concat sequence counts and token waste — one stateless
+    token-count scan, map-side integer partials
+    (ops/chunk.py:packing_efficiency_sweep)."""
+    from ocr_ray.ops.chunk import packing_efficiency_sweep
+
+    _quiet()
+    return packing_efficiency_sweep(_docs(sf_dir))
+
+
+def q_lsh_candidate_planner(sf_dir: str):
+    """MinHash banding planner over THIS corpus's exact pair jaccards:
+    expected candidate volume and true-pair capture per (bands, rows)
+    config via the left-fold collision curve, quantized to integer
+    millionths per pair (ops/dedup.py:lsh_candidate_planner)."""
+    from ocr_ray.ops.dedup import lsh_candidate_planner
+
+    _quiet()
+    return lsh_candidate_planner(_docs(sf_dir))
+
+
+def q_curriculum_ntile(sf_dir: str):
+    """Global curriculum position + NTILE bucket by document length —
+    distributed prefix rank over range buckets, no global sort
+    (ops/curriculum.py)."""
+    from ocr_ray.ops.curriculum import curriculum_ntile
+
+    _quiet()
+    return curriculum_ntile(_docs(sf_dir, "doc_id", "n_chars"))
+
+
+def q_shingle_novelty(sf_dir: str):
+    """Per-doc temporal novelty: fraction of its distinct shingles
+    first seen in this doc (ops/dedup.py:shingle_novelty) — numerator
+    and denominator meet in one keyed sum over a tagged union."""
+    from ocr_ray.ops.dedup import shingle_novelty
+
+    _quiet()
+    return shingle_novelty(_docs(sf_dir))
+
+
+def q_mixture_waterfill(sf_dir: str):
+    """Uniform-target water-filling token allocation across sources
+    (ops/sample.py:mixture_waterfill) — integer level + largest-
+    remainder, budget = half the corpus tokens."""
+    from ocr_ray.ops.sample import mixture_waterfill
+
+    _quiet()
+    return mixture_waterfill(_docs(sf_dir, "source", "text"))
+
+
+def q_term_burstiness(sf_dir: str):
+    """Church-Gale overdispersion (variance-to-mean of per-doc counts)
+    per word over containing docs (ops/textstats.py:term_burstiness)."""
+    from ocr_ray.ops.textstats import term_burstiness
+
+    _quiet()
+    return term_burstiness(_docs(sf_dir))
+
+
 def q_redact_pii(sf_dir: str):
     """PII masking (URL/email/phone) as pure Arrow regex kernels; the
     oracle replays the byte-identical RE2 patterns in DuckDB."""
@@ -8225,6 +8286,12 @@ QUERIES = {
     "label_centroids": q_label_centroids,
     "curate_corpus_stats": q_curate_corpus_stats,
     "curation_dag_stats": q_curation_dag_stats,
+    "packing_efficiency": q_packing_efficiency,
+    "lsh_candidate_planner": q_lsh_candidate_planner,
+    "curriculum_ntile": q_curriculum_ntile,
+    "shingle_novelty": q_shingle_novelty,
+    "mixture_waterfill": q_mixture_waterfill,
+    "term_burstiness": q_term_burstiness,
     "redact_pii": q_redact_pii,
     "weighted_sample_docs": q_weighted_sample_docs,
     "chunk_docs": q_chunk_docs,
@@ -10128,6 +10195,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM deduped GROUP BY lang_pred"
         ),
         "curation_dag_stats": _curation_dag_sql(),
+        "packing_efficiency": __import__(
+            "ocr_ray.ops.chunk", fromlist=["packing_efficiency_sql"]
+        ).packing_efficiency_sql(),
+        "lsh_candidate_planner": __import__(
+            "ocr_ray.ops.dedup", fromlist=["lsh_candidate_planner_sql"]
+        ).lsh_candidate_planner_sql(_SHINGLES_BODY),
+        "curriculum_ntile": __import__(
+            "ocr_ray.ops.curriculum", fromlist=["curriculum_ntile_sql"]
+        ).curriculum_ntile_sql(),
+        "shingle_novelty": __import__(
+            "ocr_ray.ops.dedup", fromlist=["shingle_novelty_sql"]
+        ).shingle_novelty_sql(_SHINGLES_BODY),
+        "mixture_waterfill": __import__(
+            "ocr_ray.ops.sample", fromlist=["mixture_waterfill_sql"]
+        ).mixture_waterfill_sql(),
+        "term_burstiness": __import__(
+            "ocr_ray.ops.textstats", fromlist=["term_burstiness_sql"]
+        ).term_burstiness_sql(),
         "redact_pii": _redact_oracle_sql(),
         "weighted_sample_docs": _weighted_sample_oracle_sql(
             weight_col="n_chars", k=25

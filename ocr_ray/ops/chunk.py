@@ -236,3 +236,125 @@ def pack_oracle_sql(seq_len: int = DEFAULT_SEQ_LEN) -> str:
         f" (prefix + n_tokens - 1) // {seq_len} AS seq_last\n"
         "FROM c WHERE n_tokens > 0"
     )
+
+
+DEFAULT_SWEEP_SEQ_LENS = (256, 512, 1024, 2048)
+
+
+def packing_efficiency_sweep(docs, seq_lens=DEFAULT_SWEEP_SEQ_LENS):
+    """Sequence-length planning table: for each candidate ``seq_len``,
+    the cost of the two standard packing strategies over THIS corpus —
+    per-document padding (every doc padded up to its own
+    ``ceil(tokens/L)`` sequences; no cross-doc attention contamination,
+    pays padding waste) versus greedy concat-and-split (zero padding
+    except the final sequence; documents cross boundaries). The
+    padding-waste-vs-seq-len curve is what picks L before a 100 TB
+    tokenization run.
+
+    Scale shape: stateless map-side integer partials (one row per
+    seq_len per batch), one tiny keyed sum — the sweep rides a single
+    token-count scan regardless of ``len(seq_lens)``.
+
+    Output per seq_len: (seq_len, n_docs, total_tokens, n_seqs_padded,
+    waste_padded, n_seqs_packed, waste_packed), zero-token documents
+    excluded (they occupy no sequence under either strategy)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.dedup import _with_schema
+
+    lens = [int(x) for x in seq_lens]
+    part_schema = pa.schema(
+        [
+            ("seq_len", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("total_tokens", pa.int64()),
+            ("n_seqs_padded", pa.int64()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return part_schema.empty_table()
+        n = (
+            pc.count_substring_regex(
+                pc.coalesce(t.column("text"), pa.scalar("")), pattern=r"\S+"
+            )
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        n = n[n > 0]
+        rows_l, rows_d, rows_t, rows_p = [], [], [], []
+        for L in lens:
+            rows_l.append(L)
+            rows_d.append(len(n))
+            rows_t.append(int(n.sum()))
+            rows_p.append(int(((n + L - 1) // L).sum()))
+        return pa.table(
+            {
+                "seq_len": pa.array(rows_l, pa.int64()),
+                "n_docs": pa.array(rows_d, pa.int64()),
+                "total_tokens": pa.array(rows_t, pa.int64()),
+                "n_seqs_padded": pa.array(rows_p, pa.int64()),
+            }
+        )
+
+    rows = (
+        _with_schema(
+            docs.map_batches(partials, batch_format="pyarrow"), part_schema
+        )
+        .groupby("seq_len")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_tokens", alias_name="total_tokens"),
+            Sum("n_seqs_padded", alias_name="n_seqs_padded"),
+        )
+    ).take_all()  # bounded: len(seq_lens) rows
+    rows.sort(key=lambda r: int(r["seq_len"]))
+    out = {
+        "seq_len": [], "n_docs": [], "total_tokens": [],
+        "n_seqs_padded": [], "waste_padded": [],
+        "n_seqs_packed": [], "waste_packed": [],
+    }
+    for r in rows:
+        L = int(r["seq_len"])
+        tot = int(r["total_tokens"])
+        pad = int(r["n_seqs_padded"])
+        packed = (tot + L - 1) // L
+        out["seq_len"].append(L)
+        out["n_docs"].append(int(r["n_docs"]))
+        out["total_tokens"].append(tot)
+        out["n_seqs_padded"].append(pad)
+        out["waste_padded"].append(pad * L - tot)
+        out["n_seqs_packed"].append(packed)
+        out["waste_packed"].append(packed * L - tot)
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+
+def packing_efficiency_sql(seq_lens=DEFAULT_SWEEP_SEQ_LENS) -> str:
+    values = ", ".join(f"({int(x)})" for x in seq_lens)
+    return (
+        "WITH t AS (\n"
+        " SELECT CAST(len(regexp_extract_all(COALESCE(text, ''),"
+        " '\\S+')) AS BIGINT) AS n\n"
+        " FROM documents\n"
+        "), nz AS (SELECT n FROM t WHERE n > 0),\n"
+        f"ls(seq_len) AS (VALUES {values}),\n"
+        "a AS (\n"
+        " SELECT seq_len, CAST(COUNT(*) AS BIGINT) AS n_docs,\n"
+        "  CAST(SUM(n) AS BIGINT) AS total_tokens,\n"
+        "  CAST(SUM((n + seq_len - 1) // seq_len) AS BIGINT)"
+        " AS n_seqs_padded\n"
+        " FROM nz CROSS JOIN ls GROUP BY seq_len\n"
+        ")\n"
+        "SELECT CAST(seq_len AS BIGINT) AS seq_len, n_docs,"
+        " total_tokens, n_seqs_padded,\n"
+        " CAST(n_seqs_padded * seq_len - total_tokens AS BIGINT)"
+        " AS waste_padded,\n"
+        " CAST((total_tokens + seq_len - 1) // seq_len AS BIGINT)"
+        " AS n_seqs_packed,\n"
+        " CAST(((total_tokens + seq_len - 1) // seq_len) * seq_len"
+        " - total_tokens AS BIGINT) AS waste_packed\n"
+        "FROM a"
+    )

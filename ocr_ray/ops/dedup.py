@@ -1993,3 +1993,269 @@ def snm_quality_report_sql(fp_sql: str, window: int = 3,
         "FROM m"
     )
 
+
+
+# ------------------------------------------------ LSH parameter planning
+
+DEFAULT_LSH_CONFIGS = ((4, 16), (8, 8), (16, 4), (32, 2))
+
+
+def lsh_candidate_planner(docs, configs=DEFAULT_LSH_CONFIGS,
+                          threshold: float = 0.5,
+                          shingle_n: int = 3, max_df: int = 256):
+    """MinHash-LSH banding planner, tied to THIS corpus: for each
+    candidate (bands, rows_per_band) split of a 64-perm signature,
+    the expected number of LSH candidate pairs and the expected
+    capture of true near-dups (exact jaccard ≥ ``threshold``), using
+    the textbook collision curve p(j) = 1 − (1 − j^r)^b evaluated at
+    every co-occurring pair's EXACT jaccard (the proven inverted-index
+    machinery — one slim shuffle). This is the table that picks (b, r)
+    before committing a 100 TB dedup run: more bands = more recall,
+    more candidate volume to verify.
+
+    Float discipline: p(j) is evaluated with LEFT-FOLD multiplication
+    chains (x^r as ((x·x)·x)… — NOT libm pow, whose last-ulp behavior
+    differs between numpy and DuckDB) and quantized per pair as
+    floor(p·1e6) BEFORE the integer sum, so both engines add identical
+    integers in any order.
+
+    Output per config: (bands, rows_per_band, n_pairs,
+    exp_candidates_micro, n_true_pairs, exp_true_found_micro)."""
+    from ray.data.aggregate import Sum
+
+    cfgs = [(int(b), int(r)) for b, r in configs]
+    part_schema = pa.schema(
+        [
+            ("bands", pa.int64()),
+            ("rows_per_band", pa.int64()),
+            ("n_pairs", pa.int64()),
+            ("exp_candidates_micro", pa.int64()),
+            ("n_true_pairs", pa.int64()),
+            ("exp_true_found_micro", pa.int64()),
+        ]
+    )
+    counted = _ngram_cooccur_counts(docs, shingle_n, max_df)
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "intersection" not in t.column_names:
+            return part_schema.empty_table()
+        inter = (
+            t.column("intersection")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        union = (
+            t.column("size_a").to_numpy(zero_copy_only=False)
+            + t.column("size_b").to_numpy(zero_copy_only=False)
+            - inter
+        )
+        j = inter / np.maximum(union, 1)
+        true = j >= threshold
+        rows = {k: [] for k in part_schema.names}
+        for b, r in cfgs:
+            jr = j.copy()
+            for _ in range(r - 1):  # left-fold power, mirrored in SQL
+                jr = jr * j
+            q = 1.0 - jr
+            qb = q.copy()
+            for _ in range(b - 1):
+                qb = qb * q
+            pm = np.floor((1.0 - qb) * 1e6).astype(np.int64)
+            rows["bands"].append(b)
+            rows["rows_per_band"].append(r)
+            rows["n_pairs"].append(len(j))
+            rows["exp_candidates_micro"].append(int(pm.sum()))
+            rows["n_true_pairs"].append(int(true.sum()))
+            rows["exp_true_found_micro"].append(int(pm[true].sum()))
+        return pa.table(
+            {k: pa.array(v, pa.int64()) for k, v in rows.items()}
+        )
+
+    agg = (
+        _with_schema(
+            counted.map_batches(partials, batch_format="pyarrow"),
+            part_schema,
+        )
+        .groupby(["bands", "rows_per_band"])
+        .aggregate(
+            Sum("n_pairs", alias_name="n_pairs"),
+            Sum("exp_candidates_micro", alias_name="exp_candidates_micro"),
+            Sum("n_true_pairs", alias_name="n_true_pairs"),
+            Sum("exp_true_found_micro", alias_name="exp_true_found_micro"),
+        )
+    ).take_all()  # bounded: len(configs) rows
+    by_cfg = {(int(r["bands"]), int(r["rows_per_band"])): r for r in agg}
+    out = {k: [] for k in part_schema.names}
+    for b, r in cfgs:  # every config emits a row even on empty corpora
+        row = by_cfg.get((b, r))
+        out["bands"].append(b)
+        out["rows_per_band"].append(r)
+        for k in part_schema.names[2:]:
+            out[k].append(int(row[k]) if row else 0)
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+
+def _fold_mul_sql(expr: str, n: int) -> str:
+    """((expr * expr) * expr)… — the left-fold product chain shared
+    with the numpy side (see lsh_candidate_planner float discipline)."""
+    out = expr
+    for _ in range(n - 1):
+        out = f"({out} * {expr})"
+    return out
+
+
+def lsh_candidate_planner_sql(shingles_body: str,
+                              configs=DEFAULT_LSH_CONFIGS,
+                              threshold: float = 0.5,
+                              max_df: int = 256) -> str:
+    """SQL replay over the proven shingles fragment: exact pair
+    jaccards, then per config the identical left-fold collision curve
+    quantized to integer millionths before summing."""
+    selects = []
+    for b, r in configs:
+        jr = _fold_mul_sql("j", int(r))
+        p = f"(1.0 - {_fold_mul_sql(f'(1.0 - {jr})', int(b))})"
+        pm = f"CAST(floor({p} * 1000000.0) AS BIGINT)"
+        selects.append(
+            f"SELECT CAST({int(b)} AS BIGINT) AS bands,"
+            f" CAST({int(r)} AS BIGINT) AS rows_per_band,\n"
+            " CAST(COUNT(*) AS BIGINT) AS n_pairs,\n"
+            f" CAST(COALESCE(SUM({pm}), 0) AS BIGINT)"
+            " AS exp_candidates_micro,\n"
+            f" CAST(COALESCE(SUM(CASE WHEN j >= {threshold} THEN 1"
+            " ELSE 0 END), 0) AS BIGINT) AS n_true_pairs,\n"
+            f" CAST(COALESCE(SUM(CASE WHEN j >= {threshold} THEN {pm}"
+            " ELSE 0 END), 0) AS BIGINT) AS exp_true_found_micro\n"
+            "FROM pairs"
+        )
+    return (
+        "WITH " + shingles_body + ",\n"
+        "df AS (SELECT shingle, COUNT(*) AS dfc FROM sh"
+        " GROUP BY shingle),\n"
+        "inter AS (\n"
+        " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        " CAST(COUNT(*) AS BIGINT) AS intersection\n"
+        " FROM sh a JOIN sh b USING (shingle) JOIN df USING (shingle)\n"
+        f" WHERE a.doc_id < b.doc_id AND df.dfc <= {max_df}"
+        " GROUP BY 1, 2\n"
+        "), pairs AS (\n"
+        " SELECT CAST(intersection AS DOUBLE)"
+        " / CAST(sa.sz + sb.sz - intersection AS DOUBLE) AS j\n"
+        " FROM inter JOIN sizes sa ON sa.doc_id = inter.doc_a\n"
+        " JOIN sizes sb ON sb.doc_id = inter.doc_b\n"
+        ")\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+def shingle_novelty(docs, shingle_n: int = 3):
+    """Temporal novelty score per document: the fraction of its
+    distinct word shingles that it is the FIRST document (by doc_id)
+    to contain — the streaming "how much genuinely new content does
+    each arriving doc add" signal a crawl-ingest pipeline tracks
+    (documents whose novelty drops toward 0 are recombinations of
+    already-seen text even when no single pair crosses a near-dup
+    threshold).
+
+    Scale shape: shingle rows (slim) hash-partition by shingle once;
+    per group the min doc_id emits ONE (doc_id, novel=1) row; the
+    denominator rides the same rows as per-batch (doc_id, count)
+    partials. Numerator and denominator then meet in a single keyed
+    sum over a tagged union — no join. Docs with zero words emit no
+    rows (no shingles → novelty undefined), mirroring the oracle's
+    sizes CTE.
+
+    Output: (doc_id, n_shingles, n_novel, novelty_ppm) with
+    novelty_ppm = n_novel·1e6 // n_shingles (exact integer floor)."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    rows = docs.map_batches(
+        _shingle_rows_factory(shingle_n), batch_format="pyarrow"
+    ).materialize()  # slim: one row per (doc, distinct shingle)
+
+    pair_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_shingles", pa.int64()),
+            ("n_novel", pa.int64()),
+        ]
+    )
+
+    def first_seen(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return pair_schema.empty_table()
+        ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+        firsts = ids[starts]  # min doc per shingle (sorted within)
+        uniq, cnt = np.unique(firsts, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "n_shingles": pa.array(
+                    np.zeros(len(uniq), np.int64), pa.int64()
+                ),
+                "n_novel": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    novel = grouped_map(
+        rows, ["shingle"], first_seen, sort_within=["doc_id"]
+    )
+
+    def totals(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pair_schema.empty_table()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(ids, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "n_shingles": pa.array(cnt.astype(np.int64), pa.int64()),
+                "n_novel": pa.array(
+                    np.zeros(len(uniq), np.int64), pa.int64()
+                ),
+            }
+        )
+
+    denom = rows.map_batches(totals, batch_format="pyarrow")
+    agg = _with_schema(
+        denom.union(novel)
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_shingles", alias_name="n_shingles"),
+            Sum("n_novel", alias_name="n_novel"),
+        ),
+        pair_schema,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        out_schema = pair_schema.append(
+            pa.field("novelty_ppm", pa.int64())
+        )
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        ns = t.column("n_shingles").to_numpy(zero_copy_only=False)
+        nv = t.column("n_novel").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "novelty_ppm",
+            pa.array(nv * 1_000_000 // np.maximum(ns, 1), pa.int64()),
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def shingle_novelty_sql(shingles_body: str) -> str:
+    return (
+        "WITH " + shingles_body + ",\n"
+        "firsts AS (SELECT shingle, MIN(doc_id) AS doc_id FROM sh"
+        " GROUP BY shingle),\n"
+        "novel AS (SELECT doc_id, COUNT(*) AS n_novel FROM firsts"
+        " GROUP BY doc_id)\n"
+        "SELECT s.doc_id, CAST(s.sz AS BIGINT) AS n_shingles,\n"
+        " CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,\n"
+        " CAST(COALESCE(n.n_novel, 0) * 1000000 // s.sz AS BIGINT)"
+        " AS novelty_ppm\n"
+        "FROM sizes s LEFT JOIN novel n USING (doc_id)"
+    )

@@ -297,3 +297,157 @@ def negative_samples_sql(k: int = 5, attempts: int = 64) -> str:
         " CAST(j AS BIGINT) AS attempt\n"
         f"FROM rk WHERE rn <= {k}"
     )
+
+
+def mixture_waterfill(docs, budget_tokens: int | None = None):
+    """Uniform-target water-filling allocation of a token budget across
+    sources: every source gets the common water level L (integer) up to
+    its own capacity; saturated (small) sources keep their full token
+    count and the freed budget redistributes to the rest — the standard
+    way to hit "equal representation, capped by availability" when
+    mixing corpora for training.  ``budget_tokens`` defaults to HALF
+    the corpus total (computed from the same aggregate, so engine and
+    oracle agree without a side-channel).
+
+    Exact-integer discipline: capacities are per-source ``\\S+`` token
+    sums (tiny keyed aggregate — one row per source; the driver fold is
+    over that bounded set), the level is found by the sorted
+    prefix-sum pivot, and the remainder below the level distributes +1
+    to the first ``rem`` unsaturated sources in source order — the SQL
+    replays the identical window arithmetic.
+
+    Output: (source, cap_tokens, alloc_tokens, saturated) sorted by
+    source."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.dedup import _with_schema
+
+    part_schema = pa.schema(
+        [("source", pa.string()), ("cap", pa.int64())]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return part_schema.empty_table()
+        n = (
+            pc.count_substring_regex(
+                pc.coalesce(t.column("text"), pa.scalar("")), pattern=r"\S+"
+            )
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        src = np.asarray(t.column("source").to_pylist(), dtype=object)
+        uniq, inv = np.unique(src, return_inverse=True)
+        cap = np.zeros(len(uniq), np.int64)
+        np.add.at(cap, inv, n)
+        return pa.table(
+            {
+                "source": pa.array(list(uniq), pa.string()),
+                "cap": pa.array(cap, pa.int64()),
+            }
+        )
+
+    rows = (
+        _with_schema(
+            docs.map_batches(partials, batch_format="pyarrow"), part_schema
+        )
+        .groupby("source")
+        .aggregate(Sum("cap", alias_name="cap"))
+    ).take_all()  # bounded: one row per source
+    rows.sort(key=lambda r: r["source"])
+    srcs = [r["source"] for r in rows]
+    caps = np.array([int(r["cap"]) for r in rows], np.int64)
+    total = int(caps.sum())
+    budget = int(budget_tokens) if budget_tokens is not None else total // 2
+    budget = min(budget, total)
+
+    # pivot by ascending capacity (ties: source order keeps determinism)
+    order = np.lexsort((np.arange(len(caps)), caps))
+    alloc = np.zeros(len(caps), np.int64)
+    remaining = budget
+    left = len(caps)
+    level = 0
+    rem = 0
+    unsat = []
+    for pos, i in enumerate(order):
+        # if the remaining budget spread over the remaining sources
+        # stays below this source's capacity, the level settles here
+        if left > 0 and remaining // left <= caps[i]:
+            level = remaining // left
+            rem = remaining % left
+            unsat = sorted(order[pos:])  # source order for the +1s
+            break
+        alloc[i] = caps[i]
+        remaining -= caps[i]
+        left -= 1
+    for j, i in enumerate(unsat):
+        alloc[i] = min(caps[i], level + (1 if j < rem else 0))
+
+    return pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "cap_tokens": pa.array(caps, pa.int64()),
+            "alloc_tokens": pa.array(alloc, pa.int64()),
+            "saturated": pa.array(
+                (alloc == caps).astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def mixture_waterfill_sql(budget_tokens: int | None = None) -> str:
+    """Window replay: sources sorted by capacity; the pvt is the
+    first position where the leftover budget per remaining source fits
+    under the capacity; +1 remainders go to the first ``rem``
+    unsaturated sources in source order."""
+    budget_expr = (
+        str(int(budget_tokens))
+        if budget_tokens is not None
+        else "(SELECT SUM(cap) // 2 FROM caps)"
+    )
+    return (
+        "WITH caps AS (\n"
+        " SELECT source,"
+        " CAST(SUM(len(regexp_extract_all(COALESCE(text, ''), '\\S+')))"
+        " AS BIGINT) AS cap\n"
+        " FROM documents GROUP BY source\n"
+        "), b AS (\n"
+        f" SELECT LEAST({budget_expr}, (SELECT SUM(cap) FROM caps))"
+        " AS budget\n"
+        "), o AS (\n"
+        " SELECT source, cap,\n"
+        "  ROW_NUMBER() OVER (ORDER BY cap, source) AS rn,\n"
+        "  COALESCE(SUM(cap) OVER (ORDER BY cap, source\n"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        " AS cum_below,\n"
+        "  COUNT(*) OVER () AS k\n"
+        " FROM caps\n"
+        "), pvt AS (\n"
+        " SELECT MIN(rn) AS p FROM o, b\n"
+        " WHERE (b.budget - cum_below) // (k - rn + 1) <= cap\n"
+        "), lvl AS (\n"
+        " SELECT (b.budget - o.cum_below) // (o.k - pvt.p + 1)"
+        " AS level,\n"
+        "  (b.budget - o.cum_below) % (o.k - pvt.p + 1) AS rem\n"
+        " FROM o JOIN pvt ON o.rn = pvt.p CROSS JOIN b\n"
+        "), unsat AS (\n"
+        " SELECT source,"
+        " ROW_NUMBER() OVER (ORDER BY source) AS uord\n"
+        " FROM o JOIN pvt ON o.rn >= pvt.p\n"
+        ")\n"
+        "SELECT o.source, o.cap AS cap_tokens,\n"
+        " CAST(CASE WHEN o.rn < pvt.p THEN o.cap\n"
+        "      ELSE LEAST(o.cap, lvl.level +"
+        " CASE WHEN u.uord <= lvl.rem THEN 1 ELSE 0 END)\n"
+        " END AS BIGINT) AS alloc_tokens,\n"
+        " CAST(CASE WHEN o.rn < pvt.p THEN 1\n"
+        "      ELSE CASE WHEN LEAST(o.cap, lvl.level +"
+        " CASE WHEN u.uord <= lvl.rem THEN 1 ELSE 0 END) = o.cap"
+        " THEN 1 ELSE 0 END\n"
+        " END AS BIGINT) AS saturated\n"
+        "FROM o CROSS JOIN pvt CROSS JOIN lvl\n"
+        "LEFT JOIN unsat u ON u.source = o.source\n"
+        "ORDER BY o.source"
+    )

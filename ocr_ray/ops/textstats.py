@@ -827,3 +827,145 @@ def cross_source_overlap_matrix(docs, max_df: int = 64):
             ]
         ),
     )
+
+
+def term_burstiness(docs, min_df: int = 5, k: int = 200):
+    """Term burstiness (Church & Gale overdispersion): for each word,
+    the variance-to-mean ratio of its per-document counts over the
+    documents that CONTAIN it. VMR ≈ 1 is Poisson-like function-word
+    behavior; VMR ≫ 1 marks bursty content words that pile up in a few
+    documents — the signal separating topical vocabulary from glue
+    words when building filter lists at corpus scale.
+
+    Scale shape: per-(doc, word) counts are complete inside a batch
+    (a document is one row), so each batch folds to slim
+    (word, df, total, sum_sq) integer partials — fully vectorized via
+    the dictionary-encode trick (no per-word Python) — and one keyed
+    sum finishes; the final sort is over the word vocabulary only.
+
+    Output: (word, df, total, sum_sq, vmr), df ≥ ``min_df``, top ``k``
+    by (total DESC, word ASC)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.dedup import _with_schema
+
+    part_schema = pa.schema(
+        [
+            ("word", pa.string()),
+            ("df", pa.int64()),
+            ("total", pa.int64()),
+            ("sum_sq", pa.int64()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return part_schema.empty_table()
+        col = t.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        arr = pc.coalesce(col, pa.scalar("", pa.string()))
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(arr), pattern="[^a-zA-Z]+"
+        )
+        parent = pc.list_parent_indices(words).to_numpy(
+            zero_copy_only=False
+        )
+        flat = pc.list_flatten(words)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if len(flat) == 0:
+            return part_schema.empty_table()
+        d = flat.dictionary_encode()
+        vocab = np.asarray(d.dictionary.to_pylist(), dtype=object)
+        idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        valid = np.fromiter(
+            (len(w) >= 3 for w in vocab), bool, len(vocab)
+        )[idx]
+        if not valid.any():
+            return part_schema.empty_table()
+        keys = parent[valid] * np.int64(len(vocab)) + idx[valid]
+        uk, cnt = np.unique(keys, return_counts=True)
+        widx = (uk % len(vocab)).astype(np.int64)
+        cnt = cnt.astype(np.int64)
+        # fold the per-(doc, word) counts to per-word partials
+        uw, winv = np.unique(widx, return_inverse=True)
+        df = np.bincount(winv, minlength=len(uw)).astype(np.int64)
+        tot = np.zeros(len(uw), np.int64)
+        np.add.at(tot, winv, cnt)
+        sq = np.zeros(len(uw), np.int64)
+        np.add.at(sq, winv, cnt * cnt)
+        return pa.table(
+            {
+                "word": pa.array(list(vocab[uw]), pa.string()),
+                "df": pa.array(df, pa.int64()),
+                "total": pa.array(tot, pa.int64()),
+                "sum_sq": pa.array(sq, pa.int64()),
+            }
+        )
+
+    agg = (
+        _with_schema(
+            docs.map_batches(partials, batch_format="pyarrow"), part_schema
+        )
+        .groupby("word")
+        .aggregate(
+            Sum("df", alias_name="df"),
+            Sum("total", alias_name="total"),
+            Sum("sum_sq", alias_name="sum_sq"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        out_schema = part_schema.append(pa.field("vmr", pa.float64()))
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        t = t.filter(pc.greater_equal(t.column("df"), min_df))
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.column("df").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        tot = t.column("total").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        sq = t.column("sum_sq").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        m = tot / df
+        vmr = (sq / df - m * m) / m
+        return t.append_column("vmr", pa.array(vmr, pa.float64()))
+
+    return (
+        _with_schema(
+            agg.map_batches(finalize, batch_format="pyarrow"),
+            part_schema.append(pa.field("vmr", pa.float64())),
+        )
+        .sort(["total", "word"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def term_burstiness_sql(min_df: int = 5, k: int = 200) -> str:
+    m = "(CAST(total AS DOUBLE) / CAST(df AS DOUBLE))"
+    return (
+        "WITH w AS (\n"
+        " SELECT doc_id,"
+        " unnest(regexp_extract_all(lower(text), '[a-zA-Z]{3,}'))"
+        " AS word\n"
+        " FROM documents\n"
+        "), c AS (\n"
+        " SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY 1, 2\n"
+        "), a AS (\n"
+        " SELECT word, CAST(COUNT(*) AS BIGINT) AS df,\n"
+        "  CAST(SUM(n) AS BIGINT) AS total,\n"
+        "  CAST(SUM(n * n) AS BIGINT) AS sum_sq\n"
+        " FROM c GROUP BY word\n"
+        ")\n"
+        "SELECT word, df, total, sum_sq,\n"
+        f" (CAST(sum_sq AS DOUBLE) / CAST(df AS DOUBLE) - {m} * {m})"
+        f" / {m} AS vmr\n"
+        f"FROM a WHERE df >= {min_df}\n"
+        f"ORDER BY total DESC, word ASC LIMIT {k}"
+    )

@@ -1,0 +1,225 @@
+"""Planning operators: packing-efficiency sweep, LSH banding planner,
+curriculum NTILE — hand-computed small cases."""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _ds(tbl):
+    import ray.data as rd
+
+    return rd.from_arrow(tbl)
+
+
+def test_packing_efficiency_hand(ray_session):
+    from ocr_ray.ops.chunk import packing_efficiency_sweep
+
+    # token counts: 10, 100, 300, 0 (dropped)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    " ".join(["x"] * 10),
+                    " ".join(["y"] * 100),
+                    " ".join(["z"] * 300),
+                    "",
+                ]
+            ),
+        }
+    )
+    out = {
+        int(r["seq_len"]): r
+        for r in packing_efficiency_sweep(_ds(t), seq_lens=(128,)).to_pylist()
+    }
+    r = out[128]
+    assert r["n_docs"] == 3 and r["total_tokens"] == 410
+    # padded: ceil(10/128)+ceil(100/128)+ceil(300/128) = 1+1+3 = 5
+    assert r["n_seqs_padded"] == 5 and r["waste_padded"] == 5 * 128 - 410
+    # packed: ceil(410/128) = 4
+    assert r["n_seqs_packed"] == 4 and r["waste_packed"] == 4 * 128 - 410
+
+
+def test_lsh_planner_hand(ray_session):
+    from ocr_ray.ops.dedup import lsh_candidate_planner, word_shingles
+
+    # one identical pair (j=1) and one disjoint doc
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([a, a, "totally different words here now"]),
+        }
+    )
+    out = lsh_candidate_planner(_ds(t), configs=((8, 8),)).to_pylist()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["bands"], r["rows_per_band"]) == (8, 8)
+    # exactly the (1,2) pair co-occurs; j = 1 → p = 1 → 1e6 micro
+    assert r["n_pairs"] == 1
+    assert r["exp_candidates_micro"] == 1_000_000
+    assert r["n_true_pairs"] == 1
+    assert r["exp_true_found_micro"] == 1_000_000
+
+
+def test_lsh_planner_curve_monotone(ray_session):
+    """More bands (shorter rows) must not decrease expected capture."""
+    from ocr_ray.ops.dedup import lsh_candidate_planner
+
+    rng = np.random.default_rng(5)
+    base = [f"w{i}" for i in range(30)]
+    texts = []
+    for i in range(12):
+        words = list(base)
+        for j in range(i):  # increasing perturbation → jaccard spread
+            words[j] = f"u{i}x{j}"
+        texts.append(" ".join(words))
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(12), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    rows = {
+        int(r["bands"]): r
+        for r in lsh_candidate_planner(_ds(t)).to_pylist()
+    }
+    caps = [rows[b]["exp_candidates_micro"] for b in (4, 8, 16, 32)]
+    assert caps == sorted(caps)  # collision prob rises with band count
+
+
+def test_curriculum_ntile_matches_window_semantics(ray_session):
+    from ocr_ray.ops.curriculum import curriculum_ntile
+
+    # 23 docs, k=5 → DuckDB NTILE: first 3 tiles of 5, then 2 tiles of 4
+    n = 23
+    rng = np.random.default_rng(11)
+    chars = rng.integers(10, 5000, n)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "n_chars": pa.array(chars, pa.int64()),
+        }
+    )
+    got = (
+        curriculum_ntile(_ds(t), k=5, range_width=100)
+        .to_pandas()
+        .sort_values("position")
+        .reset_index(drop=True)
+    )
+    order = sorted(range(n), key=lambda i: (chars[i], i))
+    assert list(got.doc_id) == order
+    assert list(got.position) == list(range(n))
+    sizes = got.groupby("tile").size()
+    assert list(sizes) == [5, 5, 5, 4, 4]
+    # positions are contiguous per tile and tiles ordered
+    assert (np.diff(got.tile) >= 0).all()
+
+
+def test_curriculum_ntile_k_exceeds_n(ray_session):
+    from ocr_ray.ops.curriculum import curriculum_ntile
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([7, 3], pa.int64()),
+            "n_chars": pa.array([50, 10], pa.int64()),
+        }
+    )
+    got = (
+        curriculum_ntile(_ds(t), k=10)
+        .to_pandas()
+        .sort_values("position")
+    )
+    assert list(got.doc_id) == [3, 7]
+    assert list(got.tile) == [1, 2]
+
+
+def test_shingle_novelty_hand(ray_session):
+    from ocr_ray.ops.dedup import shingle_novelty
+
+    # doc 1 introduces everything; doc 2 repeats doc 1 verbatim (0
+    # novel); doc 3 is half doc 1's shingles, half new
+    a = "one two three four five"          # shingles: 3
+    c = "one two three apple pear plum"    # shares 1, adds 3 new
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([a, a, c]),
+        }
+    )
+    got = {
+        int(r["doc_id"]): r for r in shingle_novelty(_ds(t)).take_all()
+    }
+    assert got[1]["n_novel"] == got[1]["n_shingles"]
+    assert got[1]["novelty_ppm"] == 1_000_000
+    assert got[2]["n_novel"] == 0 and got[2]["novelty_ppm"] == 0
+    assert got[3]["n_shingles"] == 4  # 4 distinct 3-gram shingles
+    assert got[3]["n_novel"] == 3
+    assert got[3]["novelty_ppm"] == 3 * 1_000_000 // 4
+
+
+def test_mixture_waterfill_hand(ray_session):
+    from ocr_ray.ops.sample import mixture_waterfill
+
+    # capacities: a=2, b=8, c=20 tokens; budget 12 → a saturates (2),
+    # leftover 10 over {b, c}: level 5 each
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "source": pa.array(["a", "b", "c"]),
+            "text": pa.array(
+                [" ".join(["x"] * 2), " ".join(["y"] * 8),
+                 " ".join(["z"] * 20)]
+            ),
+        }
+    )
+    got = {
+        r["source"]: r
+        for r in mixture_waterfill(_ds(t), budget_tokens=12).to_pylist()
+    }
+    assert got["a"]["alloc_tokens"] == 2 and got["a"]["saturated"] == 1
+    assert got["b"]["alloc_tokens"] == 5 and got["b"]["saturated"] == 0
+    assert got["c"]["alloc_tokens"] == 5
+    # remainder case: budget 13 → level 5 rem 1 → first unsat source
+    # in source order (b) gets +1
+    got = {
+        r["source"]: r
+        for r in mixture_waterfill(_ds(t), budget_tokens=13).to_pylist()
+    }
+    assert got["b"]["alloc_tokens"] == 6 and got["c"]["alloc_tokens"] == 5
+    # budget beyond capacity: everything saturates
+    got = {
+        r["source"]: r
+        for r in mixture_waterfill(_ds(t), budget_tokens=999).to_pylist()
+    }
+    assert [got[s]["alloc_tokens"] for s in "abc"] == [2, 8, 20]
+    assert all(got[s]["saturated"] == 1 for s in "abc")
+
+
+def test_term_burstiness_hand(ray_session):
+    from ocr_ray.ops.textstats import term_burstiness
+
+    # "apple" appears 4+0+2 → df 2, counts (4,2): mean 3, var 1,
+    # vmr 1/3; "the" 1+1+1 → vmr 0 (uniform)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "the apple apple apple apple",
+                    "the pear",
+                    "the apple apple",
+                ]
+            ),
+        }
+    )
+    got = {
+        r["word"]: r
+        for r in term_burstiness(_ds(t), min_df=2, k=10).take_all()
+    }
+    assert got["apple"]["df"] == 2 and got["apple"]["total"] == 6
+    assert got["apple"]["sum_sq"] == 20
+    assert got["apple"]["vmr"] == (20 / 2 - 9.0) / 3.0
+    assert got["the"]["vmr"] == 0.0
+    assert "pear" not in got  # df 1 < min_df
