@@ -1885,6 +1885,26 @@ def q_term_burstiness(sf_dir: str):
     return term_burstiness(_docs(sf_dir))
 
 
+def q_leakage_safe_split(sf_dir: str):
+    """Near-dup-aware split assignment: split hash on the connected-
+    component label so duplicate clusters never straddle splits
+    (ops/split.py:leakage_safe_split)."""
+    from ocr_ray.ops.split import leakage_safe_split
+
+    _quiet()
+    return leakage_safe_split(_docs(sf_dir))
+
+
+def q_logprob_filter_sweep(sf_dir: str):
+    """Perplexity-filter survivor curve over avg unigram log-prob
+    cutoffs (ops/tfidf.py:logprob_filter_sweep), sign-safe integer
+    floor averages."""
+    from ocr_ray.ops.tfidf import logprob_filter_sweep
+
+    _quiet()
+    return logprob_filter_sweep(_docs(sf_dir))
+
+
 def q_redact_pii(sf_dir: str):
     """PII masking (URL/email/phone) as pure Arrow regex kernels; the
     oracle replays the byte-identical RE2 patterns in DuckDB."""
@@ -8292,6 +8312,8 @@ QUERIES = {
     "shingle_novelty": q_shingle_novelty,
     "mixture_waterfill": q_mixture_waterfill,
     "term_burstiness": q_term_burstiness,
+    "leakage_safe_split": q_leakage_safe_split,
+    "logprob_filter_sweep": q_logprob_filter_sweep,
     "redact_pii": q_redact_pii,
     "weighted_sample_docs": q_weighted_sample_docs,
     "chunk_docs": q_chunk_docs,
@@ -10213,6 +10235,9 @@ def oracle_sql() -> dict[str, str]:
         "term_burstiness": __import__(
             "ocr_ray.ops.textstats", fromlist=["term_burstiness_sql"]
         ).term_burstiness_sql(),
+        "leakage_safe_split": __import__(
+            "ocr_ray.ops.split", fromlist=["leakage_safe_split_sql"]
+        ).leakage_safe_split_sql(_SHINGLES_BODY),
         "redact_pii": _redact_oracle_sql(),
         "weighted_sample_docs": _weighted_sample_oracle_sql(
             weight_col="n_chars", k=25
@@ -11230,6 +11255,11 @@ def oracle_sql() -> dict[str, str]:
     # the prefix-filtered plan is result-identical by construction, so
     # it shares the all-pairs oracle verbatim
     oracles["ngram_jaccard_prefix"] = oracles["ngram_jaccard_pairs"]
+    from ocr_ray.ops.tfidf import logprob_filter_sweep_sql
+
+    oracles["logprob_filter_sweep"] = logprob_filter_sweep_sql(
+        oracles["unigram_logprob"]
+    )
     # TPC-H-shaped revenue aggregates: integer-cent sums rounded per
     # row (half away from zero) exactly as the Ray partials do
     oracles["forecast_revenue"] = (

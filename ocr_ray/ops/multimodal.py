@@ -198,6 +198,31 @@ def _to_rgb(img: np.ndarray) -> np.ndarray:
 _JPEG_MAGIC = b"\xff\xd8\xff"
 
 
+def decode_any_image(payload: bytes) -> np.ndarray | None:
+    """(H, W, 3) RGB pixels for any stdlib-decodable payload — RAWI,
+    PNG (kernels/png.py), BMP / netpbm (kernels/imagefmt.py) — else
+    None (entropy-coded formats like JPEG need external codecs)."""
+    if payload is None:
+        return None
+    if is_raw_image(payload):
+        return decode_raw_image(payload)
+    from ocr_ray.kernels.imagefmt import (
+        decode_bmp,
+        decode_netpbm,
+        is_bmp,
+        is_netpbm,
+    )
+    from ocr_ray.kernels.png import decode_png, is_png
+
+    if is_png(payload):
+        return _to_rgb(decode_png(payload))
+    if is_bmp(payload):
+        return decode_bmp(payload)
+    if is_netpbm(payload):
+        return _to_rgb(decode_netpbm(payload))
+    return None
+
+
 class DecodeMedia:
     """Actor stage: payload → typed metadata columns (and, with
     ``real_codecs=True``, real pixels). PNG decodes via the stdlib-zlib
@@ -212,8 +237,47 @@ class DecodeMedia:
         self.real_codecs = real_codecs
 
     def _decode(self, payload: bytes) -> dict:
+        from ocr_ray.kernels.imagefmt import (
+            decode_bmp,
+            decode_netpbm,
+            is_bmp,
+            is_netpbm,
+        )
         from ocr_ray.kernels.png import decode_png, is_png
 
+        if is_bmp(payload) or is_netpbm(payload):
+            # stdlib codecs (kernels/imagefmt.py): decode for real in
+            # real_codecs mode, header-only dims otherwise
+            if self.real_codecs:
+                img = _to_rgb(
+                    decode_bmp(payload)
+                    if is_bmp(payload)
+                    else decode_netpbm(payload)
+                )
+                return {
+                    "media_type": "image",
+                    "width": img.shape[1],
+                    "height": img.shape[0],
+                    "duration_ms": 0,
+                    "n_bytes": len(payload),
+                    "payload": encode_raw_image(img),
+                }
+            import struct as _struct
+
+            if is_bmp(payload):
+                w, h = _struct.unpack("<ii", payload[18:26])
+                h = abs(h)
+            else:
+                img = decode_netpbm(payload)
+                h, w = img.shape[:2]
+            return {
+                "media_type": "image",
+                "width": w,
+                "height": h,
+                "duration_ms": 0,
+                "n_bytes": len(payload),
+                "payload": payload,
+            }
         if is_png(payload):
             if self.real_codecs:
                 img = _to_rgb(decode_png(payload))
@@ -454,18 +518,11 @@ class EnhanceImage:
         self.enhance = enhance
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ocr_ray.kernels.png import decode_png, is_png
-
         payloads = batch.column("payload").to_pylist()
         flags = []
         changed = False
         for i, p in enumerate(payloads):
-            img = None
-            if self.enhance and p is not None:
-                if is_raw_image(p):
-                    img = decode_raw_image(p)
-                elif is_png(p):
-                    img = _to_rgb(decode_png(p))
+            img = decode_any_image(p) if self.enhance else None
             if img is None:
                 flags.append(False)
                 continue
@@ -556,6 +613,12 @@ def media_dhash_pairs(media, max_hamming: int = 3, max_bucket: int = 8192):
 
     def hash_batch(batch: pa.Table) -> pa.Table:
         ids_out, hashes = [], []
+        from ocr_ray.kernels.imagefmt import (
+            decode_bmp,
+            decode_netpbm,
+            is_bmp,
+            is_netpbm,
+        )
         from ocr_ray.kernels.png import decode_png, is_png
 
         ids = batch.column("media_id").to_pylist()
@@ -564,6 +627,10 @@ def media_dhash_pairs(media, max_hamming: int = 3, max_bucket: int = 8192):
                 img = decode_raw_image(payload)
             elif is_png(payload):
                 img = _to_rgb(decode_png(payload))
+            elif is_bmp(payload):
+                img = decode_bmp(payload)
+            elif is_netpbm(payload):
+                img = _to_rgb(decode_netpbm(payload))
             else:
                 continue
             hashes.append(dhash64(img))

@@ -756,3 +756,127 @@ def neyman_allocation_sql(budget: int = 1000) -> str:
         " THEN 1 ELSE 0 END AS BIGINT) AS alloc\n"
         "FROM rk"
     )
+
+
+def leakage_safe_split(docs, threshold: float = 0.5,
+                       shingle_n: int = 3, max_df: int = 256):
+    """Near-dup-aware train/val/test assignment — the FIX for what
+    ``split_leakage_report`` measures: hashing raw doc_ids scatters
+    near-duplicate documents across splits (test leakage), so this
+    op splits by the near-dup GROUP instead: every doc adopts its
+    connected-component label (min doc_id over the exact-jaccard ≥
+    ``threshold`` pair graph; singletons label themselves) and the
+    split hash is taken on the LABEL — a whole duplicate cluster lands
+    in one split by construction.
+
+    Scale shape: the proven inverted-index pair machinery + pointer-
+    doubling components (slim rows); the label join is ONE keyed
+    min-aggregate over the union of component rows and identity rows —
+    no driver set, no broadcast.
+
+    Output: (doc_id, group_label, split)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    from ocr_ray.ops.dedup import (
+        _with_schema,
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        docs, shingle_n=shingle_n, threshold=threshold, max_df=max_df
+    )
+    comp = connected_components(pairs)
+
+    lab_schema = pa.schema(
+        [("doc_id", pa.int64()), ("group_label", pa.int64())]
+    )
+
+    def comp_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return lab_schema.empty_table()
+        return pa.table(
+            {
+                "doc_id": t.column("node").cast(pa.int64()),
+                "group_label": t.column("label").cast(pa.int64()),
+            }
+        )
+
+    def identity_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return lab_schema.empty_table()
+        ids = t.column("doc_id").cast(pa.int64())
+        return pa.table({"doc_id": ids, "group_label": ids})
+
+    labels = _with_schema(
+        docs.select_columns(["doc_id"])
+        .map_batches(identity_rows, batch_format="pyarrow")
+        .union(comp.map_batches(comp_rows, batch_format="pyarrow"))
+        .groupby("doc_id")
+        .aggregate(Min("group_label", alias_name="group_label")),
+        lab_schema,
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        out_schema = lab_schema.append(pa.field("split", pa.string()))
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        lab = (
+            t.column("group_label")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return t.append_column(
+            "split", pa.array(_SPLIT_NAMES_ARR[split_of(lab)], pa.string())
+        )
+
+    return labels.map_batches(assign, batch_format="pyarrow")
+
+
+_SPLIT_NAMES_ARR = np.array(_SPLIT_NAMES)
+
+
+def leakage_safe_split_sql(shingles_body: str, threshold: float = 0.5,
+                           max_df: int = 256) -> str:
+    """SQL replay: proven jaccard pairs + recursive-CTE components;
+    label = COALESCE(component, doc_id); split hash on the label."""
+    return (
+        "WITH RECURSIVE " + shingles_body + ",\n"
+        "kdf AS (SELECT shingle, COUNT(*) AS dfc FROM sh"
+        " GROUP BY shingle),\n"
+        "inter AS (\n"
+        " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        " CAST(COUNT(*) AS BIGINT) AS intersection\n"
+        " FROM sh a JOIN sh b USING (shingle) JOIN kdf USING (shingle)\n"
+        f" WHERE a.doc_id < b.doc_id AND kdf.dfc <= {max_df}"
+        " GROUP BY 1, 2\n"
+        "), prs AS (\n"
+        " SELECT doc_a, doc_b FROM inter\n"
+        " JOIN sizes sa ON sa.doc_id = inter.doc_a\n"
+        " JOIN sizes sb ON sb.doc_id = inter.doc_b\n"
+        " WHERE CAST(intersection AS DOUBLE)"
+        " / CAST(sa.sz + sb.sz - intersection AS DOUBLE)"
+        f" >= {threshold}\n"
+        "), und AS (\n"
+        " SELECT doc_a AS a, doc_b AS b FROM prs"
+        " UNION SELECT doc_b, doc_a FROM prs\n"
+        "), reach(node, r) AS (\n"
+        " SELECT a, a FROM und UNION SELECT b, b FROM und\n"
+        " UNION SELECT u.a, r.r FROM und u JOIN reach r ON u.b = r.node\n"
+        "), comp AS (\n"
+        " SELECT node, MIN(r) AS component FROM reach GROUP BY node\n"
+        "), lab AS (\n"
+        " SELECT d.doc_id,"
+        " CAST(COALESCE(c.component, d.doc_id) AS BIGINT)"
+        " AS group_label\n"
+        " FROM documents d LEFT JOIN comp c ON c.node = d.doc_id\n"
+        ")\n"
+        "SELECT doc_id, group_label,\n"
+        f" CASE WHEN pct < {TRAIN_PCT} THEN 'train'\n"
+        f"      WHEN pct < {VAL_PCT} THEN 'val'\n"
+        "      ELSE 'test' END AS split\n"
+        "FROM (SELECT doc_id, group_label,\n"
+        "  ((CAST(group_label AS HUGEINT) * 2654435761) % 4294967296)"
+        " % 100 AS pct FROM lab)"
+    )

@@ -336,3 +336,112 @@ def hashed_bow_sql(words_sql: str, n_buckets: int = 64) -> str:
         "SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS weight\n"
         "FROM h GROUP BY 1, 2"
     )
+
+
+DEFAULT_LOGPROB_THRESHOLDS = tuple(
+    t * 1_000_000 for t in range(-12, -3)
+)
+_LP_OFF = 1 << 40  # sign-safe offset: qlogprob is negative
+
+
+def logprob_filter_sweep(docs, thresholds=DEFAULT_LOGPROB_THRESHOLDS,
+                         scale: int = 1_000_000):
+    """Perplexity-filter calibration: for each candidate cutoff on the
+    per-document average unigram log-prob, how many documents and
+    tokens survive — the survivor curve that picks a quality threshold
+    BEFORE committing a 100 TB filtering pass (CCNet-style).
+
+    The per-doc metric is the exact integer
+    ``avg_micro = qlogprob // n_tokens`` (floor), computed with the
+    sign-safe +2^40·n offset so numpy floor-div and DuckDB
+    truncate-div agree on the negative numerator (the repo-wide
+    discipline). Rides the proven ``unigram_logprob`` composition;
+    the sweep itself is map-side integer partials over slim rows.
+
+    Output per threshold: (threshold_micro, n_kept, tokens_kept)."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.dedup import _with_schema
+
+    ths = [int(t) for t in thresholds]
+    scored = unigram_logprob(docs, scale=scale)
+
+    part_schema = pa.schema(
+        [
+            ("threshold_micro", pa.int64()),
+            ("n_kept", pa.int64()),
+            ("tokens_kept", pa.int64()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "qlogprob" not in t.column_names:
+            return part_schema.empty_table()
+        q = (
+            t.column("qlogprob")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n = (
+            t.column("n_tokens")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        avg = (q + _LP_OFF * n) // n - _LP_OFF
+        rows_t, rows_k, rows_tok = [], [], []
+        for th in ths:
+            keep = avg >= th
+            rows_t.append(th)
+            rows_k.append(int(keep.sum()))
+            rows_tok.append(int(n[keep].sum()))
+        return pa.table(
+            {
+                "threshold_micro": pa.array(rows_t, pa.int64()),
+                "n_kept": pa.array(rows_k, pa.int64()),
+                "tokens_kept": pa.array(rows_tok, pa.int64()),
+            }
+        )
+
+    agg = (
+        _with_schema(
+            scored.map_batches(partials, batch_format="pyarrow"),
+            part_schema,
+        )
+        .groupby("threshold_micro")
+        .aggregate(
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("tokens_kept", alias_name="tokens_kept"),
+        )
+    ).take_all()  # bounded: len(thresholds) rows
+    by_th = {int(r["threshold_micro"]): r for r in agg}
+    out = {"threshold_micro": [], "n_kept": [], "tokens_kept": []}
+    for th in ths:  # every threshold emits a row even when nothing kept
+        r = by_th.get(th)
+        out["threshold_micro"].append(th)
+        out["n_kept"].append(int(r["n_kept"]) if r else 0)
+        out["tokens_kept"].append(int(r["tokens_kept"]) if r else 0)
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+
+def logprob_filter_sweep_sql(unigram_sql: str,
+                             thresholds=DEFAULT_LOGPROB_THRESHOLDS) -> str:
+    """SQL replay over the proven unigram_logprob chain: same offset
+    floor-average, thresholds cross-joined, COALESCE'd to zero rows."""
+    values = ", ".join(f"({int(t)})" for t in thresholds)
+    return (
+        "WITH scored AS MATERIALIZED (\n"
+        + unigram_sql
+        + f"\n), ths(threshold_micro) AS (VALUES {values}),\n"
+        "avgd AS (\n"
+        " SELECT doc_id, n_tokens,\n"
+        f"  (qlogprob + {_LP_OFF}::HUGEINT * n_tokens) // n_tokens"
+        f" - {_LP_OFF} AS avg_micro\n"
+        " FROM scored\n"
+        ")\n"
+        "SELECT CAST(threshold_micro AS BIGINT) AS threshold_micro,\n"
+        " CAST(COALESCE(SUM(CASE WHEN avg_micro >= threshold_micro"
+        " THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept,\n"
+        " CAST(COALESCE(SUM(CASE WHEN avg_micro >= threshold_micro"
+        " THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS tokens_kept\n"
+        "FROM ths LEFT JOIN avgd ON TRUE GROUP BY threshold_micro"
+    )
