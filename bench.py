@@ -153,6 +153,11 @@ BENCH_QUERIES = [
     "shingle_novelty",
     "mixture_waterfill",
     "term_burstiness",
+    "leakage_safe_split",
+    "logprob_filter_sweep",
+    "dup_rate_timeline",
+    "rare_token_ratio",
+    "truncation_loss_sweep",
 ]
 
 

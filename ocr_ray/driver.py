@@ -1905,6 +1905,33 @@ def q_logprob_filter_sweep(sf_dir: str):
     return logprob_filter_sweep(_docs(sf_dir))
 
 
+def q_dup_rate_timeline(sf_dir: str):
+    """Duplicate-arrival rate per doc_id-range bucket (ingest-order
+    dedup health curve; ops/dedup.py:dup_rate_timeline)."""
+    from ocr_ray.ops.dedup import dup_rate_timeline
+
+    _quiet()
+    return dup_rate_timeline(_docs(sf_dir))
+
+
+def q_rare_token_ratio(sf_dir: str):
+    """Per-doc rare-vocabulary ratio (corpus frequency ≤ 2) via the
+    shared word-partitioned segment sums (ops/tfidf.py)."""
+    from ocr_ray.ops.tfidf import rare_token_ratio
+
+    _quiet()
+    return rare_token_ratio(_docs(sf_dir))
+
+
+def q_truncation_loss_sweep(sf_dir: str):
+    """Context-length truncation audit: docs exceeding each candidate
+    max_len and the tokens a truncate policy discards (ops/tfidf.py)."""
+    from ocr_ray.ops.tfidf import truncation_loss_sweep
+
+    _quiet()
+    return truncation_loss_sweep(_docs(sf_dir))
+
+
 def q_redact_pii(sf_dir: str):
     """PII masking (URL/email/phone) as pure Arrow regex kernels; the
     oracle replays the byte-identical RE2 patterns in DuckDB."""
@@ -8314,6 +8341,9 @@ QUERIES = {
     "term_burstiness": q_term_burstiness,
     "leakage_safe_split": q_leakage_safe_split,
     "logprob_filter_sweep": q_logprob_filter_sweep,
+    "dup_rate_timeline": q_dup_rate_timeline,
+    "rare_token_ratio": q_rare_token_ratio,
+    "truncation_loss_sweep": q_truncation_loss_sweep,
     "redact_pii": q_redact_pii,
     "weighted_sample_docs": q_weighted_sample_docs,
     "chunk_docs": q_chunk_docs,
@@ -10238,6 +10268,15 @@ def oracle_sql() -> dict[str, str]:
         "leakage_safe_split": __import__(
             "ocr_ray.ops.split", fromlist=["leakage_safe_split_sql"]
         ).leakage_safe_split_sql(_SHINGLES_BODY),
+        "dup_rate_timeline": __import__(
+            "ocr_ray.ops.dedup", fromlist=["dup_rate_timeline_sql"]
+        ).dup_rate_timeline_sql(_FP_SQL),
+        "rare_token_ratio": __import__(
+            "ocr_ray.ops.tfidf", fromlist=["rare_token_ratio_sql"]
+        ).rare_token_ratio_sql(_WORDS_SQL),
+        "truncation_loss_sweep": __import__(
+            "ocr_ray.ops.tfidf", fromlist=["truncation_loss_sql"]
+        ).truncation_loss_sql(),
         "redact_pii": _redact_oracle_sql(),
         "weighted_sample_docs": _weighted_sample_oracle_sql(
             weight_col="n_chars", k=25

@@ -2259,3 +2259,129 @@ def shingle_novelty_sql(shingles_body: str) -> str:
         " AS novelty_ppm\n"
         "FROM sizes s LEFT JOIN novel n USING (doc_id)"
     )
+
+
+def dup_rate_timeline(docs, n_buckets: int = 10):
+    """Duplicate-arrival rate over ingest order: documents are bucketed
+    by doc_id range into ``n_buckets`` equal spans and each bucket
+    reports how many of its docs are exact duplicates of an EARLIER
+    doc (fingerprint first seen at a smaller doc_id) — the dashboard
+    curve that tells an ingest pipeline whether duplication is
+    accelerating as the crawl ages (rising curve → diminishing novel
+    yield, time to tighten frontier policies).
+
+    Scale shape: fingerprint rows hash-partition once; per fp group
+    every non-min doc emits a dup marker; markers and totals fold in
+    per-batch partials keyed by the integer bucket
+    ``(doc_id − min_id) · n_buckets // (max_id − min_id + 1)`` (exact
+    integer arithmetic, min/max from one streaming aggregate).
+
+    Output: (bucket, n_docs, n_dups, dup_ppm)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    fps = docs.map_batches(_hash_batch, batch_format="pyarrow").materialize()
+    bounds = fps.aggregate(
+        Min("doc_id", alias_name="lo"), Max("doc_id", alias_name="hi")
+    ) or {"lo": 0, "hi": 0}
+    lo = int(bounds["lo"] or 0)
+    hi = int(bounds["hi"] or 0)
+    span = hi - lo + 1
+
+    part_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("n_dups", pa.int64()),
+        ]
+    )
+
+    def bucket_of(ids: np.ndarray) -> np.ndarray:
+        return (ids.astype(np.int64) - lo) * n_buckets // span
+
+    def dup_partials(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return part_schema.empty_table()
+        ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+        is_first = np.zeros(n, bool)
+        is_first[starts] = True  # sorted within group by doc_id
+        dup_ids = ids[~is_first]
+        if len(dup_ids) == 0:
+            return part_schema.empty_table()
+        b = bucket_of(dup_ids)
+        uniq, cnt = np.unique(b, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(uniq, pa.int64()),
+                "n_docs": pa.array(np.zeros(len(uniq), np.int64)),
+                "n_dups": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    dups = grouped_map(
+        fps, ["fingerprint"], dup_partials, sort_within=["doc_id"]
+    )
+
+    def totals(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return part_schema.empty_table()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        b = bucket_of(ids)
+        uniq, cnt = np.unique(b, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(uniq, pa.int64()),
+                "n_docs": pa.array(cnt.astype(np.int64), pa.int64()),
+                "n_dups": pa.array(np.zeros(len(uniq), np.int64)),
+            }
+        )
+
+    agg = _with_schema(
+        fps.map_batches(totals, batch_format="pyarrow")
+        .union(dups)
+        .groupby("bucket")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_dups", alias_name="n_dups"),
+        ),
+        part_schema,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        out_schema = part_schema.append(pa.field("dup_ppm", pa.int64()))
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        nd = t.column("n_docs").to_numpy(zero_copy_only=False)
+        du = t.column("n_dups").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "dup_ppm",
+            pa.array(du * 1_000_000 // np.maximum(nd, 1), pa.int64()),
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def dup_rate_timeline_sql(fp_sql: str, n_buckets: int = 10) -> str:
+    return (
+        "WITH fp AS (\n"
+        f" SELECT doc_id, {fp_sql} AS fp FROM documents\n"
+        "), bounds AS (\n"
+        " SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM fp\n"
+        "), firsts AS (\n"
+        " SELECT fp AS f, MIN(doc_id) AS first_doc FROM fp GROUP BY fp\n"
+        "), flagged AS (\n"
+        " SELECT fp.doc_id,\n"
+        "  CASE WHEN fp.doc_id > firsts.first_doc THEN 1 ELSE 0 END"
+        " AS is_dup,\n"
+        f"  (fp.doc_id - bounds.lo) * {n_buckets}"
+        " // (bounds.hi - bounds.lo + 1) AS bucket\n"
+        " FROM fp JOIN firsts ON firsts.f = fp.fp CROSS JOIN bounds\n"
+        ")\n"
+        "SELECT CAST(bucket AS BIGINT) AS bucket,\n"
+        " CAST(COUNT(*) AS BIGINT) AS n_docs,\n"
+        " CAST(SUM(is_dup) AS BIGINT) AS n_dups,\n"
+        " CAST(SUM(is_dup) * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm\n"
+        "FROM flagged GROUP BY bucket"
+    )

@@ -445,3 +445,186 @@ def logprob_filter_sweep_sql(unigram_sql: str,
         " THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS tokens_kept\n"
         "FROM ths LEFT JOIN avgd ON TRUE GROUP BY threshold_micro"
     )
+
+
+def rare_token_ratio(docs, max_count: int = 2):
+    """Per-document rare-vocabulary ratio: the fraction of a doc's
+    tokens whose CORPUS frequency is ≤ ``max_count`` — the OCR-garbage
+    / misspelling / boilerplate-id detector (quality filters cut docs
+    whose text is dominated by words nobody else uses; near-zero
+    ratios flag template text).
+
+    Scale shape: same two slim shuffles as ``unigram_logprob`` (shared
+    (doc, word, tf) rows; corpus counts resolve as segment sums inside
+    the word-partitioned block — no frequency table ships anywhere).
+
+    Output: (doc_id, n_tokens, n_rare, rare_ppm); zero-token docs emit
+    no row."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.dedup import _with_schema
+    from ocr_ray.stages.grouped import grouped_map
+
+    rows = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(_word_tf_rows, batch_format="pyarrow")
+        .materialize()
+    )
+
+    part_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("n_rare", pa.int64()),
+        ]
+    )
+
+    def contrib_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return part_schema.empty_table()
+        ends = np.append(starts[1:], n)
+        tf = block.column("tf").to_numpy(zero_copy_only=False)
+        n_w = np.repeat(np.add.reduceat(tf, starts), ends - starts)
+        rare = np.where(n_w <= max_count, tf, 0).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "doc_id": block.column("doc_id").cast(pa.int64()),
+                    "n_tokens": pa.array(tf, pa.int64()),
+                    "n_rare": pa.array(rare, pa.int64()),
+                }
+            )
+            .group_by("doc_id")
+            .aggregate([("n_tokens", "sum"), ("n_rare", "sum")])
+        )
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "n_tokens": g["n_tokens_sum"].cast(pa.int64()),
+                "n_rare": g["n_rare_sum"].cast(pa.int64()),
+            }
+        )
+
+    agg = _with_schema(
+        grouped_map(rows, ["word"], contrib_block)
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_rare", alias_name="n_rare"),
+        ),
+        part_schema,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        out_schema = part_schema.append(pa.field("rare_ppm", pa.int64()))
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        nt = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        nr = t.column("n_rare").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "rare_ppm",
+            pa.array(nr * 1_000_000 // np.maximum(nt, 1), pa.int64()),
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def rare_token_ratio_sql(words_sql: str, max_count: int = 2) -> str:
+    return (
+        "WITH words AS (\n"
+        f" SELECT doc_id, unnest({words_sql}) AS word FROM documents\n"
+        "), tf AS (\n"
+        " SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf\n"
+        " FROM words GROUP BY 1, 2\n"
+        "), cw AS (\n"
+        " SELECT word, SUM(tf) AS n_w FROM tf GROUP BY word\n"
+        "), agg AS (\n"
+        " SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,\n"
+        f"  CAST(SUM(CASE WHEN cw.n_w <= {max_count} THEN tf.tf"
+        " ELSE 0 END) AS BIGINT) AS n_rare\n"
+        " FROM tf JOIN cw USING (word) GROUP BY tf.doc_id\n"
+        ")\n"
+        "SELECT doc_id, n_tokens, n_rare,\n"
+        " CAST(n_rare * 1000000 // n_tokens AS BIGINT) AS rare_ppm\n"
+        "FROM agg"
+    )
+
+
+DEFAULT_TRUNC_LENS = (256, 512, 1024, 2048, 4096)
+
+
+def truncation_loss_sweep(docs, max_lens=DEFAULT_TRUNC_LENS):
+    """Context-length truncation audit: for each candidate maximum
+    sequence length, how many documents exceed it and how many tokens
+    a truncate-at-L policy would DISCARD — the counterpart to
+    ``packing_efficiency_sweep`` when the training setup truncates
+    instead of packing. One stateless token-count scan, integer
+    partials per (batch, L).
+
+    Output: (max_len, n_docs, total_tokens, n_truncated, tokens_lost)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.dedup import _with_schema
+
+    lens = [int(x) for x in max_lens]
+    part_schema = pa.schema(
+        [
+            ("max_len", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("total_tokens", pa.int64()),
+            ("n_truncated", pa.int64()),
+            ("tokens_lost", pa.int64()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return part_schema.empty_table()
+        n = (
+            pc.count_substring_regex(
+                pc.coalesce(t.column("text"), pa.scalar("")), pattern=r"\S+"
+            )
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        out = {k: [] for k in part_schema.names}
+        for L in lens:
+            lost = np.maximum(n - L, 0)
+            out["max_len"].append(L)
+            out["n_docs"].append(len(n))
+            out["total_tokens"].append(int(n.sum()))
+            out["n_truncated"].append(int((n > L).sum()))
+            out["tokens_lost"].append(int(lost.sum()))
+        return pa.table(
+            {k: pa.array(v, pa.int64()) for k, v in out.items()}
+        )
+
+    return _with_schema(
+        docs.map_batches(partials, batch_format="pyarrow"), part_schema
+    ).groupby("max_len").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("total_tokens", alias_name="total_tokens"),
+        Sum("n_truncated", alias_name="n_truncated"),
+        Sum("tokens_lost", alias_name="tokens_lost"),
+    )
+
+
+def truncation_loss_sql(max_lens=DEFAULT_TRUNC_LENS) -> str:
+    values = ", ".join(f"({int(x)})" for x in max_lens)
+    return (
+        "WITH t AS (\n"
+        " SELECT CAST(len(regexp_extract_all(COALESCE(text, ''),"
+        " '\\S+')) AS BIGINT) AS n\n"
+        " FROM documents\n"
+        f"), ls(max_len) AS (VALUES {values})\n"
+        "SELECT CAST(max_len AS BIGINT) AS max_len,\n"
+        " CAST(COUNT(*) AS BIGINT) AS n_docs,\n"
+        " CAST(SUM(n) AS BIGINT) AS total_tokens,\n"
+        " CAST(SUM(CASE WHEN n > max_len THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_truncated,\n"
+        " CAST(SUM(CASE WHEN n > max_len THEN n - max_len ELSE 0 END)"
+        " AS BIGINT) AS tokens_lost\n"
+        "FROM t CROSS JOIN ls GROUP BY max_len"
+    )

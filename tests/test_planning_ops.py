@@ -223,3 +223,96 @@ def test_term_burstiness_hand(ray_session):
     assert got["apple"]["vmr"] == (20 / 2 - 9.0) / 3.0
     assert got["the"]["vmr"] == 0.0
     assert "pear" not in got  # df 1 < min_df
+
+
+def test_dup_rate_timeline_hand(ray_session):
+    from ocr_ray.ops.dedup import dup_rate_timeline
+
+    # ids 0-9, 2 buckets of 5; dups: 6 copies 1 (bucket 1), 9 copies 1
+    texts = [f"unique text {i}" for i in range(10)]
+    texts[6] = texts[1]
+    texts[9] = texts[1]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(10), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    got = {
+        int(r["bucket"]): r
+        for r in dup_rate_timeline(_ds(t), n_buckets=2).take_all()
+    }
+    assert got[0]["n_docs"] == 5 and got[0]["n_dups"] == 0
+    assert got[1]["n_docs"] == 5 and got[1]["n_dups"] == 2
+    assert got[1]["dup_ppm"] == 2 * 1_000_000 // 5
+
+
+def test_rare_token_ratio_hand(ray_session):
+    from ocr_ray.ops.tfidf import rare_token_ratio
+
+    # "common" appears 3x (not rare at max_count=2); each "uniqNN"
+    # once (rare)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "common uniqaa uniqbb",
+                    "common uniqcc",
+                    "common",
+                ]
+            ),
+        }
+    )
+    got = {
+        int(r["doc_id"]): r for r in rare_token_ratio(_ds(t)).take_all()
+    }
+    assert got[1]["n_tokens"] == 3 and got[1]["n_rare"] == 2
+    assert got[1]["rare_ppm"] == 2 * 1_000_000 // 3
+    assert got[3]["n_rare"] == 0 and got[3]["rare_ppm"] == 0
+
+
+def test_truncation_loss_hand(ray_session):
+    from ocr_ray.ops.tfidf import truncation_loss_sweep
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                [" ".join(["x"] * 10), " ".join(["y"] * 300)]
+            ),
+        }
+    )
+    got = {
+        int(r["max_len"]): r
+        for r in truncation_loss_sweep(_ds(t), max_lens=(256,)).take_all()
+    }
+    r = got[256]
+    assert r["n_docs"] == 2 and r["total_tokens"] == 310
+    assert r["n_truncated"] == 1 and r["tokens_lost"] == 44
+
+
+def test_leakage_safe_split_groups_together(ray_session):
+    from ocr_ray.ops.split import leakage_safe_split
+
+    base = " ".join(f"w{i}" for i in range(30))
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 50, 51], pa.int64()),
+            "text": pa.array(
+                [
+                    base + " alpha",
+                    base + " beta",  # near-dup of 1 → same group
+                    "completely different something else entirely here",
+                    "another unrelated chunk of words goes right here",
+                ]
+            ),
+        }
+    )
+    got = {
+        int(r["doc_id"]): r
+        for r in leakage_safe_split(_ds(t)).take_all()
+    }
+    assert got[1]["group_label"] == got[2]["group_label"] == 1
+    assert got[1]["split"] == got[2]["split"]  # never straddle splits
+    assert got[50]["group_label"] == 50 and got[51]["group_label"] == 51
