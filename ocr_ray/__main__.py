@@ -2,6 +2,7 @@
 table with checkpoint/resume, or synthesize a test corpus.
 
     python -m ocr_ray synth --n-docs 1000 --out /tmp/corpus
+    python -m ocr_ray curate --input /docs-parquet-dir --output /tmp/curated
     python -m ocr_ray extract --input /tmp/corpus --output /tmp/out \
         [--engine auto] [--no-dictionary] [--no-spelling] [--enhance] \
         [--files-per-partition 4] [--no-resume] [--num-cpus 32]
@@ -54,6 +55,25 @@ def main(argv=None) -> int:
         default=None,
         help="JSON export (ops/learning_state) whose approved words extend the kamus for this run",
     )
+
+    p_cur = sub.add_parser(
+        "curate",
+        help="run the composed curation DAG (filter → dedup → "
+        "decontam → split → pack) as a checkpoint-resumable staged "
+        "job over a directory of (doc_id, text) parquet files",
+    )
+    p_cur.add_argument("--input", required=True)
+    p_cur.add_argument("--output", required=True)
+    p_cur.add_argument("--seq-len", type=int, default=512)
+    p_cur.add_argument("--files-per-partition", type=int, default=1)
+    p_cur.add_argument("--bench-modulus", type=int, default=50,
+                       help="benchmark stand-in: doc_id %% m == 0")
+    p_cur.add_argument(
+        "--known-fingerprints", default=None,
+        help="prior run's fingerprints/ dir for incremental dedup",
+    )
+    p_cur.add_argument("--no-resume", action="store_true")
+    p_cur.add_argument("--num-cpus", type=int, default=None)
 
     args = parser.parse_args(argv)
 
@@ -172,6 +192,34 @@ def main(argv=None) -> int:
             args.output,
             config=config,
             files_per_partition=args.files_per_partition,
+            resume=not args.no_resume,
+        )
+        print(json.dumps(metrics))
+        if owns_session:
+            ray.shutdown()
+        return 0
+
+    if args.cmd == "curate":
+        import ray
+
+        owns_session = _ensure_ray()
+        from ocr_ray.context import configure
+
+        configure()
+        from ocr_ray.pipelines.curation import (
+            CurationConfig,
+            run_curation_checkpointed,
+        )
+
+        metrics = run_curation_checkpointed(
+            args.input,
+            args.output,
+            CurationConfig(
+                seq_len=args.seq_len,
+                files_per_partition=args.files_per_partition,
+                bench_modulus=args.bench_modulus,
+                known_fingerprints=args.known_fingerprints,
+            ),
             resume=not args.no_resume,
         )
         print(json.dumps(metrics))
