@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "dup_rate_timeline",
     "rare_token_ratio",
     "truncation_loss_sweep",
+    "session_timeout_sweep",
 ]
 
 

@@ -1932,6 +1932,22 @@ def q_truncation_loss_sweep(sf_dir: str):
     return truncation_loss_sweep(_docs(sf_dir))
 
 
+def q_session_timeout_sweep(sf_dir: str):
+    """Sessionization-parameter sweep: session counts under candidate
+    idle timeouts, one user-partitioned pass
+    (ops/windows.py:session_timeout_sweep)."""
+    import ray.data as rd
+
+    from ocr_ray.ops.windows import session_timeout_sweep
+
+    _quiet()
+    return session_timeout_sweep(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+        )
+    )
+
+
 def q_redact_pii(sf_dir: str):
     """PII masking (URL/email/phone) as pure Arrow regex kernels; the
     oracle replays the byte-identical RE2 patterns in DuckDB."""
@@ -8344,6 +8360,7 @@ QUERIES = {
     "dup_rate_timeline": q_dup_rate_timeline,
     "rare_token_ratio": q_rare_token_ratio,
     "truncation_loss_sweep": q_truncation_loss_sweep,
+    "session_timeout_sweep": q_session_timeout_sweep,
     "redact_pii": q_redact_pii,
     "weighted_sample_docs": q_weighted_sample_docs,
     "chunk_docs": q_chunk_docs,
@@ -10277,6 +10294,9 @@ def oracle_sql() -> dict[str, str]:
         "truncation_loss_sweep": __import__(
             "ocr_ray.ops.tfidf", fromlist=["truncation_loss_sql"]
         ).truncation_loss_sql(),
+        "session_timeout_sweep": __import__(
+            "ocr_ray.ops.windows", fromlist=["session_timeout_sweep_sql"]
+        ).session_timeout_sweep_sql(),
         "redact_pii": _redact_oracle_sql(),
         "weighted_sample_docs": _weighted_sample_oracle_sql(
             weight_col="n_chars", k=25

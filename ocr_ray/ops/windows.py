@@ -1246,3 +1246,82 @@ def debounced_event_counts_sql(gap_us: int = 5_000_000) -> str:
         " CAST(SUM(kept) AS BIGINT) AS n_survivors\n"
         "FROM walk GROUP BY event_type"
     )
+
+
+DEFAULT_SESSION_TIMEOUTS = (60, 300, 900, 1800, 3600)
+
+
+def session_timeout_sweep(events, timeouts=DEFAULT_SESSION_TIMEOUTS):
+    """Sessionization-parameter sweep: total session count under each
+    candidate idle-timeout — the curve that picks the session gap
+    before committing a corpus-wide sessionization (too small
+    fragments behavior, too large merges visits). One user-partitioned
+    pass computes every threshold simultaneously: per user run,
+    sessions(t) = 1 + #(gaps > t), folded map-side to one row per
+    (block, timeout).
+
+    Output: (timeout_s, n_users, n_sessions)."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.dedup import _with_schema
+    from ocr_ray.stages.grouped import grouped_map
+
+    ts_list = [int(t) for t in timeouts]
+    part_schema = pa.schema(
+        [
+            ("timeout_s", pa.int64()),
+            ("n_users", pa.int64()),
+            ("n_sessions", pa.int64()),
+        ]
+    )
+
+    def block_fn(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return part_schema.empty_table()
+        epochs = _epoch_seconds(block["ts"])
+        ends = np.append(starts[1:], n)
+        gaps = np.diff(epochs)
+        # mask out the inter-user boundary gaps
+        valid = np.ones(max(n - 1, 0), bool)
+        valid[starts[1:] - 1] = False
+        n_users = len(starts)
+        rows_t, rows_u, rows_s = [], [], []
+        for t in ts_list:
+            breaks = int(((gaps > t) & valid).sum())
+            rows_t.append(t)
+            rows_u.append(n_users)
+            rows_s.append(n_users + breaks)
+        return pa.table(
+            {
+                "timeout_s": pa.array(rows_t, pa.int64()),
+                "n_users": pa.array(rows_u, pa.int64()),
+                "n_sessions": pa.array(rows_s, pa.int64()),
+            }
+        )
+
+    return _with_schema(
+        grouped_map(events, ["user_id"], block_fn, sort_within=["ts"]),
+        part_schema,
+    ).groupby("timeout_s").aggregate(
+        Sum("n_users", alias_name="n_users"),
+        Sum("n_sessions", alias_name="n_sessions"),
+    )
+
+
+def session_timeout_sweep_sql(timeouts=DEFAULT_SESSION_TIMEOUTS) -> str:
+    values = ", ".join(f"({int(t)})" for t in timeouts)
+    return (
+        "WITH e AS (\n"
+        " SELECT user_id, epoch_us(ts) // 1000000 AS sec,\n"
+        "  LAG(epoch_us(ts) // 1000000) OVER"
+        " (PARTITION BY user_id ORDER BY ts) AS prev\n"
+        " FROM events\n"
+        f"), ts(timeout_s) AS (VALUES {values})\n"
+        "SELECT CAST(timeout_s AS BIGINT) AS timeout_s,\n"
+        " CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,\n"
+        " CAST(COUNT(DISTINCT user_id)\n"
+        "  + SUM(CASE WHEN prev IS NOT NULL AND sec - prev > timeout_s"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions\n"
+        "FROM e CROSS JOIN ts GROUP BY timeout_s"
+    )
