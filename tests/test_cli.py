@@ -50,3 +50,38 @@ def test_synth_cli(tmp_path, capsys):
     rc = main(["synth", "--n-docs", "12", "--out", str(tmp_path / "corpus")])
     assert rc == 0
     assert json.loads(capsys.readouterr().out)["n_docs"] == 12
+
+
+def test_curate_cli(ray_session, tmp_path, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus = tmp_path / "docs"
+    corpus.mkdir()
+    stops = "the and with this that "
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(30), pa.int64()),
+                "text": pa.array(
+                    [stops * 5 + f"doc{i} " + " ".join(
+                        f"w{i}x{j}" for j in range(20)
+                    ) for i in range(30)]
+                ),
+            }
+        ),
+        corpus / "part-0.parquet",
+    )
+    out = tmp_path / "curated"
+    rc = main(["curate", "--input", str(corpus), "--output", str(out)])
+    assert rc == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["aborted_at"] is None
+    assert m["funnel"]["n_raw"] == 30
+    assert (out / "metrics.json").exists()
+    # resume through the CLI: nothing re-runs
+    rc = main(["curate", "--input", str(corpus), "--output", str(out)])
+    assert rc == 0
+    m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m2["partitions_run"] == {"score": 0, "text": 0}
+    assert ray.is_initialized()
