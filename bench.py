@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "rare_token_ratio",
     "truncation_loss_sweep",
     "session_timeout_sweep",
+    "embedding_curation_stats",
 ]
 
 

@@ -1948,6 +1948,28 @@ def q_session_timeout_sweep(sf_dir: str):
     )
 
 
+def q_embedding_curation_stats(sf_dir: str):
+    """Composed embedding-side curation rollup: one k-means fit +
+    assignment pass feeds SemDeDup drops AND per-cluster populations;
+    tagged-union keyed sum (ops/similarity.py:embedding_curation_stats),
+    over the floor-augmented embeddings."""
+    from ocr_ray.ops.similarity import embedding_curation_stats
+
+    return _materialized(
+        embedding_curation_stats(
+            _augmented_embeddings(sf_dir), k=8, iters=5, threshold=0.999
+        ),
+        pa.schema(
+            [
+                ("cluster", pa.int64()),
+                ("n_vecs", pa.int64()),
+                ("n_dropped", pa.int64()),
+                ("n_survivors", pa.int64()),
+            ]
+        ),
+    )
+
+
 def q_redact_pii(sf_dir: str):
     """PII masking (URL/email/phone) as pure Arrow regex kernels; the
     oracle replays the byte-identical RE2 patterns in DuckDB."""
@@ -8361,6 +8383,7 @@ QUERIES = {
     "rare_token_ratio": q_rare_token_ratio,
     "truncation_loss_sweep": q_truncation_loss_sweep,
     "session_timeout_sweep": q_session_timeout_sweep,
+    "embedding_curation_stats": q_embedding_curation_stats,
     "redact_pii": q_redact_pii,
     "weighted_sample_docs": q_weighted_sample_docs,
     "chunk_docs": q_chunk_docs,
@@ -10297,6 +10320,9 @@ def oracle_sql() -> dict[str, str]:
         "session_timeout_sweep": __import__(
             "ocr_ray.ops.windows", fromlist=["session_timeout_sweep_sql"]
         ).session_timeout_sweep_sql(),
+        "embedding_curation_stats": __import__(
+            "ocr_ray.ops.similarity", fromlist=["embedding_curation_sql"]
+        ).embedding_curation_sql(),
         "redact_pii": _redact_oracle_sql(),
         "weighted_sample_docs": _weighted_sample_oracle_sql(
             weight_col="n_chars", k=25

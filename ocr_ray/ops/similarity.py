@@ -771,8 +771,7 @@ def _semdedup_block_factory(threshold: float, max_cluster: int,
     return block_fn
 
 
-def semdedup_drop_list(embeddings, k: int = 8, iters: int = 5,
-                       threshold: float = 0.9, max_cluster: int = 4096):
+def _assigned_vectors(embeddings, k: int = 8, iters: int = 5):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by exact pairwise cosine WITHIN k-means clusters —
     the cluster partition bounds the quadratic pair space, which is the
@@ -856,9 +855,16 @@ def semdedup_drop_list(embeddings, k: int = 8, iters: int = 5,
             }
         )
 
-    tagged = qds.map_batches(assign, batch_format="pyarrow")
+    return qds.map_batches(assign, batch_format="pyarrow")
+
+
+def semdedup_drop_list(embeddings, k: int = 8, iters: int = 5,
+                       threshold: float = 0.9, max_cluster: int = 4096):
+    """See :func:`_assigned_vectors` (shared fit + assignment) and the
+    original SemDeDup docstring there; this is the drop-list tail."""
     from ocr_ray.stages.grouped import grouped_map
 
+    tagged = _assigned_vectors(embeddings, k=k, iters=iters)
     return grouped_map(
         tagged, ["cluster"],
         _semdedup_block_factory(threshold, max_cluster),
@@ -1668,3 +1674,108 @@ def kcenter_coreset_sql(k: int = 8, scale: int = 1_000_000) -> str:
         for j in range(1, k)
     ]
     return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def embedding_curation_stats(embeddings, k: int = 8, iters: int = 5,
+                             threshold: float = 0.999,
+                             max_cluster: int = 4096):
+    """Composed embedding-side curation rollup — the vector-modality
+    sibling of the text curation DAG: ONE k-means fit + assignment
+    pass (shared via :func:`_assigned_vectors`, materialized once)
+    feeds both the SemDeDup within-cluster drop pass and the per-
+    cluster population counts; the rollup meets them in a single
+    tagged-union keyed sum.
+
+    Output per cluster: (cluster, n_vecs, n_dropped, n_survivors)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.dedup import _with_schema
+    from ocr_ray.stages.grouped import grouped_map
+
+    tagged = _assigned_vectors(embeddings, k=k, iters=iters).materialize()
+    drops = grouped_map(
+        tagged, ["cluster"],
+        _semdedup_block_factory(threshold, max_cluster),
+    )
+
+    part_schema = pa.schema(
+        [
+            ("cluster", pa.int64()),
+            ("n_vecs", pa.int64()),
+            ("n_dropped", pa.int64()),
+        ]
+    )
+
+    def pop_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cluster" not in t.column_names:
+            return part_schema.empty_table()
+        c = t.column("cluster").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(c, return_counts=True)
+        return pa.table(
+            {
+                "cluster": pa.array(uniq.astype(np.int64), pa.int64()),
+                "n_vecs": pa.array(cnt.astype(np.int64), pa.int64()),
+                "n_dropped": pa.array(
+                    np.zeros(len(uniq), np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def drop_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cluster" not in t.column_names:
+            return part_schema.empty_table()
+        c = t.column("cluster").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(c, return_counts=True)
+        return pa.table(
+            {
+                "cluster": pa.array(uniq.astype(np.int64), pa.int64()),
+                "n_vecs": pa.array(
+                    np.zeros(len(uniq), np.int64), pa.int64()
+                ),
+                "n_dropped": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = _with_schema(
+        tagged.map_batches(pop_partials, batch_format="pyarrow")
+        .union(drops.map_batches(drop_partials, batch_format="pyarrow"))
+        .groupby("cluster")
+        .aggregate(
+            Sum("n_vecs", alias_name="n_vecs"),
+            Sum("n_dropped", alias_name="n_dropped"),
+        ),
+        part_schema,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        out_schema = part_schema.append(
+            pa.field("n_survivors", pa.int64())
+        )
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        return t.append_column(
+            "n_survivors",
+            pc.subtract(t.column("n_vecs"), t.column("n_dropped")),
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def embedding_curation_sql(k: int = 8, iters: int = 5,
+                           threshold: float = 0.999) -> str:
+    """Composes the proven semdedup chain (augmented) with the
+    per-cluster population rollup."""
+    base = semdedup_sql(k=k, iters=iters, threshold=threshold,
+                        augmented=True)
+    tail = "SELECT DISTINCT vec_id, cluster FROM pairs"
+    assert base.endswith(tail)
+    return (
+        base[: -len(tail)]
+        + ", drops AS (SELECT DISTINCT vec_id, cluster FROM pairs)\n"
+        "SELECT a.cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,\n"
+        " CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,\n"
+        " CAST(COUNT(*) - COUNT(d.vec_id) AS BIGINT) AS n_survivors\n"
+        "FROM assign a LEFT JOIN drops d ON d.vec_id = a.vec_id\n"
+        "GROUP BY a.cluster"
+    )
