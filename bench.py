@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "truncation_loss_sweep",
     "session_timeout_sweep",
     "embedding_curation_stats",
+    "near_dup_cluster_profile",
+    "dedup_yield_curve",
 ]
 
 

@@ -1970,6 +1970,45 @@ def q_embedding_curation_stats(sf_dir: str):
     )
 
 
+def q_near_dup_cluster_profile(sf_dir: str):
+    """Near-dup cluster shape report (size, doc_id span, length
+    range) over the exact-jaccard component graph
+    (ops/dedup.py:near_dup_cluster_profile)."""
+    from ocr_ray.ops.dedup import near_dup_cluster_profile
+
+    _quiet()
+    return near_dup_cluster_profile(_docs(sf_dir))
+
+
+def q_dedup_yield_curve(sf_dir: str):
+    """Dedup ROI curve: top exact-dup clusters by redundant token
+    mass + cumulative recovery (ops/dedup.py:dedup_yield_curve). The
+    synthetic table has no doc-level exact dups, so the corpus is
+    augmented with id-shifted copies of every third doc — the same
+    deterministic mutation pattern the incremental-dedup queries use
+    (mirrored literally in the oracle)."""
+    from ocr_ray.ops.dedup import dedup_yield_curve
+
+    _quiet()
+
+    def with_dups(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % 3 == 0
+        dup = t.filter(pa.array(keep))
+        dup = pa.table(
+            {
+                "doc_id": pc.add(dup.column("doc_id"), 100000),
+                "text": dup.column("text"),
+            }
+        )
+        return pa.concat_tables([t.select(["doc_id", "text"]), dup])
+
+    docs = _docs(sf_dir).map_batches(with_dups, batch_format="pyarrow")
+    return dedup_yield_curve(docs)
+
+
 def q_redact_pii(sf_dir: str):
     """PII masking (URL/email/phone) as pure Arrow regex kernels; the
     oracle replays the byte-identical RE2 patterns in DuckDB."""
@@ -8384,6 +8423,8 @@ QUERIES = {
     "truncation_loss_sweep": q_truncation_loss_sweep,
     "session_timeout_sweep": q_session_timeout_sweep,
     "embedding_curation_stats": q_embedding_curation_stats,
+    "near_dup_cluster_profile": q_near_dup_cluster_profile,
+    "dedup_yield_curve": q_dedup_yield_curve,
     "redact_pii": q_redact_pii,
     "weighted_sample_docs": q_weighted_sample_docs,
     "chunk_docs": q_chunk_docs,
@@ -9458,6 +9499,24 @@ def _curation_dag_sql(
     )
 
 
+
+
+def _dedup_yield_curve_oracle_sql() -> str:
+    """Yield-curve oracle over the SAME augmented corpus as the query
+    (documents UNION id-shifted copies of every third doc)."""
+    from ocr_ray.ops.dedup import dedup_yield_curve_sql
+
+    inner = dedup_yield_curve_sql(_FP_SQL)
+    return inner.replace(
+        " FROM documents\n",
+        " FROM (SELECT doc_id, text FROM documents\n"
+        "       UNION ALL SELECT doc_id + 100000, text FROM documents"
+        " WHERE doc_id % 3 = 0)\n",
+        1,
+    )
+
+
+
 def oracle_sql() -> dict[str, str]:
     kamus = kamus_sql_list()
     oracles = {
@@ -10323,6 +10382,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_curation_stats": __import__(
             "ocr_ray.ops.similarity", fromlist=["embedding_curation_sql"]
         ).embedding_curation_sql(),
+        "near_dup_cluster_profile": __import__(
+            "ocr_ray.ops.dedup", fromlist=["near_dup_cluster_profile_sql"]
+        ).near_dup_cluster_profile_sql(_SHINGLES_BODY),
+        "dedup_yield_curve": _dedup_yield_curve_oracle_sql(),
         "redact_pii": _redact_oracle_sql(),
         "weighted_sample_docs": _weighted_sample_oracle_sql(
             weight_col="n_chars", k=25

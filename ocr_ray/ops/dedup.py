@@ -2385,3 +2385,256 @@ def dup_rate_timeline_sql(fp_sql: str, n_buckets: int = 10) -> str:
         " CAST(SUM(is_dup) * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm\n"
         "FROM flagged GROUP BY bucket"
     )
+
+
+def near_dup_cluster_profile(docs, threshold: float = 0.5,
+                             shingle_n: int = 3, max_df: int = 256):
+    """Shape report of the near-duplicate clusters: per connected
+    component of the exact-jaccard pair graph, its size, the doc_id
+    span (how far apart in ingest order its members arrived — a wide
+    span means recurring boilerplate rather than a local double-crawl)
+    and the member length stats. The triage view that decides whether
+    near-dup clusters are template noise (huge, wide-span, short) or
+    genuine re-posts (small, narrow-span).
+
+    Scale shape: components over slim pairs; ONE slim join of the
+    component rows against (doc_id, n_chars) metadata; per-component
+    rollup is a keyed aggregate bounded by component membership.
+
+    Output: (component, size, id_span, min_chars, max_chars) sorted
+    by size DESC, component ASC."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from ocr_ray.ops.joins import adaptive_key_join
+
+    pairs = ngram_jaccard_pairs(
+        docs, shingle_n=shingle_n, threshold=threshold, max_df=max_df
+    )
+    comp = connected_components(pairs)
+    meta = docs.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("doc_id").cast(pa.int64()),
+                "n_chars": pc.utf8_length(
+                    pc.coalesce(t.column("text"), pa.scalar(""))
+                ).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = adaptive_key_join(comp, meta, on="node")
+    agg = _with_schema(
+        joined.groupby("label").aggregate(
+            Count(alias_name="size"),
+            Min("node", alias_name="min_id"),
+            Max("node", alias_name="max_id"),
+            Min("n_chars", alias_name="min_chars"),
+            Max("n_chars", alias_name="max_chars"),
+        ),
+        pa.schema(
+            [
+                ("label", pa.int64()),
+                ("size", pa.int64()),
+                ("min_id", pa.int64()),
+                ("max_id", pa.int64()),
+                ("min_chars", pa.int64()),
+                ("max_chars", pa.int64()),
+            ]
+        ),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("component", pa.int64()),
+                ("size", pa.int64()),
+                ("id_span", pa.int64()),
+                ("min_chars", pa.int64()),
+                ("max_chars", pa.int64()),
+            ]
+        )
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "component": t.column("label"),
+                "size": t.column("size").cast(pa.int64()),
+                "id_span": pc.subtract(
+                    t.column("max_id"), t.column("min_id")
+                ),
+                "min_chars": t.column("min_chars").cast(pa.int64()),
+                "max_chars": t.column("max_chars").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort(
+        ["size", "component"], descending=[True, False]
+    )
+
+
+def near_dup_cluster_profile_sql(shingles_body: str,
+                                 threshold: float = 0.5,
+                                 max_df: int = 256) -> str:
+    return (
+        "WITH RECURSIVE " + shingles_body + ",\n"
+        "kdf AS (SELECT shingle, COUNT(*) AS dfc FROM sh"
+        " GROUP BY shingle),\n"
+        "inter AS (\n"
+        " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        " CAST(COUNT(*) AS BIGINT) AS intersection\n"
+        " FROM sh a JOIN sh b USING (shingle) JOIN kdf USING (shingle)\n"
+        f" WHERE a.doc_id < b.doc_id AND kdf.dfc <= {max_df}"
+        " GROUP BY 1, 2\n"
+        "), prs AS (\n"
+        " SELECT doc_a, doc_b FROM inter\n"
+        " JOIN sizes sa ON sa.doc_id = inter.doc_a\n"
+        " JOIN sizes sb ON sb.doc_id = inter.doc_b\n"
+        " WHERE CAST(intersection AS DOUBLE)"
+        " / CAST(sa.sz + sb.sz - intersection AS DOUBLE)"
+        f" >= {threshold}\n"
+        "), und AS (\n"
+        " SELECT doc_a AS a, doc_b AS b FROM prs"
+        " UNION SELECT doc_b, doc_a FROM prs\n"
+        "), reach(node, r) AS (\n"
+        " SELECT a, a FROM und UNION SELECT b, b FROM und\n"
+        " UNION SELECT u.a, r.r FROM und u JOIN reach r ON u.b = r.node\n"
+        "), comp AS (\n"
+        " SELECT node, MIN(r) AS component FROM reach GROUP BY node\n"
+        ")\n"
+        "SELECT CAST(component AS BIGINT) AS component,\n"
+        " CAST(COUNT(*) AS BIGINT) AS size,\n"
+        " CAST(MAX(c.node) - MIN(c.node) AS BIGINT) AS id_span,\n"
+        " CAST(MIN(length(d.text)) AS BIGINT) AS min_chars,\n"
+        " CAST(MAX(length(d.text)) AS BIGINT) AS max_chars\n"
+        "FROM comp c JOIN documents d ON d.doc_id = c.node\n"
+        "GROUP BY component ORDER BY size DESC, component ASC"
+    )
+
+
+def dedup_yield_curve(docs, k: int = 20):
+    """Dedup ROI planning curve: the top-``k`` exact-duplicate clusters
+    by redundant token mass, with the cumulative tokens a dedup pass
+    recovers by processing clusters in that order — the prioritization
+    a 100 TB dedup run uses when it cannot afford to process every
+    cluster at once (biggest boilerplate first).
+
+    tokens_saved = (n_copies − 1) · n_tokens(keeper); n_tokens is
+    fingerprint-invariant so it rides the keyed aggregate. Cluster
+    rows are slim; only the top-k reach the driver for the bounded
+    cumulative fold.
+
+    Output: (rank, keeper_doc, n_copies, tokens_saved,
+    cum_tokens_saved), rank 1-based by (tokens_saved DESC,
+    keeper_doc ASC)."""
+    import pyarrow.compute as pc2
+    from ray.data.aggregate import Count, Min
+
+    def fp_tok(t: pa.Table) -> pa.Table:
+        toks = pc2.count_substring_regex(
+            pc2.coalesce(t.column("text"), pa.scalar("")), pattern=r"\S+"
+        ).cast(pa.int64())
+        fps = [
+            hashlib.md5(
+                normalize_for_fingerprint(x).encode("utf-8")
+            ).hexdigest()
+            for x in t.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "fingerprint": pa.array(fps, pa.string()),
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "n_tokens": toks,
+            }
+        )
+
+    clusters = _with_schema(
+        docs.map_batches(fp_tok, batch_format="pyarrow")
+        .groupby(["fingerprint", "n_tokens"])
+        .aggregate(
+            Min("doc_id", alias_name="keeper_doc"),
+            Count(alias_name="n_copies"),
+        ),
+        pa.schema(
+            [
+                ("fingerprint", pa.string()),
+                ("n_tokens", pa.int64()),
+                ("keeper_doc", pa.int64()),
+                ("n_copies", pa.int64()),
+            ]
+        ),
+    )
+
+    def saved(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("keeper_doc", pa.int64()),
+                ("n_copies", pa.int64()),
+                ("tokens_saved", pa.int64()),
+            ]
+        )
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        t = t.filter(pc.greater(t.column("n_copies"), 1))
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "keeper_doc": t.column("keeper_doc").cast(pa.int64()),
+                "n_copies": t.column("n_copies").cast(pa.int64()),
+                "tokens_saved": pc.multiply(
+                    pc.subtract(
+                        t.column("n_copies").cast(pa.int64()), 1
+                    ),
+                    t.column("n_tokens").cast(pa.int64()),
+                ),
+            }
+        )
+
+    top = (
+        clusters.map_batches(saved, batch_format="pyarrow")
+        .sort(["tokens_saved", "keeper_doc"], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )  # bounded: k rows
+    out = {
+        "rank": [], "keeper_doc": [], "n_copies": [],
+        "tokens_saved": [], "cum_tokens_saved": [],
+    }
+    acc = 0
+    for i, r in enumerate(top):
+        acc += int(r["tokens_saved"])
+        out["rank"].append(i + 1)
+        out["keeper_doc"].append(int(r["keeper_doc"]))
+        out["n_copies"].append(int(r["n_copies"]))
+        out["tokens_saved"].append(int(r["tokens_saved"]))
+        out["cum_tokens_saved"].append(acc)
+    return pa.table({kk: pa.array(v, pa.int64()) for kk, v in out.items()})
+
+
+def dedup_yield_curve_sql(fp_sql: str, k: int = 20) -> str:
+    return (
+        "WITH f AS (\n"
+        f" SELECT doc_id, {fp_sql} AS fp,\n"
+        "  CAST(len(regexp_extract_all(COALESCE(text, ''), '\\S+'))"
+        " AS BIGINT) AS n_tokens\n"
+        " FROM documents\n"
+        "), c AS (\n"
+        " SELECT fp, n_tokens, MIN(doc_id) AS keeper_doc,"
+        " COUNT(*) AS n_copies\n"
+        " FROM f GROUP BY fp, n_tokens\n"
+        "), s AS (\n"
+        " SELECT keeper_doc, CAST(n_copies AS BIGINT) AS n_copies,\n"
+        "  CAST((n_copies - 1) * n_tokens AS BIGINT) AS tokens_saved\n"
+        " FROM c WHERE n_copies > 1\n"
+        "), r AS (\n"
+        " SELECT *, ROW_NUMBER() OVER"
+        " (ORDER BY tokens_saved DESC, keeper_doc ASC) AS rank\n"
+        " FROM s\n"
+        ")\n"
+        "SELECT CAST(rank AS BIGINT) AS rank, keeper_doc, n_copies,"
+        " tokens_saved,\n"
+        " CAST(SUM(tokens_saved) OVER (ORDER BY rank\n"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        " AS cum_tokens_saved\n"
+        f"FROM r WHERE rank <= {k} ORDER BY rank"
+    )

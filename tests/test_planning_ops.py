@@ -342,3 +342,44 @@ def test_session_timeout_sweep_hand(ray_session):
     assert got[60]["n_sessions"] == 2 + 2   # both gaps break
     assert got[300]["n_sessions"] == 2 + 1  # only the 2000 s gap
     assert got[3600]["n_sessions"] == 2     # nothing breaks
+
+
+def test_dedup_yield_curve_hand(ray_session):
+    from ocr_ray.ops.dedup import dedup_yield_curve
+
+    # cluster A: 3 copies of 10 tokens → saves 20; cluster B: 2 copies
+    # of 50 tokens → saves 50 (rank 1); unique doc saves nothing
+    a = " ".join(["a"] * 10)
+    b = " ".join(["b"] * 50)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "text": pa.array([a, a, a, b, b, "solo text here"]),
+        }
+    )
+    rows = dedup_yield_curve(_ds(t), k=5).to_pylist()
+    assert [r["rank"] for r in rows] == [1, 2]
+    assert rows[0]["keeper_doc"] == 4 and rows[0]["tokens_saved"] == 50
+    assert rows[1]["keeper_doc"] == 1 and rows[1]["tokens_saved"] == 20
+    assert rows[1]["cum_tokens_saved"] == 70
+
+
+def test_near_dup_cluster_profile_hand(ray_session):
+    from ocr_ray.ops.dedup import near_dup_cluster_profile
+
+    base = " ".join(f"w{i}" for i in range(30))
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 900], pa.int64()),
+            "text": pa.array(
+                [base + " alpha", base + " beta", base + " gamma"]
+            ),
+        }
+    )
+    rows = near_dup_cluster_profile(_ds(t)).take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["component"] == 1 and r["size"] == 3
+    assert r["id_span"] == 899
+    assert r["min_chars"] == len(base + " beta")
+    assert r["max_chars"] == len(base + " gamma")
