@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "embedding_curation_stats",
     "near_dup_cluster_profile",
     "dedup_yield_curve",
+    "source_dedup_matrix",
 ]
 
 

@@ -2009,6 +2009,35 @@ def q_dedup_yield_curve(sf_dir: str):
     return dedup_yield_curve(docs)
 
 
+def q_source_dedup_matrix(sf_dir: str):
+    """Cross-source exact-dup co-occurrence matrix over the same
+    dup-augmented corpus as dedup_yield_curve, with the duplicate
+    copies relabeled source='mirror' so the off-diagonal cells are
+    non-trivial (ops/dedup.py:source_dedup_matrix)."""
+    from ocr_ray.ops.dedup import source_dedup_matrix
+
+    _quiet()
+
+    def with_dups(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        dup = t.filter(pa.array(ids % 3 == 0))
+        dup = pa.table(
+            {
+                "doc_id": pc.add(dup.column("doc_id"), 100000),
+                "text": dup.column("text"),
+                "source": pa.array(["mirror"] * dup.num_rows, pa.string()),
+            }
+        )
+        return pa.concat_tables(
+            [t.select(["doc_id", "text", "source"]), dup]
+        )
+
+    docs = _docs(sf_dir, "doc_id", "text", "source").map_batches(
+        with_dups, batch_format="pyarrow"
+    )
+    return source_dedup_matrix(docs)
+
+
 def q_redact_pii(sf_dir: str):
     """PII masking (URL/email/phone) as pure Arrow regex kernels; the
     oracle replays the byte-identical RE2 patterns in DuckDB."""
@@ -8425,6 +8454,7 @@ QUERIES = {
     "embedding_curation_stats": q_embedding_curation_stats,
     "near_dup_cluster_profile": q_near_dup_cluster_profile,
     "dedup_yield_curve": q_dedup_yield_curve,
+    "source_dedup_matrix": q_source_dedup_matrix,
     "redact_pii": q_redact_pii,
     "weighted_sample_docs": q_weighted_sample_docs,
     "chunk_docs": q_chunk_docs,
@@ -10386,6 +10416,14 @@ def oracle_sql() -> dict[str, str]:
             "ocr_ray.ops.dedup", fromlist=["near_dup_cluster_profile_sql"]
         ).near_dup_cluster_profile_sql(_SHINGLES_BODY),
         "dedup_yield_curve": _dedup_yield_curve_oracle_sql(),
+        "source_dedup_matrix": __import__(
+            "ocr_ray.ops.dedup", fromlist=["source_dedup_matrix_sql"]
+        ).source_dedup_matrix_sql(
+            _FP_SQL,
+            source_expr="(SELECT doc_id, text, source FROM documents"
+            " UNION ALL SELECT doc_id + 100000, text, 'mirror'"
+            " FROM documents WHERE doc_id % 3 = 0)",
+        ),
         "redact_pii": _redact_oracle_sql(),
         "weighted_sample_docs": _weighted_sample_oracle_sql(
             weight_col="n_chars", k=25

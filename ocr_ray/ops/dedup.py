@@ -2638,3 +2638,114 @@ def dedup_yield_curve_sql(fp_sql: str, k: int = 20) -> str:
         " AS cum_tokens_saved\n"
         f"FROM r WHERE rank <= {k} ORDER BY rank"
     )
+
+
+def source_dedup_matrix(docs):
+    """Cross-source EXACT-duplicate matrix: for every source pair
+    (a ≤ b), how many duplicate-document co-occurrences link them —
+    n_a·n_b for a ≠ b and C(n, 2) within a source, summed over
+    fingerprint clusters (the whole-document analogue of the
+    winnowing-fragment cross_source_overlap_matrix). This is the map
+    that decides WHICH sources to dedup against each other first when
+    a full cross-corpus pass cannot run at once.
+
+    ``docs`` needs (doc_id, text, source). Scale shape: one fingerprint
+    scan → slim (fp, source) rows → hash partition by fp → per-cluster
+    bounded pair emission (cluster source-multisets are tiny) → keyed
+    sum over ≤ |sources|² rows.
+
+    Output: (source_a, source_b, n_cooccurrences), only nonzero rows."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    def fp_rows(t: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(
+                normalize_for_fingerprint(x).encode("utf-8")
+            ).hexdigest()
+            for x in t.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "fingerprint": pa.array(fps, pa.string()),
+                "source": t.column("source"),
+            }
+        )
+
+    rows = docs.map_batches(fp_rows, batch_format="pyarrow")
+
+    pair_schema = pa.schema(
+        [
+            ("source_a", pa.string()),
+            ("source_b", pa.string()),
+            ("c", pa.int64()),
+        ]
+    )
+
+    def cluster_pairs(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0 or len(starts) == 0:
+            return pair_schema.empty_table()
+        srcs = block.column("source").to_pylist()
+        ends = np.append(starts[1:], n)
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue  # singleton fingerprint: no duplication
+            counts: dict[str, int] = {}
+            for x in srcs[s:e]:
+                counts[x] = counts.get(x, 0) + 1
+            keys = sorted(counts)
+            for i, a in enumerate(keys):
+                na = counts[a]
+                if na >= 2:
+                    out_a.append(a)
+                    out_b.append(a)
+                    out_c.append(na * (na - 1) // 2)
+                for b in keys[i + 1:]:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_c.append(na * counts[b])
+        return pa.table(
+            {
+                "source_a": pa.array(out_a, pa.string()),
+                "source_b": pa.array(out_b, pa.string()),
+                "c": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    return _with_schema(
+        grouped_map(rows, ["fingerprint"], cluster_pairs)
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("c", alias_name="n_cooccurrences")),
+        pa.schema(
+            [
+                ("source_a", pa.string()),
+                ("source_b", pa.string()),
+                ("n_cooccurrences", pa.int64()),
+            ]
+        ),
+    )
+
+
+def source_dedup_matrix_sql(fp_sql: str,
+                            source_expr: str = "documents") -> str:
+    return (
+        "WITH f AS (\n"
+        f" SELECT {fp_sql} AS fp, source FROM {source_expr}\n"
+        "), g AS (\n"
+        " SELECT fp, source, COUNT(*) AS n FROM f GROUP BY 1, 2\n"
+        "), sized AS (\n"
+        " SELECT fp FROM f GROUP BY fp HAVING COUNT(*) >= 2\n"
+        "), p AS (\n"
+        " SELECT a.source AS source_a, b.source AS source_b,\n"
+        "  CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2\n"
+        "       ELSE a.n * b.n END AS c\n"
+        " FROM g a JOIN g b ON a.fp = b.fp AND a.source <= b.source\n"
+        " JOIN sized s ON s.fp = a.fp\n"
+        ")\n"
+        "SELECT source_a, source_b,"
+        " CAST(SUM(c) AS BIGINT) AS n_cooccurrences\n"
+        "FROM p GROUP BY 1, 2 HAVING SUM(c) > 0"
+    )

@@ -383,3 +383,22 @@ def test_near_dup_cluster_profile_hand(ray_session):
     assert r["id_span"] == 899
     assert r["min_chars"] == len(base + " beta")
     assert r["max_chars"] == len(base + " gamma")
+
+
+def test_source_dedup_matrix_hand(ray_session):
+    from ocr_ray.ops.dedup import source_dedup_matrix
+
+    # fp X: 2 in A + 1 in B → (A,A)=1, (A,B)=2; fp Y unique (no rows)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["same text", "same text", "Same  TEXT",
+                              "unique other"]),
+            "source": pa.array(["A", "A", "B", "B"]),
+        }
+    )
+    got = {
+        (r["source_a"], r["source_b"]): int(r["n_cooccurrences"])
+        for r in source_dedup_matrix(_ds(t)).take_all()
+    }
+    assert got == {("A", "A"): 1, ("A", "B"): 2}
