@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "near_dup_cluster_profile",
     "dedup_yield_curve",
     "source_dedup_matrix",
+    "minhash_band_skew",
 ]
 
 

@@ -2038,6 +2038,15 @@ def q_source_dedup_matrix(sf_dir: str):
     return source_dedup_matrix(docs)
 
 
+def q_minhash_band_skew(sf_dir: str):
+    """LSH bucket-size histogram (hot-bucket / verify-cost
+    diagnostics; ops/dedup.py:minhash_band_skew_report)."""
+    from ocr_ray.ops.dedup import minhash_band_skew_report
+
+    _quiet()
+    return minhash_band_skew_report(_docs(sf_dir))
+
+
 def q_redact_pii(sf_dir: str):
     """PII masking (URL/email/phone) as pure Arrow regex kernels; the
     oracle replays the byte-identical RE2 patterns in DuckDB."""
@@ -8455,6 +8464,7 @@ QUERIES = {
     "near_dup_cluster_profile": q_near_dup_cluster_profile,
     "dedup_yield_curve": q_dedup_yield_curve,
     "source_dedup_matrix": q_source_dedup_matrix,
+    "minhash_band_skew": q_minhash_band_skew,
     "redact_pii": q_redact_pii,
     "weighted_sample_docs": q_weighted_sample_docs,
     "chunk_docs": q_chunk_docs,
@@ -9547,6 +9557,31 @@ def _dedup_yield_curve_oracle_sql() -> str:
 
 
 
+
+
+def _band_skew_oracle_sql(max_bucket: int = 8192) -> str:
+    """Bucket-size histogram over the proven bit-exact signature/band
+    chain (_minhash_est_sql); log2 size classes via the printf('%b')
+    bit-length trick the HLL oracle already uses."""
+    base = _minhash_est_sql()
+    chain = base[: base.index("), cand AS (")] + ")"
+    return (
+        chain + ",\n"
+        "b AS (SELECT band, bvals, COUNT(*) AS n FROM band_sigs"
+        " GROUP BY 1, 2),\n"
+        "h AS (SELECT length(printf('%b', n)) - 1 AS size_log2, n"
+        " FROM b)\n"
+        "SELECT CAST(size_log2 AS BIGINT) AS size_log2,\n"
+        " CAST(COUNT(*) AS BIGINT) AS n_buckets,\n"
+        " CAST(SUM(n) AS BIGINT) AS n_docs,\n"
+        " CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS n_pairs,\n"
+        f" CAST(SUM(CASE WHEN n > {max_bucket} THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_overflow\n"
+        "FROM h GROUP BY size_log2"
+    )
+
+
+
 def oracle_sql() -> dict[str, str]:
     kamus = kamus_sql_list()
     oracles = {
@@ -10416,6 +10451,7 @@ def oracle_sql() -> dict[str, str]:
             "ocr_ray.ops.dedup", fromlist=["near_dup_cluster_profile_sql"]
         ).near_dup_cluster_profile_sql(_SHINGLES_BODY),
         "dedup_yield_curve": _dedup_yield_curve_oracle_sql(),
+        "minhash_band_skew": _band_skew_oracle_sql(),
         "source_dedup_matrix": __import__(
             "ocr_ray.ops.dedup", fromlist=["source_dedup_matrix_sql"]
         ).source_dedup_matrix_sql(

@@ -2749,3 +2749,101 @@ def source_dedup_matrix_sql(fp_sql: str,
         " CAST(SUM(c) AS BIGINT) AS n_cooccurrences\n"
         "FROM p GROUP BY 1, 2 HAVING SUM(c) > 0"
     )
+
+
+def minhash_band_skew_report(docs, num_perm: int = 64, bands: int = 16,
+                             max_bucket: int = 8192):
+    """Hot-bucket diagnostics for the MinHash-LSH banding: the
+    distribution of same-(band, band-signature) bucket sizes — the
+    quantity that decides ``max_bucket`` before a 100 TB run, because a
+    single boilerplate bucket of a million docs turns the verify stage
+    quadratic. Reports per size-class (log2 buckets): how many LSH
+    buckets land there, how many candidate PAIRS they would emit
+    (Σ C(n,2) — the verify-stage cost), and how many exceed
+    ``max_bucket`` (the rep-pair degradation trigger).
+
+    Scale shape: rides the proven signature/banding machinery — slim
+    (band, signature-tuple) rows, one keyed count, then a tiny
+    histogram fold over bucket-size classes.
+
+    Output: (size_log2, n_buckets, n_docs, n_pairs, n_overflow)."""
+    from ray.data.aggregate import Count, Sum
+
+    sigs = minhash_signatures(docs, num_perm=num_perm)
+    rows_per_band = num_perm // bands
+
+    def band_tuple_rows(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("band", pa.int64()), ("key", pa.string())]
+        )
+        if t.num_rows == 0 or "signature" not in t.column_names:
+            return schema.empty_table()
+        raw = t.column("signature").to_pylist()
+        sig = np.frombuffer(b"".join(raw), np.uint64).reshape(
+            len(raw), -1
+        )
+        out_b, out_k = [], []
+        for b in range(bands):
+            seg = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+            for row in seg:
+                out_b.append(b)
+                out_k.append(",".join(str(int(x)) for x in row))
+        return pa.table(
+            {
+                "band": pa.array(out_b, pa.int64()),
+                "key": pa.array(out_k, pa.string()),
+            }
+        )
+
+    buckets = _with_schema(
+        sigs.map_batches(band_tuple_rows, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .aggregate(Count(alias_name="n")),
+        pa.schema(
+            [("band", pa.int64()), ("key", pa.string()),
+             ("n", pa.int64())]
+        ),
+    )
+
+    part_schema = pa.schema(
+        [
+            ("size_log2", pa.int64()),
+            ("n_buckets", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("n_pairs", pa.int64()),
+            ("n_overflow", pa.int64()),
+        ]
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n" not in t.column_names:
+            return part_schema.empty_table()
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        # size class = floor(log2(n)) as integer bit length - 1
+        cls = np.array([int(x).bit_length() - 1 for x in n], np.int64)
+        uniq, inv = np.unique(cls, return_inverse=True)
+        nb = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        nd = np.zeros(len(uniq), np.int64)
+        np.add.at(nd, inv, n)
+        npair = np.zeros(len(uniq), np.int64)
+        np.add.at(npair, inv, n * (n - 1) // 2)
+        nov = np.zeros(len(uniq), np.int64)
+        np.add.at(nov, inv, (n > max_bucket).astype(np.int64))
+        return pa.table(
+            {
+                "size_log2": pa.array(uniq, pa.int64()),
+                "n_buckets": pa.array(nb, pa.int64()),
+                "n_docs": pa.array(nd, pa.int64()),
+                "n_pairs": pa.array(npair, pa.int64()),
+                "n_overflow": pa.array(nov, pa.int64()),
+            }
+        )
+
+    return _with_schema(
+        buckets.map_batches(hist, batch_format="pyarrow"), part_schema
+    ).groupby("size_log2").aggregate(
+        Sum("n_buckets", alias_name="n_buckets"),
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_pairs", alias_name="n_pairs"),
+        Sum("n_overflow", alias_name="n_overflow"),
+    )

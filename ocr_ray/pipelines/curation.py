@@ -1116,30 +1116,54 @@ def run_curation_checkpointed(
                 )
                 if (art.dir("assignment") / f"bucket={b}").exists()
             ]
-            keep: dict[int, str] = {}
+            kid_list, ksp_list = [], []
             for d in bucket_dirs:
                 t = pa.parquet.read_table(d, columns=["doc_id", "split"])
-                for i, s in zip(
-                    t.column("doc_id").to_pylist(),
-                    t.column("split").to_pylist(),
-                ):
-                    if lo <= i <= hi:
-                        keep[i] = s
-            keep_ref = ray.put(keep)
+                kid = t.column("doc_id").to_numpy(zero_copy_only=False)
+                ksp = np.asarray(t.column("split").to_pylist(), dtype=object)
+                in_range = (kid >= lo) & (kid <= hi)
+                kid_list.append(kid[in_range].astype(np.int64))
+                ksp_list.append(ksp[in_range])
+            kid = (
+                np.concatenate(kid_list) if kid_list else np.empty(0, np.int64)
+            )
+            ksp = (
+                np.concatenate(ksp_list)
+                if ksp_list
+                else np.empty(0, object)
+            )
+            order = np.argsort(kid, kind="stable")
+            keep_ref = ray.put((kid[order], ksp[order]))
 
             class _KeepFilter:
+                """Vectorized membership: the partition's survivor ids
+                arrive as a sorted array + parallel split codes
+                (fetched once per actor); per batch one np.searchsorted
+                probe replaces the per-row dict loop."""
+
                 def __init__(self, ref):
-                    self.keep = ray.get(ref)
+                    ids, splits = ray.get(ref)
+                    self.ids = ids
+                    self.splits = splits
 
                 def __call__(self, t: pa.Table) -> pa.Table:
-                    ids = t.column("doc_id").to_pylist()
-                    mask = [i in self.keep for i in ids]
+                    ids = (
+                        t.column("doc_id")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                    )
+                    if len(self.ids) == 0:
+                        mask = np.zeros(len(ids), bool)
+                    else:
+                        pos = np.searchsorted(self.ids, ids)
+                        pos_c = np.minimum(pos, len(self.ids) - 1)
+                        mask = self.ids[pos_c] == ids
                     kept = t.filter(pa.array(mask))
-                    splits = [
-                        self.keep[i]
-                        for i, m in zip(ids, mask)
-                        if m
-                    ]
+                    splits = (
+                        self.splits[pos_c[mask]]
+                        if len(self.ids)
+                        else np.empty(0, object)
+                    )
                     return kept.append_column(
                         "split", pa.array(splits, pa.string())
                     )

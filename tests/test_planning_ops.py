@@ -402,3 +402,30 @@ def test_source_dedup_matrix_hand(ray_session):
         for r in source_dedup_matrix(_ds(t)).take_all()
     }
     assert got == {("A", "A"): 1, ("A", "B"): 2}
+
+
+def test_minhash_band_skew_hand(ray_session):
+    from ocr_ray.ops.dedup import minhash_band_skew_report
+
+    # 3 identical docs → every band has one bucket of size 3 (class 1:
+    # log2(3)=1) plus the two unique docs in singletons (class 0)
+    a = "alpha beta gamma delta epsilon zeta eta theta iota"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [a, a, a, "other words entirely here now",
+                 "different again with more words"]
+            ),
+        }
+    )
+    got = {
+        int(r["size_log2"]): r
+        for r in minhash_band_skew_report(_ds(t)).take_all()
+    }
+    assert got[1]["n_buckets"] == 16      # one size-3 bucket per band
+    assert got[1]["n_docs"] == 48         # 3 docs × 16 bands
+    assert got[1]["n_pairs"] == 16 * 3    # C(3,2) per band
+    assert got[0]["n_docs"] == 32         # 2 singles × 16 bands
+    assert got[0]["n_pairs"] == 0
+    assert all(r["n_overflow"] == 0 for r in got.values())
