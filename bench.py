@@ -296,7 +296,9 @@ def measure_curation(n_dups: int = 1000, n_files: int = 8) -> dict:
             }
         )
         full = pa.concat_tables([base, dup])
-        tmp = corpus.with_suffix(".tmp")
+        # NOT with_suffix: the cache name is dotted (…-sf0.1-…), which
+        # would collapse every parameterization onto one temp dir
+        tmp = corpus.parent / (corpus.name + ".tmp")
         if tmp.exists():
             import shutil as sh
 

@@ -8065,9 +8065,15 @@ def q_rolling_corr_daily(sf_dir: str):
 
 def q_mutual_nn_pairs(sf_dir: str):
     """Mutual nearest-neighbor cosine pairs
-    (ops/similarity.py:mutual_nn_pairs): exact top-1 per vector against
-    the broadcast corpus matrix, mutuality resolved by one slim
-    unordered-pair shuffle."""
+    (ops/similarity.py:mutual_nn_pairs): BLOCKED top-1 — IVF-style
+    cluster co-location of slim probe rows, per-cluster exact scoring,
+    a slim global-top-1 fold, then the one-shuffle mutuality reduction.
+    No driver-side corpus materialization (centroids train on the
+    bounded stratified sample); with the default nprobe=None every
+    cluster is probed, so the plan is exact by construction and the
+    brute-force SQL oracle is a true oracle. nprobe < n_clusters is
+    the subquadratic scale knob (exact mode remains opt-in for
+    small-corpus cross-checks)."""
     from ocr_ray.ops.similarity import mutual_nn_pairs
 
     _quiet()
@@ -9547,6 +9553,9 @@ def _dedup_yield_curve_oracle_sql() -> str:
     from ocr_ray.ops.dedup import dedup_yield_curve_sql
 
     inner = dedup_yield_curve_sql(_FP_SQL)
+    # fail loudly if the base fragment's wording drifts — a silent
+    # no-op replace would run the oracle on the un-augmented corpus
+    assert inner.count(" FROM documents\n") == 1, inner
     return inner.replace(
         " FROM documents\n",
         " FROM (SELECT doc_id, text FROM documents\n"

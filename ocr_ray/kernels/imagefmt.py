@@ -82,10 +82,10 @@ def encode_netpbm(img: np.ndarray) -> bytes:
     return magic + f"\n{w} {h}\n255\n".encode() + body
 
 
-def decode_netpbm(data: bytes) -> np.ndarray:
+def _netpbm_header(data: bytes) -> tuple[int, int, int, int]:
+    """Scan the ASCII header only: (width, height, maxval, body_offset)."""
     if not is_netpbm(data):
         raise ValueError("not a binary netpbm (P5/P6) payload")
-    magic = data[:2]
     # header: magic, whitespace/comment-separated width, height, maxval
     pos = 2
     fields: list[int] = []
@@ -102,6 +102,18 @@ def decode_netpbm(data: bytes) -> np.ndarray:
         fields.append(int(data[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
+    return w, h, maxval, pos
+
+
+def netpbm_dims(data: bytes) -> tuple[int, int]:
+    """(width, height) from the header alone — no pixel materialization."""
+    w, h, _maxval, _pos = _netpbm_header(data)
+    return w, h
+
+
+def decode_netpbm(data: bytes) -> np.ndarray:
+    magic = data[:2]
+    w, h, maxval, pos = _netpbm_header(data)
     if maxval != 255:
         raise ValueError(f"unsupported netpbm maxval {maxval}")
     ch = 1 if magic == b"P5" else 3

@@ -569,27 +569,24 @@ def connected_components(pairs, col_a: str = "doc_a", col_b: str = "doc_b",
         src = tbl.column("src").to_numpy(zero_copy_only=False)
         dst = tbl.column("dst").to_numpy(zero_copy_only=False)
         nodes, idx = np.unique(np.concatenate([src, dst]), return_inverse=True)
-        parent = np.arange(len(nodes))
-
-        def find(i: int) -> int:
-            root = i
-            while parent[root] != root:
-                root = parent[root]
-            while parent[i] != root:
-                parent[i], i = root, parent[i]
-            return root
-
         si, di = idx[: len(src)], idx[len(src):]
-        for a, b in zip(si, di):
-            ra, rb = find(int(a)), find(int(b))
-            if ra != rb:
-                # union by smaller NODE value so the root is always the
-                # component's min node (labels = min doc_id)
-                if nodes[ra] <= nodes[rb]:
-                    parent[rb] = ra
-                else:
-                    parent[ra] = rb
-        labels = nodes[np.array([find(int(i)) for i in range(len(nodes))])]
+        # vectorized min-label propagation + pointer doubling in
+        # index space (nodes are sorted, so min index == min node):
+        # O(E) numpy work per round, O(log n) rounds — no per-edge
+        # Python loop, so raising local_threshold stays cheap
+        lab = np.arange(len(nodes))
+        while True:
+            before = lab.copy()
+            m = np.minimum(lab[si], lab[di])
+            np.minimum.at(lab, si, m)
+            np.minimum.at(lab, di, m)
+            nxt = lab[lab]
+            while not np.array_equal(nxt, lab):  # pointer doubling
+                lab = nxt
+                nxt = lab[lab]
+            if np.array_equal(lab, before):
+                break
+        labels = nodes[lab]
         return rd.from_arrow(
             pa.table(
                 {

@@ -242,6 +242,7 @@ class DecodeMedia:
             decode_netpbm,
             is_bmp,
             is_netpbm,
+            netpbm_dims,
         )
         from ocr_ray.kernels.png import decode_png, is_png
 
@@ -268,8 +269,9 @@ class DecodeMedia:
                 w, h = _struct.unpack("<ii", payload[18:26])
                 h = abs(h)
             else:
-                img = decode_netpbm(payload)
-                h, w = img.shape[:2]
+                # header-only: no pixel-body materialization in
+                # metadata mode (same as the BMP/PNG branches)
+                w, h = netpbm_dims(payload)
             return {
                 "media_type": "image",
                 "width": w,

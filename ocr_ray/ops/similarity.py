@@ -1426,45 +1426,11 @@ class _NNAgainstAll:
         )
 
 
-def mutual_nn_pairs(embeddings):
-    """Mutual nearest-neighbor pairs under exact cosine: (a, b) such
-    that b is a's top-1 neighbor AND a is b's top-1 neighbor — the
-    high-precision pair-mining step behind bitext alignment and
-    near-duplicate canonicalization (mutual-NN survives where one-way
-    NN drowns in hubness).
-
-    Exact mode: the corpus matrix is L2-normalized once driver-side
-    and broadcast via one ``ray.put`` (n x d float64 — ~2.5 MB at
-    sf0.1's 5k x 64; this is the documented bounded materialization of
-    the exact variant).  Each batch computes its top-1 row block
-    vectorized against the broadcast matrix (same O(n^2/B)-per-task
-    shape as ``ann_brute_topk``); the mutuality check is ONE hash
-    shuffle of slim (lo, hi, dirn, sim) rows — a pair is mutual iff
-    its unordered key holds both directions.  At 100 TB the same
-    mutuality reduction runs unchanged over any blocked ANN's top-1
-    stream (IVF or the hyperplane-LSH dedup family in this module);
-    only this exact all-pairs scorer is quadratic.
-
-    Output: (vec_id_a, vec_id_b, sim) with a < b, sim rounded to 6 dp
-    (matching the brute-force oracle's ROUND).
-    """
-    import ray
-
+def _mutuality_reduce(nn):
+    """ONE hash shuffle of slim (lo, hi, dirn, sim) rows — a pair is
+    mutual iff its unordered key holds both directions. Shared by the
+    exact and blocked top-1 producers."""
     from ocr_ray.stages.grouped import grouped_map
-
-    rows = embeddings.take_all()  # exact mode: n x d corpus broadcast
-    ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = _normalize(
-        np.asarray([r["embedding"] for r in rows], dtype=np.float64)
-    )
-    corpus_ref = ray.put((ids, mat))
-
-    nn = embeddings.map_batches(
-        _NNAgainstAll,
-        fn_constructor_kwargs={"corpus_ref": corpus_ref},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
 
     out_schema = pa.schema(
         [
@@ -1494,6 +1460,225 @@ def mutual_nn_pairs(embeddings):
         )
 
     return grouped_map(nn, ["lo", "hi"], mutual)
+
+
+_NN_PAIR_SCHEMA = pa.schema(
+    [
+        ("lo", pa.int64()),
+        ("hi", pa.int64()),
+        ("dirn", pa.int64()),
+        ("sim", pa.float64()),
+    ]
+)
+
+_TOP1_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("vec_id", pa.int64()),
+        ("cand", pa.int64()),
+        ("sim", pa.float64()),
+    ]
+)
+
+
+class _ProbeRows:
+    """vec → nprobe slim probe rows (cluster, vec_id, is_member, emb):
+    one row per probed cluster carrying the L2-normalized vector as
+    fixed-width float64 bytes; is_member marks the nearest cluster (the
+    vector's ONE home cluster)."""
+
+    def __init__(self, centroids_ref, nprobe: int):
+        import ray
+
+        self.centroids = ray.get(centroids_ref)
+        self.nprobe = nprobe
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int32()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "is_member": pa.array([], pa.int8()),
+                    "emb": pa.array([], pa.binary()),
+                }
+            )
+        raw = _batch_matrix(batch)
+        norm = _normalize(raw)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        # same raw-coordinate assignment rule as _IvfAssign
+        d = ((raw[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1, kind="stable")[:, : self.nprobe]
+        n, p = order.shape
+        emb_bytes = [row.tobytes() for row in norm]
+        return pa.table(
+            {
+                "cluster": pa.array(
+                    order.ravel().astype(np.int32), pa.int32()
+                ),
+                "vec_id": pa.array(np.repeat(ids, p), pa.int64()),
+                # rank-0 probe == home cluster
+                "is_member": pa.array(
+                    (np.tile(np.arange(p), n) == 0).astype(np.int8), pa.int8()
+                ),
+                "emb": pa.array(
+                    [emb_bytes[i] for i in np.repeat(np.arange(n), p)],
+                    pa.binary(),
+                ),
+            }
+        )
+
+
+def _unpack_rows(col) -> np.ndarray:
+    rows = [np.frombuffer(x, dtype=np.float64) for x in col.to_pylist()]
+    return np.stack(rows) if rows else np.empty((0, 0))
+
+
+def _cluster_top1(block: pa.Table, starts: np.ndarray) -> pa.Table:
+    """Per probed cluster: exact top-1 of every prober against the
+    cluster's MEMBERS (each vector is a member of exactly one cluster,
+    so a (prober, member) pair is scored at most once globally)."""
+    n = block.num_rows
+    if n == 0 or len(starts) == 0:
+        return _TOP1_PARTIAL_SCHEMA.empty_table()
+    ids = block.column("vec_id").to_numpy(zero_copy_only=False)
+    member = block.column("is_member").to_numpy(zero_copy_only=False)
+    emb_col = block.column("emb")
+    ends = np.append(starts[1:], n)
+    v_out, c_out, s_out = [], [], []
+    for s, e in zip(starts, ends):
+        g_ids = ids[s:e]
+        g_member = member[s:e].astype(bool)
+        if not g_member.any():
+            continue
+        mat = _unpack_rows(emb_col.slice(s, e - s))
+        members = mat[g_member]
+        m_ids = g_ids[g_member]
+        sims = mat @ members.T  # (probers, members)
+        # exclude self by id (a prober's home-cluster row IS a member)
+        sims[g_ids[:, None] == m_ids[None, :]] = -np.inf
+        best = sims.max(axis=1)
+        ok = np.isfinite(best)
+        for i in np.flatnonzero(ok):
+            row = sims[i]
+            # deterministic tie-break: smallest member id among maxima
+            v_out.append(int(g_ids[i]))
+            c_out.append(int(m_ids[np.flatnonzero(row == best[i])].min()))
+            s_out.append(float(best[i]))
+    return pa.table(
+        {
+            "vec_id": pa.array(v_out, pa.int64()),
+            "cand": pa.array(c_out, pa.int64()),
+            "sim": pa.array(s_out, pa.float64()),
+        }
+    )
+
+
+def _global_top1(block: pa.Table, starts: np.ndarray) -> pa.Table:
+    """Per vec_id: fold the ≤ nprobe per-cluster partials to the single
+    best (max sim, ties to the smallest candidate id) and emit the
+    unordered mutuality row."""
+    n = block.num_rows
+    if n == 0 or len(starts) == 0:
+        return _NN_PAIR_SCHEMA.empty_table()
+    vid = block.column("vec_id").to_numpy(zero_copy_only=False)
+    cand = block.column("cand").to_numpy(zero_copy_only=False)
+    sim = block.column("sim").to_numpy(zero_copy_only=False)
+    # lexsort: vec_id asc, sim desc, cand asc — first row per group wins
+    order = np.lexsort((cand, -sim, vid))
+    vid, cand, sim = vid[order], cand[order], sim[order]
+    first = np.zeros(len(vid), dtype=bool)
+    first[0] = True
+    first[1:] = vid[1:] != vid[:-1]
+    a, b, s = vid[first], cand[first], sim[first]
+    return pa.table(
+        {
+            "lo": pa.array(np.minimum(a, b), pa.int64()),
+            "hi": pa.array(np.maximum(a, b), pa.int64()),
+            "dirn": pa.array((a > b).astype(np.int64), pa.int64()),
+            "sim": pa.array(s, pa.float64()),
+        }
+    )
+
+
+def mutual_nn_pairs(embeddings, *, mode: str = "blocked",
+                    n_clusters: int = 16, nprobe: int | None = None,
+                    sample_size: int = 2048):
+    """Mutual nearest-neighbor pairs under cosine: (a, b) such that b
+    is a's top-1 neighbor AND a is b's top-1 neighbor — the
+    high-precision pair-mining step behind bitext alignment and
+    near-duplicate canonicalization (mutual-NN survives where one-way
+    NN drowns in hubness).
+
+    ``mode="blocked"`` (default, the 100 TB path): IVF-style cluster
+    blocking. Centroids train on the bounded hash-stratified sample
+    (the family's one deliberate small materialization, same as
+    ``ann_ivf_topk``); each vector emits ``nprobe`` SLIM probe rows
+    (cluster, vec_id, is_member, normalized-vector bytes); ONE hash
+    shuffle co-locates each cluster, where probers score exactly
+    against the cluster's members; a second slim shuffle folds the ≤
+    nprobe per-cluster partials to the global top-1 per vector; the
+    mutuality check is the same one-shuffle reduction as before. The
+    corpus is NEVER materialized on the driver and per-task memory is
+    bounded by the largest cluster × nprobe fan-in, not n.
+    ``nprobe=None`` probes every cluster, which makes the blocked plan
+    EXACT by construction (every (prober, member) pair is scored once)
+    — the registered query runs this config so the brute-force SQL
+    oracle is a true oracle; ``nprobe < n_clusters`` is the documented
+    subquadratic knob, exact whenever each vector's true NN shares one
+    of its probed clusters (e.g. well-separated clusters).
+
+    ``mode="exact"`` (opt-in small-corpus cross-check): the corpus
+    matrix is L2-normalized once driver-side and broadcast via one
+    ``ray.put`` (n x d float64 — ~2.5 MB at sf0.1's 5k x 64); each
+    batch scores against the broadcast matrix (the ``ann_brute_topk``
+    shape). Quadratic AND driver-materializing — keep it for oracle
+    checks only.
+
+    Output: (vec_id_a, vec_id_b, sim) with a < b, sim rounded to 6 dp
+    (matching the brute-force oracle's ROUND).
+    """
+    import ray
+
+    if mode == "exact":
+        rows = embeddings.take_all()  # exact mode: n x d corpus broadcast
+        ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+        mat = _normalize(
+            np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+        )
+        corpus_ref = ray.put((ids, mat))
+
+        nn = embeddings.map_batches(
+            _NNAgainstAll,
+            fn_constructor_kwargs={"corpus_ref": corpus_ref},
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+        return _mutuality_reduce(nn)
+    if mode != "blocked":
+        raise ValueError(f"unknown mutual_nn_pairs mode {mode!r}")
+
+    from ocr_ray.stages.grouped import grouped_map
+
+    sample = _batch_matrix(stratified_sample(embeddings, sample_size))
+    k_eff = max(1, min(n_clusters, len(sample)))
+    centroids = train_centroids(sample, k_eff)
+    nprobe_eff = k_eff if nprobe is None else max(1, min(nprobe, k_eff))
+    centroids_ref = ray.put(centroids)
+
+    probe = embeddings.map_batches(
+        _ProbeRows,
+        fn_constructor_kwargs={
+            "centroids_ref": centroids_ref,
+            "nprobe": nprobe_eff,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    partial = grouped_map(probe, ["cluster"], _cluster_top1)
+    nn = grouped_map(partial, ["vec_id"], _global_top1)
+    return _mutuality_reduce(nn)
 
 
 def mutual_nn_pairs_sql() -> str:

@@ -812,20 +812,39 @@ def _pq_count(path: _pathlib.Path) -> int:
 
 def _pq_minmax(path: _pathlib.Path, column: str) -> tuple[int, int]:
     """min/max of an int column across a parquet dir, from row-group
-    statistics only (no data read)."""
+    statistics where available (no data read); row groups whose writer
+    omitted min/max stats are scanned column-only so a stats-less file
+    can never silently collapse the range to the empty sentinel."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     lo, hi = None, None
+    n_rows = 0
     for f in path.rglob("*.parquet"):
-        md = pq.ParquetFile(f).metadata
+        pf = pq.ParquetFile(f)
+        md = pf.metadata
+        n_rows += md.num_rows
         idx = md.schema.names.index(column)
         for rg in range(md.num_row_groups):
+            if md.row_group(rg).num_rows == 0:
+                continue
             st = md.row_group(rg).column(idx).statistics
             if st is None or not st.has_min_max:
-                continue
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
+                col = pf.read_row_group(rg, columns=[column]).column(0)
+                mm = pc.min_max(col).as_py()
+                rg_lo, rg_hi = mm["min"], mm["max"]
+                if rg_lo is None:
+                    continue
+            else:
+                rg_lo, rg_hi = st.min, st.max
+            lo = rg_lo if lo is None else min(lo, rg_lo)
+            hi = rg_hi if hi is None else max(hi, rg_hi)
     if lo is None:
+        if n_rows:
+            raise ValueError(
+                f"no min/max derivable for column {column!r} under "
+                f"{path} despite {n_rows} rows (all-null column?)"
+            )
         return 0, -1
     return int(lo), int(hi)
 

@@ -171,3 +171,80 @@ def test_daily_linear_interp_negative_values_match_duckdb(ray_session):
     # (-1001 + -50) / 2 = -525.5 cents -> floor at milli-cent precision
     mid = got[got.observed == 0].interp_milli_cents.iloc[0]
     assert mid == (-1001 * 1000 + -50 * 1000) // 2
+
+
+def test_mutual_nn_blocked_matches_exact(ray_session):
+    """Plan-equivalence pin (VERDICT r04 #1): the blocked IVF top-1
+    path equals the exact broadcast path — on a random corpus with the
+    default nprobe=None (exact by construction), and on well-separated
+    clusters even with nprobe=1 (the subquadratic config)."""
+    import ray.data as rd
+
+    from ocr_ray.ops.similarity import mutual_nn_pairs
+
+    rng = np.random.RandomState(7)
+    # 3 well-separated clusters in 8-d
+    centers = np.eye(3, 8) * 10.0
+    vecs = np.concatenate(
+        [c + rng.standard_normal((20, 8)) * 0.05 for c in centers]
+    )
+    emb = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),
+            "embedding": pa.array(
+                [list(v) for v in vecs], pa.list_(pa.float64())
+            ),
+        }
+    )
+
+    def canon(ds):
+        return (
+            ds.to_pandas()
+            .sort_values(["vec_id_a", "vec_id_b"])
+            .reset_index(drop=True)
+        )
+
+    exact = canon(mutual_nn_pairs(rd.from_arrow(emb), mode="exact"))
+    assert len(exact) > 0
+    blocked_all = canon(mutual_nn_pairs(rd.from_arrow(emb)))
+    blocked_sub = canon(
+        mutual_nn_pairs(
+            rd.from_arrow(emb), n_clusters=3, nprobe=1, sample_size=64
+        )
+    )
+    for got in (blocked_all, blocked_sub):
+        assert got["vec_id_a"].tolist() == exact["vec_id_a"].tolist()
+        assert got["vec_id_b"].tolist() == exact["vec_id_b"].tolist()
+        np.testing.assert_allclose(got["sim"], exact["sim"], atol=1e-9)
+
+
+def test_mutual_nn_blocked_random_default_exact(ray_session):
+    """Default nprobe=None probes every cluster: identical to exact on
+    an unstructured random corpus (no cluster separation to lean on)."""
+    import ray.data as rd
+
+    from ocr_ray.ops.similarity import mutual_nn_pairs
+
+    rng = np.random.RandomState(11)
+    vecs = rng.standard_normal((60, 16))
+    emb = pa.table(
+        {
+            "vec_id": pa.array(np.arange(60, dtype=np.int64) * 3 + 1),
+            "embedding": pa.array(
+                [list(v) for v in vecs], pa.list_(pa.float64())
+            ),
+        }
+    )
+
+    def canon(ds):
+        return (
+            ds.to_pandas()
+            .sort_values(["vec_id_a", "vec_id_b"])
+            .reset_index(drop=True)
+        )
+
+    exact = canon(mutual_nn_pairs(rd.from_arrow(emb), mode="exact"))
+    blocked = canon(mutual_nn_pairs(rd.from_arrow(emb), n_clusters=8))
+    assert blocked["vec_id_a"].tolist() == exact["vec_id_a"].tolist()
+    assert blocked["vec_id_b"].tolist() == exact["vec_id_b"].tolist()
+    np.testing.assert_allclose(blocked["sim"], exact["sim"], atol=1e-9)
