@@ -66,6 +66,9 @@ def main(argv=None) -> int:
     p_cur.add_argument("--output", required=True)
     p_cur.add_argument("--seq-len", type=int, default=512)
     p_cur.add_argument("--files-per-partition", type=int, default=1)
+    p_cur.add_argument("--partitions-per-launch", type=int, default=0,
+                       help="0 = all pending partitions in one Ray "
+                       "launch; N = kill-and-resume granularity knob")
     p_cur.add_argument("--bench-modulus", type=int, default=50,
                        help="benchmark stand-in: doc_id %% m == 0")
     p_cur.add_argument(
@@ -217,6 +220,7 @@ def main(argv=None) -> int:
             CurationConfig(
                 seq_len=args.seq_len,
                 files_per_partition=args.files_per_partition,
+                partitions_per_launch=args.partitions_per_launch,
                 bench_modulus=args.bench_modulus,
                 known_fingerprints=args.known_fingerprints,
             ),

@@ -152,37 +152,46 @@ class _ScoreStage:
         self.stop_en = frozenset(STOP_EN)
         self.stops = self.stop_id | self.stop_en
 
+    def _score_doc(self, text) -> tuple[str, str, int, int] | None:
+        """(fp, lang_pred, n_tokens, contaminated) for a filter
+        survivor, None for a reject — the ONE per-doc scoring kernel
+        shared by the standalone pass and the runner's fused stage."""
+        t = text or ""
+        words = _WORD_RE.findall(t.lower())
+        if not _passes_filter(
+            words,
+            t,
+            min_words=self.min_words,
+            min_stopword_ratio=self.min_stopword_ratio,
+            max_punct_ratio=self.max_punct_ratio,
+            stops=self.stops,
+        ):
+            return None
+        sid = sum(1 for w in words if w in self.stop_id)
+        sen = sum(1 for w in words if w in self.stop_en)
+        contaminated = int(
+            any(
+                s in self.bench
+                for s in set(_contam_shingles(t, self.contam_k))
+            )
+        )
+        fp = hashlib.md5(
+            normalize_for_fingerprint(t).encode("utf-8")
+        ).hexdigest()
+        return fp, ("id" if sid >= sen else "en"), len(t.split()), contaminated
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         out_id, out_fp, out_lang, out_tok, out_con = [], [], [], [], []
         for doc_id, text in zip(ids, batch.column("text").to_pylist()):
-            t = text or ""
-            words = _WORD_RE.findall(t.lower())
-            if not _passes_filter(
-                words,
-                t,
-                min_words=self.min_words,
-                min_stopword_ratio=self.min_stopword_ratio,
-                max_punct_ratio=self.max_punct_ratio,
-                stops=self.stops,
-            ):
+            scored = self._score_doc(text)
+            if scored is None:
                 continue
-            sid = sum(1 for w in words if w in self.stop_id)
-            sen = sum(1 for w in words if w in self.stop_en)
-            contaminated = int(
-                any(
-                    s in self.bench
-                    for s in set(_contam_shingles(t, self.contam_k))
-                )
-            )
+            fp, lang, n_tok, contaminated = scored
             out_id.append(doc_id)
-            out_fp.append(
-                hashlib.md5(
-                    normalize_for_fingerprint(t).encode("utf-8")
-                ).hexdigest()
-            )
-            out_lang.append("id" if sid >= sen else "en")
-            out_tok.append(len(t.split()))
+            out_fp.append(fp)
+            out_lang.append(lang)
+            out_tok.append(n_tok)
             out_con.append(contaminated)
         return pa.table(
             {
@@ -459,13 +468,22 @@ def curation_pack(
     *,
     seq_len: int = DEFAULT_SEQ_LEN,
     bucket_width: int = DEFAULT_BUCKET_WIDTH,
+    survivors_factory=None,
 ):
     """Per-split greedy sequence packing of the surviving corpus, as a
     distributed ordered prefix sum (ops/chunk.py:pack_sequences pattern,
     keyed by (split, doc_id-range bucket)): documents never shuffle;
     per-(split, bucket) token totals are a tiny keyed aggregate; the
     driver folds them into base offsets in bucket order and broadcasts
-    ONE dict; one grouped_map computes in-block cumsums."""
+    ONE dict; one grouped_map computes in-block cumsums.
+
+    ``survivors_factory``: when the survivors lineage is CHEAP to
+    re-derive (the checkpoint runner reads them from slim parquet), a
+    zero-arg callable returning a fresh survivors dataset lets the two
+    passes (totals aggregate, pack) each run off their own lineage —
+    one Ray launch apiece, no mid-pipeline materialize. When None (the
+    composed in-memory DAG, where re-deriving would re-run the whole
+    upstream), the tok rows are materialized once and shared."""
     import ray
 
     from ocr_ray.ops.dedup import _with_schema
@@ -508,10 +526,18 @@ def curation_pack(
             }
         )
 
-    tok = _with_schema(
-        survivors.map_batches(add_split_bucket, batch_format="pyarrow"),
-        tok_schema,
-    ).materialize()
+    def tok_of(ds):
+        return _with_schema(
+            ds.map_batches(add_split_bucket, batch_format="pyarrow"),
+            tok_schema,
+        )
+
+    if survivors_factory is None:
+        tok = tok_of(survivors).materialize()
+        tok2 = tok
+    else:
+        tok = tok_of(survivors)
+        tok2 = tok_of(survivors_factory())
 
     from ray.data.aggregate import Sum
 
@@ -563,7 +589,7 @@ def curation_pack(
         )
 
     return grouped_map(
-        tok, ["split", "bucket"], pack_block, sort_within=["doc_id"]
+        tok2, ["split", "bucket"], pack_block, sort_within=["doc_id"]
     )
 
 
@@ -742,6 +768,93 @@ class CurationConfig:
     bench_modulus: int = 50          # benchmark stand-in: doc_id % m == 0
     files_per_partition: int = 1
     known_fingerprints: str | None = None  # incremental mode: prior store
+    # partitions per Ray launch in the partitioned stages (1 and 4):
+    # 0 = every pending partition in ONE launch (fewest fixed launch
+    # costs — the bench default), N = commit-granularity knob (a kill
+    # repeats at most one N-partition wave; the SIGKILL exercise runs
+    # N=4). Per-partition artifacts and manifests are identical either
+    # way — only the launch batching changes.
+    partitions_per_launch: int = 0
+
+
+_STAGE1_SCHEMA = pa.schema(
+    [
+        ("part", pa.int64()),
+        ("kind", pa.string()),  # "score" | "shingle"
+        ("doc_id", pa.int64()),
+        ("fp", pa.string()),
+        ("lang_pred", pa.string()),
+        ("n_tokens", pa.int64()),
+        ("contaminated", pa.int64()),
+        ("shingle", pa.uint64()),
+        ("set_size", pa.int64()),
+    ]
+)
+
+
+class _Stage1Fused(_ScoreStage):
+    """The runner's stage 1: ONE text scan per wave producing BOTH the
+    slim scored rows and the word-shingle rows (tagged by ``kind``),
+    routed to per-partition artifacts via the ``part`` column — the
+    text is read once, not twice, and a whole wave of partitions rides
+    one Ray launch (VERDICT r04 #2). Scoring reuses the exact
+    ``_ScoreStage`` kernel; shingling the exact ``_shingle_rows_factory``
+    kernel, gated on the same filter predicate the standalone prefilter
+    applies (one word-split per doc instead of two)."""
+
+    def __init__(self, bench_ref, part_map_ref, *, shingle_n: int, **kw):
+        import ray
+
+        super().__init__(bench_ref, **kw)
+        self.part_map = ray.get(part_map_ref)
+        self.shingle_n = shingle_n
+
+    def _part_of(self, path: str) -> int:
+        m = self.part_map
+        if path in m:
+            return m[path]
+        return m[_os.path.basename(path)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ocr_ray.ops.dedup import _stable_hash64, word_shingles
+
+        cols: dict[str, list] = {n: [] for n in _STAGE1_SCHEMA.names}
+
+        def emit(part, kind, doc_id, fp=None, lang=None, n_tok=None,
+                 con=None, shingle=None, set_size=None):
+            cols["part"].append(part)
+            cols["kind"].append(kind)
+            cols["doc_id"].append(doc_id)
+            cols["fp"].append(fp)
+            cols["lang_pred"].append(lang)
+            cols["n_tokens"].append(n_tok)
+            cols["contaminated"].append(con)
+            cols["shingle"].append(shingle)
+            cols["set_size"].append(set_size)
+
+        for doc_id, text, path in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+            batch.column("path").to_pylist(),
+        ):
+            scored = self._score_doc(text)
+            if scored is None:
+                continue
+            part = self._part_of(path)
+            fp, lang, n_tok, con = scored
+            emit(part, "score", doc_id, fp=fp, lang=lang, n_tok=n_tok,
+                 con=con)
+            shingles = word_shingles(text, self.shingle_n)
+            n_sh = len(shingles)
+            for s in shingles:
+                emit(part, "shingle", doc_id, shingle=_stable_hash64(s),
+                     set_size=n_sh)
+        return pa.table(
+            {
+                n: pa.array(cols[n], _STAGE1_SCHEMA.field(n).type)
+                for n in _STAGE1_SCHEMA.names
+            }
+        )
 
 
 def _read_parquet_dir(path, columns=None):
@@ -864,9 +977,11 @@ def run_curation_checkpointed(
     Stage graph and artifacts (all committed atomically with lineage):
 
     - ``bench/``      benchmark shingle set (stage 0, one artifact)
-    - ``score/part=K`` + ``shingles/part=K``  per input partition: slim
-      scored rows and word-shingle rows (stage 1, PARTITION-resumable —
-      a killed run repeats at most one partition)
+    - ``score/part=K``  per input partition: slim scored rows
+      (``kind=score/``) AND word-shingle rows (``kind=shingle/``) from
+      ONE fused text scan; a wave of partitions shares one Ray launch
+      (``partitions_per_launch``; a killed run repeats at most one
+      wave, artifacts and manifests stay per-partition)
     - ``keepers/`` ``drops/`` ``fingerprints/``  exact keepers (incl.
       incremental anti-join against a prior fingerprint store),
       near-dup drop list, and the updated fingerprint store (stage 2)
@@ -884,7 +999,7 @@ def run_curation_checkpointed(
     import ray
 
     from ocr_ray import io as _io
-    from ocr_ray.ops.dedup import _shingle_rows_factory, _with_schema
+    from ocr_ray.ops.dedup import _with_schema
 
     config = config or CurationConfig()
     t_start = _time.perf_counter()
@@ -940,56 +1055,91 @@ def run_curation_checkpointed(
     try:
         _stop("bench")
 
-        # ---- stage 1: per-partition score + shingle rows ----------
+        # ---- stage 1: score + shingle rows, ONE text scan per wave -
+        # (fused per VERDICT r04 #2: a wave of partitions shares one
+        # Ray launch; per-partition artifacts + manifests are
+        # unchanged, so resume granularity is the wave size)
         t0 = _time.perf_counter()
+        import ray.data as _rd
+
+        pending = []
         for k, part_files in enumerate(partitions):
-            name_s = f"score/part={k:05d}"
-            name_g = f"shingles/part={k:05d}"
-            inputs = {"files": part_files}
-            if (
-                resume
-                and art.complete(name_s, inputs)
-                and art.complete(name_g, inputs)
+            if resume and art.complete(
+                f"score/part={k:05d}", {"files": part_files}
             ):
                 partitions_skipped["score"] += 1
-                continue
+            else:
+                pending.append(k)
+        wave_cap = (
+            stop_after_partitions
+            if stop_after_partitions is not None
+            else (config.partitions_per_launch or len(pending) or 1)
+        )
+        wave_cap = max(1, wave_cap)
+        for w0 in range(0, len(pending), wave_cap):
+            wave = pending[w0 : w0 + wave_cap]
+            files = [f for k in wave for f in partitions[k]]
+            part_map: dict[str, int] = {}
+            for k in wave:
+                for f in partitions[k]:
+                    part_map[f] = k
+                    base = _os.path.basename(f)
+                    if part_map.setdefault(base, k) != k:
+                        raise ValueError(
+                            f"duplicate input basename {base!r} across "
+                            "partitions — include_paths routing needs "
+                            "unique paths"
+                        )
+            part_map_ref = ray.put(part_map)
+            docs = _rd.read_parquet(
+                files, columns=["doc_id", "text"], include_paths=True
+            )
+            fused = docs.map_batches(
+                _Stage1Fused,
+                fn_constructor_kwargs={
+                    "bench_ref": bench_ref,
+                    "part_map_ref": part_map_ref,
+                    "shingle_n": config.shingle_n,
+                    "min_words": config.min_words,
+                    "min_stopword_ratio": config.min_stopword_ratio,
+                    "max_punct_ratio": config.max_punct_ratio,
+                    "contam_k": config.contam_k,
+                },
+                batch_format="pyarrow",
+                concurrency=(1, 8),
+            )
+            wtmp = art.tmp(f"stage1-wave-{w0}")
+            _with_schema(fused, _STAGE1_SCHEMA).write_parquet(
+                str(wtmp), partition_cols=["part", "kind"]
+            )
+            import pyarrow.parquet as _pq
+
+            for k in wave:
+                part_files = partitions[k]
+                src = wtmp / f"part={k}"
+                if not src.exists():  # every doc filtered out
+                    src.mkdir(parents=True)
+                (src / "kind=score").mkdir(exist_ok=True)
+                (src / "kind=shingle").mkdir(exist_ok=True)
+                n_raw = sum(
+                    _pq.ParquetFile(f).metadata.num_rows
+                    for f in part_files
+                )
+                lo, hi = _pq_minmax(src / "kind=score", "doc_id")
+                n_filtered = _pq_count(src / "kind=score")
+                art.commit(
+                    f"score/part={k:05d}", src, {"files": part_files}, {
+                        "n_raw": n_raw, "n_filtered": n_filtered,
+                        "doc_id_min": lo, "doc_id_max": hi,
+                    },
+                )
+                partitions_run["score"] += 1
+            _shutil.rmtree(wtmp, ignore_errors=True)
             if (
                 stop_after_partitions is not None
-                and partitions_run["score"] >= stop_after_partitions
+                and w0 + wave_cap < len(pending)
             ):
                 raise _StopRun("score-partial")
-            docs = _read_parquet_dir(part_files, columns=["doc_id", "text"])
-            n_raw = docs.count()
-            scored = curation_scored(
-                docs,
-                bench_ref,
-                min_words=config.min_words,
-                min_stopword_ratio=config.min_stopword_ratio,
-                max_punct_ratio=config.max_punct_ratio,
-                contam_k=config.contam_k,
-            )
-            tmp = art.tmp(name_s)
-            scored.write_parquet(str(tmp))
-            lo, hi = _pq_minmax(tmp, "doc_id")
-            art.commit(name_s, tmp, inputs, {
-                "n_raw": n_raw, "n_filtered": _pq_count(tmp),
-                "doc_id_min": lo, "doc_id_max": hi,
-            })
-            rows = docs.map_batches(
-                _prefilter_factory(
-                    config.min_words,
-                    config.min_stopword_ratio,
-                    config.max_punct_ratio,
-                ),
-                batch_format="pyarrow",
-            ).map_batches(
-                _shingle_rows_factory(config.shingle_n),
-                batch_format="pyarrow",
-            )
-            tmp = art.tmp(name_g)
-            _with_schema(rows, _SHINGLE_ROW_SCHEMA).write_parquet(str(tmp))
-            art.commit(name_g, tmp, inputs, {})
-            partitions_run["score"] += 1
         walls["score"] = round(_time.perf_counter() - t0, 3)
         funnel["n_raw"] = sum(
             art.complete(f"score/part={k:05d}", {"files": p})["n_raw"]
@@ -1024,11 +1174,35 @@ def run_curation_checkpointed(
             "max_df": config.max_df,
             "threshold": config.threshold,
         }
+        score_dirs = [
+            str(art.dir(f"score/part={k:05d}") / "kind=score")
+            for k in range(len(partitions))
+        ]
+        shingle_dirs = [
+            str(art.dir(f"score/part={k:05d}") / "kind=shingle")
+            for k in range(len(partitions))
+        ]
+
+        def _read_kind(dirs, columns, schema):
+            import ray.data as rd
+
+            # a LIST to read_parquet must be file paths, not dirs
+            files = [
+                str(f)
+                for d in dirs
+                for f in sorted(_pathlib.Path(d).glob("*.parquet"))
+            ]
+            if not files:
+                return rd.from_arrow(schema.empty_table())
+            return rd.read_parquet(files, columns=columns)
+
         if not (resume and art.complete("keepers", dedup_inputs)
                 and art.complete("drops", dedup_inputs)
                 and art.complete("fingerprints", dedup_inputs)):
             t0 = _time.perf_counter()
-            scored_ds = _read_parquet_dir(art.dir("score"))
+            scored_ds = _read_kind(
+                score_dirs, list(_SCORED_SCHEMA.names), _SCORED_SCHEMA
+            )
             keepers = curation_keepers(scored_ds)
             if config.known_fingerprints:
                 known = _read_parquet_dir(
@@ -1044,7 +1218,11 @@ def run_curation_checkpointed(
                        {"n_keepers": _pq_count(tmp)})
 
             keepers_ds = _read_parquet_dir(art.dir("keepers"))
-            rows = _read_parquet_dir(art.dir("shingles"))
+            rows = _read_kind(
+                shingle_dirs,
+                list(_SHINGLE_ROW_SCHEMA.names),
+                _SHINGLE_ROW_SCHEMA,
+            )
             drops = neardup_drops_from_rows(
                 rows, keepers_ds,
                 max_df=config.max_df, threshold=config.threshold,
@@ -1057,16 +1235,24 @@ def run_curation_checkpointed(
                        {"n_drops": _pq_count(tmp)})
 
             # updated fingerprint store: every fp this run admitted at
-            # the exact stage, plus the prior store (incremental chain)
-            fps = _read_parquet_dir(art.dir("keepers"), columns=["fp"])
+            # the exact stage, plus the prior store (incremental chain).
+            # The keepers files ARE the new fps (disjoint from the prior
+            # store by the anti-join above), so the store is hardlinked
+            # /copied driver-side — no Ray launch (VERDICT r04 #2)
+            tmp = art.tmp("fingerprints")
+            srcs = sorted(art.dir("keepers").rglob("*.parquet"))
             if config.known_fingerprints:
-                fps = fps.union(
-                    _read_parquet_dir(
-                        config.known_fingerprints, columns=["fp"]
+                srcs += sorted(
+                    _pathlib.Path(config.known_fingerprints).rglob(
+                        "*.parquet"
                     )
                 )
-            tmp = art.tmp("fingerprints")
-            fps.write_parquet(str(tmp))
+            for i, f in enumerate(srcs):
+                dst = tmp / f"fp-{i:05d}.parquet"
+                try:
+                    _os.link(f, dst)
+                except OSError:
+                    _shutil.copy2(f, dst)
             art.commit("fingerprints", tmp, dedup_inputs,
                        {"n_fps": _pq_count(tmp)})
             walls["dedup"] = round(_time.perf_counter() - t0, 3)
@@ -1081,13 +1267,19 @@ def run_curation_checkpointed(
                        "bucket_width": config.bucket_width}
         if not (resume and art.complete("assignment", pack_inputs)):
             t0 = _time.perf_counter()
-            keepers_ds = _read_parquet_dir(art.dir("keepers"))
-            drops_ds = _read_parquet_dir(art.dir("drops"))
-            survivors = curation_survivors(keepers_ds, drops_ds)
+            def survivors_from_disk():
+                return curation_survivors(
+                    _read_parquet_dir(art.dir("keepers")),
+                    _read_parquet_dir(art.dir("drops")),
+                )
+
             packed = curation_pack(
-                survivors,
+                survivors_from_disk(),
                 seq_len=config.seq_len,
                 bucket_width=config.bucket_width,
+                # slim-parquet lineage: re-derive per pass instead of a
+                # mid-pipeline materialize (one launch per pass)
+                survivors_factory=survivors_from_disk,
             )
 
             def with_bucket(t: pa.Table) -> pa.Table:
@@ -1113,34 +1305,53 @@ def run_curation_checkpointed(
             "assignment", pack_inputs)["n_survivors"]
         _stop("pack")
 
-        # ---- stage 4: per-partition curated text write ------------
+        # ---- stage 4: curated text write, ONE launch per wave -----
         t0 = _time.perf_counter()
+        pending_t = []
         for k, part_files in enumerate(partitions):
-            name = f"curated/part={k:05d}"
-            inputs = {"files": part_files, **pack_inputs}
-            if resume and art.complete(name, inputs):
+            if resume and art.complete(
+                f"curated/part={k:05d}", {"files": part_files, **pack_inputs}
+            ):
                 partitions_skipped["text"] += 1
-                continue
-            srow = art.complete(
-                f"score/part={k:05d}", {"files": part_files}
-            )
-            lo, hi = srow["doc_id_min"], srow["doc_id_max"]
+            else:
+                pending_t.append(k)
+        for w0 in range(0, len(pending_t), wave_cap):
+            wave = pending_t[w0 : w0 + wave_cap]
+            files = [f for k in wave for f in partitions[k]]
+            part_map = {}
+            for k in wave:
+                for f in partitions[k]:
+                    part_map[f] = k
+                    part_map.setdefault(_os.path.basename(f), k)
             # directory-level pruning: only assignment buckets that
-            # intersect this partition's doc_id range are read
-            bucket_dirs = [
-                str(art.dir("assignment") / f"bucket={b}")
-                for b in range(
-                    int(lo) // config.bucket_width,
-                    int(hi) // config.bucket_width + 1,
+            # intersect some wave partition's doc_id range are read;
+            # the wave's survivor set is one bounded sorted array
+            ranges = []
+            for k in wave:
+                srow = art.complete(
+                    f"score/part={k:05d}", {"files": partitions[k]}
                 )
-                if (art.dir("assignment") / f"bucket={b}").exists()
-            ]
+                ranges.append((int(srow["doc_id_min"]),
+                               int(srow["doc_id_max"])))
+            bucket_dirs = sorted(
+                {
+                    str(art.dir("assignment") / f"bucket={b}")
+                    for lo, hi in ranges
+                    for b in range(
+                        lo // config.bucket_width,
+                        hi // config.bucket_width + 1,
+                    )
+                    if (art.dir("assignment") / f"bucket={b}").exists()
+                }
+            )
             kid_list, ksp_list = [], []
             for d in bucket_dirs:
                 t = pa.parquet.read_table(d, columns=["doc_id", "split"])
                 kid = t.column("doc_id").to_numpy(zero_copy_only=False)
                 ksp = np.asarray(t.column("split").to_pylist(), dtype=object)
-                in_range = (kid >= lo) & (kid <= hi)
+                in_range = np.zeros(len(kid), bool)
+                for lo, hi in ranges:
+                    in_range |= (kid >= lo) & (kid <= hi)
                 kid_list.append(kid[in_range].astype(np.int64))
                 ksp_list.append(ksp[in_range])
             kid = (
@@ -1153,17 +1364,20 @@ def run_curation_checkpointed(
             )
             order = np.argsort(kid, kind="stable")
             keep_ref = ray.put((kid[order], ksp[order]))
+            part_map_ref = ray.put(part_map)
 
             class _KeepFilter:
-                """Vectorized membership: the partition's survivor ids
+                """Vectorized membership: the wave's survivor ids
                 arrive as a sorted array + parallel split codes
                 (fetched once per actor); per batch one np.searchsorted
-                probe replaces the per-row dict loop."""
+                probe replaces the per-row dict loop. Emits the part
+                column routing rows to per-partition artifacts."""
 
-                def __init__(self, ref):
+                def __init__(self, ref, pm_ref):
                     ids, splits = ray.get(ref)
                     self.ids = ids
                     self.splits = splits
+                    self.part_map = ray.get(pm_ref)
 
                 def __call__(self, t: pa.Table) -> pa.Table:
                     ids = (
@@ -1177,7 +1391,19 @@ def run_curation_checkpointed(
                         pos = np.searchsorted(self.ids, ids)
                         pos_c = np.minimum(pos, len(self.ids) - 1)
                         mask = self.ids[pos_c] == ids
-                    kept = t.filter(pa.array(mask))
+                    parts = [
+                        self.part_map.get(
+                            p, self.part_map.get(_os.path.basename(p))
+                        )
+                        for p in t.column("path").to_pylist()
+                    ]
+                    kept = (
+                        t.append_column(
+                            "part", pa.array(parts, pa.int64())
+                        )
+                        .filter(pa.array(mask))
+                        .drop_columns(["path"])
+                    )
                     splits = (
                         self.splits[pos_c[mask]]
                         if len(self.ids)
@@ -1187,17 +1413,31 @@ def run_curation_checkpointed(
                         "split", pa.array(splits, pa.string())
                     )
 
-            docs = _read_parquet_dir(part_files, columns=["doc_id", "text"])
-            tmp = art.tmp(name)
+            import ray.data as _rd
+
+            docs = _rd.read_parquet(
+                files, columns=["doc_id", "text"], include_paths=True
+            )
+            wtmp = art.tmp(f"curated-wave-{w0}")
             docs.map_batches(
                 _KeepFilter,
-                fn_constructor_kwargs={"ref": keep_ref},
+                fn_constructor_kwargs={
+                    "ref": keep_ref, "pm_ref": part_map_ref
+                },
                 batch_format="pyarrow",
                 concurrency=(1, 4),
-            ).write_parquet(str(tmp))
-            art.commit(name, tmp, inputs,
-                       {"n_docs": _pq_count(tmp)})
-            partitions_run["text"] += 1
+            ).write_parquet(str(wtmp), partition_cols=["part"])
+            for k in wave:
+                src = wtmp / f"part={k}"
+                if not src.exists():
+                    src.mkdir(parents=True)
+                art.commit(
+                    f"curated/part={k:05d}", src,
+                    {"files": partitions[k], **pack_inputs},
+                    {"n_docs": _pq_count(src)},
+                )
+                partitions_run["text"] += 1
+            _shutil.rmtree(wtmp, ignore_errors=True)
         walls["text"] = round(_time.perf_counter() - t0, 3)
         aborted = None
     except _StopRun as s:

@@ -42,7 +42,8 @@ from ocr_ray.context import configure
 configure()
 from ocr_ray.pipelines.curation import (CurationConfig,
                                         run_curation_checkpointed)
-m = run_curation_checkpointed({corpus!r}, {out!r}, CurationConfig())
+m = run_curation_checkpointed({corpus!r}, {out!r},
+    CurationConfig(partitions_per_launch=4))
 print("METRICS " + json.dumps(m))
 ray.shutdown()
 """
