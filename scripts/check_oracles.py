@@ -71,6 +71,7 @@ def main() -> None:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    n_ok = n_rows_only = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -83,6 +84,7 @@ def main() -> None:
             continue
         sql = oracles.get(name)
         if sql is None:
+            n_rows_only += 1
             print(f"rows  {name}: {len(mine)} rows (no oracle) [{time.perf_counter()-t0:.1f}s]", flush=True)
             continue
         try:
@@ -114,8 +116,43 @@ def main() -> None:
                 diff = merged[merged["_merge"] != "both"]
                 print(diff.head(6).to_string())
         else:
+            n_ok += 1
             print(f"ok    {name}: {len(mine)} rows [{time.perf_counter()-t0:.1f}s]", flush=True)
     ray.shutdown()
+    if not only:
+        # full sweep: persist the one-line summary so bench.py can embed
+        # it in the drive-visible artifact (VERDICT r04 #8)
+        import datetime
+        import json as _json
+        import subprocess as _sp
+
+        try:
+            rev = _sp.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True,
+                cwd=pathlib.Path(__file__).resolve().parent.parent,
+            ).stdout.strip()
+        except OSError:
+            rev = ""
+        pathlib.Path(
+            pathlib.Path(__file__).resolve().parent.parent / "SWEEP_LATEST.json"
+        ).write_text(
+            _json.dumps(
+                {
+                    "ok": n_ok,
+                    "rows_only": n_rows_only,
+                    "fail": len(failures),
+                    "failing": failures,
+                    "n_queries": n_ok + n_rows_only + len(failures),
+                    "sf_dir": sf_dir,
+                    "git_rev": rev,
+                    "utc": datetime.datetime.utcnow().isoformat(
+                        timespec="seconds"
+                    ),
+                }
+            )
+            + "\n"
+        )
     if failures:
         sys.exit(f"{len(failures)} failing: {failures}")
     print("all oracles consistent")

@@ -1,0 +1,212 @@
+"""End-to-end incremental curation (VERDICT r04 #4): the composed
+query's funnel semantics on a planted corpus, and the checkpoint
+runner's incremental-state chain — shard N+1 admitted through the FULL
+DAG against shard N's persisted slim state (fingerprints, survivor band
+keys, split totals) without re-reading shard N's text."""
+from __future__ import annotations
+
+import json
+import pathlib
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _doc(i: int, salt: str = "") -> str:
+    toks = []
+    for j in range(40):
+        toks.append("the" if j % 2 == 0 else "and")
+        toks.append(f"{salt}tok{j}word{i}")
+    return " ".join(toks) + " "
+
+
+def _write(dirpath: pathlib.Path, rows, n_files: int = 2) -> pathlib.Path:
+    dirpath.mkdir(parents=True, exist_ok=True)
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    n = t.num_rows
+    for k in range(n_files):
+        lo = k * n // n_files
+        pq.write_table(
+            t.slice(lo, (k + 1) * n // n_files - lo),
+            dirpath / f"part-{k}.parquet",
+        )
+    return dirpath
+
+
+def test_incremental_stats_funnel(ray_session):
+    """Library-level composition: every incremental funnel stage fires
+    on a planted two-shard corpus, and packing continues after shard
+    1's totals (n_sequences counts the cumulative stream)."""
+    import ray.data as rd
+
+    from ocr_ray.ops.decontam import benchmark_shingle_set
+    from ocr_ray.pipelines.curation import (
+        curation_dag_stats,
+        curation_incremental_stats,
+    )
+
+    known_rows = [(i, _doc(i, f"known{i}")) for i in range(0, 20, 2)]
+    new_rows = [
+        (101, _doc(101, "fresh101")),
+        (103, _doc(103, "fresh103")),
+        (105, _doc(2, "known2")),          # exact dup of known doc 2
+        (107, _doc(4, "known4") + "zz qq ww"),  # near dup of known doc 4
+    ]
+    known = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in known_rows], pa.int64()),
+                "text": pa.array([r[1] for r in known_rows], pa.string()),
+            }
+        )
+    )
+    new = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in new_rows], pa.int64()),
+                "text": pa.array([r[1] for r in new_rows], pa.string()),
+            }
+        )
+    )
+    import ray
+
+    bench = known.filter(lambda r: r["doc_id"] % 50 == 0)
+    out = (
+        curation_incremental_stats(known, new, bench)
+        .to_pandas()
+        .sort_values("split")
+        .reset_index(drop=True)
+    )
+    # 105 dies at the fingerprint store, 107 at the band store;
+    # 101 and 103 are admitted (modulo their split assignment)
+    assert int(out["n_docs"].sum()) == 2
+    # sequences continue after shard 1: cumulative count must exceed
+    # what the new docs alone could produce
+    base = curation_dag_stats(known, bench).to_pandas()
+    base_seqs = dict(zip(base["split"], base["n_sequences"]))
+    for _, row in out.iterrows():
+        assert row["n_sequences"] >= base_seqs.get(row["split"], 0)
+
+
+def test_runner_incremental_state_chain(ray_session, tmp_path):
+    """Runner chain: run 1 persists band_store + split totals; run 2
+    with known_state drops exact dups via the fingerprint store, near
+    dups via the band store, and packs APPENDED after run 1's totals —
+    reading only run 2's input text (n_raw == the new shard's size)."""
+    from ocr_ray.pipelines.curation import (
+        CurationConfig,
+        run_curation_checkpointed,
+    )
+
+    shard1 = _write(
+        tmp_path / "shard1",
+        [(i, _doc(i, f"known{i}")) for i in range(0, 40, 2)],
+    )
+    out1 = tmp_path / "out1"
+    m1 = run_curation_checkpointed(
+        str(shard1), str(out1), CurationConfig(incremental_state=True)
+    )
+    assert (out1 / "band_store").exists()
+    man1 = json.loads(
+        (out1 / "_manifests" / "assignment.json").read_text()
+    )
+    assert man1["split_totals"] and sum(man1["split_totals"].values()) > 0
+    assert man1["split_totals"]["train"] > 0
+
+    shard2 = _write(
+        tmp_path / "shard2",
+        [
+            (201, _doc(201, "fresh201")),
+            (203, _doc(203, "fresh203")),
+            (205, _doc(2, "known2")),               # exact dup of shard 1
+            (207, _doc(4, "known4") + "zz qq ww"),  # near dup of shard 1
+        ],
+    )
+    out2 = tmp_path / "out2"
+    m2 = run_curation_checkpointed(
+        str(shard2), str(out2),
+        CurationConfig(known_state=str(out1)),
+    )
+    assert m2["incremental"]
+    assert m2["funnel"]["n_raw"] == 4  # only the new shard's text read
+    assert m2["funnel"]["n_exact_keepers"] == 3  # 205 died at the store
+    # 207 died at the band store (no within-shard near dups exist)
+    assert m2["funnel"]["n_neardup_drops"] == 1
+    assert m2["funnel"]["n_survivors"] == 2
+    surv = set()
+    for f in (out2 / "curated").rglob("*.parquet"):
+        surv |= set(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+    assert surv == {201, 203}
+
+    # packing continued: run 2's cumulative totals = run 1's + admitted
+    man2 = json.loads(
+        (out2 / "_manifests" / "assignment.json").read_text()
+    )
+    for s, v in man1["split_totals"].items():
+        assert man2["split_totals"][s] >= v
+    assert sum(man2["split_totals"].values()) > sum(
+        man1["split_totals"].values()
+    )
+    # run 2's assignment sequence ids start at/after run 1's totals
+    seq_firsts = []
+    for f in (out2 / "assignment").rglob("*.parquet"):
+        seq_firsts += pq.read_table(
+            f, columns=["seq_first"]
+        )["seq_first"].to_pylist()
+    assert seq_firsts and min(seq_firsts) > 0
+
+    # the chain extends: run 2's band_store contains run 1's keys too
+    n1 = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in (out1 / "band_store").rglob("*.parquet")
+    )
+    n2 = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in (out2 / "band_store").rglob("*.parquet")
+    )
+    assert n2 > n1
+
+
+def test_runner_incremental_wall_sublinear_in_history(
+    ray_session, tmp_path
+):
+    """Admitting the same new shard against an 8x larger history must
+    not rescan history text: n_raw stays the shard size both times, and
+    the wall grows far less than the history (bound 2.5x vs 8x)."""
+    from ocr_ray.pipelines.curation import (
+        CurationConfig,
+        run_curation_checkpointed,
+    )
+
+    shard = _write(
+        tmp_path / "shard",
+        [(9001 + 2 * i, _doc(9001 + 2 * i, "new")) for i in range(50)],
+    )
+
+    walls = {}
+    for tag, n_hist in (("small", 100), ("big", 800)):
+        hist = _write(
+            tmp_path / f"hist-{tag}",
+            [(2 * i, _doc(2 * i, f"h{tag}{i}")) for i in range(n_hist)],
+            n_files=4,
+        )
+        outh = tmp_path / f"outh-{tag}"
+        run_curation_checkpointed(
+            str(hist), str(outh), CurationConfig(incremental_state=True)
+        )
+        out2 = tmp_path / f"outs-{tag}"
+        t0 = time.perf_counter()
+        m = run_curation_checkpointed(
+            str(shard), str(out2), CurationConfig(known_state=str(outh))
+        )
+        walls[tag] = time.perf_counter() - t0
+        assert m["funnel"]["n_raw"] == 50  # never the history's text
+    assert walls["big"] < 2.5 * walls["small"], walls
