@@ -200,8 +200,9 @@ _JPEG_MAGIC = b"\xff\xd8\xff"
 
 def decode_any_image(payload: bytes) -> np.ndarray | None:
     """(H, W, 3) RGB pixels for any stdlib-decodable payload — RAWI,
-    PNG (kernels/png.py), BMP / netpbm (kernels/imagefmt.py) — else
-    None (entropy-coded formats like JPEG need external codecs)."""
+    PNG (kernels/png.py), BMP / netpbm (kernels/imagefmt.py), baseline
+    JPEG (kernels/jpeg.py) — else None (progressive JPEG and video/
+    audio containers still need external codecs)."""
     if payload is None:
         return None
     if is_raw_image(payload):
@@ -212,6 +213,7 @@ def decode_any_image(payload: bytes) -> np.ndarray | None:
         is_bmp,
         is_netpbm,
     )
+    from ocr_ray.kernels.jpeg import decode_jpeg, is_jpeg
     from ocr_ray.kernels.png import decode_png, is_png
 
     if is_png(payload):
@@ -220,6 +222,13 @@ def decode_any_image(payload: bytes) -> np.ndarray | None:
         return decode_bmp(payload)
     if is_netpbm(payload):
         return _to_rgb(decode_netpbm(payload))
+    if is_jpeg(payload):
+        try:
+            return _to_rgb(decode_jpeg(payload))
+        except NotImplementedError:
+            return None  # progressive/arithmetic — codec absent
+        except ValueError:
+            return None  # truncated/corrupt stream — best-effort helper
     return None
 
 
@@ -229,9 +238,10 @@ class DecodeMedia:
     codec (kernels/png.py) and is TRANSCODED to the RAWI payload the
     downstream pixel kernels (resize/deskew/background, M3-M5) consume —
     the reference's PIL decode seam (ocr_service.py:513-525) with PNG
-    closed for real; JPEG still names its missing library. PNG
-    dimensions come from the IHDR even in metadata-only mode (no
-    decompression)."""
+    closed for real, and baseline JPEG via kernels/jpeg.py —
+    NotImplementedError now names only progressive/arithmetic streams.
+    PNG dims come from the IHDR and JPEG dims from the SOF header in
+    metadata-only mode (no decompression / entropy decode)."""
 
     def __init__(self, real_codecs: bool = False):
         self.real_codecs = real_codecs
@@ -302,14 +312,36 @@ class DecodeMedia:
                 "n_bytes": len(payload),
                 "payload": payload,
             }
+        if payload[:3] == _JPEG_MAGIC:
+            from ocr_ray.kernels.jpeg import decode_jpeg, jpeg_dims
+
+            if self.real_codecs:
+                # baseline decodes for real (kernels/jpeg.py) and is
+                # transcoded to RAWI like PNG; the NotImplementedError
+                # now fires ONLY for progressive/arithmetic streams
+                img = _to_rgb(decode_jpeg(payload))
+                return {
+                    "media_type": "image",
+                    "width": img.shape[1],
+                    "height": img.shape[0],
+                    "duration_ms": 0,
+                    "n_bytes": len(payload),
+                    "payload": encode_raw_image(img),
+                }
+            w, h = jpeg_dims(payload)  # SOF header only, all flavors
+            return {
+                "media_type": "image",
+                "width": w,
+                "height": h,
+                "duration_ms": 0,
+                "n_bytes": len(payload),
+                "payload": payload,
+            }
         if self.real_codecs and not is_raw_image(payload):
-            if payload[:3] == _JPEG_MAGIC:
-                raise NotImplementedError(
-                    "JPEG decode needs PIL/libjpeg (not in this container)"
-                )
             raise NotImplementedError(
-                "real decode of this payload needs PIL/soundfile/PyAV "
-                "(not in this container); PNG and RAWI decode for real"
+                "real decode of this payload needs soundfile/PyAV "
+                "(not in this container); PNG, baseline JPEG, BMP, "
+                "netpbm and RAWI decode for real"
             )
         kind, width, height, duration = _parse_header(payload)
         return {
@@ -512,7 +544,8 @@ class EnhanceImage:
     ocr_service.py:145-223 — LAB neutralize → CLAHE 4.0 → 2×2 dilation
     thicken → unsharp σ2 1.8/−0.8 → convertScaleAbs 1.3/−30), run for
     REAL on every RAWI or PNG payload via kernels/pixels.py:
-    enhance_chain; opaque payloads (JPEG — codec absent) pass through
+    enhance_chain; opaque payloads (progressive JPEG, corrupt or
+    unknown formats) pass through
     flagged ``enhanced=False``. Replaces the payload with the enhanced
     RAWI page, exactly what a warm OCR engine would consume next."""
 
@@ -601,8 +634,9 @@ def media_dhash_pairs(media, max_hamming: int = 3, max_bucket: int = 8192):
     slim (table, chunk, id, hash) rows, vectorized popcount all-pairs
     per bucket with the logged rep-pair overflow guard. RAWI and PNG
     payloads hash directly (PNG via the stdlib codec, kernels/png.py);
-    other compressed formats (JPEG — needs PIL) are skipped here; the
-    full decode seam is ``DecodeMedia(real_codecs=True)``.
+    non-baseline streams (progressive JPEG — needs libjpeg) are
+    skipped here; the full decode seam is
+    ``DecodeMedia(real_codecs=True)``.
 
     Output (media_a, media_b, hamming) for hamming ≤ ``max_hamming``.
     Not SQL-expressible (pixel access) — pinned by pytest instead
@@ -615,25 +649,10 @@ def media_dhash_pairs(media, max_hamming: int = 3, max_bucket: int = 8192):
 
     def hash_batch(batch: pa.Table) -> pa.Table:
         ids_out, hashes = [], []
-        from ocr_ray.kernels.imagefmt import (
-            decode_bmp,
-            decode_netpbm,
-            is_bmp,
-            is_netpbm,
-        )
-        from ocr_ray.kernels.png import decode_png, is_png
-
         ids = batch.column("media_id").to_pylist()
         for mid, payload in zip(ids, batch.column("payload").to_pylist()):
-            if is_raw_image(payload):
-                img = decode_raw_image(payload)
-            elif is_png(payload):
-                img = _to_rgb(decode_png(payload))
-            elif is_bmp(payload):
-                img = decode_bmp(payload)
-            elif is_netpbm(payload):
-                img = _to_rgb(decode_netpbm(payload))
-            else:
+            img = decode_any_image(payload)
+            if img is None:
                 continue
             hashes.append(dhash64(img))
             ids_out.append(mid)

@@ -117,11 +117,15 @@ def test_decode_media_png_metadata_without_real_codecs(ray_session):
     assert is_png(out.column("payload")[0].as_py())
 
 
-def test_decode_media_jpeg_names_missing_library():
+def test_decode_media_jpeg_real_mode_contract():
+    """Baseline JPEG now decodes for real (kernels/jpeg.py); the
+    real-mode errors are: ValueError for a corrupt stream,
+    NotImplementedError ONLY for non-baseline flavors (see
+    tests/test_jpeg.py for the progressive fixture)."""
     from ocr_ray.ops.multimodal import DecodeMedia
 
     stage = DecodeMedia(real_codecs=True)
-    with pytest.raises(NotImplementedError, match="PIL"):
+    with pytest.raises(ValueError, match="corrupt"):
         stage._decode(b"\xff\xd8\xff\xe0fakejpeg")
 
 
