@@ -1560,17 +1560,21 @@ def _cluster_top1(block: pa.Table, starts: np.ndarray) -> pa.Table:
         sims[g_ids[:, None] == m_ids[None, :]] = -np.inf
         best = sims.max(axis=1)
         ok = np.isfinite(best)
-        for i in np.flatnonzero(ok):
-            row = sims[i]
-            # deterministic tie-break: smallest member id among maxima
-            v_out.append(int(g_ids[i]))
-            c_out.append(int(m_ids[np.flatnonzero(row == best[i])].min()))
-            s_out.append(float(best[i]))
+        # deterministic tie-break, vectorized: smallest member id among
+        # the per-row maxima (no per-prober Python loop)
+        cand = np.where(
+            sims == best[:, None], m_ids[None, :], np.iinfo(np.int64).max
+        ).min(axis=1)
+        v_out.append(g_ids[ok].astype(np.int64))
+        c_out.append(cand[ok])
+        s_out.append(best[ok])
+    if not v_out:
+        return _TOP1_PARTIAL_SCHEMA.empty_table()
     return pa.table(
         {
-            "vec_id": pa.array(v_out, pa.int64()),
-            "cand": pa.array(c_out, pa.int64()),
-            "sim": pa.array(s_out, pa.float64()),
+            "vec_id": pa.array(np.concatenate(v_out), pa.int64()),
+            "cand": pa.array(np.concatenate(c_out), pa.int64()),
+            "sim": pa.array(np.concatenate(s_out), pa.float64()),
         }
     )
 

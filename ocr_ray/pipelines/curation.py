@@ -15,10 +15,12 @@ fragments verbatim.
 
 Scale design — what moves, and how often the text is read:
 
-- The document TEXT is scanned exactly twice (plus one small benchmark
-  scan): pass 1 scores + filters + fingerprints + contamination-probes
-  every doc into a SLIM row (~60 B/doc); pass 2 re-derives shingle rows
-  for filter survivors. Text never enters a shuffle.
+- The document TEXT is scanned exactly twice in the composed query
+  (plus one small benchmark scan): pass 1 scores + filters +
+  fingerprints + contamination-probes every doc into a SLIM row
+  (~60 B/doc); pass 2 re-derives shingle rows for filter survivors.
+  The checkpoint RUNNER fuses both into ONE scan (stage 1 emits score
+  + shingle (+ band-key) rows together). Text never enters a shuffle.
 - Every shuffle in the DAG moves slim derived rows only: the exact-dedup
   groupby ships (fp, lang, n_tokens, flag) keys; the keeper restriction
   and the anti-joins are marker-union ``grouped_map`` passes over
