@@ -27,9 +27,12 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 LO = int(sys.argv[1]) if len(sys.argv) > 1 else 4
 HI = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 ROUNDS = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+# tile the base table so the walls clear the fixed launch costs and
+# the measurement reflects the shuffle/pair stages, not Ray boot
+TILES = int(sys.argv[4]) if len(sys.argv) > 4 else 8
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-CORPUS = pathlib.Path("/tmp/ocr_ray_cache/skew-50dup")
+CORPUS = pathlib.Path(f"/tmp/ocr_ray_cache/skew-50dup-{TILES}x")
 
 _CHILD = r"""
 import json, sys, time
@@ -56,12 +59,37 @@ def build_corpus() -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    base = pq.read_table(
+    import hashlib
+
+    base0 = pq.read_table(
         f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
     )
+    tiles = []
+    for k in range(TILES):
+        if k == 0:
+            tiles.append(base0)
+            continue
+        # distinct texts per tile (salted) so the dup rate stays 50%
+        salted = [
+            (t or "") + f" tile{k} " + hashlib.md5(
+                f"{k}|{i}".encode()
+            ).hexdigest()[:8]
+            for i, t in enumerate(base0.column("text").to_pylist())
+        ]
+        tiles.append(
+            pa.table(
+                {
+                    "doc_id": pa.compute.add(
+                        base0.column("doc_id"), k * 1_000_000
+                    ),
+                    "text": pa.array(salted, pa.string()),
+                }
+            )
+        )
+    base = pa.concat_tables(tiles)
     dup = pa.table(
         {
-            "doc_id": pa.compute.add(base.column("doc_id"), 10_000_000),
+            "doc_id": pa.compute.add(base.column("doc_id"), 100_000_000),
             "text": base.column("text"),
         }
     )
