@@ -186,6 +186,10 @@ def test_runner_incremental_wall_sublinear_in_history(
         run_curation_checkpointed,
     )
 
+    import json
+    import subprocess
+    import sys
+
     shard = _write(
         tmp_path / "shard",
         [(9001 + 2 * i, _doc(9001 + 2 * i, "new")) for i in range(50)],
@@ -204,22 +208,48 @@ def test_runner_incremental_wall_sublinear_in_history(
         )
         states[tag] = outh
 
+    # each admit leg runs in a FRESH subprocess Ray session: inside the
+    # suite's shared 4-CPU session the shuffle aggregators oversubscribe
+    # and walls inflate ~10x non-deterministically, which is session
+    # contention, not history cost
+    child = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         logging_level="ERROR")
+from ocr_ray.context import configure
+configure()
+from ocr_ray.pipelines.curation import (CurationConfig,
+                                        run_curation_checkpointed)
+t0 = time.perf_counter()
+m = run_curation_checkpointed({shard!r}, {out!r},
+                              CurationConfig(known_state={state!r}))
+print("CHILD " + json.dumps({{"wall": time.perf_counter() - t0,
+                              "n_raw": m["funnel"]["n_raw"]}}))
+ray.shutdown()
+"""
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+
     def admit(tag: str, attempt: int) -> float:
         out2 = tmp_path / f"outs-{tag}-{attempt}"
-        t0 = time.perf_counter()
-        m = run_curation_checkpointed(
-            str(shard), str(out2),
-            CurationConfig(known_state=str(states[tag])),
+        code = child.format(
+            repo=repo, shard=str(shard), out=str(out2),
+            state=str(states[tag]),
         )
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        line = [l for l in out.splitlines() if l.startswith("CHILD ")][-1]
+        r = json.loads(line[len("CHILD "):])
         # the STRUCTURAL invariant (deterministic): only the new
         # shard's text is ever read, whatever the history size
-        assert m["funnel"]["n_raw"] == 50
-        return time.perf_counter() - t0
+        assert r["n_raw"] == 50
+        return r["wall"]
 
-    # the wall claim is inherently a timing statement; ambient CPU
-    # contention on a shared box can inflate one leg several-fold, so
-    # allow one interleaved re-measure before failing (8x history vs a
-    # 3.5x wall bound still cleanly separates rescan-history behavior)
+    # 8x history vs a 3.5x wall bound cleanly separates rescan-history
+    # behavior; one interleaved re-measure guards residual ambient load
     for attempt in range(2):
         walls = {t: admit(t, attempt) for t in ("big", "small")}
         if walls["big"] < 3.5 * walls["small"]:
