@@ -757,21 +757,31 @@ _BAND_ROW_SCHEMA = pa.schema(
     ]
 )
 
-_DOC_SCHEMA = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
-
-
-def _docs_restricted(docs, ids):
-    """Semi-join (doc_id, text) docs to a slim id table — the marker
-    pattern, no O(corpus) broadcast."""
-    return _tagged_union(docs, _DOC_SCHEMA, ids, _marker_semi_block)
-
-
-def _band_key_rows(docs, *, num_perm: int, lsh_bands: int, shingle_n: int):
+def _band_key_rows(docs, ids, *, num_perm: int, lsh_bands: int,
+                   shingle_n: int, min_words: int,
+                   min_stopword_ratio: float, max_punct_ratio: float):
+    """Slim (band, band_hash, doc_id) rows for the docs named by the
+    slim ``ids`` table: signatures are computed MAP-SIDE over the
+    (quality-prefiltered) text — fused with the read, text never enters
+    a shuffle — and the restriction to ``ids`` is a marker semi-join
+    over the 16-per-doc band rows. Computing signatures for docs the
+    restriction then drops trades bounded extra CPU for never moving
+    text, the same call the fused runner makes (stage 1 emits band rows
+    for every filter survivor; stores restrict slim)."""
     from ocr_ray.ops.dedup import _band_rows_factory, minhash_signatures
 
-    return minhash_signatures(docs, num_perm, shingle_n).map_batches(
-        _band_rows_factory(num_perm, lsh_bands), batch_format="pyarrow"
-    )
+    rows = minhash_signatures(
+        docs.map_batches(
+            _prefilter_factory(
+                min_words, min_stopword_ratio, max_punct_ratio
+            ),
+            batch_format="pyarrow",
+        ),
+        num_perm,
+        shingle_n,
+    ).map_batches(_band_rows_factory(num_perm, lsh_bands),
+                  batch_format="pyarrow")
+    return _tagged_union(rows, _BAND_ROW_SCHEMA, ids, _marker_semi_block)
 
 
 def curation_incremental_stats(
@@ -842,15 +852,17 @@ def curation_incremental_stats(
     )
 
     # ---- prior-corpus state (slim; persisted stores in the runner) --
+    band_kw = dict(
+        num_perm=num_perm, lsh_bands=lsh_bands, shingle_n=shingle_n,
+        min_words=min_words, min_stopword_ratio=min_stopword_ratio,
+        max_punct_ratio=max_punct_ratio,
+    )
     keepers1 = curation_keepers(
         curation_scored(docs_known, bench_ref, **kw)
     ).materialize()
     drops1 = curation_neardup_drops(docs_known, keepers1, **nd_kw)
     survivors1 = curation_survivors(keepers1, drops1).materialize()
-    known_bands = _band_key_rows(
-        _docs_restricted(docs_known, survivors1),
-        num_perm=num_perm, lsh_bands=lsh_bands, shingle_n=shingle_n,
-    )
+    known_bands = _band_key_rows(docs_known, survivors1, **band_kw)
 
     def with_split(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or t.num_columns == 0:
@@ -886,10 +898,7 @@ def curation_incremental_stats(
     ).materialize()
     drops2 = curation_neardup_drops(docs_new, keepers2, **nd_kw)
     band_hits = _tagged_union(
-        _band_key_rows(
-            _docs_restricted(docs_new, keepers2),
-            num_perm=num_perm, lsh_bands=lsh_bands, shingle_n=shingle_n,
-        ),
+        _band_key_rows(docs_new, keepers2, **band_kw),
         _BAND_ROW_SCHEMA,
         known_bands,
         _marker_semi_block,
